@@ -1,0 +1,14 @@
+"""hoodie_spark — a PySpark-native transactional table format + incremental
+processing engine with the query and data-processing capabilities of Apache
+Hudi (reference: /root/reference @ 0.9.0-SNAPSHOT), re-designed Spark-first:
+DataFrame/Catalyst for every data movement, driver-side JSON timeline +
+manifests for all metadata, Parquet everywhere."""
+
+from .config import (IndexType, MergePolicy, TableConfig, TableType,
+                     WriteConfig, WriteOperation)
+from .table import HoodieTable
+
+__all__ = [
+    "HoodieTable", "TableConfig", "WriteConfig", "TableType", "MergePolicy",
+    "IndexType", "WriteOperation",
+]

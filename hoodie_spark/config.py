@@ -1,0 +1,150 @@
+"""Table and write configuration.
+
+Reference parity: ``HoodieTableConfig`` (hudi-common/src/main/java/org/apache/
+hudi/common/table/HoodieTableConfig.java) for table-level properties persisted
+under the metafolder, and ``HoodieWriteConfig`` / ``HoodieStorageConfig``
+(hudi-client/hudi-client-common/.../config/HoodieStorageConfig.java:37-39 —
+120 MB target base file, 100 MB small-file limit) for write-time knobs.
+
+The rebuild keeps only the knobs that affect a Catalyst-planned write:
+file sizing (bin packing), index mode, merge policy, and sort mode.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+
+
+class TableType:
+    """common/model/HoodieTableType.java:30."""
+
+    COPY_ON_WRITE = "COPY_ON_WRITE"
+    MERGE_ON_READ = "MERGE_ON_READ"
+
+
+class WriteOperation:
+    """common/model/WriteOperationType.java:28-52."""
+
+    INSERT = "insert"
+    UPSERT = "upsert"
+    BULK_INSERT = "bulk_insert"
+    DELETE = "delete"
+    DELETE_PARTITION = "delete_partition"
+    INSERT_OVERWRITE = "insert_overwrite"
+    INSERT_OVERWRITE_TABLE = "insert_overwrite_table"
+    CLUSTER = "cluster"
+    COMPACT = "compact"
+    BOOTSTRAP = "bootstrap"
+
+
+class MergePolicy:
+    """Named merge policies standing in for HoodieRecordPayload classes.
+
+    OVERWRITE_LATEST  = OverwriteWithLatestAvroPayload.java:38 (latest by
+                        ordering value, incoming wins ties)
+    DEFAULT           = DefaultHoodieRecordPayload.java:41 (also compares
+                        ordering against the *stored* record,
+                        needUpdatingPersistedRecord:93)
+    PARTIAL_UPDATE    = OverwriteNonDefaultsWithLatestAvroPayload.java
+                        (null incoming fields keep the stored value)
+    """
+
+    OVERWRITE_LATEST = "overwrite_latest"
+    DEFAULT = "default"
+    PARTIAL_UPDATE = "partial_update"
+
+
+class IndexType:
+    """hudi-client-common/.../index/HoodieIndex.java:106.
+
+    SIMPLE / GLOBAL_SIMPLE are join-based (SparkHoodieSimpleIndex.java:153);
+    BLOOM / GLOBAL_BLOOM add key-range pruning from file stats
+    (SparkHoodieBloomIndex.java:110-133) — in the rebuild the range stats
+    live in the commit manifests, so "bloom" = manifest min/max pruning
+    before the same join.
+    """
+
+    SIMPLE = "simple"
+    GLOBAL_SIMPLE = "global_simple"
+    BLOOM = "bloom"
+    GLOBAL_BLOOM = "global_bloom"
+
+
+# Meta columns prepended to every stored row
+# (common/model/HoodieRecord.java:37-41).
+COMMIT_TIME = "_hoodie_commit_time"
+COMMIT_SEQNO = "_hoodie_commit_seqno"
+RECORD_KEY = "_hoodie_record_key"
+PARTITION_PATH = "_hoodie_partition_path"
+FILE_NAME = "_hoodie_file_name"
+META_COLUMNS = [COMMIT_TIME, COMMIT_SEQNO, RECORD_KEY, PARTITION_PATH, FILE_NAME]
+
+# Extra column carried only in MOR delta (log) files: 'U' update / 'D' delete.
+OPERATION = "_hoodie_operation"
+
+# Soft-delete flag understood by the merge (HoodieTestDataGenerator.java:96).
+IS_DELETED = "_hoodie_is_deleted"
+
+# Sentinel used for the partition value of non-partitioned tables.
+NO_PARTITION = "__NONE__"
+
+
+@dataclass
+class TableConfig:
+    """Persisted to ``<base>/.hoodie/hoodie.properties.json``
+    (reference: HoodieTableConfig.java persisted at
+    common/table/HoodieTableMetaClient.java:77-81)."""
+
+    name: str
+    table_type: str = TableType.COPY_ON_WRITE
+    recordkey_fields: list[str] = field(default_factory=list)
+    precombine_field: str | None = None
+    # Either a list of partition fields (values joined by '/') or a Spark SQL
+    # expression producing the partition path string (TimestampBasedKeyGenerator
+    # equivalent). Both None => non-partitioned table.
+    partition_fields: list[str] | None = None
+    partition_expr: str | None = None
+    payload: str = MergePolicy.OVERWRITE_LATEST
+    # latest schema as StructType.json(); updated on each commit
+    schema_json: str | None = None
+    version: int = 1
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+    @staticmethod
+    def from_json(s: str) -> "TableConfig":
+        return TableConfig(**json.loads(s))
+
+    @property
+    def partitioned(self) -> bool:
+        return bool(self.partition_fields) or self.partition_expr is not None
+
+
+@dataclass
+class WriteConfig:
+    """Write-time knobs (HoodieStorageConfig.java defaults: 120 MB target
+    file, 100 MB small-file limit; HoodieCompactionConfig.java:59-108)."""
+
+    parquet_max_file_size: int = 120 * 1024 * 1024
+    parquet_small_file_limit: int = 100 * 1024 * 1024
+    # bootstrap estimate; refined from observed bytes/record after each commit
+    record_size_estimate: int = 1024
+    index_type: str = IndexType.BLOOM
+    merge_policy: str | None = None  # None -> table payload
+    combine_before_insert: bool = False
+    combine_before_upsert: bool = True
+    # table services
+    cleaner_commits_retained: int = 10
+    min_commits_to_keep: int = 20
+    max_commits_to_keep: int = 30
+    # MOR
+    max_delta_commits_before_compaction: int = 5
+    # clustering
+    clustering_small_file_limit: int = 50 * 1024 * 1024
+    clustering_target_file_size: int = 120 * 1024 * 1024
+
+    def records_per_file(self) -> int:
+        return max(1, self.parquet_max_file_size // max(1, self.record_size_estimate))

@@ -1,0 +1,99 @@
+"""Record index: key → file-group location lookup.
+
+Reference parity: hudi-client-common/.../index/HoodieIndex.java:106 (types),
+SparkHoodieSimpleIndex.java:153 (join against keys read from storage),
+SparkHoodieGlobalSimpleIndex.java:154, SparkHoodieBloomIndex.java:61-289
+(per-file key ranges + bloom filters pruning candidate files before the
+check), SparkHoodieGlobalBloomIndex.java:143.
+
+Spark-first: tagging is a single left join between the incoming batch and a
+projection of (record_key, partition, file_name) read from only the files
+that survive pruning. Pruning happens on the DRIVER against the commit
+manifest — partition pruning first (non-global index), then record-key
+min/max interval overlap (the manifest carries per-file key ranges harvested
+from parquet footers at write time, standing in for Hudi's bloom/range
+footer metadata). The join itself is Catalyst-planned: with a small incoming
+batch AQE turns it into a broadcast join; the 3-column projection means the
+scan reads only those columns (column pruning)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .config import (COMMIT_TIME, FILE_NAME, PARTITION_PATH, RECORD_KEY,
+                     IndexType)
+
+_KEY_PROJECTION = (f"{COMMIT_TIME} string, {RECORD_KEY} string, "
+                   f"{PARTITION_PATH} string, {FILE_NAME} string")
+
+
+def tag_location(spark: SparkSession, prepared: DataFrame, table,
+                 view=None) -> DataFrame:
+    """HoodieIndex.tagLocation: adds ``_target_file_id`` / ``_target_pp``
+    columns (null = insert). ``prepared`` must carry RECORD_KEY and
+    PARTITION_PATH columns."""
+    index_type = table.write_config.index_type
+    is_global = index_type in (IndexType.GLOBAL_SIMPLE, IndexType.GLOBAL_BLOOM)
+    view = view or table.view()
+
+    if is_global:
+        slices = view.latest_slices()
+    else:
+        pps = [r[0] for r in prepared.select(PARTITION_PATH).distinct().collect()]
+        slices = view.latest_slices(partitions=pps)
+
+    if index_type in (IndexType.BLOOM, IndexType.GLOBAL_BLOOM):
+        slices = _prune_by_key_range(prepared, slices, is_global)
+
+    paths = [view.abs(sl.base_file.path) for sl in slices if sl.base_file is not None]
+    if not paths:
+        null_s = F.lit(None).cast("string")
+        return prepared.withColumn("_target_file_id", null_s) \
+                       .withColumn("_target_pp", null_s)
+
+    existing = (spark.read.schema(_KEY_PROJECTION).parquet(*paths)
+                .select(F.col(RECORD_KEY).alias("__ex_key"),
+                        F.col(PARTITION_PATH).alias("_target_pp"),
+                        F.split(F.col(FILE_NAME), "_").getItem(0).alias("_target_file_id"),
+                        F.col(COMMIT_TIME).alias("__ex_commit")))
+    if is_global:
+        # a record key may exist in several partitions; keep the latest
+        w = Window.partitionBy("__ex_key").orderBy(F.desc("__ex_commit"))
+        existing = existing.withColumn("__rn", F.row_number().over(w)) \
+                           .filter(F.col("__rn") == 1).drop("__rn")
+        cond = [F.col(RECORD_KEY) == F.col("__ex_key")]
+    else:
+        cond = [F.col(RECORD_KEY) == F.col("__ex_key"),
+                F.col(PARTITION_PATH) == F.col("_target_pp")]
+    existing = existing.drop("__ex_commit")
+
+    joined = prepared.join(existing, cond[0] if len(cond) == 1 else cond[0] & cond[1],
+                           "left").drop("__ex_key")
+    if not is_global:
+        return joined.withColumn("_target_pp", F.col(PARTITION_PATH))
+    return joined
+
+
+def _prune_by_key_range(prepared: DataFrame, slices, is_global: bool):
+    """IntervalTreeBasedIndexFileFilter / SparkHoodieBloomIndex.java:230-235:
+    drop candidate files whose [min_key, max_key] cannot intersect the
+    incoming batch's key range. One tiny agg action; effective whenever keys
+    are clustered (monotonic ids, time-prefixed keys, sorted bulk loads)."""
+    if is_global:
+        row = prepared.agg(F.min(RECORD_KEY), F.max(RECORD_KEY)).collect()[0]
+        bounds = {None: (row[0], row[1])}
+    else:
+        rows = prepared.groupBy(PARTITION_PATH).agg(
+            F.min(RECORD_KEY), F.max(RECORD_KEY)).collect()
+        bounds = {r[0]: (r[1], r[2]) for r in rows}
+    out = []
+    for sl in slices:
+        bf = sl.base_file
+        lo, hi = bounds.get(None) or bounds.get(sl.partition, (None, None))
+        if bf is None or bf.min_key is None or bf.max_key is None or lo is None:
+            out.append(sl)  # no stats -> cannot prune
+            continue
+        if bf.max_key >= lo and bf.min_key <= hi:
+            out.append(sl)
+    return out

@@ -1,0 +1,46 @@
+"""Key generators: record identity + partition-path expressions.
+
+Reference parity: hudi-client/hudi-spark-client/src/main/java/org/apache/hudi/
+keygen/ — SimpleKeyGenerator, ComplexKeyGenerator (composite keys joined as
+``field:value,field:value``), TimestampBasedKeyGenerator (timestamp → path),
+NonpartitionedKeyGenerator, factory HoodieSparkKeyGeneratorFactory.java.
+
+Spark-first: keys and partition paths are Column expressions evaluated inside
+whole-stage codegen — no per-record Java objects, no Avro.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .config import NO_PARTITION, PARTITION_PATH, RECORD_KEY, TableConfig
+
+
+def record_key_expr(cfg: TableConfig) -> Column:
+    """SimpleKeyGenerator for one field, ComplexKeyGenerator for several."""
+    fields = cfg.recordkey_fields
+    if not fields:
+        raise ValueError("recordkey_fields must be configured")
+    if len(fields) == 1:
+        return F.col(fields[0]).cast("string")
+    parts = [F.concat(F.lit(f + ":"), F.col(f).cast("string")) for f in fields]
+    return F.concat_ws(",", *parts)
+
+
+def partition_path_expr(cfg: TableConfig) -> Column:
+    """Partition path column; NO_PARTITION sentinel for unpartitioned."""
+    if cfg.partition_expr:
+        return F.expr(cfg.partition_expr).cast("string")
+    if cfg.partition_fields:
+        return F.concat_ws("/", *[F.col(f).cast("string") for f in cfg.partition_fields])
+    # Hudi stores the empty partition path for non-partitioned tables; the
+    # NO_PARTITION sentinel exists only as the physical directory name.
+    return F.lit("")
+
+
+def with_keys(df: DataFrame, cfg: TableConfig) -> DataFrame:
+    """Attach _hoodie_record_key and _hoodie_partition_path columns."""
+    return df.withColumn(RECORD_KEY, record_key_expr(cfg)).withColumn(
+        PARTITION_PATH, partition_path_expr(cfg)
+    )

@@ -1,0 +1,128 @@
+"""Query operators: snapshot / read-optimized / incremental / time-travel.
+
+Reference parity: DefaultSource.scala:111-135 dispatch on (tableType,
+queryType); COW snapshot = HadoopFsRelation over latest base files
+(DefaultSource.scala:190); MOR snapshot = MergeOnReadSnapshotRelation.scala /
+HoodieMergeOnReadRDD.scala:72-76 (payload-combine of base + log records);
+incremental = IncrementalRelation.scala:47-178 (commit-range file list +
+``_hoodie_commit_time`` filter); as-of = END_INSTANTTIME-bounded
+(DataSourceOptions.scala:94).
+
+Spark-first: every read returns a plain DataFrame over an explicit pruned
+file list from the manifest fold, with the table schema supplied up front —
+so Catalyst gets predicate pushdown, column pruning and partition pruning
+for free, and the MOR merge is a unionByName + one window (shuffle by key)
+instead of a per-slice spillable hash map."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from . import timeline as tl
+from .config import (COMMIT_TIME, OPERATION, PARTITION_PATH, RECORD_KEY,
+                     TableType)
+from .keygen import record_key_expr
+
+
+class ReadClient:
+    def __init__(self, table):
+        self.table = table
+        self.spark = table.spark
+
+    # ------------------------------------------------------------- snapshot
+    def snapshot(self, as_of: str | None = None,
+                 partitions: list[str] | None = None) -> DataFrame:
+        """Latest committed state (optionally time-travelled / partition-
+        pruned)."""
+        view = self.table.view()
+        slices = view.latest_slices(as_of=as_of, partitions=partitions)
+        if self.table.config.table_type == TableType.MERGE_ON_READ:
+            return self._merge_on_read(view, slices, as_of)
+        return self.table.read_slices_base(slices)
+
+    def read_optimized(self, as_of: str | None = None,
+                       partitions: list[str] | None = None) -> DataFrame:
+        """MOR read-optimized view — base files only (DefaultSource.scala:
+        119-124); identical to snapshot for COW."""
+        view = self.table.view()
+        slices = view.latest_slices(as_of=as_of, partitions=partitions)
+        return self.table.read_slices_base(slices)
+
+    def _merge_on_read(self, view, slices, as_of: str | None) -> DataFrame:
+        base = self.table.read_slices_base(slices)
+        delta_paths = [view.abs(lf.path) for sl in slices
+                       for lf in sl.log_files_as_of(as_of)]
+        if not delta_paths:
+            return base
+        deltas = self.table.read_delta_files(delta_paths)
+        merged = base.withColumn(OPERATION, F.lit("I")).unionByName(deltas)
+        return self._resolve(merged).drop(OPERATION)
+
+    def _resolve(self, df: DataFrame) -> DataFrame:
+        """Equivalent of the log-scanner fold (HoodieMergedLogRecordScanner
+        .java:55-82): delete blocks clear the key, records committed AFTER
+        the latest delete re-add it, and among surviving records the payload
+        picks the max ordering value (ties: latest commit). Expressed as two
+        windows over one shuffle-by-key instead of a per-slice spillable map."""
+        pre = self.table.config.precombine_field
+        ordc = F.col(pre) if pre and pre in df.columns else F.lit(0)
+        wk = Window.partitionBy(PARTITION_PATH, RECORD_KEY)
+        last_del = F.max(F.when(F.col(OPERATION) == "D", F.col(COMMIT_TIME))).over(wk)
+        w = wk.orderBy(F.desc_nulls_last("__ord"), F.desc(COMMIT_TIME))
+        return (df.withColumn("__ord", ordc)
+                .withColumn("__last_del", last_del)
+                .filter((F.col(OPERATION) != "D") &
+                        (F.col("__last_del").isNull() |
+                         (F.col(COMMIT_TIME) > F.col("__last_del"))))
+                .withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn", "__ord", "__last_del"))
+
+    # ----------------------------------------------------------- incremental
+    def incremental(self, begin: str | None = None, end: str | None = None) -> DataFrame:
+        """Rows whose CURRENT value was committed in (begin, end]
+        (IncrementalRelation.scala:98-116). begin=None reads from the start
+        (first commit inclusive); end=None means the latest instant."""
+        begin = begin or ""
+        instants = [i for i in self.table.timeline.completed(tl.DATA_ACTIONS)
+                    if i.timestamp > begin and (end is None or i.timestamp <= end)]
+        if not instants:
+            return self.table.empty_df()
+        end_ts = instants[-1].timestamp
+        touched: set[tuple[str, str]] = set()
+        for inst in instants:
+            md = self.table.timeline.metadata(inst)
+            for st in md.get("write_stats", []):
+                touched.add((st["partition"], st["file_id"]))
+        view = self.table.view()
+        slices = view.slices_for_groups(touched, as_of=end_ts)
+        if self.table.config.table_type == TableType.MERGE_ON_READ:
+            df = self._merge_on_read_incremental(view, slices, end_ts)
+        else:
+            df = self.table.read_slices_base(slices)
+        return df.filter((F.col(COMMIT_TIME) > begin) & (F.col(COMMIT_TIME) <= end_ts))
+
+    def _merge_on_read_incremental(self, view, slices, end_ts: str) -> DataFrame:
+        base = self.table.read_slices_base(slices)
+        delta_paths = [view.abs(lf.path) for sl in slices
+                       for lf in sl.log_files_as_of(end_ts)]
+        if not delta_paths:
+            return base
+        deltas = self.table.read_delta_files(delta_paths)
+        merged = base.withColumn(OPERATION, F.lit("I")).unionByName(deltas)
+        return self._resolve(merged).drop(OPERATION)
+
+    # ------------------------------------------------------------ key lookup
+    def read_keys(self, keys_df: DataFrame, as_of: str | None = None) -> DataFrame:
+        """HoodieReadClient.readROView:138 — rows for a set of keys; keys_df
+        carries the natural key columns."""
+        keyed = keys_df.select(record_key_expr(self.table.config).alias(RECORD_KEY))
+        return self.snapshot(as_of=as_of).join(
+            F.broadcast(keyed.distinct()), RECORD_KEY, "left_semi")
+
+    def exists(self, keys_df: DataFrame) -> DataFrame:
+        """HoodieReadClient.checkExists:172."""
+        keyed = keys_df.select(record_key_expr(self.table.config).alias(RECORD_KEY))
+        present = self.snapshot().select(RECORD_KEY)
+        return keyed.join(present, RECORD_KEY, "left_semi")

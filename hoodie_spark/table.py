@@ -1,0 +1,212 @@
+"""HoodieTable — the user-facing facade over one table.
+
+Reference parity: HoodieTableMetaClient.java:77-81 (metafolder layout),
+HoodieTableConfig.java (persisted table properties), TableSchemaResolver.java
+:55-165 (schema from last commit), plus the client surface of
+SparkRDDWriteClient / HoodieReadClient.
+
+Spark-first: schemas are native StructType (persisted as StructType.json()
+in table properties and every commit's metadata — the whole Avro conversion
+layer of AvroConversionUtils.scala disappears); reads hand Catalyst an
+explicit schema + pruned file list so older files gain newly-added columns
+as nulls (mergeSchema-on-read evolution)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .config import (META_COLUMNS, OPERATION, TableConfig, TableType,
+                     WriteConfig, IndexType)
+from .fsview import FileSystemView
+from .reader import ReadClient
+from .timeline import Timeline
+
+_PROPERTIES = "hoodie.properties.json"
+
+
+class HoodieTable:
+    def __init__(self, spark: SparkSession, base_path: str, config: TableConfig,
+                 write_config: WriteConfig | None = None):
+        self.spark = spark
+        self.base_path = base_path
+        self.config = config
+        self.write_config = write_config or WriteConfig()
+        self.timeline = Timeline(base_path)
+        from .writer import WriteClient  # local import to avoid cycle
+        self._writer = WriteClient(self)
+        self._reader = ReadClient(self)
+
+    # ------------------------------------------------------------ lifecycle
+    @staticmethod
+    def create(spark: SparkSession, base_path: str, name: str,
+               recordkey_fields: list[str], precombine_field: str | None = None,
+               partition_fields: list[str] | None = None,
+               partition_expr: str | None = None,
+               table_type: str = TableType.COPY_ON_WRITE,
+               payload: str | None = None,
+               write_config: WriteConfig | None = None) -> "HoodieTable":
+        cfg = TableConfig(
+            name=name, table_type=table_type, recordkey_fields=recordkey_fields,
+            precombine_field=precombine_field, partition_fields=partition_fields,
+            partition_expr=partition_expr)
+        if payload:
+            cfg.payload = payload
+        tbl = HoodieTable(spark, base_path, cfg, write_config)
+        tbl.timeline.init()
+        tbl.save_properties()
+        return tbl
+
+    @staticmethod
+    def load(spark: SparkSession, base_path: str,
+             write_config: WriteConfig | None = None) -> "HoodieTable":
+        with open(os.path.join(base_path, ".hoodie", _PROPERTIES)) as f:
+            cfg = TableConfig.from_json(f.read())
+        return HoodieTable(spark, base_path, cfg, write_config)
+
+    @staticmethod
+    def exists(base_path: str) -> bool:
+        return os.path.exists(os.path.join(base_path, ".hoodie", _PROPERTIES))
+
+    def save_properties(self) -> None:
+        os.makedirs(os.path.join(self.base_path, ".hoodie"), exist_ok=True)
+        tmp = os.path.join(self.base_path, ".hoodie", "." + _PROPERTIES + ".tmp")
+        with open(tmp, "w") as f:
+            f.write(self.config.to_json())
+        os.replace(tmp, os.path.join(self.base_path, ".hoodie", _PROPERTIES))
+
+    # --------------------------------------------------------------- schema
+    @property
+    def schema(self) -> T.StructType | None:
+        """Full stored schema: meta columns + data columns."""
+        if self.config.schema_json is None:
+            return None
+        return T.StructType.fromJson(__import__("json").loads(self.config.schema_json))
+
+    def data_columns(self) -> list[tuple[str, str]]:
+        """(name, ddl type) of the user data columns, in stored order."""
+        s = self.schema
+        if s is None:
+            return []
+        return [(f.name, f.dataType.simpleString()) for f in s.fields
+                if f.name not in META_COLUMNS]
+
+    def evolve_schema(self, df: DataFrame) -> None:
+        """Checked append-only evolution (TableSchemaResolver semantics):
+        new nullable fields append; existing fields keep their stored type
+        (incoming is cast)."""
+        incoming = [f for f in df.schema.fields
+                    if f.name not in META_COLUMNS and not f.name.startswith("__")
+                    and f.name != OPERATION]
+        current = self.schema
+        if current is None:
+            fields = [T.StructField(c, T.StringType(), True) for c in META_COLUMNS]
+            fields += [T.StructField(f.name, f.dataType, True) for f in incoming]
+            new_schema = T.StructType(fields)
+        else:
+            names = {f.name for f in current.fields}
+            added = [T.StructField(f.name, f.dataType, True)
+                     for f in incoming if f.name not in names]
+            if not added:
+                return
+            new_schema = T.StructType(list(current.fields) + added)
+        import json as _json
+        self.config.schema_json = _json.dumps(new_schema.jsonValue())
+
+    def empty_df(self) -> DataFrame:
+        s = self.schema or T.StructType()
+        return self.spark.createDataFrame([], s)
+
+    # ---------------------------------------------------------------- reads
+    def view(self) -> FileSystemView:
+        return FileSystemView(self.timeline)
+
+    def read_slices_base(self, slices) -> DataFrame:
+        paths = [os.path.join(self.base_path, sl.base_file.path)
+                 for sl in slices if sl.base_file is not None]
+        if not paths:
+            return self.empty_df()
+        return self.spark.read.schema(self.schema).parquet(*paths)
+
+    def read_delta_files(self, paths: list[str]) -> DataFrame:
+        s = T.StructType(list(self.schema.fields) +
+                         [T.StructField(OPERATION, T.StringType(), True)])
+        return self.spark.read.schema(s).parquet(*paths)
+
+    def snapshot(self, as_of: str | None = None,
+                 partitions: list[str] | None = None) -> DataFrame:
+        return self._reader.snapshot(as_of=as_of, partitions=partitions)
+
+    def read_optimized(self, as_of: str | None = None) -> DataFrame:
+        return self._reader.read_optimized(as_of=as_of)
+
+    def incremental(self, begin: str | None = None, end: str | None = None) -> DataFrame:
+        return self._reader.incremental(begin, end)
+
+    def read_keys(self, keys_df: DataFrame, as_of: str | None = None) -> DataFrame:
+        return self._reader.read_keys(keys_df, as_of=as_of)
+
+    def exists_keys(self, keys_df: DataFrame) -> DataFrame:
+        return self._reader.exists(keys_df)
+
+    def register_view(self, name: str, query_type: str = "snapshot",
+                      as_of: str | None = None, begin: str | None = None,
+                      end: str | None = None) -> None:
+        """SQL-on-snapshot surface: any Spark SQL over the registered view is
+        Catalyst-optimized (SURVEY.md §2.8 parity bar)."""
+        if query_type == "snapshot":
+            df = self.snapshot(as_of=as_of)
+        elif query_type == "read_optimized":
+            df = self.read_optimized(as_of=as_of)
+        elif query_type == "incremental":
+            df = self.incremental(begin, end)
+        else:
+            raise ValueError(query_type)
+        df.createOrReplaceTempView(name)
+
+    # --------------------------------------------------------------- writes
+    def bulk_insert(self, df: DataFrame, sort_mode: str | None = None):
+        from .writer import SortMode
+        return self._writer.bulk_insert(df, sort_mode or SortMode.GLOBAL_SORT)
+
+    def insert(self, df: DataFrame):
+        return self._writer.insert(df)
+
+    def upsert(self, df: DataFrame):
+        return self._writer.upsert(df)
+
+    def delete(self, df: DataFrame):
+        return self._writer.delete(df)
+
+    def delete_partitions(self, partitions: list[str]):
+        return self._writer.delete_partitions(partitions)
+
+    def insert_overwrite(self, df: DataFrame):
+        return self._writer.insert_overwrite(df)
+
+    def insert_overwrite_table(self, df: DataFrame):
+        return self._writer.insert_overwrite_table(df)
+
+    def filter_exists(self, df: DataFrame) -> DataFrame:
+        return self._writer.filter_exists(df)
+
+    @property
+    def global_index(self) -> bool:
+        return self.write_config.index_type in (
+            IndexType.GLOBAL_SIMPLE, IndexType.GLOBAL_BLOOM)
+
+    # --------------------------------------------------------- inspection
+    def commits(self) -> list[dict]:
+        """tbl.cli()-style inspection (hudi-cli commits/show)."""
+        out = []
+        for inst in self.timeline.completed():
+            md = self.timeline.metadata(inst)
+            out.append({"instant": inst.timestamp, "action": inst.action,
+                        "operation": md.get("operation"),
+                        "files": len(md.get("write_stats", [])),
+                        "records": sum(s.get("num_records", 0)
+                                       for s in md.get("write_stats", []))})
+        return out

@@ -1,0 +1,206 @@
+"""Timeline: the table's transaction log.
+
+Reference parity: common/table/timeline/HoodieTimeline.java:46-57 (actions
+commit/deltacommit/clean/rollback/savepoint/restore/compaction/replacecommit),
+HoodieInstant.java:35,63 (action, timestamp, state), HoodieActiveTimeline.java
+:61,80 (yyyyMMddHHmmss[SSS] instant times), :149 (atomic completion via
+create), HoodieTimelineArchiveLog.java:72,120 (archival).
+
+Spark-first design: the timeline is pure driver-side Python over JSON files —
+no Spark job ever touches it. One file per (instant, state); completion is an
+atomic ``os.rename`` of a hidden temp file, so concurrent readers only ever
+see fully-written completed instants (same trick as
+HoodieActiveTimeline.createImmutableFileInPath). Archived instants are folded
+into a single JSON-lines file that stays cheap to scan at 100 TB scale
+(thousands of commits == a few MB of driver-side JSON).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass
+
+# Actions (HoodieTimeline.java:46-57)
+COMMIT = "commit"
+DELTACOMMIT = "deltacommit"
+REPLACECOMMIT = "replacecommit"
+CLEAN = "clean"
+ROLLBACK = "rollback"
+SAVEPOINT = "savepoint"
+RESTORE = "restore"
+
+DATA_ACTIONS = (COMMIT, DELTACOMMIT, REPLACECOMMIT)
+
+REQUESTED = "requested"
+INFLIGHT = "inflight"
+COMPLETED = "completed"
+
+
+@dataclass(frozen=True, order=True)
+class Instant:
+    """timeline/HoodieInstant.java:35 — (timestamp, action, state)."""
+
+    timestamp: str
+    action: str
+    state: str = COMPLETED
+
+    def filename(self) -> str:
+        return f"{self.timestamp}.{self.action}.{self.state}.json"
+
+
+class Timeline:
+    """Active + archived timeline for one table."""
+
+    def __init__(self, base_path: str):
+        self.base_path = base_path
+        self.meta_dir = os.path.join(base_path, ".hoodie")
+        self.dir = os.path.join(self.meta_dir, "timeline")
+        self.archive_path = os.path.join(self.meta_dir, "archived", "commits.jsonl")
+        self.temp_dir = os.path.join(self.meta_dir, ".temp")
+        self._last_ts = ""
+
+    def init(self) -> None:
+        os.makedirs(self.dir, exist_ok=True)
+        os.makedirs(self.temp_dir, exist_ok=True)
+        os.makedirs(os.path.dirname(self.archive_path), exist_ok=True)
+
+    # ------------------------------------------------------------------ ids
+    def new_instant_time(self) -> str:
+        """Millisecond commit times (HoodieActiveTimeline.java:61 format,
+        extended to millis), strictly monotonic per process."""
+        ts = time.strftime("%Y%m%d%H%M%S") + f"{int(time.time_ns() // 1_000_000) % 1000:03d}"
+        existing = max((i.timestamp for i in self.instants()), default="")
+        floor = max(self._last_ts, existing)
+        if ts <= floor:
+            ts = str(int(floor) + 1)
+        self._last_ts = ts
+        return ts
+
+    # ---------------------------------------------------------- transitions
+    def _path(self, instant: Instant) -> str:
+        return os.path.join(self.dir, instant.filename())
+
+    def create_requested(self, action: str, timestamp: str, meta: dict | None = None) -> Instant:
+        inst = Instant(timestamp, action, REQUESTED)
+        self._atomic_write(self._path(inst), meta or {})
+        return inst
+
+    def transition_inflight(self, action: str, timestamp: str, meta: dict | None = None) -> Instant:
+        inst = Instant(timestamp, action, INFLIGHT)
+        self._atomic_write(self._path(inst), meta or {})
+        return inst
+
+    def complete(self, action: str, timestamp: str, metadata: dict) -> Instant:
+        """Atomic publish — readers only see completed instants
+        (HoodieActiveTimeline.java:149)."""
+        inst = Instant(timestamp, action, COMPLETED)
+        self._atomic_write(self._path(inst), metadata)
+        for state in (REQUESTED, INFLIGHT):
+            p = os.path.join(self.dir, Instant(timestamp, action, state).filename())
+            if os.path.exists(p):
+                os.remove(p)
+        return inst
+
+    def _atomic_write(self, path: str, payload: dict) -> None:
+        tmp = os.path.join(self.temp_dir, f".{uuid.uuid4().hex}.tmp")
+        with open(tmp, "w") as f:
+            json.dump(payload, f)
+        os.replace(tmp, path)
+
+    def delete_instant(self, instant: Instant) -> None:
+        p = self._path(instant)
+        if os.path.exists(p):
+            os.remove(p)
+
+    # -------------------------------------------------------------- queries
+    def instants(self, states: tuple[str, ...] = (COMPLETED,), actions: tuple[str, ...] | None = None,
+                 include_archived: bool = False) -> list[Instant]:
+        out: list[Instant] = []
+        if include_archived and COMPLETED in states and os.path.exists(self.archive_path):
+            with open(self.archive_path) as f:
+                for line in f:
+                    rec = json.loads(line)
+                    out.append(Instant(rec["timestamp"], rec["action"], COMPLETED))
+        if os.path.isdir(self.dir):
+            for name in os.listdir(self.dir):
+                if not name.endswith(".json"):
+                    continue
+                ts, action, state = name[: -len(".json")].split(".", 2)
+                if state in states and (actions is None or action in actions):
+                    out.append(Instant(ts, action, state))
+        if actions is not None:
+            out = [i for i in out if i.action in actions]
+        return sorted(set(out))
+
+    def completed(self, actions: tuple[str, ...] | None = None, include_archived: bool = True) -> list[Instant]:
+        return self.instants((COMPLETED,), actions, include_archived=include_archived)
+
+    def pending(self) -> list[Instant]:
+        return self.instants((REQUESTED, INFLIGHT))
+
+    def metadata(self, instant: Instant) -> dict:
+        p = self._path(instant)
+        if os.path.exists(p):
+            with open(p) as f:
+                return json.load(f)
+        # fall back to the archive (HoodieArchivedTimeline.java)
+        if os.path.exists(self.archive_path):
+            with open(self.archive_path) as f:
+                for line in f:
+                    rec = json.loads(line)
+                    if rec["timestamp"] == instant.timestamp and rec["action"] == instant.action:
+                        return rec["metadata"]
+        raise FileNotFoundError(f"no metadata for {instant}")
+
+    def last_completed(self, actions: tuple[str, ...] = DATA_ACTIONS) -> Instant | None:
+        insts = self.completed(actions)
+        return insts[-1] if insts else None
+
+    # -------------------------------------------------------------- archive
+    def archive(self, max_active: int, protected: set[str] | None = None) -> int:
+        """Move oldest completed data instants beyond ``max_active`` into the
+        JSON-lines archive (HoodieTimelineArchiveLog.java:120). Instants in
+        ``protected`` (e.g. savepointed or not-yet-cleaned) are kept active."""
+        active = self.instants((COMPLETED,), DATA_ACTIONS, include_archived=False)
+        n_move = len(active) - max_active
+        if n_move <= 0:
+            return 0
+        moved = 0
+        with open(self.archive_path, "a") as f:
+            for inst in active[:n_move]:
+                if protected and inst.timestamp in protected:
+                    continue
+                f.write(json.dumps({"timestamp": inst.timestamp, "action": inst.action,
+                                    "metadata": self.metadata(inst)}) + "\n")
+                self.delete_instant(inst)
+                moved += 1
+        return moved
+
+
+class LockProvider:
+    """File-based create-if-absent lock (common/lock/LockProvider.java;
+    stands in for ZookeeperBasedLockProvider for single-host OCC)."""
+
+    def __init__(self, base_path: str, timeout_s: float = 60.0):
+        self.path = os.path.join(base_path, ".hoodie", ".lock")
+        self.timeout_s = timeout_s
+
+    def __enter__(self):
+        deadline = time.time() + self.timeout_s
+        while True:
+            try:
+                fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.close(fd)
+                return self
+            except FileExistsError:
+                if time.time() > deadline:
+                    raise TimeoutError(f"could not acquire table lock {self.path}")
+                time.sleep(0.05)
+
+    def __exit__(self, *exc):
+        if os.path.exists(self.path):
+            os.remove(self.path)
+        return False

@@ -1,0 +1,573 @@
+"""Write operators: bulk_insert / insert / upsert / delete / overwrite.
+
+Reference parity: SparkRDDWriteClient.java:118-255 (operation surface),
+BaseSparkCommitActionExecutor.java:135-280 (profile → partition → handles),
+UpsertPartitioner.java:60-214 (small-file bin packing),
+HoodieMergeHandle.java:89-201 / HoodieCreateHandle.java:51 /
+HoodieAppendHandle.java:71 (physical write handles),
+SparkWriteHelper.java:50 (preCombine dedup),
+BulkInsertSortMode.java:25-27 (NONE / GLOBAL_SORT / PARTITION_SORT).
+
+Spark-first execution model (replaces the reference's RDD pipeline):
+  * every write is ONE Catalyst-planned DataFrame job ending in a single
+    ``write.partitionBy(partition, kind, bucket).parquet(tmp)`` — the
+    repartition by bucket guarantees exactly one file per (partition, bucket),
+    so "write handles" collapse into the shuffle;
+  * dedup(preCombine) = window row_number, index tagging = a join against the
+    manifest-pruned key index, merge = union + window (or full-outer join for
+    partial-update payloads) — all JVM-side, whole-stage-codegen'd;
+  * the driver only plans buckets (greedy bin packing over manifest stats) and
+    renames tmp part-files to their final ``fileId_token_instant`` names —
+    O(files touched) metadata ops, no data movement;
+  * per-file record counts and record-key min/max are harvested from parquet
+    FOOTERS (pyarrow, no data scan) and recorded in commit metadata — that
+    manifest is what makes upsert index pruning and clean/clustering planning
+    O(metadata) at 100 TB.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+import urllib.parse
+import uuid
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from . import timeline as tl
+from .config import (COMMIT_SEQNO, COMMIT_TIME, FILE_NAME, IS_DELETED,
+                     META_COLUMNS, NO_PARTITION, OPERATION, PARTITION_PATH,
+                     RECORD_KEY, IndexType, MergePolicy, TableType,
+                     WriteConfig, WriteOperation)
+from .fsview import FileSystemView
+from .index import tag_location
+from .keygen import with_keys
+
+# internal shuffle/bucketing columns — never stored
+PP = "__pp"
+KIND = "__kind"
+BUCKET = "__bucket"
+OP = "__op"
+ORD = "__ord"
+INCOMING = "__incoming"
+HARD = "__hard"  # hard delete: EmptyHoodieRecordPayload.java — wins regardless of ordering
+WRITE_TOKEN = "0-0-0"
+
+
+class SortMode:
+    """BulkInsertSortMode.java:25-27."""
+
+    NONE = "none"
+    GLOBAL_SORT = "global_sort"
+    PARTITION_SORT = "partition_sort"
+
+
+class WriteResult:
+    def __init__(self, instant: str, operation: str, stats: list[dict]):
+        self.instant = instant
+        self.operation = operation
+        self.stats = stats
+
+    @property
+    def num_records(self) -> int:
+        return sum(s.get("num_records", 0) for s in self.stats)
+
+
+def base_file_name(file_id, instant):
+    return F.concat(file_id, F.lit(f"_{WRITE_TOKEN}_"), F.lit(instant), F.lit(".parquet"))
+
+
+def delta_file_name(file_id, instant):
+    return F.concat(file_id, F.lit(f"_{instant}.delta.parquet"))
+
+
+class WriteClient:
+    """SparkRDDWriteClient equivalent. One instance per HoodieTable."""
+
+    def __init__(self, table):
+        self.table = table
+        self.spark = table.spark
+
+    # ------------------------------------------------------------ public ops
+    def bulk_insert(self, df: DataFrame, sort_mode: str = SortMode.GLOBAL_SORT) -> WriteResult:
+        """SparkRDDWriteClient.java:223 — sorted initial load via the row
+        writer path (HoodieDatasetBulkInsertHelper.java:115): a plain
+        DataFrame write, globally range-sorted by (partition, key)."""
+        cfg = self.table.config
+        wcfg = self.table.write_config
+        prepared = self._prepare(df)
+        if wcfg.combine_before_insert:
+            prepared = self._dedup(prepared)
+        n = prepared.count()
+        instant = self._begin(tl.COMMIT)
+        if n == 0:
+            return self._commit(instant, tl.COMMIT, WriteOperation.BULK_INSERT, [])
+        rpf = wcfg.records_per_file()
+        num_files = max(1, math.ceil(n / rpf))
+        prefix = uuid.uuid4().hex[:13]
+        if sort_mode == SortMode.GLOBAL_SORT:
+            arranged = prepared.repartitionByRange(num_files, F.col(PARTITION_PATH), F.col(RECORD_KEY))
+        elif sort_mode == SortMode.PARTITION_SORT:
+            arranged = prepared.repartition(num_files, F.col(PARTITION_PATH))
+        else:
+            arranged = prepared.repartition(num_files)
+        arranged = arranged.withColumn(
+            BUCKET, F.concat(F.lit(prefix + "-"), F.spark_partition_id().cast("string")))
+        write_df = self._stamp_meta(arranged, instant).withColumn(KIND, F.lit("base"))
+        sort_cols = [RECORD_KEY] if sort_mode != SortMode.NONE else None
+        stats = self._write_files(write_df, instant, already_partitioned=True, sort_cols=sort_cols)
+        return self._commit(instant, tl.COMMIT, WriteOperation.BULK_INSERT, stats)
+
+    def insert(self, df: DataFrame) -> WriteResult:
+        """SparkRDDWriteClient.java:172 — insert with small-file packing, no
+        index lookup."""
+        return self._upsert_like(df, WriteOperation.INSERT)
+
+    def upsert(self, df: DataFrame) -> WriteResult:
+        """SparkRDDWriteClient.java:149."""
+        return self._upsert_like(df, WriteOperation.UPSERT)
+
+    def delete(self, df: DataFrame) -> WriteResult:
+        """SparkRDDWriteClient.java:248 — delete by key; ``df`` needs the
+        record-key (and, for non-global index, partition) source columns."""
+        return self._upsert_like(df, WriteOperation.DELETE)
+
+    def filter_exists(self, df: DataFrame) -> DataFrame:
+        """HoodieReadClient.java:186 — drop records whose key already exists."""
+        prepared = self._prepare(df)
+        tagged = tag_location(self.spark, prepared, self.table)
+        return tagged.filter(F.col("_target_file_id").isNull()).drop(
+            "_target_file_id", "_target_pp", "_target_base_instant")
+
+    def delete_partitions(self, partitions: list[str]) -> WriteResult:
+        """SparkRDDWriteClient.java:255 — replacecommit, metadata-only."""
+        instant = self._begin(tl.REPLACECOMMIT)
+        view = self.table.view()
+        replaced = view.live_group_ids(partitions=partitions)
+        return self._commit(instant, tl.REPLACECOMMIT, WriteOperation.DELETE_PARTITION,
+                            [], replaced=replaced)
+
+    def insert_overwrite(self, df: DataFrame) -> WriteResult:
+        """SparkRDDWriteClient.java:198 — replace file groups in the
+        partitions touched by ``df`` (HoodieReplaceCommitMetadata)."""
+        return self._overwrite(df, WriteOperation.INSERT_OVERWRITE)
+
+    def insert_overwrite_table(self, df: DataFrame) -> WriteResult:
+        """SparkRDDWriteClient.java:214."""
+        return self._overwrite(df, WriteOperation.INSERT_OVERWRITE_TABLE)
+
+    # ------------------------------------------------------------- internals
+    def _begin(self, action: str) -> str:
+        instant = self.table.timeline.new_instant_time()
+        self.table.timeline.create_requested(action, instant)
+        self.table.timeline.transition_inflight(action, instant)
+        return instant
+
+    def _commit(self, instant: str, action: str, operation: str, stats: list[dict],
+                replaced: dict[str, list[str]] | None = None,
+                extra: dict | None = None) -> WriteResult:
+        total_bytes = sum(s.get("size", 0) for s in stats)
+        total_recs = sum(s.get("num_records", 0) for s in stats)
+        meta = {
+            "operation": operation,
+            "write_stats": stats,
+            "replaced": replaced or {},
+            "schema": self.table.config.schema_json,
+            "avg_record_size": int(total_bytes / total_recs) if total_recs else None,
+            "extra": extra or {},
+        }
+        self.table.timeline.complete(action, instant, meta)
+        self.table.save_properties()
+        if total_recs:
+            self.table.write_config.record_size_estimate = max(
+                8, int(total_bytes / total_recs))
+        return WriteResult(instant, operation, stats)
+
+    def _prepare(self, df: DataFrame) -> DataFrame:
+        """Key generation + schema evolution + column alignment."""
+        df = with_keys(df, self.table.config)
+        self.table.evolve_schema(df)
+        data_cols = self.table.data_columns()
+        aligned = []
+        for name, dtype in data_cols:
+            if name in df.columns:
+                aligned.append(F.col(name).cast(dtype).alias(name))
+            else:
+                aligned.append(F.lit(None).cast(dtype).alias(name))
+        return df.select(F.col(RECORD_KEY), F.col(PARTITION_PATH), *aligned)
+
+    def _ord_col(self, df: DataFrame):
+        pre = self.table.config.precombine_field
+        return F.col(pre) if pre and pre in df.columns else F.lit(0)
+
+    def _dedup(self, df: DataFrame, global_index: bool | None = None) -> DataFrame:
+        """preCombine (SparkWriteHelper.java:50): keep max-ordering row per
+        key — a window, shuffled once by key, no reduceByKey needed."""
+        if global_index is None:
+            global_index = self.table.global_index
+        keys = [RECORD_KEY] if global_index else [PARTITION_PATH, RECORD_KEY]
+        w = Window.partitionBy(*keys).orderBy(F.desc_nulls_last(ORD), F.desc(COMMIT_SEQNO_TIEBREAK))
+        return (df.withColumn(ORD, self._ord_col(df))
+                .withColumn(COMMIT_SEQNO_TIEBREAK, F.monotonically_increasing_id())
+                .withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn", ORD, COMMIT_SEQNO_TIEBREAK))
+
+    def _stamp_meta(self, df: DataFrame, instant: str, kind: str = "base") -> DataFrame:
+        """Attach the five meta columns (HoodieRecord.java:37-41) and the
+        physical __pp dir column; FILE_NAME derives from BUCKET."""
+        name = base_file_name(F.col(BUCKET), instant) if kind == "base" \
+            else delta_file_name(F.col(BUCKET), instant)
+        out = (df.withColumn(COMMIT_TIME, F.lit(instant))
+               .withColumn(COMMIT_SEQNO,
+                           F.concat_ws("_", F.lit(instant),
+                                       F.spark_partition_id().cast("string"),
+                                       F.monotonically_increasing_id().cast("string")))
+               .withColumn(FILE_NAME, name))
+        return self._finalize_cols(out)
+
+    def _finalize_cols(self, df: DataFrame) -> DataFrame:
+        data_cols = [n for n, _ in self.table.data_columns()]
+        keep = META_COLUMNS + data_cols + [c for c in (OPERATION,) if c in df.columns]
+        extras = [c for c in (KIND, BUCKET, OP, ORD, INCOMING, HARD) if c in df.columns]
+        out = df.select(*keep, *extras)
+        return out.withColumn(
+            PP, F.when(F.col(PARTITION_PATH) == "", F.lit(NO_PARTITION))
+                 .otherwise(F.col(PARTITION_PATH)))
+
+    # --------------------------------------------------- upsert/insert/delete
+    def _upsert_like(self, df: DataFrame, operation: str) -> WriteResult:
+        cfg = self.table.config
+        wcfg = self.table.write_config
+        is_mor = cfg.table_type == TableType.MERGE_ON_READ
+        prepared = self._prepare(df).withColumn(ORD, self._ord_col(df))
+        if operation == WriteOperation.DELETE:
+            prepared = prepared.withColumn(OP, F.lit("D")).withColumn(HARD, F.lit(1))
+        elif IS_DELETED in df.columns:
+            prepared = prepared.withColumn(
+                OP, F.when(F.col(IS_DELETED) == True, F.lit("D")).otherwise(F.lit("U")))  # noqa: E712
+            prepared = prepared.withColumn(HARD, F.lit(0))
+        else:
+            prepared = prepared.withColumn(OP, F.lit("U")).withColumn(HARD, F.lit(0))
+        if wcfg.combine_before_upsert and operation != WriteOperation.INSERT:
+            prepared = self._dedup_keep_op(prepared)
+
+        view = self.table.view()
+        if operation == WriteOperation.INSERT:
+            tagged = prepared.withColumn("_target_file_id", F.lit(None).cast("string")) \
+                             .withColumn("_target_pp", F.lit(None).cast("string")) \
+                             .withColumn("_target_base_instant", F.lit(None).cast("string"))
+        else:
+            tagged = tag_location(self.spark, prepared, self.table, view=view)
+        # global index: update the record in its existing partition
+        tagged = tagged.withColumn(
+            PARTITION_PATH, F.coalesce(F.col("_target_pp"), F.col(PARTITION_PATH)))
+        tagged = tagged.persist()
+        try:
+            action = tl.DELTACOMMIT if is_mor else tl.COMMIT
+            updates = tagged.filter(F.col("_target_file_id").isNotNull()) \
+                            .withColumn(BUCKET, F.col("_target_file_id"))
+            inserts = tagged.filter(F.col("_target_file_id").isNull()) \
+                            .filter(F.col(OP) != "D")  # deletes of absent keys are no-ops
+
+            # ---- plan insert buckets (UpsertPartitioner.java:109-214)
+            insert_counts = {r[0]: r[1] for r in
+                             inserts.groupBy(PARTITION_PATH).count().collect()}
+            pack_small = not is_mor
+            plan, n_new = self._plan_insert_buckets(view, insert_counts, pack_small)
+            instant = self._begin(action)
+            if plan:
+                plan_df = F.broadcast(self.spark.createDataFrame(
+                    plan, "pp string, lo double, hi double, file_id string, is_new boolean"))
+                u = (F.pmod(F.xxhash64(F.col(RECORD_KEY)), F.lit(1_000_000)) / 1_000_000.0)
+                inserts = (inserts.withColumn("__u", u)
+                           .join(plan_df, (F.col(PARTITION_PATH) == F.col("pp")) &
+                                 (F.col("__u") >= F.col("lo")) & (F.col("__u") < F.col("hi")),
+                                 "left")
+                           .withColumn(BUCKET, F.col("file_id"))
+                           .withColumn("__is_new", F.coalesce(F.col("is_new"), F.lit(True)))
+                           .drop("pp", "lo", "hi", "file_id", "is_new", "__u"))
+            else:
+                inserts = inserts.withColumn(BUCKET, F.lit(None).cast("string")) \
+                                 .withColumn("__is_new", F.lit(True))
+
+            if is_mor:
+                stats = self._write_mor(updates, inserts, view, instant)
+            else:
+                stats = self._write_cow(updates, inserts, view, instant)
+            n_upd = sum(s.get("num_updates", 0) for s in stats)
+            return self._commit(instant, action, operation, stats,
+                                extra={"num_updates": n_upd})
+        finally:
+            tagged.unpersist()
+
+    def _dedup_keep_op(self, df: DataFrame) -> DataFrame:
+        keys = [RECORD_KEY] if self.table.global_index else [PARTITION_PATH, RECORD_KEY]
+        w = Window.partitionBy(*keys).orderBy(F.desc_nulls_last(ORD), F.desc("__mono"))
+        return (df.withColumn("__mono", F.monotonically_increasing_id())
+                .withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1).drop("__rn", "__mono"))
+
+    def _plan_insert_buckets(self, view: FileSystemView, insert_counts: dict[str, int],
+                             pack_small: bool):
+        """Greedy small-file bin packing on the driver from manifest stats
+        (UpsertPartitioner.java:157-214). Returns ([(pp, lo, hi, file_id,
+        is_new)], n_new_files): capacity-weighted hash ranges so record→bucket
+        assignment is a pure function of the record key (deterministic, no
+        extra shuffle beyond the final bucket repartition)."""
+        wcfg = self.table.write_config
+        rpf = wcfg.records_per_file()
+        rec_size = max(8, wcfg.record_size_estimate)
+        plan = []
+        n_new_total = 0
+        for pp, n in sorted(insert_counts.items()):
+            if n == 0:
+                continue
+            buckets: list[tuple[str, int, bool]] = []  # (file_id, capacity, is_new)
+            if pack_small:
+                for sl in view.latest_slices(partitions=[pp]):
+                    bf = sl.base_file
+                    if bf is not None and not sl.log_files and \
+                            bf.size < wcfg.parquet_small_file_limit and bf.size > 0:
+                        cap = int((wcfg.parquet_max_file_size - bf.size) / rec_size)
+                        if cap > 0:
+                            buckets.append((sl.file_id, cap, False))
+            small_cap = sum(c for _, c, _ in buckets)
+            remaining = max(0, n - small_cap)
+            n_new = math.ceil(remaining / rpf) if remaining > 0 else 0
+            if not buckets and n_new == 0:
+                n_new = 1
+            for _ in range(n_new):
+                buckets.append((uuid.uuid4().hex[:13] + "-0", rpf, True))
+            n_new_total += n_new
+            total = sum(c for _, c, _ in buckets)
+            acc = 0.0
+            for i, (fid, cap, is_new) in enumerate(buckets):
+                lo = acc
+                acc = 1.0 if i == len(buckets) - 1 else acc + cap / total
+                plan.append((pp, lo, acc, fid, is_new))
+        return plan, n_new_total
+
+    # ------------------------------------------------------------- COW merge
+    def _write_cow(self, updates: DataFrame, inserts: DataFrame,
+                   view: FileSystemView, instant: str) -> list[dict]:
+        """HoodieMergeHandle.java:89 as a DataFrame program: affected file
+        groups = update targets ∪ small-file insert targets; read their latest
+        base files, union with incoming, resolve per-key winners (payload),
+        rewrite each group as a new file slice. Untouched groups see zero IO."""
+        packed = inserts.filter(~F.col("__is_new"))
+        new_rows = inserts.filter(F.col("__is_new"))
+
+        affected = [tuple(r) for r in
+                    updates.select(PARTITION_PATH, BUCKET).distinct().collect()]
+        affected += [tuple(r) for r in
+                     packed.select(PARTITION_PATH, BUCKET).distinct().collect()]
+        slices = view.slices_for_groups(set(affected))
+        old = self.table.read_slices_base(slices)
+        old = (old.withColumn(BUCKET, F.split(F.col(FILE_NAME), "_").getItem(0))
+                  .withColumn(ORD, self._ord_col(old))
+                  .withColumn(OP, F.lit("O"))
+                  .withColumn(INCOMING, F.lit(0))
+                  .withColumn(HARD, F.lit(0)))
+        incoming = updates.unionByName(packed.drop("__is_new"), allowMissingColumns=True) \
+                          .drop("_target_file_id", "_target_pp", "_target_base_instant",
+                                "__is_new")
+        incoming = self._stamp_meta(incoming.withColumn(INCOMING, F.lit(1)), instant)
+        old = self._finalize_cols(old).withColumn(
+            FILE_NAME, base_file_name(F.col(BUCKET), instant))
+
+        merged = self._merge(old, incoming)
+        new_stamped = self._stamp_meta(new_rows.filter(F.col(OP) != "D"), instant)
+        write_df = merged.unionByName(new_stamped.select(*merged.columns)) \
+                         .withColumn(KIND, F.lit("base"))
+        n_updates = {(r[0], r[1]): r[2] for r in
+                     incoming.groupBy(PP, BUCKET).count().collect()}
+        stats = self._write_files(write_df, instant, sort_cols=[RECORD_KEY])
+        for s in stats:
+            s["num_updates"] = n_updates.get(
+                (s["partition"] or NO_PARTITION, s["file_id"]), 0)
+        return stats
+
+    def _merge(self, old: DataFrame, incoming: DataFrame) -> DataFrame:
+        """Payload resolution (HoodieRecordPayload.combineAndGetUpdateValue).
+        old/incoming both carry META + data + PP/BUCKET/OP/ORD/INCOMING."""
+        policy = self.table.write_config.merge_policy or self.table.config.payload
+        cols = [c for c in old.columns]
+        incoming = incoming.withColumn(ORD, self._ord_col(incoming)) \
+            if ORD not in incoming.columns else incoming
+        inc = incoming.select(*cols)
+        if policy == MergePolicy.PARTIAL_UPDATE:
+            return self._merge_partial(old, inc)
+        unioned = old.unionByName(inc)
+        if policy == MergePolicy.DEFAULT:
+            # DefaultHoodieRecordPayload: incoming must beat the STORED
+            # record's ordering too (needUpdatingPersistedRecord:93)
+            order = [F.desc(HARD), F.desc_nulls_last(ORD), F.desc(INCOMING)]
+        else:
+            # OverwriteWithLatestAvroPayload.java:50-52: ordering only dedups
+            # within the batch; vs storage, incoming always wins
+            order = [F.desc(HARD), F.desc(INCOMING), F.desc_nulls_last(ORD)]
+        w = Window.partitionBy(PP, RECORD_KEY).orderBy(*order)
+        return (unioned.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .filter(F.col(OP) != "D")
+                .drop("__rn", OP, ORD, INCOMING, HARD))
+
+    def _merge_partial(self, old: DataFrame, inc: DataFrame) -> DataFrame:
+        """OverwriteNonDefaultsWithLatestAvroPayload.java: null incoming
+        fields keep the stored value; full-outer join + per-column coalesce."""
+        o = old.alias("o")
+        i = inc.alias("i")
+        cond = (F.col(f"o.{PP}") == F.col(f"i.{PP}")) & \
+               (F.col(f"o.{RECORD_KEY}") == F.col(f"i.{RECORD_KEY}"))
+        j = o.join(i, cond, "full_outer")
+        inc_wins = F.col(f"i.{RECORD_KEY}").isNotNull() & (
+            (F.col(f"i.{HARD}") == 1) | F.col(f"o.{RECORD_KEY}").isNull() |
+            (F.col(f"i.{ORD}") >= F.col(f"o.{ORD}")) | F.col(f"o.{ORD}").isNull())
+        data_cols = [n for n, _ in self.table.data_columns()]
+        sel = []
+        for c in old.columns:
+            if c in (OP, ORD, INCOMING, HARD):
+                continue
+            if c in data_cols:
+                sel.append(F.when(inc_wins, F.coalesce(F.col(f"i.{c}"), F.col(f"o.{c}")))
+                           .otherwise(F.col(f"o.{c}")).alias(c))
+            else:
+                sel.append(F.when(inc_wins, F.coalesce(F.col(f"i.{c}"), F.col(f"o.{c}")))
+                           .otherwise(F.coalesce(F.col(f"o.{c}"), F.col(f"i.{c}"))).alias(c))
+        deleted = inc_wins & (F.col(f"i.{OP}") == "D")
+        return j.filter(~deleted).select(*sel)
+
+    # ------------------------------------------------------------- MOR write
+    def _write_mor(self, updates: DataFrame, inserts: DataFrame,
+                   view: FileSystemView, instant: str) -> list[dict]:
+        """HoodieAppendHandle.java:71 — updates/deletes append columnar delta
+        files to their file slice (Avro log blocks replaced with small Parquet
+        deltas — columnar, splittable, idiomatic); inserts create new base
+        files. One job writes both via the KIND partition column."""
+        upd = updates.drop("_target_file_id", "_target_pp", "_target_base_instant")
+        upd = self._stamp_meta(upd.withColumn(OPERATION, F.col(OP)), instant, kind="delta") \
+                  .withColumn(KIND, F.lit("delta"))
+        new_rows = inserts.filter(F.col(OP) != "D") \
+            .drop("_target_file_id", "_target_pp", "_target_base_instant", "__is_new")
+        new_rows = self._stamp_meta(new_rows.withColumn(OPERATION, F.lit("I")), instant) \
+                       .withColumn(KIND, F.lit("base"))
+        write_df = upd.unionByName(new_rows.select(*upd.columns))
+        stats = self._write_files(write_df, instant, sort_cols=[RECORD_KEY])
+        base_of = {(sl.partition, sl.file_id): sl.base_instant
+                   for sl in view.latest_slices()}
+        for s in stats:
+            if s["is_delta"]:
+                s["base_instant"] = base_of.get((s["partition"], s["file_id"]),
+                                                instant)
+                s["num_updates"] = s["num_records"]
+        return stats
+
+    # ------------------------------------------------------------- overwrite
+    def _overwrite(self, df: DataFrame, operation: str) -> WriteResult:
+        prepared = self._prepare(df)
+        if self.table.write_config.combine_before_insert:
+            prepared = self._dedup(prepared)
+        n = prepared.count()
+        view = self.table.view()
+        instant = self._begin(tl.REPLACECOMMIT)
+        stats: list[dict] = []
+        touched: list[str] = []
+        if n > 0:
+            rpf = self.table.write_config.records_per_file()
+            num_files = max(1, math.ceil(n / rpf))
+            prefix = uuid.uuid4().hex[:13]
+            arranged = (prepared
+                        .repartitionByRange(num_files, F.col(PARTITION_PATH), F.col(RECORD_KEY))
+                        .withColumn(BUCKET, F.concat(F.lit(prefix + "-"),
+                                                     F.spark_partition_id().cast("string"))))
+            write_df = self._stamp_meta(arranged, instant).withColumn(KIND, F.lit("base"))
+            stats = self._write_files(write_df, instant, already_partitioned=True,
+                                      sort_cols=[RECORD_KEY])
+            touched = sorted({s["partition"] for s in stats})
+        if operation == WriteOperation.INSERT_OVERWRITE_TABLE:
+            replaced = view.live_group_ids()
+        else:
+            replaced = view.live_group_ids(partitions=touched)
+        return self._commit(instant, tl.REPLACECOMMIT, operation, stats, replaced=replaced)
+
+    # ----------------------------------------------------------- file writer
+    def _write_files(self, df: DataFrame, instant: str, *, already_partitioned=False,
+                     sort_cols=None) -> list[dict]:
+        """The single physical write: partitionBy(__pp, __kind, __bucket) into
+        a temp dir, then driver renames part-files to
+        ``fileId_writeToken_instant.parquet`` (FSUtils.java:131 naming) and
+        harvests footer stats. Exactly one part-file per bucket because the
+        bucket column is the (only) repartition key."""
+        tmp = os.path.join(self.table.base_path, ".hoodie", ".temp", instant)
+        internal = [c for c in df.columns
+                    if c in (OP, ORD, INCOMING, HARD, "__is_new", "__u") or
+                    c.startswith("_target_")]
+        w = df.drop(*internal)
+        if not already_partitioned:
+            w = w.repartition(F.col(PP), F.col(BUCKET))
+        if sort_cols:
+            w = w.sortWithinPartitions(PP, BUCKET, *sort_cols)
+        w.write.partitionBy(PP, KIND, BUCKET).mode("overwrite").parquet(tmp)
+
+        stats: list[dict] = []
+        for pp_dir in sorted(os.listdir(tmp)):
+            if not pp_dir.startswith(f"{PP}="):
+                continue
+            pp_enc = pp_dir[len(PP) + 1:]
+            pp = urllib.parse.unquote(pp_enc)
+            pp = "" if pp == NO_PARTITION else pp
+            for kind_dir in sorted(os.listdir(os.path.join(tmp, pp_dir))):
+                kind = kind_dir.split("=", 1)[1]
+                kdir = os.path.join(tmp, pp_dir, kind_dir)
+                for bucket_dir in sorted(os.listdir(kdir)):
+                    fid = urllib.parse.unquote(bucket_dir.split("=", 1)[1])
+                    parts = [f for f in os.listdir(os.path.join(kdir, bucket_dir))
+                             if f.endswith(".parquet")]
+                    assert len(parts) == 1, f"expected 1 file per bucket, got {parts}"
+                    src = os.path.join(kdir, bucket_dir, parts[0])
+                    if kind == "base":
+                        fname = f"{fid}_{WRITE_TOKEN}_{instant}.parquet"
+                    else:
+                        fname = f"{fid}_{instant}.delta.parquet"
+                    dst_dir = os.path.join(self.table.base_path, pp) if pp else self.table.base_path
+                    os.makedirs(dst_dir, exist_ok=True)
+                    dst = os.path.join(dst_dir, fname)
+                    os.replace(src, dst)
+                    st = _footer_stats(dst)
+                    stats.append({
+                        "partition": pp, "file_id": fid, "file_name": fname,
+                        "path": os.path.join(pp, fname) if pp else fname,
+                        "instant": instant, "size": os.path.getsize(dst),
+                        "num_records": st["num_records"],
+                        "min_key": st["min_key"], "max_key": st["max_key"],
+                        "is_delta": kind != "base",
+                    })
+        shutil.rmtree(tmp, ignore_errors=True)
+        return stats
+
+
+COMMIT_SEQNO_TIEBREAK = "__seqno_tb"
+
+
+def _footer_stats(path: str) -> dict:
+    """Record count + record-key min/max straight from the parquet footer
+    (the rebuild's stand-in for Hudi's bloom/range metadata written to
+    footers — SparkHoodieBloomIndex.java:119 loads the same stats)."""
+    md = pq.ParquetFile(path).metadata
+    min_k = max_k = None
+    for rg in range(md.num_row_groups):
+        row_group = md.row_group(rg)
+        for ci in range(row_group.num_columns):
+            col = row_group.column(ci)
+            if col.path_in_schema == RECORD_KEY:
+                st = col.statistics
+                if st is not None and st.has_min_max:
+                    mn = st.min if isinstance(st.min, str) else st.min.decode()
+                    mx = st.max if isinstance(st.max, str) else st.max.decode()
+                    min_k = mn if min_k is None else min(min_k, mn)
+                    max_k = mx if max_k is None else max(max_k, mx)
+    return {"num_records": md.num_rows, "min_key": min_k, "max_key": max_k}

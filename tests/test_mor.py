@@ -1,0 +1,80 @@
+"""MOR table tests (TestMORDataSource.scala / TestHoodieMergeOnReadTable.java
+equivalents): deltacommits, snapshot vs read-optimized, incremental."""
+
+from pyspark.sql import functions as F
+
+from hoodie_spark import HoodieTable, TableType
+
+
+def make_events_table(spark, path):
+    return HoodieTable.create(spark, path, "events",
+                              recordkey_fields=["event_id"],
+                              precombine_field="ts",
+                              partition_fields=["event_type"],
+                              table_type=TableType.MERGE_ON_READ)
+
+
+def test_mor_upsert_snapshot_vs_read_optimized(spark, events, tmp_table_path):
+    tbl = make_events_table(spark, tmp_table_path)
+    tbl.bulk_insert(events)
+    upd = (events.filter("event_id % 5 = 0")
+           .withColumn("value", F.col("value") + 10000.0)
+           .withColumn("ts", F.expr("ts + interval 1 hour")))
+    res = tbl.upsert(upd)
+    assert any(s["is_delta"] for s in res.stats)  # wrote delta files, no base rewrite
+    assert not any(not s["is_delta"] for s in res.stats)
+
+    snap = tbl.snapshot()
+    assert snap.count() == events.count()
+    assert snap.filter("value >= 10000").count() == upd.count()
+
+    ro = tbl.read_optimized()
+    assert ro.count() == events.count()
+    # read-optimized serves pre-update values only
+    assert ro.select("event_id", "value").exceptAll(
+        events.select("event_id", "value")).count() == 0
+
+
+def test_mor_delete_and_reinsert(spark, events, tmp_table_path):
+    tbl = make_events_table(spark, tmp_table_path)
+    tbl.bulk_insert(events)
+    tbl.delete(events.filter("event_id % 7 = 0").select("event_id", "event_type"))
+    remaining = events.filter("event_id % 7 <> 0").count()
+    assert tbl.snapshot().count() == remaining
+    # re-upsert previously deleted keys: must resurrect (delete-then-readd fold)
+    back = events.filter("event_id % 7 = 0").withColumn("value", F.lit(-1.0))
+    tbl.upsert(back)
+    snap = tbl.snapshot()
+    assert snap.count() == events.count()
+    assert snap.filter("value = -1.0").count() == back.count()
+
+
+def test_mor_incremental_and_ordering(spark, events, tmp_table_path):
+    tbl = make_events_table(spark, tmp_table_path)
+    r1 = tbl.bulk_insert(events)
+    upd = (events.filter("event_id % 5 = 0")
+           .withColumn("ts", F.expr("ts + interval 1 hour"))
+           .withColumn("value", F.lit(111.5)))
+    tbl.upsert(upd)
+    # a LATE update (older ts) must lose to the stored newer-ts record
+    late = (events.filter("event_id % 5 = 0")
+            .withColumn("ts", F.expr("ts - interval 1 hour"))
+            .withColumn("value", F.lit(-5.0)))
+    tbl.upsert(late)
+    snap = tbl.snapshot()
+    assert snap.filter("value = 111.5").count() == upd.count()
+    assert snap.filter("value = -5.0").count() == 0
+
+    inc = tbl.incremental(begin=r1.instant)
+    assert inc.count() == upd.count()
+    assert inc.filter("value <> 111.5").count() == 0
+
+
+def test_mor_upsert_new_keys_creates_base_files(spark, events, tmp_table_path):
+    tbl = make_events_table(spark, tmp_table_path)
+    tbl.bulk_insert(events)
+    new = events.filter("event_id < 50").withColumn(
+        "event_id", F.col("event_id") + 10_000_000)
+    res = tbl.upsert(new)
+    assert any(not s["is_delta"] for s in res.stats)
+    assert tbl.snapshot().count() == events.count() + new.count()
