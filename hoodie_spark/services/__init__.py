@@ -1,0 +1,8 @@
+from .clean import CleaningPolicy, clean
+from .cluster import cluster
+from .compact import compact, schedule_compaction
+from .rollback import restore, rollback, savepoint
+from .archive import archive
+
+__all__ = ["clean", "CleaningPolicy", "cluster", "compact",
+           "schedule_compaction", "rollback", "restore", "savepoint", "archive"]

@@ -1,0 +1,82 @@
+"""Cleaning: delete file slices no reader can need any more.
+
+Reference parity: HoodieCleaningPolicy.java:24 (KEEP_LATEST_FILE_VERSIONS,
+KEEP_LATEST_COMMITS), CleanPlanner.java:68 (savepoint-aware retention),
+BaseCleanActionExecutor.
+
+Spark-first: the plan is computed on the driver purely from the manifest
+fold (no listing); deletes are O(obsolete files) metadata ops. At cluster
+scale the delete loop would be ``sc.parallelize(paths).foreach``; on a
+single host plain os.remove is already IO-bound."""
+
+from __future__ import annotations
+
+import os
+
+from .. import timeline as tl
+from .rollback import savepointed_files
+
+
+class CleaningPolicy:
+    KEEP_LATEST_COMMITS = "KEEP_LATEST_COMMITS"
+    KEEP_LATEST_FILE_VERSIONS = "KEEP_LATEST_FILE_VERSIONS"
+
+
+def clean(table, policy: str = CleaningPolicy.KEEP_LATEST_COMMITS,
+          retained: int | None = None):
+    """Returns the clean instant, or None if nothing to do."""
+    timeline = table.timeline
+    view = table.view()
+    pinned = savepointed_files(table)
+    retained = retained if retained is not None else \
+        table.write_config.cleaner_commits_retained
+
+    earliest_retained = None
+    if policy == CleaningPolicy.KEEP_LATEST_COMMITS:
+        commits = timeline.completed(tl.DATA_ACTIONS)
+        if len(commits) <= retained:
+            return None
+        earliest_retained = commits[-retained].timestamp
+
+    deleted_slices, deleted_logs, deleted_paths = [], [], []
+    for grp in table.view().groups.values():
+        slices = sorted(grp.slices.values(), key=lambda s: s.base_instant,
+                        reverse=True)
+        if policy == CleaningPolicy.KEEP_LATEST_FILE_VERSIONS:
+            obsolete = slices[retained:]
+        else:
+            if grp.replaced_at is not None and grp.replaced_at <= earliest_retained:
+                # replaced before the retention window: whole group obsolete
+                obsolete = slices
+            else:
+                # keep all slices >= earliest_retained plus ONE older slice
+                # (it serves snapshots as-of earliest_retained)
+                older = [s for s in slices if s.base_instant < earliest_retained]
+                obsolete = older[1:]
+        for sl in obsolete:
+            paths = []
+            if sl.base_file is not None:
+                paths.append(sl.base_file.path)
+            paths += [lf.path for lf in sl.log_files]
+            if any(p in pinned for p in paths):
+                continue  # savepointed
+            deleted_slices.append({"partition": sl.partition,
+                                   "file_id": sl.file_id,
+                                   "instant": sl.base_instant})
+            deleted_logs += [lf.path for lf in sl.log_files]
+            deleted_paths += paths
+    if not deleted_slices:
+        return None
+    for p in deleted_paths:
+        ap = os.path.join(table.base_path, p)
+        if os.path.exists(ap):
+            os.remove(ap)
+    t = timeline.new_instant_time()
+    timeline.create_requested(tl.CLEAN, t)
+    timeline.complete(tl.CLEAN, t, {
+        "policy": policy, "retained": retained,
+        "earliest_retained": earliest_retained,
+        "deleted_slices": deleted_slices,
+        "deleted_log_files": deleted_logs,
+        "num_files_deleted": len(deleted_paths)})
+    return t

@@ -1,0 +1,67 @@
+"""Clustering: rewrite many small file groups into few large sorted ones.
+
+Reference parity: SparkRecentDaysClusteringPlanStrategy.java:54-122 (plan =
+pick small slices per partition), SparkSortAndSizeExecutionStrategy.java:
+51-86 (execute = bulk-insert sorted by sortColumns, target file size),
+HoodieClusteringConfig.java:37-116; commits as a replacecommit
+(HoodieReplaceCommitMetadata).
+
+Spark-first: plan filters manifest stats on the driver; execution is one
+``repartitionByRange(sort_cols)`` job — Catalyst's range partitioner gives
+globally sorted output files, which is exactly the reference's
+GLOBAL_SORT bulk-insert path. Record meta (commit time/seqno) is preserved
+so incremental semantics survive clustering."""
+
+from __future__ import annotations
+
+import math
+import uuid
+
+from pyspark.sql import functions as F
+
+from .. import timeline as tl
+from ..config import FILE_NAME, PARTITION_PATH, RECORD_KEY
+
+
+def plan_clustering(table, partitions=None, small_file_limit=None):
+    """Slices worth clustering: base-only slices smaller than the limit
+    (slices with pending deltas are left for compaction first)."""
+    limit = small_file_limit or table.write_config.clustering_small_file_limit
+    out = []
+    for sl in table.view().latest_slices(partitions=partitions):
+        if sl.base_file is not None and not sl.log_files and \
+                sl.base_file.size < limit:
+            out.append(sl)
+    return out
+
+
+def cluster(table, sort_cols: list[str] | None = None, partitions=None,
+            small_file_limit=None, target_file_size=None):
+    """Returns the replacecommit instant, or None if nothing to cluster."""
+    plan = plan_clustering(table, partitions, small_file_limit)
+    if len(plan) < 2:
+        return None
+    target = target_file_size or table.write_config.clustering_target_file_size
+    sort_cols = sort_cols or [RECORD_KEY]
+    writer = table._writer
+
+    df = table.read_slices_base(plan)
+    total_bytes = sum(sl.base_file.size for sl in plan)
+    num_files = max(1, math.ceil(total_bytes / target))
+    prefix = uuid.uuid4().hex[:13]
+    instant = writer._begin(tl.REPLACECOMMIT)
+    from ..writer import BUCKET, KIND, base_file_name
+    arranged = (df.repartitionByRange(num_files, F.col(PARTITION_PATH),
+                                      *[F.col(c) for c in sort_cols])
+                .sortWithinPartitions(PARTITION_PATH, *sort_cols)
+                .withColumn(BUCKET, F.concat(F.lit(prefix + "-"),
+                                             F.spark_partition_id().cast("string")))
+                .withColumn(FILE_NAME, base_file_name(F.col(BUCKET), instant))
+                .withColumn(KIND, F.lit("base")))
+    write_df = writer._finalize_cols(arranged)
+    stats = writer._write_files(write_df, instant, already_partitioned=True)
+    replaced: dict[str, list[str]] = {}
+    for sl in plan:
+        replaced.setdefault(sl.partition, []).append(sl.file_id)
+    return writer._commit(instant, tl.REPLACECOMMIT, "cluster", stats,
+                          replaced=replaced).instant

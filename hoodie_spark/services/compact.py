@@ -1,0 +1,75 @@
+"""MOR compaction: merge a file slice's delta files into a new base file.
+
+Reference parity: HoodieCompactor.java:48-54 (plan on driver),
+HoodieSparkMergeOnReadTableCompactor.java (execute as a Spark job),
+SparkScheduleCompactionActionExecutor.java, strategies in
+hudi-client-common/.../compact/strategy/ (LogFileSizeBasedCompactionStrategy,
+BoundedIOCompactionStrategy, DayBasedCompactionStrategy) and the merged log
+scanner HoodieMergedLogRecordScanner.java:55-82.
+
+Spark-first: the plan is a driver-side filter over manifest stats; execution
+is ONE DataFrame job — read base+delta files of the selected slices, resolve
+winners per key with the same fold the snapshot reader uses, and rewrite each
+file group (same file_id, new base instant) via the shared partitioned-write
+path. Record meta columns (commit time / seqno) are preserved, so
+incremental queries stay correct across compaction."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .. import timeline as tl
+from ..config import FILE_NAME, OPERATION, PARTITION_PATH
+
+
+class CompactionStrategy:
+    """Which file slices to compact (driver-side plan filter)."""
+
+    @staticmethod
+    def num_delta_commits(table, slices, threshold=None):
+        """Compact slices with >= N delta files (inline-compaction trigger,
+        HoodieCompactionConfig inline.compact.num.delta.commits)."""
+        n = threshold or table.write_config.max_delta_commits_before_compaction
+        return [sl for sl in slices if len(sl.log_files) >= n]
+
+    @staticmethod
+    def log_size(table, slices, threshold_bytes=16 * 1024 * 1024):
+        """LogFileSizeBasedCompactionStrategy.java."""
+        return [sl for sl in slices
+                if sum(lf.size for lf in sl.log_files) >= threshold_bytes]
+
+    @staticmethod
+    def all_with_logs(table, slices):
+        """UnBoundedCompactionStrategy.java."""
+        return [sl for sl in slices if sl.log_files]
+
+
+def schedule_compaction(table, strategy=None, **kw) -> list:
+    """Returns the slices the strategy selects (the compaction plan)."""
+    slices = table.view().latest_slices()
+    strategy = strategy or CompactionStrategy.all_with_logs
+    return strategy(table, slices, **kw)
+
+
+def compact(table, strategy=None, **kw):
+    """Plan + execute. Returns the commit instant or None if nothing to do."""
+    plan = schedule_compaction(table, strategy, **kw)
+    if not plan:
+        return None
+    writer = table._writer
+    view = table.view()
+    base = table.read_slices_base(plan).withColumn(OPERATION, F.lit("I"))
+    delta_paths = [view.abs(lf.path) for sl in plan for lf in sl.log_files]
+    merged = table._reader._resolve(base.unionByName(
+        table.read_delta_files(delta_paths))).drop(OPERATION)
+
+    instant = writer._begin(tl.COMMIT)
+    from ..writer import BUCKET, KIND, base_file_name
+    write_df = (merged
+                .withColumn(BUCKET, F.split(F.col(FILE_NAME), "_").getItem(0))
+                .withColumn(FILE_NAME, base_file_name(
+                    F.split(F.col(FILE_NAME), "_").getItem(0), instant))
+                .withColumn(KIND, F.lit("base")))
+    write_df = writer._finalize_cols(write_df)
+    stats = writer._write_files(write_df, instant, sort_cols=None)
+    return writer._commit(instant, tl.COMMIT, "compact", stats).instant

@@ -1,0 +1,117 @@
+"""Rollback / savepoint / restore.
+
+Reference parity: BaseRollbackActionExecutor.java:51 +
+SparkMarkerBasedRollbackStrategy.java (undo an instant by deleting its
+files), SavepointActionExecutor.java:48 (pin a commit's files against
+cleaning), BaseRestoreActionExecutor.java:44 (restore = rollback chain).
+
+Spark-first: the commit manifest already lists every file an instant wrote,
+so rollback is pure driver-side metadata + file deletes — no listing, no
+marker scan. The rolled-back instant stays on the timeline; the view fold
+skips instants named in rollback/restore metadata."""
+
+from __future__ import annotations
+
+import os
+
+from .. import timeline as tl
+
+
+def _delete_instant_files(table, ts: str) -> list[str]:
+    deleted = []
+    for action in tl.DATA_ACTIONS:
+        inst = tl.Instant(ts, action)
+        try:
+            md = table.timeline.metadata(inst)
+        except FileNotFoundError:
+            continue
+        for st in md.get("write_stats", []):
+            p = os.path.join(table.base_path, st["path"])
+            if os.path.exists(p):
+                os.remove(p)
+                deleted.append(st["path"])
+    return deleted
+
+
+def rollback(table, instant_ts: str):
+    """Undo the LATEST completed data instant (or a pending one). Hudi
+    equally restricts rollback of non-latest commits unless cascading —
+    use restore() for that."""
+    timeline = table.timeline
+    already = {t for i in timeline.completed((tl.ROLLBACK, tl.RESTORE))
+               for t in timeline.metadata(i).get("targets", [])}
+    if instant_ts in already:
+        raise ValueError(f"instant {instant_ts} was already rolled back")
+    pending = [i for i in timeline.pending() if i.timestamp == instant_ts]
+    completed = [i for i in timeline.completed(tl.DATA_ACTIONS)
+                 if i.timestamp == instant_ts]
+    if completed:
+        live = [i for i in timeline.completed(tl.DATA_ACTIONS)
+                if i.timestamp not in already]
+        if not live or live[-1].timestamp != instant_ts:
+            raise ValueError(
+                f"can only rollback the latest commit "
+                f"{live[-1].timestamp if live else None}; use restore()")
+    elif not pending:
+        raise ValueError(f"no instant {instant_ts} to roll back")
+
+    deleted = _delete_instant_files(table, instant_ts)
+    for inst in pending:
+        timeline.delete_instant(inst)
+    t = timeline.new_instant_time()
+    timeline.create_requested(tl.ROLLBACK, t)
+    timeline.complete(tl.ROLLBACK, t, {
+        "targets": [instant_ts], "deleted_files": deleted})
+    return t
+
+
+def savepoint(table, instant_ts: str | None = None) -> str:
+    """Pin the file set live as of ``instant_ts`` (default: latest)."""
+    timeline = table.timeline
+    if instant_ts is None:
+        last = timeline.last_completed()
+        if last is None:
+            raise ValueError("empty table")
+        instant_ts = last.timestamp
+    view = table.view()
+    files = [sl.base_file.path for sl in view.latest_slices(as_of=instant_ts)
+             if sl.base_file is not None]
+    logs = [lf.path for sl in view.latest_slices(as_of=instant_ts)
+            for lf in sl.log_files_as_of(instant_ts)]
+    t = timeline.new_instant_time()
+    timeline.create_requested(tl.SAVEPOINT, t)
+    timeline.complete(tl.SAVEPOINT, t, {
+        "savepointed_at": instant_ts, "files": files + logs})
+    return t
+
+
+def savepointed_instants(table) -> set[str]:
+    return {table.timeline.metadata(i)["savepointed_at"]
+            for i in table.timeline.completed((tl.SAVEPOINT,))}
+
+
+def savepointed_files(table) -> set[str]:
+    out: set[str] = set()
+    for i in table.timeline.completed((tl.SAVEPOINT,)):
+        out.update(table.timeline.metadata(i)["files"])
+    return out
+
+
+def restore(table, instant_ts: str):
+    """Restore the table to its state as of ``instant_ts`` by rolling back
+    every later data instant (newest first)."""
+    timeline = table.timeline
+    targets = [i for i in timeline.completed(tl.DATA_ACTIONS)
+               if i.timestamp > instant_ts]
+    deleted: list[str] = []
+    for inst in reversed(targets):
+        deleted += _delete_instant_files(table, inst.timestamp)
+    for inst in timeline.pending():
+        timeline.delete_instant(inst)
+    t = timeline.new_instant_time()
+    timeline.create_requested(tl.RESTORE, t)
+    timeline.complete(tl.RESTORE, t, {
+        "restored_to": instant_ts,
+        "targets": [i.timestamp for i in targets],
+        "deleted_files": deleted})
+    return t

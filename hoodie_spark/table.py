@@ -193,6 +193,49 @@ class HoodieTable:
     def filter_exists(self, df: DataFrame) -> DataFrame:
         return self._writer.filter_exists(df)
 
+    # ------------------------------------------------------ table services
+    def rollback(self, instant_ts: str):
+        from .services import rollback
+        return rollback(self, instant_ts)
+
+    def savepoint(self, instant_ts: str | None = None):
+        from .services import savepoint
+        return savepoint(self, instant_ts)
+
+    def restore(self, instant_ts: str):
+        from .services import restore
+        return restore(self, instant_ts)
+
+    def clean(self, policy: str | None = None, retained: int | None = None):
+        from .services import clean
+        from .services.clean import CleaningPolicy
+        return clean(self, policy or CleaningPolicy.KEEP_LATEST_COMMITS, retained)
+
+    def compact(self, strategy=None, **kw):
+        from .services import compact
+        return compact(self, strategy, **kw)
+
+    def cluster(self, sort_cols: list[str] | None = None, **kw):
+        from .services import cluster
+        return cluster(self, sort_cols, **kw)
+
+    def archive(self, max_active: int | None = None):
+        from .services import archive
+        return archive(self, max_active)
+
+    # ------------------------------------------------------------ SQL DML
+    def merge(self, source: DataFrame, on: str):
+        from .sql import MergeIntoBuilder
+        return MergeIntoBuilder(self, source, on)
+
+    def update(self, set: dict[str, str], where: str | None = None):  # noqa: A002
+        from .sql import update
+        return update(self, set, where)
+
+    def delete_where(self, condition: str):
+        from .sql import delete_where
+        return delete_where(self, condition)
+
     @property
     def global_index(self) -> bool:
         return self.write_config.index_type in (

@@ -90,6 +90,10 @@ class WriteClient:
     def __init__(self, table):
         self.table = table
         self.spark = table.spark
+        # merged into the next commit's metadata extra (checkpoints / batch
+        # ids — Hudi stores the DeltaStreamer checkpoint the same way,
+        # DeltaSync.java:311)
+        self.commit_extra: dict = {}
 
     # ------------------------------------------------------------ public ops
     def bulk_insert(self, df: DataFrame, sort_mode: str = SortMode.GLOBAL_SORT) -> WriteResult:
@@ -171,13 +175,16 @@ class WriteClient:
                 extra: dict | None = None) -> WriteResult:
         total_bytes = sum(s.get("size", 0) for s in stats)
         total_recs = sum(s.get("num_records", 0) for s in stats)
+        merged_extra = dict(self.commit_extra)
+        self.commit_extra = {}
+        merged_extra.update(extra or {})
         meta = {
             "operation": operation,
             "write_stats": stats,
             "replaced": replaced or {},
             "schema": self.table.config.schema_json,
             "avg_record_size": int(total_bytes / total_recs) if total_recs else None,
-            "extra": extra or {},
+            "extra": merged_extra,
         }
         self.table.timeline.complete(action, instant, meta)
         self.table.save_properties()

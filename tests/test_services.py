@@ -1,0 +1,150 @@
+"""Table services: rollback, savepoint/restore, clean, clustering,
+compaction, archival (TestCleaner.java / TestHoodieTimelineArchiveLog.java /
+rollback invariants of TestHoodieClientOnCopyOnWriteStorage.java)."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from hoodie_spark import HoodieTable, TableType, WriteConfig
+from hoodie_spark.services.clean import CleaningPolicy
+from hoodie_spark.services.compact import CompactionStrategy
+
+
+def make_orders(spark, path, **kw):
+    return HoodieTable.create(spark, path, "orders",
+                              recordkey_fields=["o_orderkey"],
+                              precombine_field="o_orderdate",
+                              partition_expr="date_format(o_orderdate,'yyyy')", **kw)
+
+
+def test_rollback(spark, orders, tmp_table_path):
+    tbl = make_orders(spark, tmp_table_path)
+    tbl.bulk_insert(orders)
+    r2 = tbl.upsert(orders.withColumn("o_orderstatus", F.lit("X")))
+    assert tbl.snapshot().filter("o_orderstatus='X'").count() == orders.count()
+    tbl.rollback(r2.instant)
+    snap = tbl.snapshot()
+    assert snap.count() == orders.count()
+    assert snap.filter("o_orderstatus='X'").count() == 0
+    # rolled-back instant's files are physically gone
+    view = tbl.view()
+    assert all(sl.base_instant != r2.instant for sl in view.latest_slices())
+
+
+def test_rollback_non_latest_rejected(spark, orders, tmp_table_path):
+    tbl = make_orders(spark, tmp_table_path)
+    r1 = tbl.bulk_insert(orders.limit(500))
+    tbl.upsert(orders.limit(200).withColumn("o_orderstatus", F.lit("X")))
+    import pytest
+    with pytest.raises(ValueError):
+        tbl.rollback(r1.instant)
+
+
+def test_savepoint_restore(spark, orders, tmp_table_path):
+    tbl = make_orders(spark, tmp_table_path)
+    r1 = tbl.bulk_insert(orders)
+    tbl.savepoint(r1.instant)
+    tbl.upsert(orders.withColumn("o_orderstatus", F.lit("X")))
+    tbl.delete(orders.filter("o_orderkey % 3 = 0"))
+    tbl.restore(r1.instant)
+    snap = tbl.snapshot()
+    assert snap.count() == orders.count()
+    assert snap.filter("o_orderstatus='X'").count() == 0
+
+
+def test_clean_keep_latest_commits(spark, orders, tmp_table_path):
+    tbl = make_orders(spark, tmp_table_path)
+    tbl.bulk_insert(orders)
+    for i in range(3):
+        tbl.upsert(orders.filter("o_orderkey % 5 = 0")
+                   .withColumn("o_orderstatus", F.lit(f"v{i}")))
+    view = tbl.view()
+    n_slices_before = sum(len(g.slices) for g in view.groups.values())
+    t = tbl.clean(CleaningPolicy.KEEP_LATEST_COMMITS, retained=2)
+    assert t is not None
+    view = tbl.view()
+    n_slices_after = sum(len(g.slices) for g in view.groups.values())
+    assert n_slices_after < n_slices_before
+    # current state unaffected
+    snap = tbl.snapshot()
+    assert snap.count() == orders.count()
+    assert snap.filter("o_orderstatus='v2'").count() == \
+        orders.filter("o_orderkey % 5 = 0").count()
+    # all files the view references still exist
+    for sl in view.latest_slices():
+        assert os.path.exists(os.path.join(tbl.base_path, sl.base_file.path))
+
+
+def test_clean_respects_savepoint(spark, orders, tmp_table_path):
+    tbl = make_orders(spark, tmp_table_path, write_config=WriteConfig())
+    r1 = tbl.bulk_insert(orders)
+    tbl.savepoint(r1.instant)
+    for i in range(4):
+        tbl.upsert(orders.filter("o_orderkey % 5 = 0")
+                   .withColumn("o_orderstatus", F.lit(f"v{i}")))
+    tbl.clean(CleaningPolicy.KEEP_LATEST_COMMITS, retained=1)
+    # savepointed snapshot still fully readable
+    assert tbl.snapshot(as_of=r1.instant).count() == orders.count()
+
+
+def test_clustering(spark, orders, tmp_table_path):
+    tbl = make_orders(spark, tmp_table_path)
+    # many small files: bulk_insert never packs, so 4 chunks -> 4 groups/partition
+    for i in range(4):
+        tbl.bulk_insert(orders.filter(f"o_orderkey % 4 = {i}"))
+    before = tbl.snapshot()
+    cnt_before = before.count()
+    groups_before = len(tbl.view().latest_slices())
+    t = tbl.cluster(sort_cols=["o_orderkey"])
+    assert t is not None
+    after = tbl.snapshot()
+    assert after.count() == cnt_before
+    groups_after = len(tbl.view().latest_slices())
+    assert groups_after < groups_before
+    # contents identical
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    assert sorted(map(tuple, before.select(cols).collect())) == \
+        sorted(map(tuple, after.select(cols).collect()))
+    # commit-time meta preserved (incremental still correct)
+    assert after.filter(F.col("_hoodie_commit_time") == t).count() == 0
+
+
+def test_mor_compaction(spark, events, tmp_table_path):
+    tbl = HoodieTable.create(spark, tmp_table_path, "events",
+                             recordkey_fields=["event_id"], precombine_field="ts",
+                             partition_fields=["event_type"],
+                             table_type=TableType.MERGE_ON_READ)
+    tbl.bulk_insert(events)
+    upd = (events.filter("event_id % 5 = 0")
+           .withColumn("value", F.col("value") + 10000.0)
+           .withColumn("ts", F.expr("ts + interval 1 hour")))
+    tbl.upsert(upd)
+    tbl.delete(events.filter("event_id % 7 = 0").select("event_id", "event_type"))
+    snap_before = tbl.snapshot()
+    cnt = snap_before.count()
+    nupd = snap_before.filter("value >= 10000").count()
+
+    t = tbl.compact(CompactionStrategy.all_with_logs)
+    assert t is not None
+    # no slice has pending logs any more
+    assert all(not sl.log_files for sl in tbl.view().latest_slices())
+    snap = tbl.snapshot()
+    assert snap.count() == cnt
+    assert snap.filter("value >= 10000").count() == nupd
+    # read-optimized now equals snapshot
+    ro = tbl.read_optimized()
+    assert ro.count() == cnt
+    assert ro.filter("value >= 10000").count() == nupd
+
+
+def test_archive_keeps_view_correct(spark, orders, tmp_table_path):
+    tbl = make_orders(spark, tmp_table_path)
+    tbl.bulk_insert(orders.filter("o_orderkey % 2 = 0"))
+    for i in range(4):
+        tbl.upsert(orders.filter(f"o_orderkey % 7 = {i}")
+                   .withColumn("o_orderpriority", F.lit(f"a{i}")))
+    expected = tbl.snapshot().count()
+    moved = tbl.archive(max_active=2)
+    assert moved == 3
+    assert tbl.snapshot().count() == expected  # fold includes archived commits

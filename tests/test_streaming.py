@@ -1,0 +1,129 @@
+"""Streaming sink/source + DeltaStreamer-equivalent ingest tests
+(TestHoodieDeltaStreamer.java shapes: checkpointed micro-batches,
+duplicate/late events across batches, streaming-replay == snapshot)."""
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from hoodie_spark import HoodieTable, TableType
+from hoodie_spark.streaming import (HoodieIncrSource, Ingestor,
+                                    ParquetDFSSource, foreach_batch_writer,
+                                    incremental_batches)
+
+
+def make_events_table(spark, path, table_type=TableType.COPY_ON_WRITE):
+    return HoodieTable.create(spark, path, "events",
+                              recordkey_fields=["event_id"],
+                              precombine_field="ts",
+                              partition_fields=["event_type"],
+                              table_type=table_type)
+
+
+def test_ingest_checkpointed_batches(spark, events, tmp_table_path):
+    """3 micro-batches with overlapping (duplicate) event_ids; the
+    ordering-field merge keeps the latest ts per key."""
+    tbl = make_events_table(spark, tmp_table_path)
+    ing = Ingestor.__new__(Ingestor)  # configure per-batch below
+
+    batches = [
+        events.filter("event_id % 3 = 0"),
+        events.filter("event_id % 3 = 1").unionByName(
+            events.filter("event_id % 3 = 0")
+            .withColumn("ts", F.expr("ts + interval 1 hour"))
+            .withColumn("value", F.lit(7777.0))),
+        events.filter("event_id % 3 = 2"),
+    ]
+    src_dir = tempfile.mkdtemp(prefix="ingest_src_")
+    ing = Ingestor(tbl, ParquetDFSSource(src_dir))
+    import time
+    for i, b in enumerate(batches):
+        sub = os.path.join(src_dir, f"batch_{i}.parquet")
+        b.write.mode("overwrite").parquet(sub)
+        os.utime(sub, (time.time() + i, time.time() + i))
+        res = ing.sync_once()
+        assert res is not None
+    assert ing.sync_once() is None  # nothing new -> no commit
+
+    snap = tbl.snapshot()
+    assert snap.count() == events.count()
+    # batch-2 re-sent %3=0 keys with newer ts: they must show value 7777
+    assert snap.filter("value = 7777.0").count() == \
+        events.filter("event_id % 3 = 0").count()
+    assert ing.checkpoint() is not None
+
+
+def test_ingest_sql_transformer(spark, events, tmp_table_path):
+    tbl = HoodieTable.create(spark, tmp_table_path, "events_agg",
+                             recordkey_fields=["event_id"],
+                             precombine_field="ts")
+    src_dir = tempfile.mkdtemp(prefix="ingest_tr_")
+    events.limit(100).write.mode("overwrite").parquet(
+        os.path.join(src_dir, "b0.parquet"))
+    ing = Ingestor(tbl, ParquetDFSSource(src_dir),
+                   transformer_sql="SELECT *, value * 2 AS value2 FROM <SRC>")
+    ing.sync_once()
+    snap = tbl.snapshot()
+    assert "value2" in snap.columns
+    assert snap.filter("abs(value2 - 2*value) > 1e-9").count() == 0
+
+
+def test_incremental_source_replay_equals_snapshot(spark, events, tmp_table_path):
+    tbl = make_events_table(spark, tmp_table_path)
+    tbl.bulk_insert(events.filter("event_id < 400"))
+    tbl.upsert(events.filter("event_id >= 400 and event_id < 700"))
+    tbl.upsert(events.filter("event_id < 100")
+               .withColumn("ts", F.expr("ts + interval 1 hour"))
+               .withColumn("value", F.lit(-3.0)))
+    # replay all micro-batches, latest record per key wins
+    seen = {}
+    n_batches = 0
+    for offset, batch in incremental_batches(tbl):
+        n_batches += 1
+        for r in batch.select("event_id", "value").collect():
+            seen[r[0]] = r[1]
+    assert n_batches == 3
+    snap = {r[0]: r[1] for r in tbl.snapshot().select("event_id", "value").collect()}
+    assert seen == snap
+
+
+def test_hoodie_incr_source_table_to_table(spark, events, tmp_table_path):
+    """hudi-to-hudi pipeline (HoodieIncrSource): downstream table follows
+    upstream commits via incremental reads."""
+    up_path = tmp_table_path + "_up"
+    up = make_events_table(spark, up_path)
+    down = HoodieTable.create(spark, tmp_table_path, "events_down",
+                              recordkey_fields=["event_id"],
+                              precombine_field="ts")
+    ing = Ingestor(down, HoodieIncrSource(up))
+    up.bulk_insert(events.filter("event_id < 300"))
+    ing.sync_once()
+    assert down.snapshot().count() == 300
+    up.upsert(events.filter("event_id >= 300 and event_id < 500"))
+    ing.sync_once()
+    assert down.snapshot().count() == 500
+    assert ing.sync_once() is None
+    import shutil
+    shutil.rmtree(up_path, ignore_errors=True)
+
+
+def test_structured_streaming_sink(spark, events, tmp_table_path):
+    """Real writeStream → foreachBatch -> upsert, with availableNow."""
+    tbl = make_events_table(spark, tmp_table_path)
+    src_dir = tempfile.mkdtemp(prefix="stream_src_")
+    ckpt = tempfile.mkdtemp(prefix="stream_ckpt_")
+    events.limit(500).write.mode("overwrite").parquet(src_dir)
+    stream = (spark.readStream.schema(events.schema).parquet(src_dir))
+    q = (stream.writeStream
+         .foreachBatch(foreach_batch_writer(tbl))
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination(120)
+    assert tbl.snapshot().count() == 500
+    # replaying the same batch id is a no-op (exactly-once)
+    fn = foreach_batch_writer(tbl)
+    n_commits = len(tbl.commits())
+    fn(events.limit(10), 0)
+    assert len(tbl.commits()) == n_commits
