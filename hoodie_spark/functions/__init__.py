@@ -1,0 +1,62 @@
+"""LLM-training-data pipeline operators (SURVEY.md §7 step 11).
+
+Beyond Hudi's own surface: deduplication (exact / MinHash-LSH / SimHash /
+n-gram Jaccard / embedding near-dup), similarity search (brute-force cosine
+top-k, LSH- and IVF-bucketed ANN), text analysis (language id, quality
+scoring, token counting, fingerprinting) and multimodal binary-column
+plumbing. Everything is built from Column expressions (JVM-side, whole-stage
+codegen) — Python UDFs only appear in the multimodal decode stubs, as
+Arrow-batched ``mapInPandas``.
+
+Design notes for 100 TB scale are in each module docstring; the shared
+principle: per-row work (shingling, hashing, signatures) is embarrassingly
+parallel map-side compute with NO shuffle; the only shuffles are the final
+small-key joins (band-hash self-join, centroid top-k), whose shuffle width
+is a few dozen bytes per row regardless of document size.
+"""
+
+from .text import (
+    tokens,
+    token_count,
+    regex_token_count,
+    char_ngrams,
+    lang_id,
+    LANG_PROFILES,
+    quality_score,
+    fingerprint,
+    kmin_fingerprint,
+)
+from .dedup import (
+    exact_dedup,
+    with_minhash,
+    minhash_candidate_pairs,
+    jaccard_dedup_pairs,
+    with_simhash,
+    simhash_dup_pairs,
+    embedding_near_dup_pairs,
+)
+from .similarity import (
+    dot,
+    l2_norm,
+    cosine,
+    brute_force_topk,
+    lsh_bucket_topk,
+    ivf_topk,
+)
+from .multimodal import (
+    MEDIA_META_SCHEMA,
+    attach_media,
+    decode_media_meta,
+    sample_frames,
+)
+
+__all__ = [
+    "tokens", "token_count", "regex_token_count", "char_ngrams", "lang_id",
+    "LANG_PROFILES", "quality_score", "fingerprint", "kmin_fingerprint",
+    "exact_dedup", "with_minhash", "minhash_candidate_pairs",
+    "jaccard_dedup_pairs", "with_simhash", "simhash_dup_pairs",
+    "embedding_near_dup_pairs",
+    "dot", "l2_norm", "cosine", "brute_force_topk", "lsh_bucket_topk",
+    "ivf_topk",
+    "MEDIA_META_SCHEMA", "attach_media", "decode_media_meta", "sample_frames",
+]

@@ -1,0 +1,237 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding near-dup.
+
+Scale design (the part that matters at 100 TB):
+
+* Signatures (minhash / simhash / content hash) are computed with
+  higher-order array functions INSIDE the row — a map-only stage fused into
+  the Parquet scan by whole-stage codegen. No explode of shingles across
+  rows, so the shuffle that follows carries only ``(id, band_hash)`` pairs
+  (~50 bytes/row) no matter how large the documents are.
+* Candidate generation is a self-equi-join on the band hash — Spark plans a
+  shuffled hash join keyed on a hex digest, which distributes uniformly by
+  construction (hash keys can't skew). Bucket width is bounded by band
+  collision probability, not corpus size.
+* Verification (exact Jaccard / cosine) runs only on candidate pairs —
+  at LSH-typical thresholds that's O(dups), not O(n²).
+
+MinHash uses the lexicographic minimum of md5 hex digests per seeded hash
+family (``min(md5(seed || shingle))``) — order-isomorphic to numeric
+minhash, engine-portable (the DuckDB oracle replicates it verbatim).
+
+Reference parity: the reference engine has no dedup surface; these extend it
+per the north-star (BASELINE.json). Exact dedup mirrors the reference's
+in-batch ``deduplicateRecords`` semantics (SparkWriteHelper.java:50) applied
+corpus-wide.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import char_ngrams, tokens
+
+__all__ = [
+    "exact_dedup", "with_minhash", "minhash_candidate_pairs",
+    "jaccard_dedup_pairs", "with_simhash", "simhash_dup_pairs",
+    "embedding_near_dup_pairs",
+]
+
+
+def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFrame:
+    """Keep one row per distinct content (the one with the smallest id).
+
+    hash-groupBy dedup: shuffle key is the md5 of the content columns, so
+    byte-identical duplicates co-locate; partial aggregation (min) runs
+    map-side before the shuffle.
+    """
+    h = F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in content_cols]))
+    w = Window.partitionBy(h).orderBy(F.col(id_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def minhash_signature(col, num_hashes: int = 16, ngram: int = 5) -> Column:
+    """MinHash signature as ``array<string>`` of length ``num_hashes``.
+
+    Element *i* = min over shingles of ``md5('h<i>:' || shingle)``.
+    Entirely in-row (no explode): documents of any size cost O(shingles ×
+    num_hashes) local CPU and 32 bytes/element of output.
+    """
+    shingles = char_ngrams(col, ngram)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(
+                shingles,
+                lambda s: F.md5(F.concat(F.lit("h"), i.cast("string"), F.lit(":"), s)),
+            )
+        ),
+    )
+
+
+def with_minhash(df: DataFrame, text_col: str, num_hashes: int = 16,
+                 ngram: int = 5, out_col: str = "minhash") -> DataFrame:
+    return df.withColumn(out_col, minhash_signature(F.col(text_col), num_hashes, ngram))
+
+
+def band_keys(sig_col, bands: int, rows_per_band: int) -> Column:
+    """LSH banding: array of ``bands`` structs (band index, md5-of-band)."""
+    sig_col = F.col(sig_col) if isinstance(sig_col, str) else sig_col
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(
+            b.alias("band"),
+            F.md5(F.concat_ws("", F.slice(sig_col, b * rows_per_band + 1, rows_per_band))).alias("bh"),
+        ),
+    )
+
+
+def minhash_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
+                            num_hashes: int = 16, bands: int = 4,
+                            ngram: int = 5) -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) sharing ≥1 LSH band.
+
+    Plan shape: scan → map (signature) → explode bands (bands× rows of
+    (id, band, bh)) → self-join on (band, bh) → distinct. The join input is
+    tiny regardless of document size; AQE handles any residual band skew.
+    """
+    rows_per_band = num_hashes // bands
+    sig = with_minhash(df, text_col, num_hashes, ngram).filter(F.size("minhash") > 0)
+    exploded = (
+        sig.select(F.col(id_col), F.explode(band_keys("minhash", bands, rows_per_band)).alias("bk"))
+        .select(id_col, F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+    )
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    return (
+        a.join(b, ["band", "bh"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
+                        threshold: float = 0.8, num_hashes: int = 16,
+                        bands: int = 4, ngram: int = 5) -> DataFrame:
+    """Near-duplicate pairs with exact n-gram Jaccard ≥ threshold.
+
+    LSH candidates first (cheap), exact |∩|/|∪| verification on candidates
+    only. Returns (id_a, id_b, jaccard).
+    """
+    cands = minhash_candidate_pairs(df, id_col, text_col, num_hashes, bands, ngram)
+    sh = df.select(F.col(id_col), char_ngrams(F.col(text_col), ngram).alias("sh"))
+    joined = (
+        cands.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        joined.select("id_a", "id_b", (inter / union).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash_signature(col, bits: int = 16) -> Column:
+    """SimHash over whitespace tokens as a ``bits``-char '0'/'1' string.
+
+    Bit *i* is the high bit of hex nibble *i* of each token's md5 (a char in
+    '89abcdef' ⇒ 1); the signature bit is 1 when the +1/−1 vote sum over
+    tokens is positive. bits ≤ 32 (md5 has 32 nibbles). In-row compute only.
+    """
+    toks = tokens(col)
+    votes = F.transform(
+        F.sequence(F.lit(1), F.lit(bits)),
+        lambda i: F.aggregate(
+            toks,
+            F.lit(0),
+            lambda acc, t: acc
+            + F.when(F.md5(t).substr(i, F.lit(1)).isin("8", "9", "a", "b", "c", "d", "e", "f"),
+                     F.lit(1)).otherwise(F.lit(-1)),
+        ),
+    )
+    return F.concat_ws("", F.transform(votes, lambda v: F.when(v > 0, F.lit("1")).otherwise(F.lit("0"))))
+
+
+def with_simhash(df: DataFrame, text_col: str, bits: int = 16,
+                 out_col: str = "simhash") -> DataFrame:
+    return df.withColumn(out_col, simhash_signature(F.col(text_col), bits))
+
+
+def hamming(a, b, bits: int) -> Column:
+    """Hamming distance between two equal-length bit strings."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.sequence(F.lit(1), F.lit(bits)),
+        F.lit(0),
+        lambda acc, i: acc + F.when(a.substr(i, F.lit(1)) != b.substr(i, F.lit(1)),
+                                    F.lit(1)).otherwise(F.lit(0)),
+    )
+
+
+def simhash_dup_pairs(df: DataFrame, id_col: str, text_col: str,
+                      bits: int = 16, max_distance: int = 2) -> DataFrame:
+    """Pairs whose SimHash Hamming distance ≤ max_distance.
+
+    Candidate generation blocks on signature halves (a pair within distance
+    d ≤ bits/2 − 1 per half must agree on at least one half — the classic
+    pigeonhole trick), so the join key is a half-signature, not a cross
+    join. Returns (id_a, id_b, distance).
+    """
+    half = bits // 2
+    sh = with_simhash(df, text_col, bits).select(id_col, "simhash")
+    blocked = sh.select(
+        id_col, "simhash",
+        F.explode(F.array(
+            F.concat(F.lit("L"), F.col("simhash").substr(1, half)),
+            F.concat(F.lit("R"), F.col("simhash").substr(half + 1, bits - half)),
+        )).alias("block"),
+    )
+    a = blocked.alias("a")
+    b = blocked.alias("b")
+    cand = (
+        a.join(b, "block")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"),
+                F.col("a.simhash").alias("sh_a"), F.col("b.simhash").alias("sh_b"))
+        .distinct()
+    )
+    return (
+        cand.select("id_a", "id_b", hamming("sh_a", "sh_b", bits).alias("distance"))
+        .filter(F.col("distance") <= max_distance)
+    )
+
+
+def embedding_near_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
+                             threshold: float = 0.95, planes: int = 8) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via sign-LSH blocking.
+
+    Each vector maps to a ``planes``-bit bucket (sign of dot with a
+    deterministic ±1 hyperplane derived from md5 — engine-portable, no
+    stored model). Cosine is verified exactly within buckets. Vectors whose
+    cosine ≥ threshold land in the same bucket with probability
+    ``(1 − θ/π)^planes``; for dedup-grade thresholds (≥0.95) that's ≈0.9 —
+    run with two plane seeds and union for higher recall. Returns
+    (id_a, id_b, cos).
+    """
+    from .similarity import cosine, sign_lsh_key
+
+    keyed = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")) \
+              .withColumn("bucket", sign_lsh_key(F.col("v"), planes))
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"),
+                cosine(F.col("a.v"), F.col("b.v")).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+        .distinct()
+    )

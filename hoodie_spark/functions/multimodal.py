@@ -1,0 +1,107 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media payloads are opaque ``binary`` columns plus a typed metadata struct;
+everything that needs a codec is an Arrow-batched ``mapInPandas`` stage.
+The Spark-side contract — schema, batching, partitioning — is real and
+tested; the codec itself is stubbed (this container ships no image/audio
+libraries): ``decode_media_meta(..., fake=False)`` raises
+``NotImplementedError`` at the exact point a real decoder (PIL / torchaudio
+/ pyav) would plug in, and ``fake=True`` substitutes a deterministic
+byte-derived decode so pipelines remain end-to-end testable.
+
+Scale notes: binary payloads ride the same Parquet row groups as the rest
+of the row — at 100 TB keep media in their own table keyed by content hash
+(exact_dedup on the digest dedups storage), project the binary column ONLY
+in decode stages (column pruning keeps metadata-only queries cheap), and
+size ``spark.sql.files.maxPartitionBytes`` so a task's Arrow batches fit in
+executor memory (mapInPandas streams batches; it never materializes the
+whole partition).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = ["MEDIA_META_SCHEMA", "attach_media", "decode_media_meta", "sample_frames"]
+
+MEDIA_META_SCHEMA = T.StructType([
+    T.StructField("media_type", T.StringType()),   # image | audio | video
+    T.StructField("format", T.StringType()),       # e.g. png, wav, mp4
+    T.StructField("n_bytes", T.LongType()),
+    T.StructField("digest", T.StringType()),       # md5 hex of payload
+])
+
+
+def attach_media(df: DataFrame, payload_col, media_type: str = "image",
+                 fmt: str = "bin") -> DataFrame:
+    """Wrap a binary column into (media bytes + typed metadata struct)."""
+    payload = F.col(payload_col) if isinstance(payload_col, str) else payload_col
+    payload = payload.cast("binary")
+    return df.withColumn("media", payload).withColumn(
+        "media_meta",
+        F.struct(
+            F.lit(media_type).alias("media_type"),
+            F.lit(fmt).alias("format"),
+            F.length(payload).cast("long").alias("n_bytes"),
+            F.md5(payload).alias("digest"),
+        ),
+    )
+
+
+_DECODED_FIELDS = "width int, height int, channels int, decode_digest string"
+
+
+def decode_media_meta(df: DataFrame, media_col: str = "media",
+                      fake: bool = True) -> DataFrame:
+    """Decode stage: media bytes → (width, height, channels, digest).
+
+    Arrow-batched ``mapInPandas``; schema = input + decoded fields. With
+    ``fake=True`` the decode is a deterministic function of the payload
+    bytes (md5-derived), exercising the full batch path without a codec.
+    """
+    out_schema = T.StructType(
+        df.schema.fields + T.StructType.fromDDL(_DECODED_FIELDS).fields)
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real media decoding requires an image/audio codec "
+                    "(PIL/pyav) not available in this environment; "
+                    "pass fake=True for the deterministic test decoder")
+            digests = [hashlib.md5(bytes(b)).hexdigest() if b is not None else None
+                       for b in pdf[media_col]]
+            pdf = pdf.copy()
+            # fake decode: dimensions derived from the digest — stable
+            pdf["width"] = [int(d[:4], 16) % 1920 + 1 if d else None for d in digests]
+            pdf["height"] = [int(d[4:8], 16) % 1080 + 1 if d else None for d in digests]
+            pdf["channels"] = [int(d[8], 16) % 4 + 1 if d else None for d in digests]
+            pdf["decode_digest"] = digests
+            yield pdf
+
+    return df.mapInPandas(decode, schema=out_schema)
+
+
+def sample_frames(df: DataFrame, media_col: str = "media", every_n_bytes: int = 64,
+                  max_frames: int = 8) -> DataFrame:
+    """Frame-sampling plumbing: one output row per sampled "frame".
+
+    Stands in for video frame extraction: slices the payload every
+    ``every_n_bytes`` bytes (a real implementation would seek keyframes).
+    Output: input columns + (frame_idx int, frame binary). Uses the posexplode
+    of a byte-slice array — JVM-side, no Python.
+    """
+    media = F.col(media_col)
+    n = F.least(F.floor(F.length(media) / every_n_bytes).cast("int") + 1, F.lit(max_frames))
+    slices = F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: media.substr(i * every_n_bytes + 1, F.lit(every_n_bytes)).cast("binary"),
+    )
+    return df.select("*", F.posexplode(slices).alias("frame_idx", "frame"))

@@ -1,0 +1,188 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+Three tiers:
+
+* :func:`brute_force_topk` — exact cosine top-k. The query set is
+  broadcast (it's small by definition); the corpus is scanned once,
+  map-side, and only ``(query, id, score)`` candidates reach the top-k
+  window. At 100 TB this is a single pass with no corpus shuffle — the
+  right baseline, and exact.
+* :func:`lsh_bucket_topk` — sign-LSH (random-hyperplane) bucketing: corpus
+  and queries hash to ``planes``-bit buckets; only same-bucket pairs are
+  scored. Sub-linear work per query, approximate recall.
+* :func:`ivf_topk` — IVF-style coarse quantization: a deterministic
+  centroid set (first ``n_centroids`` corpus vectors — no training step,
+  reproducible), every vector assigned to its nearest centroid (broadcast
+  join, map-side), queries probe the ``n_probe`` nearest centroid lists.
+  This is the 100 TB path: the inverted lists can be written as a
+  ``partitionBy(centroid)`` parquet layout so a probe reads only
+  ``n_probe/n_centroids`` of the data (partition pruning does the rest).
+
+All math is double-precision Column expressions (``zip_with`` +
+left-to-right ``aggregate`` fold — reproducible, engine-portable).
+Hyperplanes are derived from md5, so the DuckDB oracle replicates them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "dot", "l2_norm", "cosine", "sign_lsh_key",
+    "brute_force_topk", "lsh_bucket_topk", "ivf_topk",
+]
+
+
+def dot(a, b) -> Column:
+    """Left-to-right fold of elementwise products (deterministic order)."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def l2_norm(a) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a, b) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def sign_lsh_key(vec, planes: int) -> Column:
+    """Random-hyperplane signature: ``planes``-char '0'/'1' string.
+
+    Plane p's component for dimension i is +1 when the first hex digit of
+    ``md5('p<p>:<i>')`` is in 0–7, else −1 — deterministic, shared with the
+    DuckDB oracle, and never materialized (computed inline per element).
+    """
+    vec = F.col(vec) if isinstance(vec, str) else vec
+    def bit(p):
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.sequence(F.lit(0), F.size(vec) - 1),
+                lambda x, i: x * F.when(
+                    F.md5(F.concat(F.lit("p"), p.cast("string"), F.lit(":"), i.cast("string")))
+                     .substr(1, 1).isin("0", "1", "2", "3", "4", "5", "6", "7"),
+                    F.lit(1.0)).otherwise(F.lit(-1.0)),
+            ),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+        return F.when(proj > 0, F.lit("1")).otherwise(F.lit("0"))
+    return F.concat_ws("", F.transform(F.sequence(F.lit(0), F.lit(planes - 1)), bit))
+
+
+def _prep(df: DataFrame, id_col: str, vec_col: str, prefix: str) -> DataFrame:
+    v = F.col(vec_col).cast("array<double>")
+    return df.select(
+        F.col(id_col).alias(f"{prefix}_id"),
+        v.alias(f"{prefix}_v"),
+        l2_norm(v).alias(f"{prefix}_n"),
+    )
+
+
+def brute_force_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
+                     vec_col: str, k: int = 10) -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, rank, cos).
+
+    Self-matches are excluded. Broadcast(queries) ⨯ corpus is a map-side
+    nested loop; the shuffle into the per-query top-k window carries
+    |corpus|·|queries| rows of ~24 bytes. Exact — use as recall baseline;
+    for large corpora prefer :func:`ivf_topk`.
+    """
+    c = _prep(corpus, id_col, vec_col, "c")
+    q = _prep(queries, id_col, vec_col, "q")
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("c_id") != F.col("q_id"))
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("c_id").alias("neighbor_id"),
+            (dot("c_v", "q_v") / (F.col("c_n") * F.col("q_n"))).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
+def lsh_bucket_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
+                    vec_col: str, k: int = 10, planes: int = 6) -> DataFrame:
+    """Approximate top-k scoring only same-sign-LSH-bucket pairs."""
+    c = _prep(corpus, id_col, vec_col, "c").withColumn("bucket", sign_lsh_key("c_v", planes))
+    q = _prep(queries, id_col, vec_col, "q").withColumn("bucket", sign_lsh_key("q_v", planes))
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("c_id") != F.col("q_id"))
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("c_id").alias("neighbor_id"),
+            (dot("c_v", "q_v") / (F.col("c_n") * F.col("q_n"))).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
+             k: int = 10, n_centroids: int = 16, n_probe: int = 4,
+             centroids: DataFrame | None = None) -> DataFrame:
+    """IVF-bucketed approximate top-k.
+
+    Centroids default to the ``n_centroids`` corpus vectors with the
+    smallest ids (deterministic; callers with a trained codebook pass
+    ``centroids``). Assignment and probing both broadcast the centroid set,
+    so corpus-side work is one map pass; the probe join hits only
+    ``n_probe`` of ``n_centroids`` inverted lists.
+    """
+    c = _prep(corpus, id_col, vec_col, "c")
+    if centroids is None:
+        centroids = corpus.orderBy(F.col(id_col)).limit(n_centroids)
+    cent = _prep(centroids, id_col, vec_col, "k")
+
+    # nearest centroid per corpus vector (cosine argmax, ties → smaller id)
+    assign_w = Window.partitionBy("c_id").orderBy(F.desc("aff"), F.asc("k_id"))
+    assigned = (
+        c.crossJoin(F.broadcast(cent))
+        .select("c_id", "c_v", "c_n", F.col("k_id"),
+                (dot("c_v", "k_v") / (F.col("c_n") * F.col("k_n"))).alias("aff"))
+        .withColumn("rnk", F.row_number().over(assign_w))
+        .filter(F.col("rnk") == 1)
+        .select("c_id", "c_v", "c_n", F.col("k_id").alias("centroid"))
+    )
+
+    # each query probes its n_probe nearest centroids
+    q = _prep(queries, id_col, vec_col, "q")
+    probe_w = Window.partitionBy("q_id").orderBy(F.desc("aff"), F.asc("k_id"))
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .select("q_id", "q_v", "q_n", F.col("k_id"),
+                (dot("q_v", "k_v") / (F.col("q_n") * F.col("k_n"))).alias("aff"))
+        .withColumn("rnk", F.row_number().over(probe_w))
+        .filter(F.col("rnk") <= n_probe)
+        .select("q_id", "q_v", "q_n", F.col("k_id").alias("centroid"))
+    )
+
+    scored = (
+        assigned.join(F.broadcast(probes), "centroid")
+        .filter(F.col("c_id") != F.col("q_id"))
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("c_id").alias("neighbor_id"),
+            (dot("c_v", "q_v") / (F.col("c_n") * F.col("q_n"))).alias("cos"),
+        )
+        .distinct()  # a pair can surface via multiple probed lists
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )

@@ -1,0 +1,133 @@
+"""Text analysis over a document corpus — pure Column expressions.
+
+All functions return Columns built from ``pyspark.sql.functions`` higher-order
+array functions, so they run inside whole-stage codegen with zero Python
+round-trips and zero shuffles: at 100 TB these are map-only stages whose cost
+is dominated by the Parquet scan itself.
+
+Hashing is md5-hex (stable across engines — the DuckDB oracle in
+``__spark_entry__.py`` reproduces every function literally).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = [
+    "tokens", "token_count", "regex_token_count", "char_ngrams", "lang_id",
+    "LANG_PROFILES", "quality_score", "fingerprint", "kmin_fingerprint",
+]
+
+
+def tokens(col) -> Column:
+    """Whitespace tokens, lower-cased, empties dropped."""
+    col = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.lower(col), r"\s+"), lambda t: t != F.lit(""))
+
+
+def token_count(col) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(col))
+
+
+# One regex "word" = a run of alphanumerics OR a single non-space symbol —
+# the shape a byte-level BPE pre-tokenizer produces (letters/digits/punct
+# split). Plain character classes only, so Java regex and DuckDB's RE2
+# agree on every input.
+_REGEX_TOKEN = "[a-z0-9]+|[^a-z0-9 \\t\\n\\r]"
+
+
+def regex_token_count(col) -> Column:
+    """BPE-ish token count: alnum runs + individual symbols."""
+    col = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(F.lower(col), F.lit(_REGEX_TOKEN))
+
+
+def char_ngrams(col, n: int = 5) -> Column:
+    """Distinct character n-gram shingles of the normalized text.
+
+    Normalization: lowercase, whitespace runs collapsed to a single space.
+    Returns an empty array when the text is shorter than ``n``.
+    Map-side only — the array lives inside the row.
+    """
+    col = F.col(col) if isinstance(col, str) else col
+    norm = F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+    return F.when(
+        F.length(norm) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.length(norm) - F.lit(n - 1)),
+                lambda i: norm.substr(i, F.lit(n)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+# Marker-token profiles for the n-gram/stopword language heuristic.
+# (Demonstrative classifier: score = #marker tokens present; winner picked
+# by fixed priority order en>de>es>fr>zh on ties.)
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "is"],
+    "de": ["der", "die", "und", "ist", "das"],
+    "es": ["el", "la", "de", "que", "es"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "zh": ["de", "shi", "le", "zai", "he"],
+}
+
+
+def _lang_score(col, lang: str) -> Column:
+    toks = F.array_distinct(tokens(col))
+    markers = F.array(*[F.lit(m) for m in LANG_PROFILES[lang]])
+    return F.size(F.array_intersect(toks, markers))
+
+
+def lang_id(col) -> Column:
+    """Heuristic language id: argmax of marker-token hit counts.
+
+    Ties resolve by the fixed order en, de, es, fr, zh (first max wins);
+    a document with zero hits everywhere classifies as 'und'.
+    """
+    scores = {lang: _lang_score(col, lang) for lang in LANG_PROFILES}
+    best = F.greatest(*scores.values())
+    expr = F.lit("und")
+    for lang in reversed(list(LANG_PROFILES)):  # build when-chain in priority order
+        expr = F.when(scores[lang] == best, F.lit(lang)).otherwise(expr)
+    return F.when(best <= 0, F.lit("und")).otherwise(expr)
+
+
+def quality_score(col) -> Column:
+    """Heuristic document quality in [0, 1].
+
+    0.4 * length_score  (saturating at 200 chars)
+    + 0.3 * alpha ratio (alphabetic chars / chars)
+    + 0.2 * stopword presence (en-marker hits / 5, capped at 1)
+    + 0.1 * (1 - symbol ratio)  (non-alnum-non-space chars / chars)
+    Pure per-row double arithmetic — bit-identical across engines.
+    """
+    col = F.col(col) if isinstance(col, str) else col
+    n = F.length(col).cast("double")
+    safe_n = F.greatest(n, F.lit(1.0))
+    length_score = F.least(n / F.lit(200.0), F.lit(1.0))
+    alpha = F.length(F.regexp_replace(F.lower(col), "[^a-z]", "")).cast("double")
+    symbols = F.length(F.regexp_replace(F.lower(col), "[a-z0-9 \\t\\n\\r]", "")).cast("double")
+    stop = F.least(_lang_score(col, "en").cast("double") / F.lit(5.0), F.lit(1.0))
+    return (
+        F.lit(0.4) * length_score
+        + F.lit(0.3) * (alpha / safe_n)
+        + F.lit(0.2) * stop
+        + F.lit(0.1) * (F.lit(1.0) - symbols / safe_n)
+    )
+
+
+def fingerprint(col) -> Column:
+    """Exact-content fingerprint: md5 of the whitespace-normalized text."""
+    return F.md5(F.concat_ws(" ", tokens(col)))
+
+
+def kmin_fingerprint(col, n: int = 5, k: int = 8) -> Column:
+    """k-min sketch fingerprint (winnowing-style): md5 over the k smallest
+    shingle hashes. Two documents sharing most shingles collide with high
+    probability; robust to small edits, unlike :func:`fingerprint`."""
+    hashes = F.array_sort(F.transform(char_ngrams(col, n), F.md5))
+    return F.md5(F.concat_ws("", F.slice(hashes, 1, k)))

@@ -29,12 +29,14 @@ _KEY_PROJECTION = (f"{COMMIT_TIME} string, {RECORD_KEY} string, "
 
 
 def tag_location(spark: SparkSession, prepared: DataFrame, table,
-                 view=None) -> DataFrame:
+                 view=None, force_global: bool = False) -> DataFrame:
     """HoodieIndex.tagLocation: adds ``_target_file_id`` / ``_target_pp``
     columns (null = insert). ``prepared`` must carry RECORD_KEY and
-    PARTITION_PATH columns."""
+    PARTITION_PATH columns. ``force_global`` switches one call to the
+    global lookup (delete-by-key without partition source columns)."""
     index_type = table.write_config.index_type
-    is_global = index_type in (IndexType.GLOBAL_SIMPLE, IndexType.GLOBAL_BLOOM)
+    is_global = force_global or index_type in (
+        IndexType.GLOBAL_SIMPLE, IndexType.GLOBAL_BLOOM)
     view = view or table.view()
 
     if is_global:

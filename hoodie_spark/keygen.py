@@ -39,8 +39,25 @@ def partition_path_expr(cfg: TableConfig) -> Column:
     return F.lit("")
 
 
+def partition_resolvable(df: DataFrame, cfg: TableConfig) -> bool:
+    """True when the partition expression can be evaluated on ``df``.
+
+    False for key-only inputs (delete-by-key) whose partition source columns
+    are absent — those degrade to a global index lookup
+    (GlobalDeleteKeyGenerator semantics)."""
+    try:
+        df.select(partition_path_expr(cfg))
+        return True
+    except Exception:
+        return False
+
+
 def with_keys(df: DataFrame, cfg: TableConfig) -> DataFrame:
-    """Attach _hoodie_record_key and _hoodie_partition_path columns."""
-    return df.withColumn(RECORD_KEY, record_key_expr(cfg)).withColumn(
-        PARTITION_PATH, partition_path_expr(cfg)
-    )
+    """Attach _hoodie_record_key and _hoodie_partition_path columns.
+
+    A key-only input (e.g. delete by record key) gets a null partition path;
+    the index lookup supplies the record's actual partition."""
+    df = df.withColumn(RECORD_KEY, record_key_expr(cfg))
+    pp = (partition_path_expr(cfg) if partition_resolvable(df, cfg)
+          else F.lit(None).cast("string"))
+    return df.withColumn(PARTITION_PATH, pp)

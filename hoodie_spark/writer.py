@@ -208,7 +208,16 @@ class WriteClient:
 
     def _ord_col(self, df: DataFrame):
         pre = self.table.config.precombine_field
-        return F.col(pre) if pre and pre in df.columns else F.lit(0)
+        if not pre:
+            return F.lit(0)
+        if pre in df.columns:
+            return F.col(pre)
+        # precombine column absent (key-only delete): typed null so unions
+        # against stored rows line up; HARD ranks above ORD so deletes win
+        schema = self.table.schema
+        if schema is not None and pre in schema.fieldNames():
+            return F.lit(None).cast(schema[pre].dataType)
+        return F.lit(0)
 
     def _dedup(self, df: DataFrame, global_index: bool | None = None) -> DataFrame:
         """preCombine (SparkWriteHelper.java:50): keep max-ordering row per
@@ -250,6 +259,11 @@ class WriteClient:
         cfg = self.table.config
         wcfg = self.table.write_config
         is_mor = cfg.table_type == TableType.MERGE_ON_READ
+        # delete by key without the partition source columns → global lookup
+        # (GlobalDeleteKeyGenerator semantics)
+        from .keygen import partition_resolvable
+        force_global = (operation == WriteOperation.DELETE
+                        and not partition_resolvable(df, cfg))
         prepared = self._prepare(df).withColumn(ORD, self._ord_col(df))
         if operation == WriteOperation.DELETE:
             prepared = prepared.withColumn(OP, F.lit("D")).withColumn(HARD, F.lit(1))
@@ -268,7 +282,8 @@ class WriteClient:
                              .withColumn("_target_pp", F.lit(None).cast("string")) \
                              .withColumn("_target_base_instant", F.lit(None).cast("string"))
         else:
-            tagged = tag_location(self.spark, prepared, self.table, view=view)
+            tagged = tag_location(self.spark, prepared, self.table, view=view,
+                                  force_global=force_global)
         # global index: update the record in its existing partition
         tagged = tagged.withColumn(
             PARTITION_PATH, F.coalesce(F.col("_target_pp"), F.col(PARTITION_PATH)))

@@ -1,0 +1,156 @@
+"""Tests for the training-data pipeline operators (functions package)."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from hoodie_spark import functions as HF
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def dup_corpus(spark, docs):
+    """Originals + perturbed copies (id+10000, ' zz' appended)."""
+    pert = (docs.withColumn("doc_id", F.col("doc_id") + 10000)
+                .withColumn("text", F.concat(F.col("text"), F.lit(" zz"))))
+    return docs.unionByName(pert).cache()
+
+
+# ------------------------------------------------------------------- text
+def test_token_count_matches_python(docs):
+    rows = docs.select("text", HF.token_count("text").alias("tc")).limit(50).collect()
+    for r in rows:
+        assert r.tc == len([t for t in r.text.lower().split() if t])
+
+
+def test_lang_id_deterministic_and_closed(docs):
+    langs = {r[0] for r in docs.select(HF.lang_id("text")).distinct().collect()}
+    assert langs <= set(HF.LANG_PROFILES) | {"und"}
+
+
+def test_quality_score_range(docs):
+    mn, mx = docs.select(F.min(HF.quality_score("text")),
+                         F.max(HF.quality_score("text"))).first()
+    assert 0.0 <= mn <= mx <= 1.0
+
+
+def test_fingerprint_is_md5_of_normalized(docs):
+    r = docs.select("text", HF.fingerprint("text").alias("fp")).first()
+    norm = " ".join(t for t in r.text.lower().split() if t)
+    assert r.fp == hashlib.md5(norm.encode()).hexdigest()
+
+
+def test_kmin_fingerprint_robust_to_small_edit(spark):
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    df = spark.createDataFrame(
+        [(1, base), (2, base + " zz"), (3, "completely different text about spark engines")],
+        "id int, text string")
+    fps = {r.id: r.fp for r in df.select("id", HF.kmin_fingerprint("text").alias("fp")).collect()}
+    assert fps[1] == fps[2] != fps[3]
+
+
+# ------------------------------------------------------------------ dedup
+def test_exact_dedup(spark, docs):
+    dup = docs.unionByName(docs.withColumn("doc_id", F.col("doc_id") + 10000))
+    kept = HF.exact_dedup(dup, ["text"], "doc_id")
+    assert kept.count() == docs.count()
+    assert kept.agg(F.max("doc_id")).first()[0] < 10000  # smallest id survives
+
+
+def test_minhash_lsh_finds_near_dups(dup_corpus, docs):
+    n = docs.count()
+    pairs = HF.jaccard_dedup_pairs(dup_corpus, "doc_id", "text", threshold=0.8)
+    found = {(r.id_a, r.id_b) for r in pairs.collect()}
+    expected = {(i, i + 10000) for (i,) in docs.select("doc_id").collect()}
+    # appending ' zz' keeps jaccard >= 0.8 for all but the shortest docs
+    assert len(expected & found) > 0.9 * n
+    for (a, b, j) in pairs.select("id_a", "id_b", "jaccard").limit(20).collect():
+        assert 0.8 <= j <= 1.0
+
+
+def test_simhash_identical_distance_zero(spark):
+    df = spark.createDataFrame([(1, "alpha beta gamma"), (2, "alpha beta gamma")],
+                               "id int, text string")
+    pairs = HF.simhash_dup_pairs(df, "id", "text", max_distance=0).collect()
+    assert [(p.id_a, p.id_b, p.distance) for p in pairs] == [(1, 2, 0)]
+
+
+def test_embedding_near_dup_pairs(emb):
+    dup = emb.unionByName(emb.withColumn("vec_id", F.col("vec_id") + 10000))
+    pairs = HF.embedding_near_dup_pairs(dup, "vec_id", "embedding", threshold=0.999)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert got == {(i, i + 10000) for (i,) in emb.select("vec_id").collect()}
+
+
+# -------------------------------------------------------------- similarity
+def test_brute_force_topk_matches_numpy(emb):
+    import numpy as np
+
+    rows = emb.orderBy("vec_id").collect()
+    mat = np.array([r.embedding for r in rows], dtype=np.float64)
+    ids = np.array([r.vec_id for r in rows])
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = mat[:3] @ mat.T
+    q = emb.filter(F.col("vec_id") < 3)
+    got = HF.brute_force_topk(emb, q, "vec_id", "embedding", k=5).collect()
+    for qi in range(3):
+        order = [ids[j] for j in np.argsort(-sims[qi]) if ids[j] != qi][:5]
+        mine = [r.neighbor_id for r in sorted(got, key=lambda r: r.rank)
+                if r.query_id == qi]
+        assert mine == order
+
+
+def test_ivf_and_lsh_shapes(emb):
+    q = emb.filter(F.col("vec_id") < 4)
+    for fn in (HF.ivf_topk, HF.lsh_bucket_topk):
+        res = fn(emb, q, "vec_id", "embedding", k=5)
+        per_q = res.groupBy("query_id").count().collect()
+        assert all(r["count"] <= 5 for r in per_q)
+        assert res.filter(F.col("neighbor_id") == F.col("query_id")).count() == 0
+
+
+def test_ivf_recall_reasonable(emb):
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = HF.brute_force_topk(emb, q, "vec_id", "embedding", k=10)
+    approx = HF.ivf_topk(emb, q, "vec_id", "embedding", k=10,
+                         n_centroids=16, n_probe=8)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    assert len(e & a) / len(e) > 0.3  # probing half the lists on random data
+
+
+# -------------------------------------------------------------- multimodal
+def test_media_attach_and_decode(docs):
+    m = HF.attach_media(docs.select("doc_id", F.encode("text", "utf-8").alias("p")), "p",
+                        media_type="image", fmt="png")
+    out = HF.decode_media_meta(m).select("doc_id", "media_meta", "width", "height",
+                                         "channels", "decode_digest").limit(20).collect()
+    for r in out:
+        assert r.media_meta.digest == r.decode_digest  # fake decode reads real bytes
+        assert 1 <= r.width <= 1920 and 1 <= r.height <= 1080 and 1 <= r.channels <= 4
+
+
+def test_decode_not_implemented_without_codec(docs):
+    m = HF.attach_media(docs.select("doc_id", F.encode("text", "utf-8").alias("p")), "p")
+    with pytest.raises(Exception, match="NotImplementedError|real media decoding"):
+        HF.decode_media_meta(m, fake=False).collect()
+
+
+def test_sample_frames(spark):
+    df = spark.createDataFrame([(1, b"x" * 200)], "id int, p binary")
+    m = HF.attach_media(df, "p", media_type="video", fmt="raw")
+    frames = HF.sample_frames(m, every_n_bytes=64, max_frames=8).collect()
+    assert len(frames) == 4  # 200 bytes → ceil-ish: floor(200/64)+1 = 4 slices
+    assert frames[0].frame_idx == 0 and len(frames[0].frame) == 64
