@@ -1,38 +1,909 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract: entry / queries / oracle_sql.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry exercises one operator from SURVEY.md §2 (write
+path, query types, table services, SQL DML, streaming ingest) or one of the
+training-data pipeline operators (dedup / similarity / text analysis /
+multimodal), and has a DuckDB oracle in ``oracle_sql()`` that reproduces the
+same final state from the raw tables.
+
+Determinism notes (what makes the value-hash match engine-to-engine):
+  * every floating-point SUM is accumulated as DECIMAL(18,6) of an
+    identically-written double expression, then cast back to DOUBLE — the
+    decimal sum is an exact rational, so partition order can't change it;
+  * all content hashing is md5-hex (identical in Spark and DuckDB); minhash
+    is the lexicographic min over md5 hex digests;
+  * scenario mutations (which keys get upserted/deleted) are modulo
+    predicates on the record key, so the oracle states them in SQL.
 """
 
 from __future__ import annotations
 
+import hashlib
+import os
+import shutil
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hoodie_spark import HoodieTable
+from hoodie_spark.config import META_COLUMNS, TableType, WriteConfig
+from hoodie_spark import functions as HF
+from hoodie_spark.sources import load_table
+
+_BASE = "/tmp/hoodie_spark_entry"
+_CACHE: dict = {}
 
 
-def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+def _session(spark: SparkSession) -> SparkSession:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    return spark
+
+
+def _data(df: DataFrame) -> DataFrame:
+    return df.drop(*[c for c in META_COLUMNS if c in df.columns])
+
+
+def _fixture(spark: SparkSession, sf_dir: str, name: str) -> dict:
+    key = (sf_dir, name)
+    if key not in _CACHE:
+        path = os.path.join(_BASE, hashlib.md5(sf_dir.encode()).hexdigest()[:8], name)
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        os.makedirs(path, exist_ok=True)
+        _CACHE[key] = _BUILDERS[name](_session(spark), sf_dir, path)
+    return _CACHE[key]
+
+
+def _orders(spark, sf_dir):
+    return load_table(spark, sf_dir, "orders")
+
+
+# --------------------------------------------------------------- fixtures
+def _fx_orders_cow(spark, sf_dir, path):
+    """bulk_insert → upsert (key%10=0: status X, price+100) → key-only
+    delete (key%7=3) → clean."""
+    tbl = HoodieTable.create(
+        spark, path, "orders_cow", ["o_orderkey"], "o_orderdate",
+        partition_expr="cast(year(o_orderdate) as string)")
+    orders = _orders(spark, sf_dir)
+    c1 = tbl.bulk_insert(orders).instant
+    upd = (orders.filter(F.col("o_orderkey") % 10 == 0)
+           .withColumn("o_orderstatus", F.lit("X"))
+           .withColumn("o_totalprice", F.col("o_totalprice") + 100.0))
+    c2 = tbl.upsert(upd).instant
+    c3 = tbl.delete(orders.filter(F.col("o_orderkey") % 7 == 3)
+                    .select("o_orderkey")).instant
+    tbl.clean()
+    return {"tbl": tbl, "c1": c1, "c2": c2, "c3": c3}
+
+
+def _fx_orders_ow(spark, sf_dir, path):
+    """bulk_insert → insert_overwrite of partition 1997 (price+5) →
+    delete_partition 1998."""
+    tbl = HoodieTable.create(
+        spark, path, "orders_ow", ["o_orderkey"], "o_orderdate",
+        partition_expr="cast(year(o_orderdate) as string)")
+    orders = _orders(spark, sf_dir)
+    c1 = tbl.bulk_insert(orders).instant
+    ow = (orders.filter(F.year("o_orderdate") == 1997)
+          .withColumn("o_totalprice", F.col("o_totalprice") + 5.0))
+    c2 = tbl.insert_overwrite(ow).instant
+    c3 = tbl.delete_partitions(["1998"]).instant
+    return {"tbl": tbl, "c1": c1, "c2": c2, "c3": c3}
+
+
+def _fx_orders_owt(spark, sf_dir, path):
+    tbl = HoodieTable.create(
+        spark, path, "orders_owt", ["o_orderkey"], "o_orderdate",
+        partition_expr="cast(year(o_orderdate) as string)")
+    orders = _orders(spark, sf_dir)
+    tbl.bulk_insert(orders)
+    tbl.insert_overwrite_table(orders.filter(F.col("o_orderkey") % 2 == 0))
+    return {"tbl": tbl}
+
+
+def _fx_orders_rb(spark, sf_dir, path):
+    """bulk_insert → savepoint → bad upsert → rollback → second bad upsert →
+    restore to savepoint. Final state == original load."""
+    tbl = HoodieTable.create(
+        spark, path, "orders_rb", ["o_orderkey"], "o_orderdate",
+        partition_expr="cast(year(o_orderdate) as string)")
+    orders = _orders(spark, sf_dir)
+    c1 = tbl.bulk_insert(orders).instant
+    tbl.savepoint(c1)
+    bad = orders.filter(F.col("o_orderkey") % 3 == 0) \
+                .withColumn("o_orderpriority", F.lit("BAD"))
+    c2 = tbl.upsert(bad).instant
+    tbl.rollback(c2)
+    c3 = tbl.upsert(bad.withColumn("o_orderpriority", F.lit("BAD2"))).instant
+    tbl.restore(c1)
+    return {"tbl": tbl, "c1": c1}
+
+
+def _fx_orders_mor(spark, sf_dir, path, compact=False):
+    tbl = HoodieTable.create(
+        spark, path, "orders_mor", ["o_orderkey"], "o_orderdate",
+        partition_expr="cast(year(o_orderdate) as string)",
+        table_type=TableType.MERGE_ON_READ)
+    orders = _orders(spark, sf_dir)
+    c1 = tbl.bulk_insert(orders).instant
+    upd = (orders.filter(F.col("o_orderkey") % 5 == 0)
+           .withColumn("o_orderstatus", F.lit("Y"))
+           .withColumn("o_totalprice", F.col("o_totalprice") + 50.0))
+    c2 = tbl.upsert(upd).instant
+    c3 = tbl.delete(orders.filter(F.col("o_orderkey") % 11 == 4)
+                    .select("o_orderkey")).instant
+    if compact:
+        tbl.compact()
+    return {"tbl": tbl, "c1": c1, "c2": c2, "c3": c3}
+
+
+def _fx_orders_mor_c(spark, sf_dir, path):
+    return _fx_orders_mor(spark, sf_dir, path, compact=True)
+
+
+def _fx_orders_cluster(spark, sf_dir, path):
+    """Many small files (tiny target file size), then cluster into sorted
+    large files; contents must be unchanged."""
+    tbl = HoodieTable.create(
+        spark, path, "orders_cluster", ["o_orderkey"], "o_orderdate",
+        partition_expr="cast(year(o_orderdate) as string)",
+        write_config=WriteConfig(parquet_max_file_size=256 * 1024,
+                                 parquet_small_file_limit=200 * 1024))
+    orders = _orders(spark, sf_dir)
+    tbl.bulk_insert(orders)
+    tbl.write_config.parquet_max_file_size = 120 * 1024 * 1024
+    tbl.cluster(sort_cols=["o_custkey", "o_orderkey"])
+    return {"tbl": tbl}
+
+
+def _fx_orders_merge(spark, sf_dir, path):
+    """MERGE INTO: matched+price>50000 update, matched else delete,
+    not-matched insert (source carries key%3=0 mutations and key%5=1 rows
+    shifted to new keys)."""
+    tbl = HoodieTable.create(
+        spark, path, "orders_merge", ["o_orderkey"], "o_orderdate",
+        partition_expr="cast(year(o_orderdate) as string)")
+    orders = _orders(spark, sf_dir)
+    tbl.bulk_insert(orders)
+    src = (orders.filter(F.col("o_orderkey") % 3 == 0)
+           .withColumn("o_totalprice", F.col("o_totalprice") + 10.0)
+           .unionByName(orders.filter(F.col("o_orderkey") % 5 == 1)
+                        .withColumn("o_orderkey", F.col("o_orderkey") + 1000000)))
+    (tbl.merge(src, "target.o_orderkey = source.o_orderkey")
+        .when_matched_update(
+            set={"o_totalprice": "source.o_totalprice",
+                 "o_orderpriority": "'MERGED'"},
+            condition="source.o_totalprice > 50000")
+        .when_matched_delete(condition="source.o_totalprice <= 50000")
+        .when_not_matched_insert()
+        .execute())
+    return {"tbl": tbl}
+
+
+def _fx_orders_dml(spark, sf_dir, path):
+    tbl = HoodieTable.create(
+        spark, path, "orders_dml", ["o_orderkey"], "o_orderdate",
+        partition_expr="cast(year(o_orderdate) as string)")
+    orders = _orders(spark, sf_dir)
+    tbl.bulk_insert(orders)
+    c2 = tbl.update(set={"o_orderpriority": "'0-URGENT'"},
+                    where="o_orderstatus = 'F'").instant
+    tbl.delete_where("o_totalprice < 20000")
+    return {"tbl": tbl, "c2": c2}
+
+
+def _fx_events_ingest(spark, sf_dir, path):
+    """DeltaStreamer-equivalent: parquet source → upsert pipeline →
+    checkpoint in commit metadata."""
+    from hoodie_spark.streaming import Ingestor, ParquetDFSSource
+
+    tbl = HoodieTable.create(spark, path, "events", ["event_id"], "ts",
+                             partition_expr=None)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = ParquetDFSSource(os.path.join(sf_dir, "events.parquet"))
+    # SqlQueryBasedTransformer converts the nanosecond epoch to a µs timestamp
+    pipe = Ingestor(tbl, src, transformer_sql="""
+        SELECT event_id, timestamp_micros(ts DIV 1000) AS ts, user_id,
+               event_type, value, props
+        FROM <SRC>""")
+    pipe.sync_once()
+    return {"tbl": tbl}
+
+
+def _fx_warehouse(spark, sf_dir, path):
+    """All TPC-H-ish tables as COW tables; snapshot views hd_<name> for the
+    SQL-on-snapshot surface (SURVEY.md §2.8)."""
+    keys = {
+        "region": ["r_regionkey"], "nation": ["n_nationkey"],
+        "customer": ["c_custkey"], "supplier": ["s_suppkey"],
+        "part": ["p_partkey"], "orders": ["o_orderkey"],
+        "lineitem": ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"],
+    }
+    tables = {}
+    for name, key in keys.items():
+        t = HoodieTable.create(spark, os.path.join(path, name), name, key)
+        t.bulk_insert(load_table(spark, sf_dir, name))
+        t.register_view(f"hd_{name}")
+        tables[name] = t
+    return {"tables": tables}
+
+
+_BUILDERS = {
+    "orders_cow": _fx_orders_cow, "orders_ow": _fx_orders_ow,
+    "orders_owt": _fx_orders_owt, "orders_rb": _fx_orders_rb,
+    "orders_mor": _fx_orders_mor, "orders_mor_c": _fx_orders_mor_c,
+    "orders_cluster": _fx_orders_cluster, "orders_merge": _fx_orders_merge,
+    "orders_dml": _fx_orders_dml, "events_ingest": _fx_events_ingest,
+    "warehouse": _fx_warehouse,
+}
+
+_ORDER_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+               "o_orderdate", "o_orderpriority"]
+
+# ------------------------------------------------------- shared SQL pieces
+# CASE-transform of the cow upsert scenario, reused by several oracles
+_COW_FINAL = """
+SELECT o_orderkey, o_custkey,
+       CASE WHEN o_orderkey % 10 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+       CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 100.0 ELSE o_totalprice END AS o_totalprice,
+       o_orderdate, o_orderpriority
+FROM orders WHERE o_orderkey % 7 <> 3
+"""
+
+_MOR_FINAL = """
+SELECT o_orderkey, o_custkey,
+       CASE WHEN o_orderkey % 5 = 0 THEN 'Y' ELSE o_orderstatus END AS o_orderstatus,
+       CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 50.0 ELSE o_totalprice END AS o_totalprice,
+       o_orderdate, o_orderpriority
+FROM orders WHERE o_orderkey % 11 <> 4
+"""
+
+_DEC = "DECIMAL(18,6)"
+
+
+def _sum_d(expr: str, alias: str) -> str:
+    return f"CAST(SUM(CAST({expr} AS {_DEC})) AS DOUBLE) AS {alias}"
+
+
+# TPC-H-style SQL, written to run verbatim on BOTH engines; table names are
+# format placeholders ({l}=lineitem, ...).
+TPCH_SQL = {
+    "tpch_q1": f"""
+SELECT l_returnflag, l_linestatus,
+       {_sum_d('l_quantity', 'sum_qty')},
+       {_sum_d('l_extendedprice', 'sum_base_price')},
+       {_sum_d('l_extendedprice * (1 - l_discount)', 'sum_disc_price')},
+       {_sum_d('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 'sum_charge')},
+       CAST(SUM(CAST(l_quantity AS {_DEC})) AS DOUBLE) / COUNT(*) AS avg_qty,
+       CAST(SUM(CAST(l_discount AS {_DEC})) AS DOUBLE) / COUNT(*) AS avg_disc,
+       COUNT(*) AS count_order
+FROM {{l}}
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+    "tpch_q3": f"""
+SELECT o_orderkey,
+       {_sum_d('l_extendedprice * (1 - l_discount)', 'revenue')},
+       o_orderdate, o_orderpriority
+FROM {{c}}, {{o}}, {{l}}
+WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey LIMIT 10
+""",
+    "tpch_q5": f"""
+SELECT n_name, {_sum_d('l_extendedprice * (1 - l_discount)', 'revenue')}
+FROM {{c}}, {{o}}, {{l}}, {{s}}, {{n}}, {{r}}
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+  AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey
+  AND n_regionkey = r_regionkey AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+""",
+    "tpch_q6": f"""
+SELECT {_sum_d('l_extendedprice * l_discount', 'revenue')}
+FROM {{l}}
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.04 AND 0.07 AND l_quantity < 24
+""",
+    "tpch_q10": f"""
+SELECT c_custkey, c_name,
+       {_sum_d('l_extendedprice * (1 - l_discount)', 'revenue')}, c_acctbal
+FROM {{c}}, {{o}}, {{l}}
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal
+ORDER BY revenue DESC, c_custkey LIMIT 20
+""",
+    "tpch_q12": """
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM {o}, {l}
+WHERE o_orderkey = l_orderkey
+  AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_linestatus
+""",
+    "tpch_q14": f"""
+SELECT 100.00 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                     THEN CAST(l_extendedprice * (1 - l_discount) AS {_DEC})
+                     ELSE CAST(0 AS {_DEC}) END) AS DOUBLE)
+       / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS {_DEC})) AS DOUBLE)
+       AS promo_revenue
+FROM {{l}}, {{p}}
+WHERE l_partkey = p_partkey
+  AND l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'
+""",
+    "tpch_q18": f"""
+SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+       {_sum_d('l_quantity', 'sum_qty')}
+FROM {{c}}, {{o}}, {{l}}
+WHERE o_orderkey IN (SELECT l_orderkey FROM {{l}}
+                     GROUP BY l_orderkey
+                     HAVING SUM(CAST(l_quantity AS {_DEC})) > 200)
+  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+""",
+    "tpch_q19": f"""
+SELECT {_sum_d('l_extendedprice * (1 - l_discount)', 'revenue')}
+FROM {{l}}, {{p}}
+WHERE p_partkey = l_partkey
+  AND ((p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+    OR (p_brand = 'Brand#22' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 20)
+    OR (p_brand = 'Brand#33' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 30))
+""",
+}
+
+_HD = {k: f"hd_{v}" for k, v in
+       {"l": "lineitem", "o": "orders", "c": "customer", "s": "supplier",
+        "n": "nation", "r": "region", "p": "part"}.items()}
+_RAW = {"l": "lineitem", "o": "orders", "c": "customer", "s": "supplier",
+        "n": "nation", "r": "region", "p": "part"}
+
+
+# ------------------------------------------------------------- queries()
+def _q_tpch(name):
+    def run(spark, sf_dir):
+        _fixture(spark, sf_dir, "warehouse")
+        return spark.sql(TPCH_SQL[name].format(**_HD))
+    return run
+
+
+def _dup_docs(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    pert = (docs.withColumn("doc_id", F.col("doc_id") + 10000)
+            .withColumn("text", F.concat(F.col("text"), F.lit(" zz"))))
+    return docs.unionByName(pert)
+
+
+def _dup_emb(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.unionByName(emb.withColumn("vec_id", F.col("vec_id") + 10000))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # ---- write path + query types (COW)
+    q["cow_snapshot"] = lambda s, d: _data(
+        _fixture(s, d, "orders_cow")["tbl"].snapshot()).select(*_ORDER_COLS)
+    q["cow_time_travel"] = lambda s, d: _data(
+        _fixture(s, d, "orders_cow")["tbl"]
+        .snapshot(as_of=_fixture(s, d, "orders_cow")["c1"])).select(*_ORDER_COLS)
+    q["cow_incremental"] = lambda s, d: _data(
+        _fixture(s, d, "orders_cow")["tbl"]
+        .incremental(begin=_fixture(s, d, "orders_cow")["c1"],
+                     end=_fixture(s, d, "orders_cow")["c2"])).select(*_ORDER_COLS)
+    q["cow_read_keys"] = lambda s, d: _data(
+        _fixture(s, d, "orders_cow")["tbl"].read_keys(
+            _orders(s, d).filter(F.col("o_orderkey") % 13 == 1)
+            .select("o_orderkey"))).select(*_ORDER_COLS)
+    q["cow_filter_exists"] = lambda s, d: (
+        _fixture(s, d, "orders_cow")["tbl"]
+        .filter_exists(_orders(s, d)).select("o_orderkey"))
+    q["cow_point_lookup"] = lambda s, d: _data(
+        _fixture(s, d, "orders_cow")["tbl"].read_keys(
+            s.range(1).select(F.lit(100).cast("long").alias("o_orderkey"))
+        )).select(*_ORDER_COLS)
+
+    # ---- replace-commit family
+    q["insert_overwrite"] = lambda s, d: _data(
+        _fixture(s, d, "orders_ow")["tbl"]
+        .snapshot(as_of=_fixture(s, d, "orders_ow")["c2"])).select(*_ORDER_COLS)
+    q["delete_partition"] = lambda s, d: _data(
+        _fixture(s, d, "orders_ow")["tbl"].snapshot()).select(*_ORDER_COLS)
+    q["insert_overwrite_table"] = lambda s, d: _data(
+        _fixture(s, d, "orders_owt")["tbl"].snapshot()).select(*_ORDER_COLS)
+
+    # ---- services
+    q["rollback_restore"] = lambda s, d: _data(
+        _fixture(s, d, "orders_rb")["tbl"].snapshot()).select(*_ORDER_COLS)
+    q["clustering"] = lambda s, d: _data(
+        _fixture(s, d, "orders_cluster")["tbl"].snapshot()).select(*_ORDER_COLS)
+
+    # ---- MOR
+    q["mor_snapshot"] = lambda s, d: _data(
+        _fixture(s, d, "orders_mor")["tbl"].snapshot()).select(*_ORDER_COLS)
+    q["mor_read_optimized"] = lambda s, d: _data(
+        _fixture(s, d, "orders_mor")["tbl"].read_optimized()).select(*_ORDER_COLS)
+    q["mor_incremental"] = lambda s, d: _data(
+        _fixture(s, d, "orders_mor")["tbl"]
+        .incremental(begin=_fixture(s, d, "orders_mor")["c1"],
+                     end=_fixture(s, d, "orders_mor")["c2"])).select(*_ORDER_COLS)
+    q["mor_compaction"] = lambda s, d: _data(
+        _fixture(s, d, "orders_mor_c")["tbl"].read_optimized()).select(*_ORDER_COLS)
+
+    # ---- SQL DML
+    q["merge_into"] = lambda s, d: _data(
+        _fixture(s, d, "orders_merge")["tbl"].snapshot()).select(*_ORDER_COLS)
+    q["update_where"] = lambda s, d: _data(
+        _fixture(s, d, "orders_dml")["tbl"]
+        .snapshot(as_of=_fixture(s, d, "orders_dml")["c2"])).select(*_ORDER_COLS)
+    q["delete_where"] = lambda s, d: _data(
+        _fixture(s, d, "orders_dml")["tbl"].snapshot()).select(*_ORDER_COLS)
+
+    # ---- streaming ingest
+    q["ingest_pipeline"] = lambda s, d: _data(
+        _fixture(s, d, "events_ingest")["tbl"].snapshot()).select(
+            "event_id", F.unix_micros("ts").alias("ts_us"), "user_id",
+            "event_type", "value", "props")
+    q["events_window"] = lambda s, d: (
+        _data(_fixture(s, d, "events_ingest")["tbl"].snapshot())
+        .groupBy(F.window("ts", "300 seconds").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"),
+             F.sum(F.col("value").cast(_DEC)).cast("double").alias("sum_value"))
+        .select(F.unix_micros("w.start").alias("w_start"), "event_type",
+                "cnt", "sum_value"))
+
+    # ---- SQL-on-snapshot (TPC-H style)
+    for name in TPCH_SQL:
+        q[name] = _q_tpch(name)
+
+    # ---- text analysis
+    q["text_stats"] = lambda s, d: load_table(s, d, "documents").select(
+        "doc_id",
+        HF.token_count("text").alias("n_tokens"),
+        HF.regex_token_count("text").alias("n_regex_tokens"),
+        HF.lang_id("text").alias("lang_pred"),
+        F.round(HF.quality_score("text"), 6).alias("quality"))
+    q["text_fingerprint"] = lambda s, d: load_table(s, d, "documents").select(
+        "doc_id", HF.fingerprint("text").alias("fp"),
+        HF.kmin_fingerprint("text").alias("kfp"))
+
+    # ---- dedup
+    q["dedup_exact"] = lambda s, d: HF.exact_dedup(
+        _dup_docs(s, d).withColumn(  # make the copies byte-identical
+            "text", F.regexp_replace("text", " zz$", "")),
+        ["text"], "doc_id").select("doc_id")
+    q["dedup_minhash_lsh"] = lambda s, d: HF.minhash_candidate_pairs(
+        _dup_docs(s, d), "doc_id", "text")
+    q["dedup_jaccard"] = lambda s, d: HF.jaccard_dedup_pairs(
+        _dup_docs(s, d), "doc_id", "text", threshold=0.8).select(
+            "id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    q["dedup_simhash"] = lambda s, d: HF.simhash_dup_pairs(
+        load_table(s, d, "documents"), "doc_id", "text",
+        bits=32, max_distance=3).select("id_a", "id_b", "distance")
+    q["dedup_embedding"] = lambda s, d: HF.embedding_near_dup_pairs(
+        _dup_emb(s, d), "vec_id", "embedding", threshold=0.999).select(
+            "id_a", "id_b")
+
+    # ---- similarity search
+    q["ann_brute_force"] = lambda s, d: HF.brute_force_topk(
+        load_table(s, d, "embeddings"),
+        load_table(s, d, "embeddings").filter(F.col("vec_id") < 10),
+        "vec_id", "embedding", k=10).select("query_id", "neighbor_id", "rank")
+    q["ann_ivf"] = lambda s, d: HF.ivf_topk(
+        load_table(s, d, "embeddings"),
+        load_table(s, d, "embeddings").filter(F.col("vec_id") < 10),
+        "vec_id", "embedding", k=10, n_centroids=16, n_probe=4).select(
+            "query_id", "neighbor_id", "rank")
+
+    # ---- multimodal plumbing
+    q["multimodal_decode"] = lambda s, d: HF.decode_media_meta(
+        HF.attach_media(load_table(s, d, "documents").select(
+            "doc_id", F.encode("text", "utf-8").alias("payload")), "payload",
+            media_type="image", fmt="png")).select(
+        "doc_id", F.col("media_meta.n_bytes").alias("n_bytes"),
+        F.col("media_meta.digest").alias("digest"),
+        "width", "height", "channels")
+
+    return q
+
+
+# ------------------------------------------------------------ oracle_sql()
+# DuckDB SQL reproducing each query's expected result from the raw tables.
+
+_NIB = "(strpos('0123456789abcdef', {c}) - 1)"
+
+
+def _hex4(col: str, start: int) -> str:
+    """int(md5[start:start+4], 16) in portable SQL (4 hex nibbles)."""
+    nibs = [_NIB.format(c=f"substr({col}, {start + i}, 1)") for i in range(4)]
+    return f"((({nibs[0]} * 16 + {nibs[1]}) * 16 + {nibs[2]}) * 16 + {nibs[3]})"
+
+
+_DOC_CORPUS = """
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000 AS doc_id, text || ' zz' AS text FROM documents
+)
+"""
+
+_MINHASH_SIG = """
+norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t FROM corpus
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN length(t) >= 5
+              THEN list_distinct(list_transform(range(1, length(t) - 3),
+                                                i -> substr(t, CAST(i AS INT), 5)))
+              ELSE CAST([] AS VARCHAR[]) END AS shingles
+  FROM norm
+),
+sig AS (
+  SELECT doc_id, shingles,
+         list_transform(range(0, 16), h ->
+           list_min(list_transform(shingles,
+             s -> md5('h' || CAST(h AS VARCHAR) || ':' || s)))) AS sig
+  FROM sh WHERE len(shingles) > 0
+),
+bands AS (
+  SELECT doc_id, b,
+         md5(sig[b*4+1] || sig[b*4+2] || sig[b*4+3] || sig[b*4+4]) AS bh
+  FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b) bi
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.b = b.b AND a.bh = b.bh
+  WHERE a.doc_id < b.doc_id
+)
+"""
+
+_TOKENS = ("list_filter(string_split_regex(lower({t}), '\\s+'), " "x -> x <> '')")
+
+_EN_MARKERS = "['the', 'a', 'of', 'and', 'is']"
+_LANG_CASES = {
+    "en": _EN_MARKERS, "de": "['der', 'die', 'und', 'ist', 'das']",
+    "es": "['el', 'la', 'de', 'que', 'es']",
+    "fr": "['le', 'la', 'et', 'les', 'des']",
+    "zh": "['de', 'shi', 'le', 'zai', 'he']",
+}
+
+
+def _lang_score_sql(lang: str) -> str:
+    toks = _TOKENS.format(t="text")
+    return (f"len(list_filter(list_distinct({toks}), "
+            f"x -> list_contains({_LANG_CASES[lang]}, x)))")
+
+
+def _lang_id_sql() -> str:
+    scores = {lang: _lang_score_sql(lang) for lang in _LANG_CASES}
+    best = "greatest(" + ", ".join(scores.values()) + ")"
+    whens = "".join(
+        f" WHEN {scores[lang]} = best THEN '{lang}'" for lang in _LANG_CASES)
+    return (f"CASE WHEN best <= 0 THEN 'und'{whens} ELSE 'und' END").replace(
+        "best", best)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    o: dict[str, str] = {}
+    sel_orders = ", ".join(_ORDER_COLS)
+
+    o["cow_snapshot"] = _COW_FINAL
+    o["cow_time_travel"] = f"SELECT {sel_orders} FROM orders"
+    o["cow_incremental"] = """
+SELECT o_orderkey, o_custkey, 'X' AS o_orderstatus,
+       o_totalprice + 100.0 AS o_totalprice, o_orderdate, o_orderpriority
+FROM orders WHERE o_orderkey % 10 = 0
+"""
+    o["cow_read_keys"] = f"""
+SELECT * FROM ({_COW_FINAL}) WHERE o_orderkey % 13 = 1
+"""
+    o["cow_filter_exists"] = """
+SELECT o_orderkey FROM orders WHERE o_orderkey % 7 = 3
+"""
+    o["cow_point_lookup"] = f"""
+SELECT * FROM ({_COW_FINAL}) WHERE o_orderkey = 100
+"""
+    o["insert_overwrite"] = """
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       CASE WHEN year(o_orderdate) = 1997 THEN o_totalprice + 5.0
+            ELSE o_totalprice END AS o_totalprice,
+       o_orderdate, o_orderpriority
+FROM orders
+"""
+    o["delete_partition"] = """
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       CASE WHEN year(o_orderdate) = 1997 THEN o_totalprice + 5.0
+            ELSE o_totalprice END AS o_totalprice,
+       o_orderdate, o_orderpriority
+FROM orders WHERE year(o_orderdate) <> 1998
+"""
+    o["insert_overwrite_table"] = f"""
+SELECT {sel_orders} FROM orders WHERE o_orderkey % 2 = 0
+"""
+    o["rollback_restore"] = f"SELECT {sel_orders} FROM orders"
+    o["clustering"] = f"SELECT {sel_orders} FROM orders"
+
+    o["mor_snapshot"] = _MOR_FINAL
+    o["mor_read_optimized"] = f"SELECT {sel_orders} FROM orders"
+    o["mor_incremental"] = """
+SELECT o_orderkey, o_custkey, 'Y' AS o_orderstatus,
+       o_totalprice + 50.0 AS o_totalprice, o_orderdate, o_orderpriority
+FROM orders WHERE o_orderkey % 5 = 0
+"""
+    o["mor_compaction"] = _MOR_FINAL
+
+    o["merge_into"] = """
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       o_totalprice + 10.0 AS o_totalprice, o_orderdate,
+       'MERGED' AS o_orderpriority
+FROM orders WHERE o_orderkey % 3 = 0 AND o_totalprice + 10.0 > 50000
+UNION ALL
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+       o_orderpriority
+FROM orders WHERE o_orderkey % 3 <> 0
+UNION ALL
+SELECT o_orderkey + 1000000 AS o_orderkey, o_custkey, o_orderstatus,
+       o_totalprice, o_orderdate, o_orderpriority
+FROM orders WHERE o_orderkey % 5 = 1
+"""
+    o["update_where"] = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+       CASE WHEN o_orderstatus = 'F' THEN '0-URGENT'
+            ELSE o_orderpriority END AS o_orderpriority
+FROM orders
+"""
+    o["delete_where"] = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+       CASE WHEN o_orderstatus = 'F' THEN '0-URGENT'
+            ELSE o_orderpriority END AS o_orderpriority
+FROM orders WHERE NOT (o_totalprice < 20000)
+"""
+    o["ingest_pipeline"] = """
+SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id,
+       event_type, value, props
+FROM events
+"""
+    o["events_window"] = f"""
+SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // 300000000) * 300000000 AS w_start,
+       event_type, COUNT(*) AS cnt,
+       {_sum_d('value', 'sum_value')}
+FROM events GROUP BY 1, 2
+"""
+
+    for name, sql in TPCH_SQL.items():
+        o[name] = sql.format(**_RAW)
+
+    toks = _TOKENS.format(t="text")
+    o["text_stats"] = f"""
+SELECT doc_id,
+       len({toks}) AS n_tokens,
+       len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9 \\t\\n\\r]')) AS n_regex_tokens,
+       {_lang_id_sql()} AS lang_pred,
+       round(
+         0.4 * least(CAST(length(text) AS DOUBLE) / 200.0, 1.0)
+       + 0.3 * (CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
+                / greatest(CAST(length(text) AS DOUBLE), 1.0))
+       + 0.2 * least(CAST({_lang_score_sql('en')} AS DOUBLE) / 5.0, 1.0)
+       + 0.1 * (1.0 - CAST(length(regexp_replace(lower(text), '[a-z0-9 \\t\\n\\r]', '', 'g')) AS DOUBLE)
+                / greatest(CAST(length(text) AS DOUBLE), 1.0)), 6) AS quality
+FROM documents
+"""
+    o["text_fingerprint"] = f"""
+WITH t AS (
+  SELECT doc_id, {toks} AS toks,
+         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, toks, norm,
+         CASE WHEN length(norm) >= 5
+              THEN list_distinct(list_transform(range(1, length(norm) - 3),
+                                                i -> substr(norm, CAST(i AS INT), 5)))
+              ELSE CAST([] AS VARCHAR[]) END AS shingles
+  FROM t
+)
+SELECT doc_id,
+       md5(array_to_string(toks, ' ')) AS fp,
+       md5(array_to_string(
+         list_sort(list_transform(shingles, s -> md5(s)))[1:8], '')) AS kfp
+FROM sh
+"""
+    o["dedup_exact"] = """
+SELECT min(doc_id) AS doc_id FROM (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 10000, text FROM documents
+) GROUP BY md5(text)
+"""
+    o["dedup_minhash_lsh"] = f"""
+WITH {_DOC_CORPUS}, {_MINHASH_SIG}
+SELECT id_a, id_b FROM cand
+"""
+    o["dedup_jaccard"] = f"""
+WITH {_DOC_CORPUS}, {_MINHASH_SIG},
+pairs AS (
+  SELECT c.id_a, c.id_b, a.shingles AS sh_a, b.shingles AS sh_b
+  FROM cand c
+  JOIN sig a ON a.doc_id = c.id_a
+  JOIN sig b ON b.doc_id = c.id_b
+)
+SELECT id_a, id_b, round(j, 6) AS jaccard FROM (
+  SELECT id_a, id_b,
+         CAST(len(list_filter(sh_a, x -> list_contains(sh_b, x))) AS DOUBLE)
+         / CAST(len(sh_a) + len(sh_b)
+                - len(list_filter(sh_a, x -> list_contains(sh_b, x))) AS DOUBLE) AS j
+  FROM pairs
+) WHERE j >= 0.8
+"""
+    hexbits = "'8', '9', 'a', 'b', 'c', 'd', 'e', 'f'"
+    o["dedup_simhash"] = f"""
+WITH tok AS (
+  SELECT doc_id, {toks} AS toks FROM documents
+),
+sig AS (
+  SELECT doc_id,
+         array_to_string(list_transform(range(1, 33), i ->
+           CASE WHEN list_sum(list_transform(toks, t ->
+                  CASE WHEN substr(md5(t), CAST(i AS INT), 1) IN ({hexbits})
+                       THEN 1 ELSE -1 END)) > 0
+                THEN '1' ELSE '0' END), '') AS simhash
+  FROM tok
+),
+blocked AS (
+  SELECT doc_id, simhash, 'L' || substr(simhash, 1, 16) AS block FROM sig
+  UNION ALL
+  SELECT doc_id, simhash, 'R' || substr(simhash, 17, 16) AS block FROM sig
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.simhash AS sh_a, b.simhash AS sh_b
+  FROM blocked a JOIN blocked b ON a.block = b.block
+  WHERE a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, dist AS distance FROM (
+  SELECT id_a, id_b,
+         list_sum(list_transform(range(1, 33), i ->
+           CASE WHEN substr(sh_a, CAST(i AS INT), 1) <> substr(sh_b, CAST(i AS INT), 1)
+                THEN 1 ELSE 0 END)) AS dist
+  FROM cand
+) WHERE dist <= 3
+"""
+    plane = ("CASE WHEN strpos('01234567', substr(md5('p' || CAST(p AS VARCHAR) "
+             "|| ':' || CAST(i - 1 AS VARCHAR)), 1, 1)) > 0 "
+             "THEN 1.0 ELSE -1.0 END")
+    o["dedup_embedding"] = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+  FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000, list_transform(embedding, x -> CAST(x AS DOUBLE))
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, ve,
+         sqrt(list_sum(list_transform(ve, x -> x * x))) AS nrm,
+         array_to_string(list_transform(range(0, 8), p ->
+           CASE WHEN list_sum(list_transform(range(1, 65), i ->
+                  ve[CAST(i AS INT)] * {plane})) > 0
+                THEN '1' ELSE '0' END), '') AS bucket
+  FROM v
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM n a JOIN n b ON a.bucket = b.bucket
+WHERE a.vec_id < b.vec_id
+  AND list_sum(list_transform(range(1, 65),
+        i -> a.ve[CAST(i AS INT)] * b.ve[CAST(i AS INT)])) / (a.nrm * b.nrm) >= 0.999
+"""
+    _vecs = """
+v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, ve, sqrt(list_sum(list_transform(ve, x -> x * x))) AS nrm
+  FROM v
+)
+"""
+    o["ann_brute_force"] = f"""
+WITH {_vecs},
+q AS (SELECT * FROM n WHERE vec_id < 10),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_sum(list_transform(range(1, 65),
+           i -> c.ve[CAST(i AS INT)] * q.ve[CAST(i AS INT)])) / (c.nrm * q.nrm) AS cos
+  FROM n c CROSS JOIN q WHERE c.vec_id <> q.vec_id
+)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 10
+"""
+    o["ann_ivf"] = f"""
+WITH {_vecs},
+cent AS (SELECT * FROM n WHERE vec_id < 16),
+assign_aff AS (
+  SELECT a.vec_id AS c_id, k.vec_id AS k_id,
+         list_sum(list_transform(range(1, 65),
+           i -> a.ve[CAST(i AS INT)] * k.ve[CAST(i AS INT)])) / (a.nrm * k.nrm) AS aff
+  FROM n a CROSS JOIN cent k
+),
+assigned AS (
+  SELECT c_id, k_id AS centroid FROM (
+    SELECT c_id, k_id,
+           row_number() OVER (PARTITION BY c_id ORDER BY aff DESC, k_id) AS rn
+    FROM assign_aff) WHERE rn = 1
+),
+q AS (SELECT * FROM n WHERE vec_id < 10),
+probe_aff AS (
+  SELECT q.vec_id AS q_id, k.vec_id AS k_id,
+         list_sum(list_transform(range(1, 65),
+           i -> q.ve[CAST(i AS INT)] * k.ve[CAST(i AS INT)])) / (q.nrm * k.nrm) AS aff
+  FROM q CROSS JOIN cent k
+),
+probes AS (
+  SELECT q_id, k_id AS centroid FROM (
+    SELECT q_id, k_id,
+           row_number() OVER (PARTITION BY q_id ORDER BY aff DESC, k_id) AS rn
+    FROM probe_aff) WHERE rn <= 4
+),
+scored AS (
+  SELECT DISTINCT p.q_id AS query_id, a.c_id AS neighbor_id,
+         list_sum(list_transform(range(1, 65),
+           i -> c.ve[CAST(i AS INT)] * q.ve[CAST(i AS INT)])) / (c.nrm * q.nrm) AS cos
+  FROM probes p
+  JOIN assigned a ON a.centroid = p.centroid
+  JOIN n c ON c.vec_id = a.c_id
+  JOIN n q ON q.vec_id = p.q_id
+  WHERE a.c_id <> p.q_id
+)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 10
+"""
+    md = "md5(text)"
+    o["multimodal_decode"] = f"""
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       {md} AS digest,
+       CAST({_hex4(md, 1)} % 1920 + 1 AS INT) AS width,
+       CAST({_hex4(md, 5)} % 1080 + 1 AS INT) AS height,
+       CAST({_NIB.format(c=f"substr({md}, 9, 1)")} % 4 + 1 AS INT) AS channels
+FROM documents
+"""
+    return o
+
+
+# ---------------------------------------------------------------- entry()
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship: COW lifecycle (bulk_insert → upsert → delete) on sf0.001
+    orders, then revenue-by-priority SQL over the snapshot view."""
+    _session(spark)
+    sf_dir = "/root/testdata/sf0.001"
+    fx = _fixture(spark, sf_dir, "orders_cow")
+    fx["tbl"].register_view("flagship_orders")
+    return spark.sql(f"""
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               {_sum_d('o_totalprice', 'total_revenue')}
+        FROM flagship_orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """)

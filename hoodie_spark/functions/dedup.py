@@ -39,6 +39,27 @@ __all__ = [
 ]
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition to the session's parallelism before a CPU-heavy map.
+
+    Signature computation costs far more than the row shuffle; a small
+    corpus read from one parquet file would otherwise hash on 1-2 cores.
+    """
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism)
+
+
+def _pin(df: DataFrame) -> DataFrame:
+    """Persist an intermediate that a self-join consumes twice.
+
+    Without the materialization boundary Catalyst inlines the signature
+    expression tree into BOTH join branches — the dominant cost (md5 over
+    every shingle × hash seed) would run twice, plus once more per
+    downstream verification join.
+    """
+    return df.persist()
+
+
 def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFrame:
     """Keep one row per distinct content (the one with the smallest id).
 
@@ -79,6 +100,27 @@ def with_minhash(df: DataFrame, text_col: str, num_hashes: int = 16,
     return df.withColumn(out_col, minhash_signature(F.col(text_col), num_hashes, ngram))
 
 
+def minhash_sigs(df: DataFrame, id_col: str, text_col: str,
+                 num_hashes: int = 16, ngram: int = 5) -> DataFrame:
+    """(id, minhash array) via explode + codegen'd md5 columns + partial min.
+
+    Faster shape than :func:`minhash_signature` for bulk runs: higher-order
+    lambdas are interpreted per element, while md5 of an exploded column is
+    whole-stage-codegen'd. The explode never hits the shuffle — min() is
+    partially aggregated map-side, so only (id, num_hashes × 32B) moves.
+    Rows with no shingles (text shorter than the n-gram) drop out.
+    """
+    sh = _spread(df).select(
+        F.col(id_col),
+        F.explode(char_ngrams(F.col(text_col), ngram)).alias("__sh"))
+    mins = [F.min(F.md5(F.concat(F.lit(f"h{i}:"), F.col("__sh")))).alias(f"__h{i}")
+            for i in range(num_hashes)]
+    agg = sh.groupBy(id_col).agg(*mins)
+    return agg.select(
+        F.col(id_col),
+        F.array(*[F.col(f"__h{i}") for i in range(num_hashes)]).alias("minhash"))
+
+
 def band_keys(sig_col, bands: int, rows_per_band: int) -> Column:
     """LSH banding: array of ``bands`` structs (band index, md5-of-band)."""
     sig_col = F.col(sig_col) if isinstance(sig_col, str) else sig_col
@@ -101,8 +143,8 @@ def minhash_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
     tiny regardless of document size; AQE handles any residual band skew.
     """
     rows_per_band = num_hashes // bands
-    sig = with_minhash(df, text_col, num_hashes, ngram).filter(F.size("minhash") > 0)
-    exploded = (
+    sig = minhash_sigs(df, id_col, text_col, num_hashes, ngram)
+    exploded = _pin(
         sig.select(F.col(id_col), F.explode(band_keys("minhash", bands, rows_per_band)).alias("bk"))
         .select(id_col, F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
     )
@@ -125,7 +167,8 @@ def jaccard_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
     only. Returns (id_a, id_b, jaccard).
     """
     cands = minhash_candidate_pairs(df, id_col, text_col, num_hashes, bands, ngram)
-    sh = df.select(F.col(id_col), char_ngrams(F.col(text_col), ngram).alias("sh"))
+    sh = _pin(_spread(df).select(F.col(id_col),
+                                 char_ngrams(F.col(text_col), ngram).alias("sh")))
     joined = (
         cands.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
@@ -186,7 +229,7 @@ def simhash_dup_pairs(df: DataFrame, id_col: str, text_col: str,
     join. Returns (id_a, id_b, distance).
     """
     half = bits // 2
-    sh = with_simhash(df, text_col, bits).select(id_col, "simhash")
+    sh = _pin(with_simhash(_spread(df), text_col, bits).select(id_col, "simhash"))
     blocked = sh.select(
         id_col, "simhash",
         F.explode(F.array(
@@ -223,8 +266,9 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
     """
     from .similarity import cosine, sign_lsh_key
 
-    keyed = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")) \
-              .withColumn("bucket", sign_lsh_key(F.col("v"), planes))
+    keyed = _pin(
+        _spread(df).select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+        .withColumn("bucket", sign_lsh_key(F.col("v"), planes)))
     a = keyed.alias("a")
     b = keyed.alias("b")
     return (

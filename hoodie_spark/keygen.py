@@ -39,17 +39,45 @@ def partition_path_expr(cfg: TableConfig) -> Column:
     return F.lit("")
 
 
+# SQL words that look like identifiers inside partition expressions but are
+# never column references (type names, keywords)
+_NON_COLUMN_WORDS = {
+    "as", "and", "or", "not", "in", "is", "null", "true", "false", "case",
+    "when", "then", "else", "end", "between", "like", "distinct", "interval",
+    "string", "int", "integer", "bigint", "long", "smallint", "tinyint",
+    "double", "float", "decimal", "boolean", "date", "timestamp", "binary",
+    "varchar", "char",
+}
+
+
+def _expr_columns(expr: str) -> set[str]:
+    """Column identifiers referenced by a partition expression: word tokens
+    that are not immediately followed by '(' (function calls) and are not
+    SQL keywords/type names. Static — avoids running the analyzer (which
+    logs an ERROR on the expected-miss probe for key-only deletes)."""
+    import re
+
+    out = set()
+    for m in re.finditer(r"[A-Za-z_][A-Za-z0-9_]*", expr):
+        tail = expr[m.end():m.end() + 1]
+        if tail == "(" or m.group(0).lower() in _NON_COLUMN_WORDS:
+            continue
+        out.add(m.group(0))
+    return out
+
+
 def partition_resolvable(df: DataFrame, cfg: TableConfig) -> bool:
     """True when the partition expression can be evaluated on ``df``.
 
     False for key-only inputs (delete-by-key) whose partition source columns
     are absent — those degrade to a global index lookup
     (GlobalDeleteKeyGenerator semantics)."""
-    try:
-        df.select(partition_path_expr(cfg))
-        return True
-    except Exception:
-        return False
+    cols = set(df.columns)
+    if cfg.partition_expr:
+        return _expr_columns(cfg.partition_expr) <= cols
+    if cfg.partition_fields:
+        return set(cfg.partition_fields) <= cols
+    return True
 
 
 def with_keys(df: DataFrame, cfg: TableConfig) -> DataFrame:

@@ -21,6 +21,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        return df.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        # integer division: ns epoch exceeds double's exact range, so a
+        # float divide can be off by 1µs vs DuckDB's exact truncation
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return spark.read.parquet(path)
