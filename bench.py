@@ -1,0 +1,146 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline operator set at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line: {"metric", "value" (total sec), "unit", "queries" (per-query sec),
+"sf"}.
+
+Covers the same surface the correctness gate checks: COW/MOR write path,
+snapshot/incremental reads, compaction, SQL-on-snapshot (TPC-H style), and
+the training-data pipeline operators.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from pyspark.sql import SparkSession, functions as F
+
+    spark = (SparkSession.builder.master(f"local[{cpus}]")
+             .appName("hoodie_spark_bench")
+             .config("spark.sql.shuffle.partitions", cpus)
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+             .config("spark.sql.session.timeZone", "UTC")
+             .config("spark.ui.enabled", "false")
+             .config("spark.ui.showConsoleProgress", "false")
+             .config("spark.driver.memory", "48g")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from hoodie_spark import HoodieTable
+    from hoodie_spark.config import TableType
+    from hoodie_spark import functions as HF
+    from hoodie_spark.sources import load_table
+
+    work = tempfile.mkdtemp(prefix="hoodie_bench_")
+    timings: dict[str, float] = {}
+
+    def timed(name):
+        def deco(fn):
+            t0 = time.time()
+            out = fn()
+            timings[name] = round(time.time() - t0, 3)
+            return out
+        return deco
+
+    orders = load_table(spark, sf_dir, "orders")
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    events = load_table(spark, sf_dir, "events")
+
+    # ---------------------------------------------------- COW write path
+    cow = HoodieTable.create(
+        spark, os.path.join(work, "orders_cow"), "orders", ["o_orderkey"],
+        "o_orderdate", partition_expr="cast(year(o_orderdate) as string)")
+    timed("bulk_insert")(lambda: cow.bulk_insert(orders))
+    upd = (orders.filter(F.col("o_orderkey") % 10 == 0)
+           .withColumn("o_totalprice", F.col("o_totalprice") + 1.0))
+    timed("upsert")(lambda: cow.upsert(upd))
+    timed("delete")(lambda: cow.delete(
+        orders.filter(F.col("o_orderkey") % 17 == 3).select("o_orderkey")))
+    timed("snapshot_agg")(lambda: cow.snapshot().groupBy("o_orderstatus")
+                          .agg(F.count("*"), F.sum("o_totalprice")).collect())
+    c1 = cow.timeline.completed()[0].timestamp
+    timed("incremental_read")(lambda: cow.incremental(begin=c1).count())
+
+    # ---------------------------------------------------- MOR + compaction
+    mor = HoodieTable.create(
+        spark, os.path.join(work, "orders_mor"), "orders_mor", ["o_orderkey"],
+        "o_orderdate", partition_expr="cast(year(o_orderdate) as string)",
+        table_type=TableType.MERGE_ON_READ)
+    mor.bulk_insert(orders)
+    timed("mor_upsert")(lambda: mor.upsert(upd))
+    timed("mor_snapshot")(lambda: mor.snapshot().count())
+    timed("compaction")(lambda: mor.compact())
+
+    # ------------------------------------------- SQL-on-snapshot (TPC-H)
+    import __spark_entry__ as entry
+
+    wh_tables = {}
+
+    def build_wh():
+        for name, key in [("lineitem", ["l_orderkey", "l_linenumber",
+                                        "l_partkey", "l_suppkey"]),
+                          ("customer", ["c_custkey"]), ("part", ["p_partkey"]),
+                          ("supplier", ["s_suppkey"]), ("nation", ["n_nationkey"]),
+                          ("region", ["r_regionkey"])]:
+            t = HoodieTable.create(spark, os.path.join(work, name), name, key)
+            t.bulk_insert(load_table(spark, sf_dir, name))
+            t.register_view(f"hd_{name}")
+            wh_tables[name] = t
+        cow.register_view("hd_orders")
+    timed("bulk_insert_warehouse")(build_wh)
+
+    hd = dict(entry._HD)
+    for q in ["tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q10",
+              "tpch_q12", "tpch_q14", "tpch_q18", "tpch_q19"]:
+        timed(q)(lambda q=q: spark.sql(entry.TPCH_SQL[q].format(**hd)).collect())
+
+    # --------------------------------------------- pipeline operators
+    timed("text_stats")(lambda: docs.select(
+        HF.token_count("text").alias("tc"),
+        HF.lang_id("text").alias("lang"),
+        HF.quality_score("text").alias("q")).agg(
+            F.count("*"), F.avg("tc"), F.avg("q")).collect())
+    timed("minhash_dedup")(lambda: HF.minhash_candidate_pairs(
+        docs, "doc_id", "text").count())
+    timed("simhash_dedup")(lambda: HF.simhash_dup_pairs(
+        docs, "doc_id", "text", bits=32, max_distance=3).count())
+    timed("exact_dedup")(lambda: HF.exact_dedup(docs, ["text"], "doc_id").count())
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    timed("ann_brute_force")(lambda: HF.brute_force_topk(
+        emb, queries_df, "vec_id", "embedding", k=10).count())
+    timed("ann_ivf")(lambda: HF.ivf_topk(
+        emb, queries_df, "vec_id", "embedding", k=10,
+        n_centroids=16, n_probe=4).count())
+    timed("events_window")(lambda: events.groupBy(
+        F.window("ts", "300 seconds"), "event_type")
+        .agg(F.count("*"), F.sum("value")).count())
+
+    shutil.rmtree(work, ignore_errors=True)
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "hoodie_spark_headline_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()
