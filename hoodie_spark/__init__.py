@@ -4,11 +4,14 @@ Hudi (reference: /root/reference @ 0.9.0-SNAPSHOT), re-designed Spark-first:
 DataFrame/Catalyst for every data movement, driver-side JSON timeline +
 manifests for all metadata, Parquet everywhere."""
 
-from .config import (IndexType, MergePolicy, TableConfig, TableType,
-                     WriteConfig, WriteOperation)
+from .config import (BootstrapMode, IndexType, MergePolicy, TableConfig,
+                     TableType, WriteConcurrencyMode, WriteConfig,
+                     WriteOperation)
 from .table import HoodieTable
+from .writer import WriteConflictError
 
 __all__ = [
     "HoodieTable", "TableConfig", "WriteConfig", "TableType", "MergePolicy",
-    "IndexType", "WriteOperation",
+    "IndexType", "WriteOperation", "BootstrapMode", "WriteConcurrencyMode",
+    "WriteConflictError",
 ]

@@ -39,6 +39,22 @@ class WriteOperation:
     BOOTSTRAP = "bootstrap"
 
 
+class WriteConcurrencyMode:
+    """common/model/WriteConcurrencyMode.java:30-32."""
+
+    SINGLE_WRITER = "single_writer"
+    OPTIMISTIC = "optimistic_concurrency_control"
+
+
+class BootstrapMode:
+    """table/action/bootstrap — METADATA_ONLY registers the existing files
+    in a commit (no data rewrite; keys/meta computed on read);
+    FULL_RECORD rewrites the source through the bulk-insert path."""
+
+    METADATA_ONLY = "metadata_only"
+    FULL_RECORD = "full_record"
+
+
 class MergePolicy:
     """Named merge policies standing in for HoodieRecordPayload classes.
 
@@ -145,6 +161,10 @@ class WriteConfig:
     # clustering
     clustering_small_file_limit: int = 50 * 1024 * 1024
     clustering_target_file_size: int = 120 * 1024 * 1024
+    # concurrency (§1.6): single-writer by default; optimistic mode takes the
+    # table lock at commit and aborts on overlapping file-group writes
+    concurrency_mode: str = WriteConcurrencyMode.SINGLE_WRITER
+    lock_timeout_s: float = 60.0
 
     def records_per_file(self) -> int:
         return max(1, self.parquet_max_file_size // max(1, self.record_size_estimate))

@@ -28,12 +28,15 @@ from .timeline import (CLEAN, DATA_ACTIONS, REPLACECOMMIT, RESTORE, ROLLBACK,
 
 @dataclass
 class BaseFile:
-    path: str  # relative to table base path
+    path: str  # relative to table base path (absolute for bootstrap sources)
     file_name: str
     size: int = 0
     num_records: int = 0
     min_key: str | None = None
     max_key: str | None = None
+    # metadata-only bootstrap source: no meta columns in the file; the read
+    # path computes keys/meta on the fly (HoodieBootstrapRelation equivalent)
+    bootstrap: bool = False
 
 
 @dataclass
@@ -129,7 +132,8 @@ class FileSystemView:
                     sl = grp.slices.setdefault(inst.timestamp, FileSlice(pp, fid, inst.timestamp))
                     sl.base_file = BaseFile(st["path"], st["file_name"], st.get("size", 0),
                                             st.get("num_records", 0), st.get("min_key"),
-                                            st.get("max_key"))
+                                            st.get("max_key"),
+                                            bootstrap=st.get("bootstrap", False))
             if inst.action == REPLACECOMMIT:
                 for pp, fids in md.get("replaced", {}).items():
                     for fid in fids:
@@ -184,4 +188,6 @@ class FileSystemView:
         return out
 
     def abs(self, rel_path: str) -> str:
+        if os.path.isabs(rel_path):  # metadata-only bootstrap source file
+            return rel_path
         return os.path.join(self.base_path, rel_path)

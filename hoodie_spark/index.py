@@ -48,13 +48,16 @@ def tag_location(spark: SparkSession, prepared: DataFrame, table,
     if index_type in (IndexType.BLOOM, IndexType.GLOBAL_BLOOM):
         slices = _prune_by_key_range(prepared, slices, is_global)
 
-    paths = [view.abs(sl.base_file.path) for sl in slices if sl.base_file is not None]
-    if not paths:
+    slices = [sl for sl in slices if sl.base_file is not None]
+    if not slices:
         null_s = F.lit(None).cast("string")
         return prepared.withColumn("_target_file_id", null_s) \
                        .withColumn("_target_pp", null_s)
 
-    existing = (spark.read.schema(_KEY_PROJECTION).parquet(*paths)
+    # read through the table's slice reader (handles metadata-only bootstrap
+    # files whose keys are computed on the fly); Catalyst prunes the scan to
+    # the four projected columns
+    existing = (table.read_slices_base(slices)
                 .select(F.col(RECORD_KEY).alias("__ex_key"),
                         F.col(PARTITION_PATH).alias("_target_pp"),
                         F.split(F.col(FILE_NAME), "_").getItem(0).alias("_target_file_id"),

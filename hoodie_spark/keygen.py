@@ -57,9 +57,12 @@ def _expr_columns(expr: str) -> set[str]:
     logs an ERROR on the expected-miss probe for key-only deletes)."""
     import re
 
+    # blank out string literals (keep offsets) so 'yyyy' in
+    # date_format(ts, 'yyyy') is not mistaken for a column
+    no_strings = re.sub(r"'[^']*'|\"[^\"]*\"", lambda m: " " * len(m.group(0)), expr)
     out = set()
-    for m in re.finditer(r"[A-Za-z_][A-Za-z0-9_]*", expr):
-        tail = expr[m.end():m.end() + 1]
+    for m in re.finditer(r"[A-Za-z_][A-Za-z0-9_]*", no_strings):
+        tail = no_strings[m.end():m.end() + 1]
         if tail == "(" or m.group(0).lower() in _NON_COLUMN_WORDS:
             continue
         out.add(m.group(0))

@@ -68,6 +68,8 @@ def clean(table, policy: str = CleaningPolicy.KEEP_LATEST_COMMITS,
     if not deleted_slices:
         return None
     for p in deleted_paths:
+        if os.path.isabs(p):
+            continue  # metadata-only bootstrap source — never ours to delete
         ap = os.path.join(table.base_path, p)
         if os.path.exists(ap):
             os.remove(ap)

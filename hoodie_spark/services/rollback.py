@@ -26,6 +26,8 @@ def _delete_instant_files(table, ts: str) -> list[str]:
         except FileNotFoundError:
             continue
         for st in md.get("write_stats", []):
+            if os.path.isabs(st["path"]):
+                continue  # metadata-only bootstrap source — never deleted
             p = os.path.join(table.base_path, st["path"])
             if os.path.exists(p):
                 os.remove(p)

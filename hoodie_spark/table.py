@@ -19,8 +19,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .config import (META_COLUMNS, OPERATION, TableConfig, TableType,
-                     WriteConfig, IndexType)
+from .config import (COMMIT_SEQNO, COMMIT_TIME, FILE_NAME, META_COLUMNS,
+                     OPERATION, PARTITION_PATH, RECORD_KEY, TableConfig,
+                     TableType, WriteConfig, IndexType)
 from .fsview import FileSystemView
 from .reader import ReadClient
 from .timeline import Timeline
@@ -66,6 +67,27 @@ class HoodieTable:
         with open(os.path.join(base_path, ".hoodie", _PROPERTIES)) as f:
             cfg = TableConfig.from_json(f.read())
         return HoodieTable(spark, base_path, cfg, write_config)
+
+    @staticmethod
+    def bootstrap(spark: SparkSession, base_path: str, source_dir: str,
+                  name: str, recordkey_fields: list[str],
+                  precombine_field: str | None = None,
+                  partition_fields: list[str] | None = None,
+                  partition_expr: str | None = None,
+                  mode: str | None = None,
+                  write_config: WriteConfig | None = None) -> "HoodieTable":
+        """Adopt a pre-existing parquet directory as a table
+        (SparkRDDWriteClient.java:144 / SparkBootstrapCommitActionExecutor).
+
+        METADATA_ONLY (default) registers the existing files without
+        rewriting; FULL_RECORD runs them through bulk_insert."""
+        from .config import BootstrapMode
+
+        tbl = HoodieTable.create(
+            spark, base_path, name, recordkey_fields, precombine_field,
+            partition_fields, partition_expr, write_config=write_config)
+        tbl._writer.bootstrap(source_dir, mode or BootstrapMode.METADATA_ONLY)
+        return tbl
 
     @staticmethod
     def exists(base_path: str) -> bool:
@@ -125,11 +147,54 @@ class HoodieTable:
         return FileSystemView(self.timeline)
 
     def read_slices_base(self, slices) -> DataFrame:
-        paths = [os.path.join(self.base_path, sl.base_file.path)
-                 for sl in slices if sl.base_file is not None]
-        if not paths:
+        view_abs = self.view().abs
+        normal, boot = [], []
+        for sl in slices:
+            if sl.base_file is None:
+                continue
+            (boot if sl.base_file.bootstrap else normal).append(sl)
+        dfs = []
+        if normal:
+            paths = [view_abs(sl.base_file.path) for sl in normal]
+            dfs.append(self.spark.read.schema(self.schema).parquet(*paths))
+        if boot:
+            dfs.append(self._read_bootstrap_slices(boot))
+        if not dfs:
             return self.empty_df()
-        return self.spark.read.schema(self.schema).parquet(*paths)
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
+
+    def _read_bootstrap_slices(self, slices) -> DataFrame:
+        """Metadata-only bootstrap files carry no meta columns: read with the
+        data schema and compute key/partition/meta on the fly, stamping the
+        synthesized file name so merge bucketing and index tagging behave as
+        for native files (HoodieBootstrapRelation.scala equivalent, minus
+        skeleton files)."""
+        from .keygen import record_key_expr
+        from .writer import WRITE_TOKEN
+
+        s = self.schema
+        data_schema = T.StructType([f for f in s.fields
+                                    if f.name not in META_COLUMNS])
+        paths = [self.view().abs(sl.base_file.path) for sl in slices]
+        df = self.spark.read.schema(data_schema).parquet(*paths)
+        # per-source-file identity via input_file_name basename
+        kv = []
+        for sl in slices:
+            fname = (f"{sl.file_id}_{WRITE_TOKEN}_{sl.base_instant}.parquet")
+            kv += [F.lit(sl.base_file.file_name),
+                   F.lit(f"{sl.base_instant}\x1f{sl.partition}\x1f{fname}")]
+        m = F.create_map(*kv)
+        tagged = F.split(m[F.element_at(F.split(F.input_file_name(), "/"), -1)],
+                         "\x1f")
+        df = (df.withColumn(COMMIT_TIME, tagged.getItem(0))
+                .withColumn(COMMIT_SEQNO, F.lit(None).cast("string"))
+                .withColumn(RECORD_KEY, record_key_expr(self.config))
+                .withColumn(PARTITION_PATH, tagged.getItem(1))
+                .withColumn(FILE_NAME, tagged.getItem(2)))
+        return df.select(*[f.name for f in s.fields])
 
     def read_delta_files(self, paths: list[str]) -> DataFrame:
         s = T.StructType(list(self.schema.fields) +

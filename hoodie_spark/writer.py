@@ -40,8 +40,9 @@ from pyspark.sql import functions as F
 from . import timeline as tl
 from .config import (COMMIT_SEQNO, COMMIT_TIME, FILE_NAME, IS_DELETED,
                      META_COLUMNS, NO_PARTITION, OPERATION, PARTITION_PATH,
-                     RECORD_KEY, IndexType, MergePolicy, TableType,
-                     WriteConfig, WriteOperation)
+                     RECORD_KEY, BootstrapMode, IndexType, MergePolicy,
+                     TableType, WriteConcurrencyMode, WriteConfig,
+                     WriteOperation)
 from .fsview import FileSystemView
 from .index import tag_location
 from .keygen import with_keys
@@ -63,6 +64,12 @@ class SortMode:
     NONE = "none"
     GLOBAL_SORT = "global_sort"
     PARTITION_SORT = "partition_sort"
+
+
+class WriteConflictError(Exception):
+    """Optimistic concurrency control abort: another writer committed to an
+    overlapping file group since this transaction began
+    (SimpleConcurrentFileWritesConflictResolutionStrategy.java)."""
 
 
 class WriteResult:
@@ -94,6 +101,8 @@ class WriteClient:
         # ids — Hudi stores the DeltaStreamer checkpoint the same way,
         # DeltaSync.java:311)
         self.commit_extra: dict = {}
+        # OCC: instant -> latest completed data instant when the txn began
+        self._txn_baseline: dict[str, str] = {}
 
     # ------------------------------------------------------------ public ops
     def bulk_insert(self, df: DataFrame, sort_mode: str = SortMode.GLOBAL_SORT) -> WriteResult:
@@ -163,9 +172,55 @@ class WriteClient:
         """SparkRDDWriteClient.java:214."""
         return self._overwrite(df, WriteOperation.INSERT_OVERWRITE_TABLE)
 
+    def bootstrap(self, source_dir: str,
+                  mode: str = BootstrapMode.METADATA_ONLY) -> WriteResult:
+        """SparkRDDWriteClient.java:144 / SparkBootstrapCommitActionExecutor.
+
+        METADATA_ONLY: register every parquet file under ``source_dir`` in a
+        commit without moving or rewriting it — pure driver metadata; one
+        footer read per file for record counts (parallelize over an RDD of
+        paths at cluster scale). Partition path = the file's directory
+        relative to the source root, so the table's partition config must
+        produce those same values (e.g. dirs ``1995/`` with
+        ``partition_expr="cast(year(o_orderdate) as string)"``) or the index
+        won't find bootstrapped records. FULL_RECORD: read + bulk_insert.
+        """
+        src = (self.spark.read.option("recursiveFileLookup", "true")
+               .parquet(source_dir))
+        self.table.evolve_schema(src)
+        self.table.save_properties()
+        if mode == BootstrapMode.FULL_RECORD:
+            res = self.bulk_insert(src)
+            res.operation = WriteOperation.BOOTSTRAP
+            return res
+
+        instant = self._begin(tl.COMMIT)
+        stats: list[dict] = []
+        for root, _dirs, files in os.walk(source_dir):
+            for fn in sorted(files):
+                if not fn.endswith(".parquet"):
+                    continue
+                ap = os.path.abspath(os.path.join(root, fn))
+                pp = os.path.relpath(root, source_dir)
+                pp = "" if pp == "." else pp
+                st = _footer_stats(ap)
+                stats.append({
+                    "partition": pp, "file_id": uuid.uuid4().hex[:13] + "-0",
+                    "file_name": fn, "path": ap, "instant": instant,
+                    "size": os.path.getsize(ap),
+                    "num_records": st["num_records"],
+                    "min_key": None, "max_key": None,
+                    "is_delta": False, "bootstrap": True,
+                })
+        return self._commit(instant, tl.COMMIT, WriteOperation.BOOTSTRAP, stats,
+                            extra={"bootstrap_mode": mode,
+                                   "source_dir": os.path.abspath(source_dir)})
+
     # ------------------------------------------------------------- internals
     def _begin(self, action: str) -> str:
         instant = self.table.timeline.new_instant_time()
+        last = self.table.timeline.last_completed()
+        self._txn_baseline[instant] = last.timestamp if last else ""
         self.table.timeline.create_requested(action, instant)
         self.table.timeline.transition_inflight(action, instant)
         return instant
@@ -173,6 +228,54 @@ class WriteClient:
     def _commit(self, instant: str, action: str, operation: str, stats: list[dict],
                 replaced: dict[str, list[str]] | None = None,
                 extra: dict | None = None) -> WriteResult:
+        if self.table.write_config.concurrency_mode == WriteConcurrencyMode.OPTIMISTIC:
+            from .timeline import LockProvider
+
+            with LockProvider(self.table.base_path,
+                              self.table.write_config.lock_timeout_s):
+                self._check_conflicts(instant, stats, replaced)
+                return self._do_commit(instant, action, operation, stats,
+                                       replaced, extra)
+        return self._do_commit(instant, action, operation, stats, replaced, extra)
+
+    def _check_conflicts(self, instant: str, stats: list[dict],
+                         replaced: dict[str, list[str]] | None) -> None:
+        """TransactionManager + SimpleConcurrentFileWritesConflictResolution-
+        Strategy: abort when a commit that completed after this transaction
+        began touched any of the same file groups. On conflict the written
+        files are removed (marker-based rollback equivalent — the manifest
+        lists exactly what we wrote)."""
+        baseline = self._txn_baseline.get(instant, "")
+        ours: set[tuple[str, str]] = {(s["partition"], s["file_id"]) for s in stats}
+        for pp, fids in (replaced or {}).items():
+            ours.update((pp, fid) for fid in fids)
+        theirs: set[tuple[str, str]] = set()
+        for other in self.table.timeline.completed(tl.DATA_ACTIONS):
+            if other.timestamp <= baseline or other.timestamp == instant:
+                continue
+            md = self.table.timeline.metadata(other)
+            for s in md.get("write_stats", []):
+                theirs.add((s["partition"], s["file_id"]))
+            for pp, fids in md.get("replaced", {}).items():
+                theirs.update((pp, fid) for fid in fids)
+        overlap = ours & theirs
+        if overlap:
+            for s in stats:
+                p = os.path.join(self.table.base_path, s["path"])
+                if not os.path.isabs(s["path"]) and os.path.exists(p):
+                    os.remove(p)
+            for state in (tl.REQUESTED, tl.INFLIGHT):
+                for act in tl.DATA_ACTIONS:
+                    self.table.timeline.delete_instant(
+                        tl.Instant(instant, act, state))
+            raise WriteConflictError(
+                f"instant {instant} conflicts on file groups "
+                f"{sorted(overlap)[:5]} with a commit after {baseline}")
+
+    def _do_commit(self, instant: str, action: str, operation: str,
+                   stats: list[dict],
+                   replaced: dict[str, list[str]] | None = None,
+                   extra: dict | None = None) -> WriteResult:
         total_bytes = sum(s.get("size", 0) for s in stats)
         total_recs = sum(s.get("num_records", 0) for s in stats)
         merged_extra = dict(self.commit_extra)

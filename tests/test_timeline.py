@@ -52,3 +52,13 @@ def test_lock_provider(tmp_table_path):
                 pass
     with LockProvider(tmp_table_path, timeout_s=0.2):
         pass
+
+
+def test_partition_expr_column_extraction():
+    """String literals and function names must not read as column refs."""
+    from hoodie_spark.keygen import _expr_columns
+
+    assert _expr_columns("date_format(o_orderdate,'yyyy')") == {"o_orderdate"}
+    assert _expr_columns("cast(year(o_orderdate) as string)") == {"o_orderdate"}
+    assert _expr_columns("concat(region, '/', city)") == {"region", "city"}
+    assert _expr_columns("'constant'") == set()
