@@ -362,6 +362,105 @@ WHERE p_partkey = l_partkey
     OR (p_brand = 'Brand#22' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 20)
     OR (p_brand = 'Brand#33' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 30))
 """,
+    "tpch_q4": """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM {o}
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM {l}
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+""",
+    "tpch_q7": f"""
+SELECT supp_nation, cust_nation, l_year,
+       {_sum_d('volume', 'revenue')}
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         year(l_shipdate) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM {{s}}, {{l}}, {{o}}, {{c}}, {{n}} n1, {{n}} n2
+  WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+    AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+    AND c_nationkey = n2.n_nationkey
+    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    AND l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                       AND TIMESTAMP '1997-12-31 00:00:00'
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+""",
+    "tpch_q8": f"""
+SELECT o_year,
+       CAST(SUM(CASE WHEN nation = 'NATION_3'
+                     THEN CAST(volume AS {_DEC}) ELSE CAST(0 AS {_DEC}) END) AS DOUBLE)
+       / CAST(SUM(CAST(volume AS {_DEC})) AS DOUBLE) AS mkt_share
+FROM (
+  SELECT year(o_orderdate) AS o_year,
+         l_extendedprice * (1 - l_discount) AS volume,
+         n2.n_name AS nation
+  FROM {{p}}, {{s}}, {{l}}, {{o}}, {{c}}, {{n}} n1, {{n}} n2, {{r}}
+  WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+    AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+    AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+    AND r_name = 'AFRICA' AND s_nationkey = n2.n_nationkey
+    AND o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                        AND TIMESTAMP '1997-12-31 00:00:00'
+    AND p_type = 'ECONOMY'
+) all_nations
+GROUP BY o_year
+""",
+    "tpch_q9": f"""
+SELECT nation, o_year, {_sum_d('volume', 'revenue')}
+FROM (
+  SELECT n_name AS nation, year(o_orderdate) AS o_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM {{p}}, {{s}}, {{l}}, {{o}}, {{n}}
+  WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+    AND l_orderkey = o_orderkey AND s_nationkey = n_nationkey
+    AND p_type = 'STANDARD'
+) profit
+GROUP BY nation, o_year
+""",
+    "tpch_q13": """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM {c} LEFT OUTER JOIN {o}
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+) c_orders
+GROUP BY c_count
+""",
+    "tpch_q15": f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         {_sum_d('l_extendedprice * (1 - l_discount)', 'total_revenue')}
+  FROM {{l}}
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM {{s}}, revenue
+WHERE s_suppkey = supplier_no
+  AND total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+""",
+    "tpch_q17": f"""
+SELECT CAST(SUM(CAST(l_extendedprice AS {_DEC})) AS DOUBLE) / 7.0 AS avg_yearly
+FROM {{l}} l1, {{p}}
+WHERE p_partkey = l1.l_partkey AND p_brand = 'Brand#11' AND p_size < 20
+  AND l1.l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+                       FROM {{l}} l2 WHERE l2.l_partkey = l1.l_partkey)
+""",
+    "tpch_q22": f"""
+SELECT c_nationkey, COUNT(*) AS numcust, {_sum_d('c_acctbal', 'totacctbal')}
+FROM {{c}}
+WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS {_DEC})) AS DOUBLE) / COUNT(*)
+                   FROM {{c}} WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM {{o}}
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+GROUP BY c_nationkey
+""",
 }
 
 _HD = {k: f"hd_{v}" for k, v in

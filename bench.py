@@ -106,8 +106,7 @@ def main():
     timed("bulk_insert_warehouse")(build_wh)
 
     hd = dict(entry._HD)
-    for q in ["tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q10",
-              "tpch_q12", "tpch_q14", "tpch_q18", "tpch_q19"]:
+    for q in sorted(entry.TPCH_SQL):
         timed(q)(lambda q=q: spark.sql(entry.TPCH_SQL[q].format(**hd)).collect())
 
     # --------------------------------------------- pipeline operators
