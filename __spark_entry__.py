@@ -231,13 +231,81 @@ def _fx_warehouse(spark, sf_dir, path):
     return {"tables": tables}
 
 
+def _fx_orders_cdc(spark, sf_dir, path):
+    """CDC batch (AWSDms-style Op column): updates + deletes in one upsert."""
+    from hoodie_spark import apply_cdc
+
+    tbl = HoodieTable.create(
+        spark, path, "orders_cdc", ["o_orderkey"], "o_orderdate",
+        partition_expr="cast(year(o_orderdate) as string)")
+    orders = _orders(spark, sf_dir)
+    tbl.bulk_insert(orders)
+    batch = (orders.filter(F.col("o_orderkey") % 6 == 0)
+             .withColumn("o_totalprice", F.col("o_totalprice") + 3.0)
+             .withColumn("Op", F.lit("U"))
+             .unionByName(orders.filter(F.col("o_orderkey") % 13 == 5)
+                          .withColumn("Op", F.lit("D"))))
+    tbl.upsert(apply_cdc(batch))
+    return {"tbl": tbl}
+
+
+def _fx_orders_evolve(spark, sf_dir, path):
+    """Schema evolution: the upsert batch adds a new nullable column."""
+    tbl = HoodieTable.create(
+        spark, path, "orders_evolve", ["o_orderkey"], "o_orderdate",
+        partition_expr="cast(year(o_orderdate) as string)")
+    orders = _orders(spark, sf_dir)
+    tbl.bulk_insert(orders)
+    upd = (orders.filter(F.col("o_orderkey") % 8 == 0)
+           .withColumn("o_comment", F.lit("upd")))
+    tbl.upsert(upd)
+    return {"tbl": tbl}
+
+
+def _fx_orders_partial(spark, sf_dir, path):
+    """Partial-update payload: null incoming fields keep stored values."""
+    from hoodie_spark.config import MergePolicy
+
+    tbl = HoodieTable.create(
+        spark, path, "orders_partial", ["o_orderkey"], "o_orderdate",
+        partition_expr="cast(year(o_orderdate) as string)",
+        write_config=WriteConfig(merge_policy=MergePolicy.PARTIAL_UPDATE))
+    orders = _orders(spark, sf_dir)
+    tbl.bulk_insert(orders)
+    upd = (orders.filter(F.col("o_orderkey") % 4 == 2)
+           .withColumn("o_totalprice", F.col("o_totalprice") + 7.0)
+           .withColumn("o_orderpriority", F.lit(None).cast("string")))
+    tbl.upsert(upd)
+    return {"tbl": tbl}
+
+
+def _fx_orders_global(spark, sf_dir, path):
+    """Global index: an update whose partition value changed still lands in
+    the record's existing partition (GLOBAL_SIMPLE semantics)."""
+    from hoodie_spark.config import IndexType
+
+    tbl = HoodieTable.create(
+        spark, path, "orders_global", ["o_orderkey"], "o_orderdate",
+        partition_expr="cast(year(o_orderdate) as string)",
+        write_config=WriteConfig(index_type=IndexType.GLOBAL_SIMPLE))
+    orders = _orders(spark, sf_dir)
+    tbl.bulk_insert(orders)
+    upd = (orders.filter(F.col("o_orderkey") % 9 == 7)
+           .withColumn("o_orderdate", F.expr("o_orderdate + INTERVAL 365 DAY"))
+           .withColumn("o_orderstatus", F.lit("G")))
+    tbl.upsert(upd)
+    return {"tbl": tbl}
+
+
 _BUILDERS = {
     "orders_cow": _fx_orders_cow, "orders_ow": _fx_orders_ow,
     "orders_owt": _fx_orders_owt, "orders_rb": _fx_orders_rb,
     "orders_mor": _fx_orders_mor, "orders_mor_c": _fx_orders_mor_c,
     "orders_cluster": _fx_orders_cluster, "orders_merge": _fx_orders_merge,
     "orders_dml": _fx_orders_dml, "events_ingest": _fx_events_ingest,
-    "warehouse": _fx_warehouse,
+    "warehouse": _fx_warehouse, "orders_cdc": _fx_orders_cdc,
+    "orders_evolve": _fx_orders_evolve, "orders_partial": _fx_orders_partial,
+    "orders_global": _fx_orders_global,
 }
 
 _ORDER_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
@@ -551,6 +619,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["delete_where"] = lambda s, d: _data(
         _fixture(s, d, "orders_dml")["tbl"].snapshot()).select(*_ORDER_COLS)
 
+    # ---- payload policies / index modes / schema evolution / CDC
+    q["cdc_upsert"] = lambda s, d: _data(
+        _fixture(s, d, "orders_cdc")["tbl"].snapshot()).select(*_ORDER_COLS)
+    q["schema_evolution"] = lambda s, d: _data(
+        _fixture(s, d, "orders_evolve")["tbl"].snapshot()).select(
+            *_ORDER_COLS, "o_comment")
+    q["partial_update_payload"] = lambda s, d: _data(
+        _fixture(s, d, "orders_partial")["tbl"].snapshot()).select(*_ORDER_COLS)
+    q["global_index_upsert"] = lambda s, d: _data(
+        _fixture(s, d, "orders_global")["tbl"].snapshot()).select(*_ORDER_COLS)
+
     # ---- streaming ingest
     q["ingest_pipeline"] = lambda s, d: _data(
         _fixture(s, d, "events_ingest")["tbl"].snapshot()).select(
@@ -770,6 +849,36 @@ SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
        CASE WHEN o_orderstatus = 'F' THEN '0-URGENT'
             ELSE o_orderpriority END AS o_orderpriority
 FROM orders WHERE NOT (o_totalprice < 20000)
+"""
+    o["cdc_upsert"] = """
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       CASE WHEN o_orderkey % 6 = 0 THEN o_totalprice + 3.0
+            ELSE o_totalprice END AS o_totalprice,
+       o_orderdate, o_orderpriority
+FROM orders WHERE o_orderkey % 13 <> 5
+"""
+    o["schema_evolution"] = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+       o_orderpriority,
+       CASE WHEN o_orderkey % 8 = 0 THEN 'upd'
+            ELSE CAST(NULL AS VARCHAR) END AS o_comment
+FROM orders
+"""
+    o["partial_update_payload"] = """
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       CASE WHEN o_orderkey % 4 = 2 THEN o_totalprice + 7.0
+            ELSE o_totalprice END AS o_totalprice,
+       o_orderdate, o_orderpriority
+FROM orders
+"""
+    o["global_index_upsert"] = """
+SELECT o_orderkey, o_custkey,
+       CASE WHEN o_orderkey % 9 = 7 THEN 'G' ELSE o_orderstatus END AS o_orderstatus,
+       o_totalprice,
+       CASE WHEN o_orderkey % 9 = 7 THEN o_orderdate + INTERVAL 365 DAY
+            ELSE o_orderdate END AS o_orderdate,
+       o_orderpriority
+FROM orders
 """
     o["ingest_pipeline"] = """
 SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id,

@@ -7,6 +7,7 @@ manifests for all metadata, Parquet everywhere."""
 from .config import (BootstrapMode, IndexType, MergePolicy, TableConfig,
                      TableType, WriteConcurrencyMode, WriteConfig,
                      WriteOperation)
+from .cdc import apply_cdc
 from .table import HoodieTable
 from .writer import WriteConflictError
 
