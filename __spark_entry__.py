@@ -635,6 +635,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _fixture(s, d, "events_ingest")["tbl"].snapshot()).select(
             "event_id", F.unix_micros("ts").alias("ts_us"), "user_id",
             "event_type", "value", "props")
+    q["sessionize"] = lambda s, d: HF.sessionize(
+        _data(_fixture(s, d, "events_ingest")["tbl"].snapshot()),
+        "user_id", "ts", gap_seconds=1800).select(
+            "event_id", "session_id",
+            F.unix_micros("session_start").alias("session_start_us"))
     q["events_window"] = lambda s, d: (
         _data(_fixture(s, d, "events_ingest")["tbl"].snapshot())
         .groupBy(F.window("ts", "300 seconds").alias("w"), "event_type")
@@ -884,6 +889,28 @@ FROM orders
 SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id,
        event_type, value, props
 FROM events
+"""
+    o["sessionize"] = """
+WITH e AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+),
+lagged AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sess AS (
+  SELECT event_id, user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) - 1 AS n
+  FROM lagged
+)
+SELECT event_id,
+       CAST(user_id AS VARCHAR) || '#' || CAST(n AS VARCHAR) AS session_id,
+       epoch_us(MIN(ts) OVER (PARTITION BY user_id, n)) AS session_start_us
+FROM sess
 """
     o["events_window"] = f"""
 SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // 300000000) * 300000000 AS w_start,

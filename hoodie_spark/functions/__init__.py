@@ -49,6 +49,7 @@ from .multimodal import (
     decode_media_meta,
     sample_frames,
 )
+from .sessions import sessionize
 
 __all__ = [
     "tokens", "token_count", "regex_token_count", "char_ngrams", "lang_id",
@@ -59,4 +60,5 @@ __all__ = [
     "dot", "l2_norm", "cosine", "brute_force_topk", "lsh_bucket_topk",
     "ivf_topk",
     "MEDIA_META_SCHEMA", "attach_media", "decode_media_meta", "sample_frames",
+    "sessionize",
 ]

@@ -154,3 +154,23 @@ def test_sample_frames(spark):
     frames = HF.sample_frames(m, every_n_bytes=64, max_frames=8).collect()
     assert len(frames) == 4  # 200 bytes → ceil-ish: floor(200/64)+1 = 4 slices
     assert frames[0].frame_idx == 0 and len(frames[0].frame) == 64
+
+
+# ------------------------------------------------------------ sessionize
+def test_sessionize(spark):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, 7, base),
+        (2, 7, base + dt.timedelta(seconds=100)),     # same session
+        (3, 7, base + dt.timedelta(seconds=5000)),    # gap > 1800 -> new
+        (4, 8, base),                                 # other user
+    ]
+    df = spark.createDataFrame(rows, "event_id int, user_id int, ts timestamp")
+    out = {r.event_id: (r.session_id, r.session_start)
+           for r in HF.sessionize(df, "user_id", "ts", 1800).collect()}
+    assert out[1][0] == out[2][0] == "7#0"
+    assert out[3][0] == "7#1"
+    assert out[4][0] == "8#0"
+    assert out[1][1] == base and out[3][1] == rows[2][2]
