@@ -24,10 +24,6 @@ from pyspark.sql import functions as F
 from .config import (COMMIT_TIME, FILE_NAME, PARTITION_PATH, RECORD_KEY,
                      IndexType)
 
-_KEY_PROJECTION = (f"{COMMIT_TIME} string, {RECORD_KEY} string, "
-                   f"{PARTITION_PATH} string, {FILE_NAME} string")
-
-
 def tag_location(spark: SparkSession, prepared: DataFrame, table,
                  view=None, force_global: bool = False) -> DataFrame:
     """HoodieIndex.tagLocation: adds ``_target_file_id`` / ``_target_pp``

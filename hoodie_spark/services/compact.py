@@ -43,6 +43,34 @@ class CompactionStrategy:
         """UnBoundedCompactionStrategy.java."""
         return [sl for sl in slices if sl.log_files]
 
+    @staticmethod
+    def day_based(table, slices, partitions_to_compact=1):
+        """DayBasedCompactionStrategy.java — compact only the N most recent
+        partitions (partition paths sort as dates in the reference layout)."""
+        with_logs = [sl for sl in slices if sl.log_files]
+        latest = sorted({sl.partition for sl in with_logs}, reverse=True)
+        keep = set(latest[:partitions_to_compact])
+        return [sl for sl in with_logs if sl.partition in keep]
+
+    @staticmethod
+    def bounded_io(table, slices, max_io_bytes=500 * 1024 * 1024):
+        """BoundedIOCompactionStrategy.java — greedy-select slices by
+        estimated IO (read base + read logs + write new base) within a
+        budget, biggest log backlog first."""
+        with_logs = sorted((sl for sl in slices if sl.log_files),
+                           key=lambda sl: sum(lf.size for lf in sl.log_files),
+                           reverse=True)
+        out, spent = [], 0
+        for sl in with_logs:
+            base = sl.base_file.size if sl.base_file else 0
+            logs = sum(lf.size for lf in sl.log_files)
+            io = 2 * base + logs  # read base + logs, rewrite ~base-sized file
+            if out and spent + io > max_io_bytes:
+                continue
+            out.append(sl)
+            spent += io
+        return out
+
 
 def schedule_compaction(table, strategy=None, **kw) -> list:
     """Returns the slices the strategy selects (the compaction plan)."""

@@ -148,3 +148,30 @@ def test_archive_keeps_view_correct(spark, orders, tmp_table_path):
     moved = tbl.archive(max_active=2)
     assert moved == 3
     assert tbl.snapshot().count() == expected  # fold includes archived commits
+
+
+def test_compaction_strategies(spark, tmp_table_path):
+    from hoodie_spark import HoodieTable, TableType
+    from hoodie_spark.services.compact import (CompactionStrategy,
+                                               schedule_compaction)
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    tbl = HoodieTable.create(
+        spark, tmp_table_path, "cmp", ["o_orderkey"], "o_orderdate",
+        partition_expr="date_format(o_orderdate,'yyyy')",
+        table_type=TableType.MERGE_ON_READ)
+    tbl.bulk_insert(orders)
+    from pyspark.sql import functions as F
+    tbl.upsert(orders.filter(F.col("o_orderkey") % 3 == 0)
+               .withColumn("o_orderstatus", F.lit("X")))
+
+    all_logs = schedule_compaction(tbl, CompactionStrategy.all_with_logs)
+    assert all_logs
+    day = schedule_compaction(tbl, CompactionStrategy.day_based,
+                              partitions_to_compact=1)
+    assert {sl.partition for sl in day} == {max(sl.partition for sl in all_logs)}
+    bounded = schedule_compaction(tbl, CompactionStrategy.bounded_io,
+                                  max_io_bytes=1)  # tiny budget -> 1 slice
+    assert len(bounded) == 1
+    assert schedule_compaction(tbl, CompactionStrategy.log_size,
+                               threshold_bytes=1) == all_logs
