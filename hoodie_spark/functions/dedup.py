@@ -220,23 +220,30 @@ def hamming(a, b, bits: int) -> Column:
 
 
 def simhash_dup_pairs(df: DataFrame, id_col: str, text_col: str,
-                      bits: int = 16, max_distance: int = 2) -> DataFrame:
+                      bits: int = 16, max_distance: int = 2,
+                      blocks: int = 2) -> DataFrame:
     """Pairs whose SimHash Hamming distance ≤ max_distance.
 
-    Candidate generation blocks on signature halves (a pair within distance
-    d ≤ bits/2 − 1 per half must agree on at least one half — the classic
-    pigeonhole trick), so the join key is a half-signature, not a cross
-    join. Returns (id_a, id_b, distance).
+    Candidate generation blocks the signature into ``blocks`` segments and
+    joins on any matching segment. Pigeonhole guarantee: a pair within
+    distance ``blocks − 1`` always shares an identical segment; larger
+    distances (up to ``max_distance``) are found with high probability but
+    not guaranteed. Raising ``blocks`` to ``max_distance + 1`` makes recall
+    exact at the cost of shorter join keys (wider collision buckets — on
+    near-homogeneous corpora that can approach a cross join, so the default
+    trades guaranteed recall at d≥2 for bounded candidate counts).
+    Returns (id_a, id_b, distance).
     """
-    half = bits // 2
+    seg = bits // blocks
     sh = _pin(with_simhash(_spread(df), text_col, bits).select(id_col, "simhash"))
+    segments = [
+        F.concat(F.lit(f"B{i}:"),
+                 F.col("simhash").substr(i * seg + 1,
+                                         seg if i < blocks - 1 else bits - i * seg))
+        for i in range(blocks)
+    ]
     blocked = sh.select(
-        id_col, "simhash",
-        F.explode(F.array(
-            F.concat(F.lit("L"), F.col("simhash").substr(1, half)),
-            F.concat(F.lit("R"), F.col("simhash").substr(half + 1, bits - half)),
-        )).alias("block"),
-    )
+        id_col, "simhash", F.explode(F.array(*segments)).alias("block"))
     a = blocked.alias("a")
     b = blocked.alias("b")
     cand = (
