@@ -398,9 +398,23 @@ class WriteClient:
             inserts = tagged.filter(F.col("_target_file_id").isNull()) \
                             .filter(F.col(OP) != "D")  # deletes of absent keys are no-ops
 
-            # ---- plan insert buckets (UpsertPartitioner.java:109-214)
-            insert_counts = {r[0]: r[1] for r in
-                             inserts.groupBy(PARTITION_PATH).count().collect()}
+            # ---- ONE profiling action (workload profile,
+            # BaseSparkCommitActionExecutor.java:135): per-(partition,
+            # target-file, is-delete) counts give the insert counts, the
+            # affected update groups, AND the per-file update stats without
+            # three separate collects over the tagged batch
+            profile = tagged.groupBy(
+                PARTITION_PATH, "_target_file_id",
+                (F.col(OP) == "D").alias("__isdel")).count().collect()
+            insert_counts: dict[str, int] = {}
+            affected_updates: dict[tuple[str, str], int] = {}
+            for pp, fid, isdel, n in profile:
+                if fid is None:
+                    if not isdel:  # deletes of absent keys are no-ops
+                        insert_counts[pp] = insert_counts.get(pp, 0) + n
+                else:
+                    key = (pp, fid)
+                    affected_updates[key] = affected_updates.get(key, 0) + n
             pack_small = not is_mor
             plan, n_new = self._plan_insert_buckets(view, insert_counts, pack_small)
             instant = self._begin(action)
@@ -422,7 +436,8 @@ class WriteClient:
             if is_mor:
                 stats = self._write_mor(updates, inserts, view, instant)
             else:
-                stats = self._write_cow(updates, inserts, view, instant)
+                stats = self._write_cow(updates, inserts, view, instant,
+                                        affected_updates)
             n_upd = sum(s.get("num_updates", 0) for s in stats)
             return self._commit(instant, action, operation, stats,
                                 extra={"num_updates": n_upd})
@@ -478,16 +493,17 @@ class WriteClient:
 
     # ------------------------------------------------------------- COW merge
     def _write_cow(self, updates: DataFrame, inserts: DataFrame,
-                   view: FileSystemView, instant: str) -> list[dict]:
+                   view: FileSystemView, instant: str,
+                   affected_updates: dict[tuple[str, str], int]) -> list[dict]:
         """HoodieMergeHandle.java:89 as a DataFrame program: affected file
         groups = update targets ∪ small-file insert targets; read their latest
         base files, union with incoming, resolve per-key winners (payload),
-        rewrite each group as a new file slice. Untouched groups see zero IO."""
+        rewrite each group as a new file slice. Untouched groups see zero IO.
+        ``affected_updates`` comes from the single profiling action."""
         packed = inserts.filter(~F.col("__is_new"))
         new_rows = inserts.filter(F.col("__is_new"))
 
-        affected = [tuple(r) for r in
-                    updates.select(PARTITION_PATH, BUCKET).distinct().collect()]
+        affected = list(affected_updates)
         affected += [tuple(r) for r in
                      packed.select(PARTITION_PATH, BUCKET).distinct().collect()]
         slices = view.slices_for_groups(set(affected))
@@ -508,12 +524,10 @@ class WriteClient:
         new_stamped = self._stamp_meta(new_rows.filter(F.col(OP) != "D"), instant)
         write_df = merged.unionByName(new_stamped.select(*merged.columns)) \
                          .withColumn(KIND, F.lit("base"))
-        n_updates = {(r[0], r[1]): r[2] for r in
-                     incoming.groupBy(PP, BUCKET).count().collect()}
         stats = self._write_files(write_df, instant, sort_cols=[RECORD_KEY])
         for s in stats:
-            s["num_updates"] = n_updates.get(
-                (s["partition"] or NO_PARTITION, s["file_id"]), 0)
+            s["num_updates"] = affected_updates.get(
+                (s["partition"], s["file_id"]), 0)
         return stats
 
     def _merge(self, old: DataFrame, incoming: DataFrame) -> DataFrame:
@@ -638,7 +652,7 @@ class WriteClient:
             w = w.sortWithinPartitions(PP, BUCKET, *sort_cols)
         w.write.partitionBy(PP, KIND, BUCKET).mode("overwrite").parquet(tmp)
 
-        stats: list[dict] = []
+        placed: list[tuple[str, str, str, str]] = []  # (pp, fid, kind, dst)
         for pp_dir in sorted(os.listdir(tmp)):
             if not pp_dir.startswith(f"{PP}="):
                 continue
@@ -662,15 +676,25 @@ class WriteClient:
                     os.makedirs(dst_dir, exist_ok=True)
                     dst = os.path.join(dst_dir, fname)
                     os.replace(src, dst)
-                    st = _footer_stats(dst)
-                    stats.append({
-                        "partition": pp, "file_id": fid, "file_name": fname,
-                        "path": os.path.join(pp, fname) if pp else fname,
-                        "instant": instant, "size": os.path.getsize(dst),
-                        "num_records": st["num_records"],
-                        "min_key": st["min_key"], "max_key": st["max_key"],
-                        "is_delta": kind != "base",
-                    })
+                    placed.append((pp, fid, kind, dst))
+
+        # footer stats harvested in parallel — O(files) metadata reads are
+        # the only per-file driver work, so don't serialize them
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(16, max(1, len(placed)))) as ex:
+            footers = list(ex.map(lambda p: _footer_stats(p[3]), placed))
+        stats: list[dict] = []
+        for (pp, fid, kind, dst), st in zip(placed, footers):
+            fname = os.path.basename(dst)
+            stats.append({
+                "partition": pp, "file_id": fid, "file_name": fname,
+                "path": os.path.join(pp, fname) if pp else fname,
+                "instant": instant, "size": os.path.getsize(dst),
+                "num_records": st["num_records"],
+                "min_key": st["min_key"], "max_key": st["max_key"],
+                "is_delta": kind != "base",
+            })
         shutil.rmtree(tmp, ignore_errors=True)
         return stats
 
