@@ -165,6 +165,10 @@ class WriteConfig:
     # table lock at commit and aborts on overlapping file-group writes
     concurrency_mode: str = WriteConcurrencyMode.SINGLE_WRITER
     lock_timeout_s: float = 60.0
+    # data skipping: harvest per-file min/max for these columns into the
+    # commit manifest (column-stats-index equivalent); reads can then prune
+    # files via snapshot(skip_filters=...) before Spark ever lists them
+    stats_columns: list[str] = field(default_factory=list)
 
     def records_per_file(self) -> int:
         return max(1, self.parquet_max_file_size // max(1, self.record_size_estimate))

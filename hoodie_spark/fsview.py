@@ -37,6 +37,8 @@ class BaseFile:
     # metadata-only bootstrap source: no meta columns in the file; the read
     # path computes keys/meta on the fly (HoodieBootstrapRelation equivalent)
     bootstrap: bool = False
+    # per-column [min, max] for data skipping (stats_columns config)
+    col_stats: dict | None = None
 
 
 @dataclass
@@ -133,7 +135,8 @@ class FileSystemView:
                     sl.base_file = BaseFile(st["path"], st["file_name"], st.get("size", 0),
                                             st.get("num_records", 0), st.get("min_key"),
                                             st.get("max_key"),
-                                            bootstrap=st.get("bootstrap", False))
+                                            bootstrap=st.get("bootstrap", False),
+                                            col_stats=st.get("col_stats"))
             if inst.action == REPLACECOMMIT:
                 for pp, fids in md.get("replaced", {}).items():
                     for fid in fids:

@@ -25,6 +25,50 @@ from .config import (COMMIT_TIME, OPERATION, PARTITION_PATH, RECORD_KEY,
 from .keygen import record_key_expr
 
 
+def prune_by_stats(slices, skip_filters: list[tuple], mor: bool) -> list:
+    """Data skipping: drop file slices whose manifest column stats prove no
+    row can match (column-stats-index equivalent; complements Hudi's
+    HoodieFileIndex partition pruning with file-level pruning).
+
+    ``skip_filters`` is a conjunctive list of ``(column, op, value)`` /
+    ``(column, 'between', lo, hi)`` with op in =, <, <=, >, >=. Pruning is
+    conservative: a slice survives unless its [min, max] disproves the
+    filter; missing stats keep the slice. The caller still applies the real
+    filter — this only shrinks the file list (and therefore the scan) on
+    the driver. MOR slices carrying log files are never pruned (a delta row
+    may match even when the base range doesn't)."""
+    def disproved(bf, f) -> bool:
+        if bf is None or not bf.col_stats or f[0] not in bf.col_stats:
+            return False
+        lo, hi = bf.col_stats[f[0]]
+        if lo is None or hi is None:
+            return False
+        op = f[1]
+        if op == "=":
+            return f[2] < lo or f[2] > hi
+        if op == "<":
+            return lo >= f[2]
+        if op == "<=":
+            return lo > f[2]
+        if op == ">":
+            return hi <= f[2]
+        if op == ">=":
+            return hi < f[2]
+        if op == "between":
+            return hi < f[2] or lo > f[3]
+        raise ValueError(f"unsupported skip op {op!r}")
+
+    out = []
+    for sl in slices:
+        if mor and sl.log_files:
+            out.append(sl)
+            continue
+        if any(disproved(sl.base_file, f) for f in skip_filters):
+            continue
+        out.append(sl)
+    return out
+
+
 class ReadClient:
     def __init__(self, table):
         self.table = table
@@ -32,21 +76,28 @@ class ReadClient:
 
     # ------------------------------------------------------------- snapshot
     def snapshot(self, as_of: str | None = None,
-                 partitions: list[str] | None = None) -> DataFrame:
+                 partitions: list[str] | None = None,
+                 skip_filters: list[tuple] | None = None) -> DataFrame:
         """Latest committed state (optionally time-travelled / partition-
-        pruned)."""
+        pruned / stats-pruned — see :func:`prune_by_stats`)."""
         view = self.table.view()
         slices = view.latest_slices(as_of=as_of, partitions=partitions)
-        if self.table.config.table_type == TableType.MERGE_ON_READ:
+        is_mor = self.table.config.table_type == TableType.MERGE_ON_READ
+        if skip_filters:
+            slices = prune_by_stats(slices, skip_filters, mor=is_mor)
+        if is_mor:
             return self._merge_on_read(view, slices, as_of)
         return self.table.read_slices_base(slices)
 
     def read_optimized(self, as_of: str | None = None,
-                       partitions: list[str] | None = None) -> DataFrame:
+                       partitions: list[str] | None = None,
+                       skip_filters: list[tuple] | None = None) -> DataFrame:
         """MOR read-optimized view — base files only (DefaultSource.scala:
         119-124); identical to snapshot for COW."""
         view = self.table.view()
         slices = view.latest_slices(as_of=as_of, partitions=partitions)
+        if skip_filters:
+            slices = prune_by_stats(slices, skip_filters, mor=False)
         return self.table.read_slices_base(slices)
 
     def _merge_on_read(self, view, slices, as_of: str | None) -> DataFrame:

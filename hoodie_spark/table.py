@@ -202,11 +202,15 @@ class HoodieTable:
         return self.spark.read.schema(s).parquet(*paths)
 
     def snapshot(self, as_of: str | None = None,
-                 partitions: list[str] | None = None) -> DataFrame:
-        return self._reader.snapshot(as_of=as_of, partitions=partitions)
+                 partitions: list[str] | None = None,
+                 skip_filters: list[tuple] | None = None) -> DataFrame:
+        return self._reader.snapshot(as_of=as_of, partitions=partitions,
+                                     skip_filters=skip_filters)
 
-    def read_optimized(self, as_of: str | None = None) -> DataFrame:
-        return self._reader.read_optimized(as_of=as_of)
+    def read_optimized(self, as_of: str | None = None,
+                       skip_filters: list[tuple] | None = None) -> DataFrame:
+        return self._reader.read_optimized(as_of=as_of,
+                                           skip_filters=skip_filters)
 
     def incremental(self, begin: str | None = None, end: str | None = None) -> DataFrame:
         return self._reader.incremental(begin, end)

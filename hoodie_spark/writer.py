@@ -682,19 +682,24 @@ class WriteClient:
         # the only per-file driver work, so don't serialize them
         from concurrent.futures import ThreadPoolExecutor
 
+        stats_cols = self.table.write_config.stats_columns
         with ThreadPoolExecutor(max_workers=min(16, max(1, len(placed)))) as ex:
-            footers = list(ex.map(lambda p: _footer_stats(p[3]), placed))
+            footers = list(ex.map(lambda p: _footer_stats(p[3], stats_cols),
+                                  placed))
         stats: list[dict] = []
         for (pp, fid, kind, dst), st in zip(placed, footers):
             fname = os.path.basename(dst)
-            stats.append({
+            rec = {
                 "partition": pp, "file_id": fid, "file_name": fname,
                 "path": os.path.join(pp, fname) if pp else fname,
                 "instant": instant, "size": os.path.getsize(dst),
                 "num_records": st["num_records"],
                 "min_key": st["min_key"], "max_key": st["max_key"],
                 "is_delta": kind != "base",
-            })
+            }
+            if st.get("col_stats"):
+                rec["col_stats"] = st["col_stats"]
+            stats.append(rec)
         shutil.rmtree(tmp, ignore_errors=True)
         return stats
 
@@ -702,21 +707,41 @@ class WriteClient:
 COMMIT_SEQNO_TIEBREAK = "__seqno_tb"
 
 
-def _footer_stats(path: str) -> dict:
+def _footer_stats(path: str, stats_columns: list[str] | None = None) -> dict:
     """Record count + record-key min/max straight from the parquet footer
     (the rebuild's stand-in for Hudi's bloom/range metadata written to
-    footers — SparkHoodieBloomIndex.java:119 loads the same stats)."""
+    footers — SparkHoodieBloomIndex.java:119 loads the same stats). With
+    ``stats_columns``, also harvests per-column min/max for data skipping
+    (column-stats-index equivalent); only JSON-safe numeric/string stats are
+    kept."""
     md = pq.ParquetFile(path).metadata
+    want = set(stats_columns or [])
+    mins: dict[str, object] = {}
+    maxs: dict[str, object] = {}
     min_k = max_k = None
     for rg in range(md.num_row_groups):
         row_group = md.row_group(rg)
         for ci in range(row_group.num_columns):
             col = row_group.column(ci)
-            if col.path_in_schema == RECORD_KEY:
-                st = col.statistics
-                if st is not None and st.has_min_max:
-                    mn = st.min if isinstance(st.min, str) else st.min.decode()
-                    mx = st.max if isinstance(st.max, str) else st.max.decode()
-                    min_k = mn if min_k is None else min(min_k, mn)
-                    max_k = mx if max_k is None else max(max_k, mx)
-    return {"num_records": md.num_rows, "min_key": min_k, "max_key": max_k}
+            name = col.path_in_schema
+            if name != RECORD_KEY and name not in want:
+                continue
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                continue
+            mn, mx = st.min, st.max
+            if isinstance(mn, bytes):
+                try:
+                    mn, mx = mn.decode(), mx.decode()
+                except UnicodeDecodeError:
+                    continue
+            if name == RECORD_KEY:
+                min_k = mn if min_k is None else min(min_k, mn)
+                max_k = mx if max_k is None else max(max_k, mx)
+            elif isinstance(mn, (int, float, str)) and not isinstance(mn, bool):
+                mins[name] = mn if name not in mins else min(mins[name], mn)
+                maxs[name] = mx if name not in maxs else max(maxs[name], mx)
+    out = {"num_records": md.num_rows, "min_key": min_k, "max_key": max_k}
+    if mins:
+        out["col_stats"] = {c: [mins[c], maxs[c]] for c in mins}
+    return out

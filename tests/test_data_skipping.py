@@ -1,0 +1,58 @@
+"""Column-stats data skipping: manifest min/max prune the file list."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hoodie_spark import HoodieTable, WriteConfig
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def stats_table(spark, tmp_table_path):
+    """Range-sorted small files so o_totalprice ranges are disjoint-ish."""
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet") \
+        .withColumn("o_orderkey", F.col("o_orderkey"))
+    from pyspark.sql.window import Window
+
+    tbl = HoodieTable.create(
+        spark, tmp_table_path, "skip", ["rk"], "o_orderdate",
+        write_config=WriteConfig(parquet_max_file_size=64 * 1024,
+                                 stats_columns=["o_totalprice"]))
+    # record key = zero-padded rank by the stats column, so the global range
+    # sort by key produces tight per-file o_totalprice ranges (what
+    # clustering by that column yields in production)
+    keyed = orders.withColumn(
+        "rk", F.lpad(F.row_number().over(Window.orderBy("o_totalprice"))
+                     .cast("string"), 6, "0"))
+    tbl.bulk_insert(keyed)
+    return tbl, orders
+
+
+def test_skip_filters_prune_and_match(spark, stats_table):
+    tbl, orders = stats_table
+    from hoodie_spark.reader import prune_by_stats
+
+    all_slices = tbl.view().latest_slices()
+    assert len(all_slices) > 3
+    assert all(sl.base_file.col_stats for sl in all_slices)
+
+    pruned = prune_by_stats(all_slices, [("o_totalprice", ">", 400000.0)],
+                            mor=False)
+    assert 0 < len(pruned) < len(all_slices)  # skipped most files
+
+    # results identical with and without skipping
+    full = tbl.snapshot().filter("o_totalprice > 400000.0")
+    skipped = tbl.snapshot(skip_filters=[("o_totalprice", ">", 400000.0)]) \
+                 .filter("o_totalprice > 400000.0")
+    assert full.count() == skipped.count() == \
+        orders.filter("o_totalprice > 400000.0").count()
+
+
+def test_skip_between_and_eq(spark, stats_table):
+    tbl, orders = stats_table
+    n = orders.filter("o_totalprice between 100000 and 150000").count()
+    got = tbl.snapshot(
+        skip_filters=[("o_totalprice", "between", 100000.0, 150000.0)]) \
+        .filter("o_totalprice between 100000 and 150000").count()
+    assert got == n
