@@ -297,6 +297,20 @@ def _fx_orders_global(spark, sf_dir, path):
     return {"tbl": tbl}
 
 
+def _fx_orders_skip(spark, sf_dir, path):
+    """Column-stats data skipping: cluster by o_totalprice so per-file
+    ranges are tight, then read with skip_filters."""
+    tbl = HoodieTable.create(
+        spark, path, "orders_skip", ["o_orderkey"], "o_orderdate",
+        write_config=WriteConfig(parquet_max_file_size=256 * 1024,
+                                 parquet_small_file_limit=200 * 1024,
+                                 stats_columns=["o_totalprice"]))
+    tbl.bulk_insert(_orders(spark, sf_dir))
+    tbl.cluster(sort_cols=["o_totalprice"], target_file_size=256 * 1024,
+                small_file_limit=100 * 1024 * 1024)
+    return {"tbl": tbl}
+
+
 _BUILDERS = {
     "orders_cow": _fx_orders_cow, "orders_ow": _fx_orders_ow,
     "orders_owt": _fx_orders_owt, "orders_rb": _fx_orders_rb,
@@ -305,7 +319,7 @@ _BUILDERS = {
     "orders_dml": _fx_orders_dml, "events_ingest": _fx_events_ingest,
     "warehouse": _fx_warehouse, "orders_cdc": _fx_orders_cdc,
     "orders_evolve": _fx_orders_evolve, "orders_partial": _fx_orders_partial,
-    "orders_global": _fx_orders_global,
+    "orders_global": _fx_orders_global, "orders_skip": _fx_orders_skip,
 }
 
 _ORDER_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
@@ -619,6 +633,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["delete_where"] = lambda s, d: _data(
         _fixture(s, d, "orders_dml")["tbl"].snapshot()).select(*_ORDER_COLS)
 
+    # ---- data skipping (file pruning must not change results)
+    q["data_skipping"] = lambda s, d: _data(
+        _fixture(s, d, "orders_skip")["tbl"]
+        .snapshot(skip_filters=[("o_totalprice", ">", 300000.0)])
+        .filter("o_totalprice > 300000.0")).select(*_ORDER_COLS)
+
     # ---- payload policies / index modes / schema evolution / CDC
     q["cdc_upsert"] = lambda s, d: _data(
         _fixture(s, d, "orders_cdc")["tbl"].snapshot()).select(*_ORDER_COLS)
@@ -854,6 +874,9 @@ SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
        CASE WHEN o_orderstatus = 'F' THEN '0-URGENT'
             ELSE o_orderpriority END AS o_orderpriority
 FROM orders WHERE NOT (o_totalprice < 20000)
+"""
+    o["data_skipping"] = f"""
+SELECT {sel_orders} FROM orders WHERE o_totalprice > 300000.0
 """
     o["cdc_upsert"] = """
 SELECT o_orderkey, o_custkey, o_orderstatus,

@@ -217,3 +217,17 @@ class Ingestor:
         for _ in range(rounds):
             out.append(self.sync_once())
         return out
+
+
+class MultiTableIngestor:
+    """HoodieMultiTableDeltaStreamer.java — run several table pipelines from
+    one loop; each keeps its own checkpoint in its own commit metadata."""
+
+    def __init__(self, ingestors: list):
+        self.ingestors = list(ingestors)
+
+    def sync_once(self) -> list:
+        return [ing.sync_once() for ing in self.ingestors]
+
+    def run_continuous(self, rounds: int) -> list:
+        return [self.sync_once() for _ in range(rounds)]

@@ -322,3 +322,33 @@ class HoodieTable:
                         "records": sum(s.get("num_records", 0)
                                        for s in md.get("write_stats", []))})
         return out
+
+    def files(self, partitions: list[str] | None = None) -> list[dict]:
+        """hudi-cli ``show fsview latest`` — live file slices."""
+        out = []
+        for sl in self.view().latest_slices(partitions=partitions):
+            out.append({
+                "partition": sl.partition, "file_id": sl.file_id,
+                "base_instant": sl.base_instant,
+                "base_file": sl.base_file.file_name if sl.base_file else None,
+                "base_size": sl.base_file.size if sl.base_file else 0,
+                "num_records": sl.base_file.num_records if sl.base_file else 0,
+                "log_files": len(sl.log_files),
+                "total_size": sl.total_size(),
+            })
+        return out
+
+    def stats(self) -> dict:
+        """hudi-cli ``stats filesizes`` — table-level aggregates."""
+        files = self.files()
+        sizes = sorted(f["total_size"] for f in files) or [0]
+        return {
+            "partitions": len({f["partition"] for f in files}),
+            "file_groups": len(files),
+            "total_bytes": sum(sizes),
+            "total_records": sum(f["num_records"] for f in files),
+            "log_files": sum(f["log_files"] for f in files),
+            "min_file_bytes": sizes[0], "max_file_bytes": sizes[-1],
+            "p50_file_bytes": sizes[len(sizes) // 2],
+            "commits": len(self.timeline.completed()),
+        }

@@ -127,3 +127,45 @@ def test_structured_streaming_sink(spark, events, tmp_table_path):
     n_commits = len(tbl.commits())
     fn(events.limit(10), 0)
     assert len(tbl.commits()) == n_commits
+
+
+def test_multi_table_ingestor(spark, tmp_table_path):
+    import os
+
+    from hoodie_spark import HoodieTable
+    from hoodie_spark.streaming import Ingestor, MultiTableIngestor, ParquetDFSSource
+
+    t1 = HoodieTable.create(spark, os.path.join(tmp_table_path, "a"), "a",
+                            ["o_orderkey"], "o_orderdate")
+    t2 = HoodieTable.create(spark, os.path.join(tmp_table_path, "b"), "b",
+                            ["c_custkey"])
+    multi = MultiTableIngestor([
+        Ingestor(t1, ParquetDFSSource("/root/testdata/sf0.001/orders.parquet")),
+        Ingestor(t2, ParquetDFSSource("/root/testdata/sf0.001/customer.parquet")),
+    ])
+    res = multi.sync_once()
+    assert len(res) == 2 and all(r is not None for r in res)
+    assert t1.snapshot().count() == 1500
+    assert t2.snapshot().count() > 0
+    # second round: sources unchanged -> both no-ops
+    assert multi.sync_once() == [None, None]
+
+
+def test_cli_inspection(spark, tmp_table_path):
+    from pyspark.sql import functions as F
+
+    from hoodie_spark import HoodieTable
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    tbl = HoodieTable.create(spark, tmp_table_path, "cli", ["o_orderkey"],
+                             "o_orderdate",
+                             partition_expr="date_format(o_orderdate,'yyyy')")
+    tbl.bulk_insert(orders)
+    tbl.upsert(orders.filter(F.col("o_orderkey") % 2 == 0)
+               .withColumn("o_orderstatus", F.lit("X")))
+    files = tbl.files()
+    assert files and all(f["base_file"] for f in files)
+    st = tbl.stats()
+    assert st["total_records"] == 1500
+    assert st["file_groups"] == len(files)
+    assert st["commits"] == len(tbl.commits()) >= 2
