@@ -137,12 +137,15 @@ class FileSystemView:
                                             st.get("max_key"),
                                             bootstrap=st.get("bootstrap", False),
                                             col_stats=st.get("col_stats"))
-            if inst.action == REPLACECOMMIT:
-                for pp, fids in md.get("replaced", {}).items():
-                    for fid in fids:
-                        grp = self.groups.get((pp, fid))
-                        if grp is not None and grp.replaced_at is None:
-                            grp.replaced_at = inst.timestamp
+            # ``replaced`` applies to every data action: replacecommits list
+            # the file groups they supersede, and ordinary commits list
+            # groups whose rewrite produced ZERO rows (full-group delete —
+            # without this the old slice would stay latest and resurrect)
+            for pp, fids in md.get("replaced", {}).items():
+                for fid in fids:
+                    grp = self.groups.get((pp, fid))
+                    if grp is not None and grp.replaced_at is None:
+                        grp.replaced_at = inst.timestamp
         # drop slices that the cleaner fully deleted and ended up empty
         for grp in self.groups.values():
             grp.slices = {t: s for t, s in grp.slices.items()

@@ -100,4 +100,12 @@ def compact(table, strategy=None, **kw):
                 .withColumn(KIND, F.lit("base")))
     write_df = writer._finalize_cols(write_df)
     stats = writer._write_files(write_df, instant, sort_cols=None)
-    return writer._commit(instant, tl.COMMIT, "compact", stats).instant
+    # a slice whose deltas deleted every row compacts to nothing — mark the
+    # group replaced or the old (pre-delete) base would stay latest
+    written = {(s["partition"], s["file_id"]) for s in stats}
+    emptied: dict[str, list[str]] = {}
+    for sl in plan:
+        if (sl.partition, sl.file_id) not in written:
+            emptied.setdefault(sl.partition, []).append(sl.file_id)
+    return writer._commit(instant, tl.COMMIT, "compact", stats,
+                          replaced=emptied or None).instant

@@ -433,13 +433,15 @@ class WriteClient:
                 inserts = inserts.withColumn(BUCKET, F.lit(None).cast("string")) \
                                  .withColumn("__is_new", F.lit(True))
 
+            emptied: dict[str, list[str]] = {}
             if is_mor:
                 stats = self._write_mor(updates, inserts, view, instant)
             else:
-                stats = self._write_cow(updates, inserts, view, instant,
-                                        affected_updates)
+                stats, emptied = self._write_cow(updates, inserts, view,
+                                                 instant, affected_updates)
             n_upd = sum(s.get("num_updates", 0) for s in stats)
             return self._commit(instant, action, operation, stats,
+                                replaced=emptied or None,
                                 extra={"num_updates": n_upd})
         finally:
             tagged.unpersist()
@@ -528,7 +530,14 @@ class WriteClient:
         for s in stats:
             s["num_updates"] = affected_updates.get(
                 (s["partition"], s["file_id"]), 0)
-        return stats
+        # a rewrite that produced no rows leaves no file — mark the group
+        # replaced so the old slice doesn't stay latest (full-group delete)
+        written = {(s["partition"], s["file_id"]) for s in stats}
+        emptied: dict[str, list[str]] = {}
+        for pp, fid in affected:
+            if (pp, fid) not in written:
+                emptied.setdefault(pp, []).append(fid)
+        return stats, emptied
 
     def _merge(self, old: DataFrame, incoming: DataFrame) -> DataFrame:
         """Payload resolution (HoodieRecordPayload.combineAndGetUpdateValue).
