@@ -311,6 +311,23 @@ def _fx_orders_skip(spark, sf_dir, path):
     return {"tbl": tbl}
 
 
+def _fx_orders_ri(spark, sf_dir, path):
+    """Same mutation chain as orders_cow but tagged via the record-level
+    index (no data-file scan during upsert tagging)."""
+    tbl = HoodieTable.create(
+        spark, path, "orders_ri", ["o_orderkey"], "o_orderdate",
+        partition_expr="cast(year(o_orderdate) as string)",
+        write_config=WriteConfig(record_index=True))
+    orders = _orders(spark, sf_dir)
+    tbl.bulk_insert(orders)
+    tbl.upsert(orders.filter(F.col("o_orderkey") % 10 == 0)
+               .withColumn("o_orderstatus", F.lit("X"))
+               .withColumn("o_totalprice", F.col("o_totalprice") + 100.0))
+    tbl.delete(orders.filter(F.col("o_orderkey") % 7 == 3)
+               .select("o_orderkey"))
+    return {"tbl": tbl}
+
+
 _BUILDERS = {
     "orders_cow": _fx_orders_cow, "orders_ow": _fx_orders_ow,
     "orders_owt": _fx_orders_owt, "orders_rb": _fx_orders_rb,
@@ -320,6 +337,7 @@ _BUILDERS = {
     "warehouse": _fx_warehouse, "orders_cdc": _fx_orders_cdc,
     "orders_evolve": _fx_orders_evolve, "orders_partial": _fx_orders_partial,
     "orders_global": _fx_orders_global, "orders_skip": _fx_orders_skip,
+    "orders_ri": _fx_orders_ri,
 }
 
 _ORDER_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
@@ -633,6 +651,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["delete_where"] = lambda s, d: _data(
         _fixture(s, d, "orders_dml")["tbl"].snapshot()).select(*_ORDER_COLS)
 
+    q["record_index_upsert"] = lambda s, d: _data(
+        _fixture(s, d, "orders_ri")["tbl"].snapshot()).select(*_ORDER_COLS)
+
     # ---- data skipping (file pruning must not change results)
     q["data_skipping"] = lambda s, d: _data(
         _fixture(s, d, "orders_skip")["tbl"]
@@ -875,6 +896,7 @@ SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
             ELSE o_orderpriority END AS o_orderpriority
 FROM orders WHERE NOT (o_totalprice < 20000)
 """
+    o["record_index_upsert"] = _COW_FINAL
     o["data_skipping"] = f"""
 SELECT {sel_orders} FROM orders WHERE o_totalprice > 300000.0
 """

@@ -169,6 +169,11 @@ class WriteConfig:
     # commit manifest (column-stats-index equivalent); reads can then prune
     # files via snapshot(skip_filters=...) before Spark ever lists them
     stats_columns: list[str] = field(default_factory=list)
+    # record-level index (metadata-table record index equivalent): persist a
+    # key -> file-group map so upsert tagging joins a compact index instead
+    # of scanning data files. Opt-in.
+    record_index: bool = False
+    record_index_buckets: int = 16
 
     def records_per_file(self) -> int:
         return max(1, self.parquet_max_file_size // max(1, self.record_size_estimate))

@@ -35,6 +35,12 @@ def tag_location(spark: SparkSession, prepared: DataFrame, table,
         IndexType.GLOBAL_SIMPLE, IndexType.GLOBAL_BLOOM)
     view = view or table.view()
 
+    if table.write_config.record_index:
+        from . import record_index
+
+        if record_index.exists(table):
+            return _tag_from_record_index(prepared, table, view, is_global)
+
     if is_global:
         slices = view.latest_slices()
     else:
@@ -71,6 +77,34 @@ def tag_location(spark: SparkSession, prepared: DataFrame, table,
 
     joined = prepared.join(existing, cond[0] if len(cond) == 1 else cond[0] & cond[1],
                            "left").drop("__ex_key")
+    if not is_global:
+        return joined.withColumn("_target_pp", F.col(PARTITION_PATH))
+    return joined
+
+
+def _tag_from_record_index(prepared: DataFrame, table, view,
+                           is_global: bool) -> DataFrame:
+    """Tag from the persisted key → file-group map — no data-file scan.
+
+    The index join replaces reading the record-key column of every affected
+    file: the shuffled payload is the 3-column index, not the table."""
+    from . import record_index
+
+    idx = record_index.lookup(table, view=view)
+    existing = idx.select(F.col(RECORD_KEY).alias("__ex_key"),
+                          F.col(PARTITION_PATH).alias("_target_pp"),
+                          F.col("file_id").alias("_target_file_id"),
+                          F.col("instant").alias("__ex_commit"))
+    if is_global:
+        w = Window.partitionBy("__ex_key").orderBy(F.desc("__ex_commit"))
+        existing = existing.withColumn("__rn", F.row_number().over(w)) \
+                           .filter(F.col("__rn") == 1).drop("__rn")
+        cond = F.col(RECORD_KEY) == F.col("__ex_key")
+    else:
+        cond = (F.col(RECORD_KEY) == F.col("__ex_key")) & \
+               (F.col(PARTITION_PATH) == F.col("_target_pp"))
+    existing = existing.drop("__ex_commit")
+    joined = prepared.join(existing, cond, "left").drop("__ex_key")
     if not is_global:
         return joined.withColumn("_target_pp", F.col(PARTITION_PATH))
     return joined

@@ -1,0 +1,119 @@
+"""Record-level index: a persisted record_key → (partition, file_id) map.
+
+Reference parity: the metadata-table record index (key → location) that
+replaces scanning data files for tagging. Without it, every upsert reads
+the record-key column of all files in the affected partitions; with it,
+tagging joins the incoming batch against a compact 3-column parquet index —
+at 100 TB that is the difference between scanning terabytes and scanning
+the index (gigabytes, dictionary-encoded keys).
+
+Layout: ``<base>/.hoodie/record_index/bucket=<n>/<instant>[-<seq>].parquet``
+— append-only per commit, hash-bucketed by key so point lookups read one
+bucket. Entries carry (key, partition, file_id, op A/R, instant); the
+lookup folds them latest-wins and drops 'R' (removed) entries.
+
+Consistency model (why stale entries are safe):
+  * rewrites (COW merge, compaction) KEEP the file_id — entries stay valid;
+  * an entry pointing at a replaced file group (clustering, overwrite,
+    full-group delete) is filtered by the live-group set at lookup, so the
+    key degrades to "insert" — correct, because replacement either rewrote
+    the key elsewhere (newer entry wins) or dropped it;
+  * a deleted key gets an 'R' entry from the delete batch itself;
+  * duplicate 'A' entries are harmless (latest instant wins).
+
+The index is opt-in (``WriteConfig.record_index``); when the flag is on but
+the index has no entries yet (pre-existing table), tagging falls back to
+the scan path and the next write starts populating it.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .config import FILE_NAME, PARTITION_PATH, RECORD_KEY
+
+INDEX_SCHEMA = (f"{RECORD_KEY} string, {PARTITION_PATH} string, "
+                "file_id string, op string, instant string")
+
+
+def index_dir(table) -> str:
+    return os.path.join(table.base_path, ".hoodie", "record_index")
+
+
+def exists(table) -> bool:
+    d = index_dir(table)
+    return os.path.isdir(d) and any(
+        f.endswith(".parquet") for _r, _d, fs in os.walk(d) for f in fs)
+
+
+def append_from_written_files(table, stats: list[dict], instant: str) -> None:
+    """Register every key present in the commit's new BASE files.
+
+    Reads the just-written files' (key, partition, file name) projection —
+    ground truth from storage, so the index can never drift from the data.
+    Rewritten groups re-append their keys; lookup dedups latest-wins.
+    """
+    from .fsview import BaseFile, FileSlice
+
+    base_stats = [s for s in stats if not s.get("is_delta")]
+    if not base_stats:
+        return
+    slices = [FileSlice(s["partition"], s["file_id"], instant,
+                        BaseFile(s["path"], s["file_name"], s.get("size", 0),
+                                 bootstrap=s.get("bootstrap", False)))
+              for s in base_stats]
+    entries = (table.read_slices_base(slices)
+               .select(F.col(RECORD_KEY), F.col(PARTITION_PATH),
+                       F.split(F.col(FILE_NAME), "_").getItem(0).alias("file_id"),
+                       F.lit("A").alias("op"), F.lit(instant).alias("instant")))
+    _write(table, entries, instant)
+
+
+def append_removals(table, keys_df: DataFrame, instant: str) -> None:
+    """Register 'R' entries for a delete batch (keys_df carries RECORD_KEY
+    and PARTITION_PATH — partition may be null for global deletes)."""
+    entries = keys_df.select(
+        F.col(RECORD_KEY), F.col(PARTITION_PATH),
+        F.lit(None).cast("string").alias("file_id"),
+        F.lit("R").alias("op"), F.lit(instant).alias("instant"))
+    _write(table, entries, instant)
+
+
+def _write(table, entries: DataFrame, instant: str) -> None:
+    n_buckets = table.write_config.record_index_buckets
+    out = entries.withColumn(
+        "bucket", F.pmod(F.xxhash64(F.col(RECORD_KEY)), F.lit(n_buckets)))
+    # one file per bucket per write; append mode keeps history
+    (out.repartition(F.col("bucket"))
+        .write.partitionBy("bucket").mode("append").parquet(index_dir(table)))
+
+
+def lookup(table, view=None) -> DataFrame:
+    """Current key → (partition, file_id, instant) map: fold entries
+    latest-wins, drop removals, and keep only locations whose file group is
+    still live."""
+    spark = table.spark
+    df = spark.read.schema(INDEX_SCHEMA + ", bucket int").parquet(index_dir(table))
+    # entries written by rolled-back / restored-over instants never happened
+    from . import timeline as tl
+
+    rolled_back: set[str] = set()
+    for inst in table.timeline.completed((tl.ROLLBACK, tl.RESTORE)):
+        rolled_back.update(table.timeline.metadata(inst).get("targets", []))
+    if rolled_back:
+        df = df.filter(~F.col("instant").isin(*sorted(rolled_back)))
+    w = Window.partitionBy(RECORD_KEY, PARTITION_PATH).orderBy(
+        F.desc("instant"), F.desc("op"))  # same instant: 'R' sorts above 'A'
+    latest = (df.withColumn("__rn", F.row_number().over(w))
+              .filter((F.col("__rn") == 1) & (F.col("op") == "A"))
+              .drop("__rn", "op", "bucket"))
+    view = view or table.view()
+    live = {(sl.partition, sl.file_id) for sl in view.latest_slices()}
+    if not live:
+        return latest.limit(0)
+    live_df = F.broadcast(spark.createDataFrame(
+        sorted(live), f"{PARTITION_PATH} string, file_id string"))
+    return latest.join(live_df, [PARTITION_PATH, "file_id"], "left_semi")

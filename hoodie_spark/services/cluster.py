@@ -60,6 +60,7 @@ def cluster(table, sort_cols: list[str] | None = None, partitions=None,
                 .withColumn(KIND, F.lit("base")))
     write_df = writer._finalize_cols(arranged)
     stats = writer._write_files(write_df, instant, already_partitioned=True)
+    writer._index_written(stats, instant)  # keys moved to new file groups
     replaced: dict[str, list[str]] = {}
     for sl in plan:
         replaced.setdefault(sl.partition, []).append(sl.file_id)

@@ -132,6 +132,7 @@ class WriteClient:
         write_df = self._stamp_meta(arranged, instant).withColumn(KIND, F.lit("base"))
         sort_cols = [RECORD_KEY] if sort_mode != SortMode.NONE else None
         stats = self._write_files(write_df, instant, already_partitioned=True, sort_cols=sort_cols)
+        self._index_written(stats, instant)
         return self._commit(instant, tl.COMMIT, WriteOperation.BULK_INSERT, stats)
 
     def insert(self, df: DataFrame) -> WriteResult:
@@ -439,6 +440,14 @@ class WriteClient:
             else:
                 stats, emptied = self._write_cow(updates, inserts, view,
                                                  instant, affected_updates)
+            self._index_written(stats, instant)
+            if self.table.write_config.record_index:
+                dels = tagged.filter((F.col(OP) == "D") &
+                                     F.col("_target_file_id").isNotNull()) \
+                             .select(RECORD_KEY, PARTITION_PATH)
+                from . import record_index
+                if dels.limit(1).count():
+                    record_index.append_removals(self.table, dels, instant)
             n_upd = sum(s.get("num_updates", 0) for s in stats)
             return self._commit(instant, action, operation, stats,
                                 replaced=emptied or None,
@@ -635,12 +644,22 @@ class WriteClient:
             write_df = self._stamp_meta(arranged, instant).withColumn(KIND, F.lit("base"))
             stats = self._write_files(write_df, instant, already_partitioned=True,
                                       sort_cols=[RECORD_KEY])
+            self._index_written(stats, instant)
             touched = sorted({s["partition"] for s in stats})
         if operation == WriteOperation.INSERT_OVERWRITE_TABLE:
             replaced = view.live_group_ids()
         else:
             replaced = view.live_group_ids(partitions=touched)
         return self._commit(instant, tl.REPLACECOMMIT, operation, stats, replaced=replaced)
+
+    # ------------------------------------------------------- record index
+    def _index_written(self, stats: list[dict], instant: str) -> None:
+        """Maintain the record-level index from the just-written base files
+        (opt-in). Ground truth comes from storage, so the index can't drift."""
+        if not self.table.write_config.record_index:
+            return
+        from . import record_index
+        record_index.append_from_written_files(self.table, stats, instant)
 
     # ----------------------------------------------------------- file writer
     def _write_files(self, df: DataFrame, instant: str, *, already_partitioned=False,
