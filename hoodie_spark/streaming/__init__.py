@@ -1,10 +1,11 @@
 from .ingest import (CsvDFSSource, HoodieIncrSource, Ingestor, JdbcSource,
                      JsonDFSSource, KafkaSource, MultiTableIngestor,
                      ParquetDFSSource, SqlSource)
+from .async_services import AsyncTableServices
 from .sink import foreach_batch_writer, write_stream
 from .source import incremental_batches, latest_offset
 
 __all__ = ["foreach_batch_writer", "write_stream", "incremental_batches",
            "latest_offset", "Ingestor", "ParquetDFSSource", "JsonDFSSource",
            "CsvDFSSource", "JdbcSource", "KafkaSource", "SqlSource",
-           "HoodieIncrSource", "MultiTableIngestor"]
+           "HoodieIncrSource", "MultiTableIngestor", "AsyncTableServices"]

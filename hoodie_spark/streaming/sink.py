@@ -26,21 +26,34 @@ def _last_batch_id(table) -> int:
 
 
 def foreach_batch_writer(table, operation: str = WriteOperation.UPSERT,
-                         compact_every: int | None = None):
-    """Returns fn(batch_df, batch_id) for ``writeStream.foreachBatch``."""
+                         compact_every: int | None = None, services=None):
+    """Returns fn(batch_df, batch_id) for ``writeStream.foreachBatch``.
+
+    ``services`` (an :class:`~hoodie_spark.streaming.AsyncTableServices`)
+    moves compaction/cleaning to a background thread — the batch write
+    serializes with them on the services' write lock, everything else
+    overlaps. Without it, ``compact_every`` triggers inline compaction
+    (HoodieStreamingSink's sync mode)."""
 
     def fn(batch_df: DataFrame, batch_id: int):
         if batch_id <= _last_batch_id(table):
             return  # replayed batch after restart — already committed
-        table._writer.commit_extra["streaming_batch_id"] = int(batch_id)
-        if operation == WriteOperation.INSERT:
-            table.insert(batch_df)
-        else:
-            table.upsert(batch_df)
-        if compact_every and table.config.table_type == TableType.MERGE_ON_READ:
-            n_delta = len(table.timeline.completed(("deltacommit",)))
-            if n_delta and n_delta % compact_every == 0:
-                table.compact()
+        import contextlib
+        lock = services.write_lock if services is not None \
+            else contextlib.nullcontext()
+        with lock:
+            table._writer.commit_extra["streaming_batch_id"] = int(batch_id)
+            if operation == WriteOperation.INSERT:
+                table.insert(batch_df)
+            else:
+                table.upsert(batch_df)
+            if services is None and compact_every and \
+                    table.config.table_type == TableType.MERGE_ON_READ:
+                n_delta = len(table.timeline.completed(("deltacommit",)))
+                if n_delta and n_delta % compact_every == 0:
+                    table.compact()
+        if services is not None:
+            services.after_commit()
 
     return fn
 

@@ -169,3 +169,27 @@ def test_cli_inspection(spark, tmp_table_path):
     assert st["total_records"] == 1500
     assert st["file_groups"] == len(files)
     assert st["commits"] == len(tbl.commits()) >= 2
+
+
+def test_async_table_services(spark, tmp_table_path):
+    from pyspark.sql import functions as F
+
+    from hoodie_spark import HoodieTable, TableType
+    from hoodie_spark.streaming import AsyncTableServices, foreach_batch_writer
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    tbl = HoodieTable.create(spark, tmp_table_path, "async", ["o_orderkey"],
+                             "o_orderdate", table_type=TableType.MERGE_ON_READ)
+    tbl.bulk_insert(orders)
+    services = AsyncTableServices(tbl, compact_every=2)
+    fn = foreach_batch_writer(tbl, services=services)
+    for i in range(4):  # 4 delta commits -> background compaction fires
+        fn(orders.filter(F.col("o_orderkey") % 5 == i)
+           .withColumn("o_orderstatus", F.lit(f"S{i}")), i)
+    services.stop()
+    assert any(c["operation"] == "compact" for c in tbl.commits())
+    snap = tbl.snapshot()
+    assert snap.count() == orders.count()
+    for i in range(4):
+        assert snap.filter(f"o_orderstatus = 'S{i}'").count() == \
+            orders.filter(F.col("o_orderkey") % 5 == i).count()
