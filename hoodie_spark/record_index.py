@@ -91,6 +91,59 @@ def _write(table, entries: DataFrame, instant: str) -> None:
         .write.partitionBy("bucket").mode("append").parquet(index_dir(table)))
 
 
+def compact(table, retain_commits: int | None = None) -> int:
+    """Fold the append-only index buckets into one file per bucket.
+
+    Entries from the last ``retain_commits`` data commits (default: the
+    cleaner retention) are kept RAW: a future rollback/restore can still
+    exclude them by instant. Older entries fold latest-wins — safe because
+    restore past the clean horizon is impossible anyway (the data files are
+    gone). Returns the number of entries in the folded portion.
+    """
+    import shutil
+
+    from . import timeline as tl
+    from .timeline import LockProvider
+
+    spark = table.spark
+    retain = retain_commits if retain_commits is not None \
+        else table.write_config.cleaner_commits_retained
+    commits = table.timeline.completed(tl.DATA_ACTIONS)
+    if len(commits) <= retain:
+        return 0
+    horizon = commits[-retain].timestamp
+    d = index_dir(table)
+    df = spark.read.schema(INDEX_SCHEMA + ", bucket int").parquet(d)
+
+    rolled_back: set[str] = set()
+    for inst in table.timeline.completed((tl.ROLLBACK, tl.RESTORE)):
+        rolled_back.update(table.timeline.metadata(inst).get("targets", []))
+    if rolled_back:
+        df = df.filter(~F.col("instant").isin(*sorted(rolled_back)))
+
+    old = df.filter(F.col("instant") < horizon)
+    recent = df.filter(F.col("instant") >= horizon)
+    w = Window.partitionBy(RECORD_KEY, PARTITION_PATH).orderBy(
+        F.desc("instant"), F.desc("op"))
+    folded = (old.withColumn("__rn", F.row_number().over(w))
+              .filter((F.col("__rn") == 1) & (F.col("op") == "A"))
+              .drop("__rn"))
+    out = folded.unionByName(recent)
+
+    tmp = d + ".compacting"
+    shutil.rmtree(tmp, ignore_errors=True)
+    (out.repartition(F.col("bucket"))
+        .write.partitionBy("bucket").mode("overwrite").parquet(tmp))
+    n = folded.count()
+    with LockProvider(table.base_path, table.write_config.lock_timeout_s):
+        trash = d + ".old"
+        shutil.rmtree(trash, ignore_errors=True)
+        os.replace(d, trash)
+        os.replace(tmp, d)
+        shutil.rmtree(trash, ignore_errors=True)
+    return n
+
+
 def lookup(table, view=None) -> DataFrame:
     """Current key → (partition, file_id, instant) map: fold entries
     latest-wins, drop removals, and keep only locations whose file group is

@@ -74,3 +74,34 @@ def test_index_point_lookup_consistency(spark, tmp_table_path):
     new = orders.withColumn("o_orderkey", F.col("o_orderkey") + 10_000_000)
     only_new = tbl.filter_exists(orders.unionByName(new))
     assert only_new.count() == orders.count()  # existing half filtered out
+
+
+def test_index_compaction(spark, tmp_table_path):
+    import os
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    tbl = HoodieTable.create(
+        spark, tmp_table_path, "ri4", ["o_orderkey"], "o_orderdate",
+        write_config=WriteConfig(record_index=True, cleaner_commits_retained=2))
+    tbl.bulk_insert(orders)
+    for i in (3, 5, 9):  # several commits -> several appended index files
+        tbl.upsert(orders.filter(F.col("o_orderkey") % i == 0)
+                   .withColumn("o_orderstatus", F.lit(f"C{i}")))
+    before = record_index.lookup(tbl).collect()
+
+    def n_files():
+        return sum(1 for _r, _d, fs in os.walk(record_index.index_dir(tbl))
+                   for f in fs if f.endswith(".parquet"))
+
+    files_before = n_files()
+    folded = record_index.compact(tbl)
+    assert folded > 0 and n_files() < files_before
+    after = record_index.lookup(tbl).collect()
+    assert sorted(map(tuple, before)) == sorted(map(tuple, after))
+    # writes after compaction still tag correctly
+    tbl.upsert(orders.filter(F.col("o_orderkey") % 4 == 1)
+               .withColumn("o_orderstatus", F.lit("Z")))
+    snap = tbl.snapshot()
+    assert snap.count() == orders.count()
+    assert snap.filter("o_orderstatus = 'Z'").count() == \
+        orders.filter("o_orderkey % 4 = 1").count()
