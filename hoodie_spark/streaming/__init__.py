@@ -3,9 +3,10 @@ from .ingest import (CsvDFSSource, HoodieIncrSource, Ingestor, JdbcSource,
                      ParquetDFSSource, SqlSource)
 from .async_services import AsyncTableServices
 from .sink import foreach_batch_writer, write_stream
+from .stateful import stateful_dedup, stateful_session_counts
 from .source import incremental_batches, latest_offset
 
 __all__ = ["foreach_batch_writer", "write_stream", "incremental_batches",
            "latest_offset", "Ingestor", "ParquetDFSSource", "JsonDFSSource",
            "CsvDFSSource", "JdbcSource", "KafkaSource", "SqlSource",
-           "HoodieIncrSource", "MultiTableIngestor", "AsyncTableServices"]
+           "HoodieIncrSource", "MultiTableIngestor", "AsyncTableServices", "stateful_dedup", "stateful_session_counts"]

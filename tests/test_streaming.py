@@ -193,3 +193,76 @@ def test_async_table_services(spark, tmp_table_path):
     for i in range(4):
         assert snap.filter(f"o_orderstatus = 'S{i}'").count() == \
             orders.filter(F.col("o_orderkey") % 5 == i).count()
+
+
+def test_stateful_dedup_across_batches(spark, tmp_table_path):
+    import os
+    import time
+
+    from hoodie_spark.streaming import stateful_dedup
+
+    src = os.path.join(tmp_table_path, "src")
+    ckpt = os.path.join(tmp_table_path, "ckpt")
+    out = os.path.join(tmp_table_path, "out")
+    os.makedirs(src, exist_ok=True)
+    schema = "id long, v string"
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (stateful_dedup(stream, ["id"]).writeStream
+             .format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    spark.createDataFrame([(1, "a"), (2, "b"), (1, "dup-in-batch")], schema) \
+         .coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    # second batch: 1 and 2 are replays, 3 is new
+    spark.createDataFrame([(1, "later-dup"), (2, "later-dup"), (3, "c")],
+                          schema).coalesce(1).write.mode("append").parquet(src)
+    run_once()
+
+    got = {r.id: r.v for r in spark.read.schema(schema).parquet(out).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[3] == "c" and got[2] == "b"
+    assert got[1] in ("a", "dup-in-batch")  # first batch won; never "later-dup"
+
+
+def test_stateful_session_counts(spark, tmp_table_path):
+    import datetime as dt
+    import os
+
+    from hoodie_spark.streaming import stateful_session_counts
+
+    src = os.path.join(tmp_table_path, "s2src")
+    ckpt = os.path.join(tmp_table_path, "s2ckpt")
+    os.makedirs(src, exist_ok=True)
+    schema = "user_id long, ts timestamp"
+    base = dt.datetime(2024, 1, 1)
+
+    spark.createDataFrame(
+        [(7, base), (7, base + dt.timedelta(seconds=10))], schema) \
+        .coalesce(1).write.mode("append").parquet(src)
+    out = os.path.join(tmp_table_path, "s2out")
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (stateful_session_counts(stream, "user_id", "ts", 1800)
+             .writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    run_once()
+    rows = {(r.user_id, r.session_n, r.n_events) for r in
+            spark.read.parquet(out).collect()}
+    assert rows == {(7, 0, 2)}
+
+    # next batch: gap > 30 min -> new session, carried state
+    spark.createDataFrame([(7, base + dt.timedelta(seconds=5000))], schema) \
+        .coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    rows = {(r.user_id, r.session_n, r.n_events) for r in
+            spark.read.parquet(out).collect()}
+    assert rows == {(7, 0, 2), (7, 1, 1)}
