@@ -131,10 +131,13 @@ class ReadClient:
                 .drop("__rn", "__ord", "__last_del"))
 
     # ----------------------------------------------------------- incremental
-    def incremental(self, begin: str | None = None, end: str | None = None) -> DataFrame:
+    def incremental(self, begin: str | None = None, end: str | None = None,
+                    skip_filters: list[tuple] | None = None) -> DataFrame:
         """Rows whose CURRENT value was committed in (begin, end]
         (IncrementalRelation.scala:98-116). begin=None reads from the start
-        (first commit inclusive); end=None means the latest instant."""
+        (first commit inclusive); end=None means the latest instant.
+        ``skip_filters`` prunes touched files by manifest column stats
+        (PUSH_DOWN_INCR_FILTERS_OPT_KEY equivalent, driver-side)."""
         begin = begin or ""
         instants = [i for i in self.table.timeline.completed(tl.DATA_ACTIONS)
                     if i.timestamp > begin and (end is None or i.timestamp <= end)]
@@ -148,6 +151,10 @@ class ReadClient:
                 touched.add((st["partition"], st["file_id"]))
         view = self.table.view()
         slices = view.slices_for_groups(touched, as_of=end_ts)
+        if skip_filters:
+            slices = prune_by_stats(
+                slices, skip_filters,
+                mor=self.table.config.table_type == TableType.MERGE_ON_READ)
         if self.table.config.table_type == TableType.MERGE_ON_READ:
             df = self._merge_on_read_incremental(view, slices, end_ts)
         else:

@@ -212,8 +212,9 @@ class HoodieTable:
         return self._reader.read_optimized(as_of=as_of,
                                            skip_filters=skip_filters)
 
-    def incremental(self, begin: str | None = None, end: str | None = None) -> DataFrame:
-        return self._reader.incremental(begin, end)
+    def incremental(self, begin: str | None = None, end: str | None = None,
+                    skip_filters: list[tuple] | None = None) -> DataFrame:
+        return self._reader.incremental(begin, end, skip_filters=skip_filters)
 
     def read_keys(self, keys_df: DataFrame, as_of: str | None = None) -> DataFrame:
         return self._reader.read_keys(keys_df, as_of=as_of)

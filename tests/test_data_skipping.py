@@ -56,3 +56,14 @@ def test_skip_between_and_eq(spark, stats_table):
         skip_filters=[("o_totalprice", "between", 100000.0, 150000.0)]) \
         .filter("o_totalprice between 100000 and 150000").count()
     assert got == n
+
+
+def test_incremental_skip_filters(spark, stats_table):
+    tbl, orders = stats_table
+    c1 = tbl.timeline.completed()[0].timestamp
+    # incremental from the start == whole table; skip filter must not
+    # change the (filtered) result
+    inc = tbl.incremental(skip_filters=[("o_totalprice", ">", 400000.0)]) \
+             .filter("o_totalprice > 400000.0")
+    assert inc.count() == orders.filter("o_totalprice > 400000.0").count()
+    assert tbl.incremental(begin=c1).count() == 0  # nothing after first commit
