@@ -689,10 +689,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .select(F.unix_micros("w.start").alias("w_start"), "event_type",
                 "cnt", "sum_value"))
 
-    # ---- SQL-on-snapshot (TPC-H style)
-    for name in TPCH_SQL:
-        q[name] = _q_tpch(name)
-
     # ---- text analysis
     q["text_stats"] = lambda s, d: load_table(s, d, "documents").select(
         "doc_id",
@@ -718,8 +714,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         load_table(s, d, "documents"), "doc_id", "text",
         bits=32, max_distance=3).select("id_a", "id_b", "distance")
     q["dedup_embedding"] = lambda s, d: HF.embedding_near_dup_pairs(
-        _dup_emb(s, d), "vec_id", "embedding", threshold=0.999).select(
-            "id_a", "id_b")
+        _dup_emb(s, d), "vec_id", "embedding", threshold=0.999,
+        dim=64).select("id_a", "id_b")
 
     # ---- similarity search
     q["ann_brute_force"] = lambda s, d: HF.brute_force_topk(
@@ -740,6 +736,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_id", F.col("media_meta.n_bytes").alias("n_bytes"),
         F.col("media_meta.digest").alias("digest"),
         "width", "height", "channels")
+
+    # ---- SQL-on-snapshot (TPC-H style). Deliberately LAST: the driver
+    # records only the first 50 queries, and every unique operator must land
+    # inside that window — TPC-H rows are parity evidence for one §2.6 row,
+    # so they are the ones allowed to spill past the cutoff.
+    for name in TPCH_SQL:
+        q[name] = _q_tpch(name)
 
     return q
 
@@ -1053,7 +1056,7 @@ cand AS (
   FROM blocked a JOIN blocked b ON a.block = b.block
   WHERE a.doc_id < b.doc_id
 )
-SELECT id_a, id_b, dist AS distance FROM (
+SELECT id_a, id_b, CAST(dist AS BIGINT) AS distance FROM (
   SELECT id_a, id_b,
          list_sum(list_transform(range(1, 33), i ->
            CASE WHEN substr(sh_a, CAST(i AS INT), 1) <> substr(sh_b, CAST(i AS INT), 1)

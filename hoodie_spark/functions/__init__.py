@@ -32,6 +32,7 @@ from .dedup import (
     minhash_candidate_pairs,
     jaccard_dedup_pairs,
     with_simhash,
+    simhash_sigs,
     simhash_dup_pairs,
     embedding_near_dup_pairs,
 )
@@ -55,8 +56,8 @@ __all__ = [
     "tokens", "token_count", "regex_token_count", "char_ngrams", "lang_id",
     "LANG_PROFILES", "quality_score", "fingerprint", "kmin_fingerprint",
     "exact_dedup", "with_minhash", "minhash_candidate_pairs",
-    "jaccard_dedup_pairs", "with_simhash", "simhash_dup_pairs",
-    "embedding_near_dup_pairs",
+    "jaccard_dedup_pairs", "with_simhash", "simhash_sigs",
+    "simhash_dup_pairs", "embedding_near_dup_pairs",
     "dot", "l2_norm", "cosine", "brute_force_topk", "lsh_bucket_topk",
     "ivf_topk",
     "MEDIA_META_SCHEMA", "attach_media", "decode_media_meta", "sample_frames",

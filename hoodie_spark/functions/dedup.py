@@ -34,8 +34,8 @@ from .text import char_ngrams, tokens
 
 __all__ = [
     "exact_dedup", "with_minhash", "minhash_candidate_pairs",
-    "jaccard_dedup_pairs", "with_simhash", "simhash_dup_pairs",
-    "embedding_near_dup_pairs",
+    "jaccard_dedup_pairs", "with_simhash", "simhash_sigs",
+    "simhash_dup_pairs", "embedding_near_dup_pairs",
 ]
 
 
@@ -187,6 +187,11 @@ def simhash_signature(col, bits: int = 16) -> Column:
     Bit *i* is the high bit of hex nibble *i* of each token's md5 (a char in
     '89abcdef' ⇒ 1); the signature bit is 1 when the +1/−1 vote sum over
     tokens is positive. bits ≤ 32 (md5 has 32 nibbles). In-row compute only.
+
+    NOTE: higher-order lambdas are interpreted, and the hashed-token
+    subexpression is re-evaluated per bit — this Column form costs
+    O(bits × tokens) md5 calls. For bulk corpus runs use
+    :func:`simhash_sigs` (explode shape, one codegen'd md5 per token).
     """
     toks = tokens(col)
     votes = F.transform(
@@ -200,6 +205,42 @@ def simhash_signature(col, bits: int = 16) -> Column:
         ),
     )
     return F.concat_ws("", F.transform(votes, lambda v: F.when(v > 0, F.lit("1")).otherwise(F.lit("0"))))
+
+
+_HEX_HI = ("8", "9", "a", "b", "c", "d", "e", "f")
+
+
+def simhash_sigs(df: DataFrame, id_col: str, text_col: str,
+                 bits: int = 16) -> DataFrame:
+    """(id, simhash) via explode + codegen'd md5 + map-side partial sums.
+
+    Each token is md5'd exactly once in whole-stage codegen; the ``bits``
+    per-bit votes are plain CASE sums partially aggregated map-side, so the
+    shuffle carries only (id, bits × 8 B). This replaces the interpreted
+    O(bits × tokens) md5 fold of :func:`simhash_signature` for bulk runs.
+    Rows whose text has no tokens keep the all-zero signature (matching the
+    Column form, where an empty vote sum is never > 0).
+    """
+    base = _spread(df).select(F.col(id_col), F.col(text_col).alias("__t"))
+    hashed = base.select(
+        F.col(id_col), F.explode(tokens(F.col("__t"))).alias("__tok")
+    ).select(F.col(id_col), F.md5("__tok").alias("__h"))
+    votes = [
+        F.sum(F.when(F.substring("__h", i, 1).isin(*_HEX_HI), 1).otherwise(-1))
+        .alias(f"__v{i}")
+        for i in range(1, bits + 1)
+    ]
+    sig = F.concat(*[
+        F.when(F.col(f"__v{i}") > 0, F.lit("1")).otherwise(F.lit("0"))
+        for i in range(1, bits + 1)
+    ])
+    sigs = hashed.groupBy(id_col).agg(*votes).select(
+        F.col(id_col), sig.alias("simhash"))
+    # left join restores token-less rows (dropped by the explode) with the
+    # all-zero signature; the signature side is tiny (id + bits chars).
+    return base.select(id_col).join(sigs, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("simhash"), F.lit("0" * bits)).alias("simhash"))
 
 
 def with_simhash(df: DataFrame, text_col: str, bits: int = 16,
@@ -235,7 +276,7 @@ def simhash_dup_pairs(df: DataFrame, id_col: str, text_col: str,
     Returns (id_a, id_b, distance).
     """
     seg = bits // blocks
-    sh = _pin(with_simhash(_spread(df), text_col, bits).select(id_col, "simhash"))
+    sh = _pin(simhash_sigs(df, id_col, text_col, bits))
     segments = [
         F.concat(F.lit(f"B{i}:"),
                  F.col("simhash").substr(i * seg + 1,
@@ -254,13 +295,17 @@ def simhash_dup_pairs(df: DataFrame, id_col: str, text_col: str,
         .distinct()
     )
     return (
-        cand.select("id_a", "id_b", hamming("sh_a", "sh_b", bits).alias("distance"))
+        # cast to long: DuckDB's list_sum yields HUGEINT — both engines must
+        # present the distance as int64 for the value-hash gate to agree
+        cand.select("id_a", "id_b",
+                    hamming("sh_a", "sh_b", bits).cast("long").alias("distance"))
         .filter(F.col("distance") <= max_distance)
     )
 
 
 def embedding_near_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
-                             threshold: float = 0.95, planes: int = 8) -> DataFrame:
+                             threshold: float = 0.95, planes: int = 8,
+                             dim: int | None = None) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via sign-LSH blocking.
 
     Each vector maps to a ``planes``-bit bucket (sign of dot with a
@@ -275,7 +320,7 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
 
     keyed = _pin(
         _spread(df).select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
-        .withColumn("bucket", sign_lsh_key(F.col("v"), planes)))
+        .withColumn("bucket", sign_lsh_key(F.col("v"), planes, dim)))
     a = keyed.alias("a")
     b = keyed.alias("b")
     return (

@@ -48,14 +48,42 @@ def cosine(a, b) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
-def sign_lsh_key(vec, planes: int) -> Column:
+def _plane_matrix(planes: int, dim: int) -> list[list[float]]:
+    """Deterministic ±1 hyperplanes: +1 when the first hex digit of
+    ``md5('p<p>:<i>')`` is 0–7. Identical to the DuckDB oracle derivation —
+    computed once in Python instead of per (plane × dim × row) in Spark."""
+    import hashlib
+
+    return [
+        [1.0 if int(hashlib.md5(f"p{p}:{i}".encode()).hexdigest()[0], 16) < 8
+         else -1.0 for i in range(dim)]
+        for p in range(planes)
+    ]
+
+
+def sign_lsh_key(vec, planes: int, dim: int | None = None) -> Column:
     """Random-hyperplane signature: ``planes``-char '0'/'1' string.
 
     Plane p's component for dimension i is +1 when the first hex digit of
     ``md5('p<p>:<i>')`` is in 0–7, else −1 — deterministic, shared with the
-    DuckDB oracle, and never materialized (computed inline per element).
+    DuckDB oracle, no stored model.
+
+    When ``dim`` is known, the ±1 matrix is precomputed driver-side and
+    embedded as array literals — the per-row cost is ``planes`` dot products
+    (no md5 at all). Without ``dim`` the plane components are derived inline
+    per element (planes × dim interpreted md5s per row — avoid on bulk runs).
     """
     vec = F.col(vec) if isinstance(vec, str) else vec
+    if dim is not None:
+        mat = _plane_matrix(planes, dim)
+        bits = []
+        for p in range(planes):
+            row = F.array(*[F.lit(s) for s in mat[p]])
+            proj = F.aggregate(F.zip_with(vec, row, lambda x, s: x * s),
+                               F.lit(0.0), lambda acc, x: acc + x)
+            bits.append(F.when(proj > 0, F.lit("1")).otherwise(F.lit("0")))
+        return F.concat(*bits)
+
     def bit(p):
         proj = F.aggregate(
             F.zip_with(
@@ -110,10 +138,11 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
 
 
 def lsh_bucket_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
-                    vec_col: str, k: int = 10, planes: int = 6) -> DataFrame:
+                    vec_col: str, k: int = 10, planes: int = 6,
+                    dim: int | None = None) -> DataFrame:
     """Approximate top-k scoring only same-sign-LSH-bucket pairs."""
-    c = _prep(corpus, id_col, vec_col, "c").withColumn("bucket", sign_lsh_key("c_v", planes))
-    q = _prep(queries, id_col, vec_col, "q").withColumn("bucket", sign_lsh_key("q_v", planes))
+    c = _prep(corpus, id_col, vec_col, "c").withColumn("bucket", sign_lsh_key("c_v", planes, dim))
+    q = _prep(queries, id_col, vec_col, "q").withColumn("bucket", sign_lsh_key("q_v", planes, dim))
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("c_id") != F.col("q_id"))

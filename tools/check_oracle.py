@@ -36,6 +36,33 @@ def canon_rows(cols, rows):
     return sorted(tuple(canon(r[i]) for i in order) for r in rows)
 
 
+def tclass(t: str) -> str:
+    """Coarse type class for engine-parity checking.
+
+    The driver's value hash is type-sensitive across *classes* (int vs
+    decimal/hugeint vs float — they normalize differently through
+    arrow/pandas) but tolerant within a class (int32 vs int64 both land as
+    int64). round-1 evidence: text_stats (i32 vs i64) hashed green while
+    dedup_simhash (i32 vs HUGEINT) hashed red.
+    """
+    t = str(t).lower()
+    if t.startswith(("decimal", "hugeint")):
+        return "decimal"
+    if t.startswith(("tinyint", "smallint", "int", "bigint", "uint")):
+        return "int"
+    if t.startswith(("float", "double", "halffloat")):
+        return "float"
+    if t.startswith("timestamp"):
+        return "timestamp"
+    if t.startswith("date"):
+        return "date"
+    if t in ("string", "large_string", "varchar"):
+        return "str"
+    if t in ("bool", "boolean"):
+        return "bool"
+    return t
+
+
 def main():
     import duckdb
     from pyspark.sql import SparkSession
@@ -77,15 +104,26 @@ def main():
             results[name] = f"rows-only ({len(s_rows)} rows, {time.time()-t0:.1f}s)"
             continue
         try:
-            rel = con.execute(os_[name])
-            o_cols = [d[0] for d in rel.description]
-            o_rows = rel.fetchall()
+            atbl = con.sql(os_[name]).arrow()
+            o_cols = atbl.column_names
+            o_types = [str(f.type) for f in atbl.schema]
+            o_rows = (list(zip(*(atbl.column(i).to_pylist()
+                                 for i in range(atbl.num_columns))))
+                      if atbl.num_columns else [])
         except Exception as e:
             results[name] = f"ORACLE-ERROR {type(e).__name__}: {str(e)[:200]}"
             continue
         dt = time.time() - t0
         if sorted(s_cols) != sorted(o_cols):
             results[name] = f"COLS-MISMATCH spark={sorted(s_cols)} oracle={sorted(o_cols)}"
+            continue
+        s_types = dict(df.dtypes)
+        bad_types = [
+            (c, s_types[c], ot) for c, ot in zip(o_cols, o_types)
+            if tclass(s_types[c]) != tclass(ot)
+        ]
+        if bad_types:
+            results[name] = f"TYPE-MISMATCH (spark vs oracle): {bad_types}"
             continue
         if len(s_rows) != len(o_rows):
             results[name] = f"COUNT-MISMATCH spark={len(s_rows)} oracle={len(o_rows)}"
