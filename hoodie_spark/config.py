@@ -174,6 +174,12 @@ class WriteConfig:
     # of scanning data files. Opt-in.
     record_index: bool = False
     record_index_buckets: int = 16
+    # bloom sketch cost gate: building + probing a sketch costs ~2 Spark
+    # jobs per write, which only pays off when it saves reading the key
+    # column of large files. Files below this record count skip the sketch
+    # (their key scan is cheaper than the probe); default-sized 120 MB
+    # files (~117k records at 1 KB/record) are above it.
+    bloom_sketch_min_records: int = 100_000
 
     def records_per_file(self) -> int:
         return max(1, self.parquet_max_file_size // max(1, self.record_size_estimate))

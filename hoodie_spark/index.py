@@ -38,8 +38,11 @@ def tag_location(spark: SparkSession, prepared: DataFrame, table,
     if table.write_config.record_index:
         from . import record_index
 
-        if record_index.exists(table):
-            return _tag_from_record_index(prepared, table, view, is_global)
+        # first use on a pre-existing table backfills from ALL live slices
+        # (keys in untouched file groups would otherwise tag as inserts and
+        # duplicate); afterwards the marker gates straight to the index
+        record_index.ensure_initialized(table, view)
+        return _tag_from_record_index(prepared, table, view, is_global)
 
     if is_global:
         slices = view.latest_slices()
@@ -49,6 +52,11 @@ def tag_location(spark: SparkSession, prepared: DataFrame, table,
 
     if index_type in (IndexType.BLOOM, IndexType.GLOBAL_BLOOM):
         slices = _prune_by_key_range(prepared, slices, is_global)
+        # bloom membership pruning (SparkHoodieBloomIndex.java:256-266):
+        # range pruning is useless for random/UUID keys, the key sketch
+        # still cuts the candidate set to files that may contain a key
+        from . import bloom
+        slices = bloom.prune(spark, prepared, slices, is_global, table)
 
     slices = [sl for sl in slices if sl.base_file is not None]
     if not slices:

@@ -21,9 +21,13 @@ Consistency model (why stale entries are safe):
   * a deleted key gets an 'R' entry from the delete batch itself;
   * duplicate 'A' entries are harmless (latest instant wins).
 
-The index is opt-in (``WriteConfig.record_index``); when the flag is on but
-the index has no entries yet (pre-existing table), tagging falls back to
-the scan path and the next write starts populating it.
+The index is opt-in (``WriteConfig.record_index``). Turning the flag on is
+gated by an init marker: :func:`ensure_initialized` backfills the index from
+ALL live file slices the first time (keys in file groups the first
+post-enable write doesn't touch would otherwise be missing, get re-tagged
+as inserts, and duplicate their still-live rows — the reference bootstraps
+the record index from existing files for the same reason), then writes the
+marker; only a marker-bearing index is consulted for tagging.
 """
 
 from __future__ import annotations
@@ -33,20 +37,69 @@ import os
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .config import FILE_NAME, PARTITION_PATH, RECORD_KEY
+from .config import COMMIT_TIME, FILE_NAME, PARTITION_PATH, RECORD_KEY
 
 INDEX_SCHEMA = (f"{RECORD_KEY} string, {PARTITION_PATH} string, "
                 "file_id string, op string, instant string")
+
+LOOKUP_SCHEMA = (f"{RECORD_KEY} string, {PARTITION_PATH} string, "
+                 "file_id string, instant string")
 
 
 def index_dir(table) -> str:
     return os.path.join(table.base_path, ".hoodie", "record_index")
 
 
+def _marker_path(table) -> str:
+    # lives NEXT TO the index dir (not inside it): compact() swaps the
+    # directory wholesale and must not drop the init marker
+    return index_dir(table) + ".init"
+
+
 def exists(table) -> bool:
+    """True once the index is initialized (marker present). Entry files
+    alone are not enough: a pre-existing table that enables the flag gets
+    entries for touched file groups only until the backfill has run."""
+    return os.path.exists(_marker_path(table))
+
+
+def _has_entry_files(table) -> bool:
     d = index_dir(table)
     return os.path.isdir(d) and any(
         f.endswith(".parquet") for _r, _d, fs in os.walk(d) for f in fs)
+
+
+def ensure_initialized(table, view=None) -> None:
+    """Backfill the index from all live base slices and write the init
+    marker (idempotent, lock-guarded). On an empty table this is just the
+    marker write; on a pre-existing table it reads the (key, partition,
+    file_name) projection of every live base file once — the same cost as
+    one full-table upsert tagging scan, paid once.
+
+    MUST NOT be called while holding the table lock (takes it itself)."""
+    marker = _marker_path(table)
+    if os.path.exists(marker):
+        return
+    from .timeline import LockProvider
+
+    with LockProvider(table.base_path, table.write_config.lock_timeout_s):
+        if os.path.exists(marker):
+            return
+        view = view or table.view()
+        slices = [sl for sl in view.latest_slices() if sl.base_file is not None]
+        if slices:
+            entries = (table.read_slices_base(slices)
+                       .select(F.col(RECORD_KEY), F.col(PARTITION_PATH),
+                               F.split(F.col(FILE_NAME), "_").getItem(0)
+                                .alias("file_id"),
+                               F.lit("A").alias("op"),
+                               # index under the commit that wrote each file,
+                               # so future appends order correctly against it
+                               F.col(COMMIT_TIME).alias("instant")))
+            _write(table, entries, "backfill")
+        os.makedirs(os.path.dirname(marker), exist_ok=True)
+        with open(marker, "w") as f:
+            f.write("initialized")
 
 
 def append_from_written_files(table, stats: list[dict], instant: str) -> None:
@@ -113,29 +166,33 @@ def compact(table, retain_commits: int | None = None) -> int:
         return 0
     horizon = commits[-retain].timestamp
     d = index_dir(table)
-    df = spark.read.schema(INDEX_SCHEMA + ", bucket int").parquet(d)
 
-    rolled_back: set[str] = set()
-    for inst in table.timeline.completed((tl.ROLLBACK, tl.RESTORE)):
-        rolled_back.update(table.timeline.metadata(inst).get("targets", []))
-    if rolled_back:
-        df = df.filter(~F.col("instant").isin(*sorted(rolled_back)))
-
-    old = df.filter(F.col("instant") < horizon)
-    recent = df.filter(F.col("instant") >= horizon)
-    w = Window.partitionBy(RECORD_KEY, PARTITION_PATH).orderBy(
-        F.desc("instant"), F.desc("op"))
-    folded = (old.withColumn("__rn", F.row_number().over(w))
-              .filter((F.col("__rn") == 1) & (F.col("op") == "A"))
-              .drop("__rn"))
-    out = folded.unionByName(recent)
-
-    tmp = d + ".compacting"
-    shutil.rmtree(tmp, ignore_errors=True)
-    (out.repartition(F.col("bucket"))
-        .write.partitionBy("bucket").mode("overwrite").parquet(tmp))
-    n = folded.count()
+    # the lock covers read → fold → write → swap: a writer appending between
+    # an unguarded read and the swap would have its entries silently
+    # discarded by the overwrite (reverting those keys' locations)
     with LockProvider(table.base_path, table.write_config.lock_timeout_s):
+        df = spark.read.schema(INDEX_SCHEMA + ", bucket int").parquet(d)
+
+        rolled_back: set[str] = set()
+        for inst in table.timeline.completed((tl.ROLLBACK, tl.RESTORE)):
+            rolled_back.update(table.timeline.metadata(inst).get("targets", []))
+        if rolled_back:
+            df = df.filter(~F.col("instant").isin(*sorted(rolled_back)))
+
+        old = df.filter(F.col("instant") < horizon)
+        recent = df.filter(F.col("instant") >= horizon)
+        w = Window.partitionBy(RECORD_KEY, PARTITION_PATH).orderBy(
+            F.desc("instant"), F.desc("op"))
+        folded = (old.withColumn("__rn", F.row_number().over(w))
+                  .filter((F.col("__rn") == 1) & (F.col("op") == "A"))
+                  .drop("__rn"))
+        out = folded.unionByName(recent)
+
+        tmp = d + ".compacting"
+        shutil.rmtree(tmp, ignore_errors=True)
+        (out.repartition(F.col("bucket"))
+            .write.partitionBy("bucket").mode("overwrite").parquet(tmp))
+        n = folded.count()
         trash = d + ".old"
         shutil.rmtree(trash, ignore_errors=True)
         os.replace(d, trash)
@@ -149,6 +206,9 @@ def lookup(table, view=None) -> DataFrame:
     latest-wins, drop removals, and keep only locations whose file group is
     still live."""
     spark = table.spark
+    if not _has_entry_files(table):
+        # initialized-but-empty index (marker written on an empty table)
+        return spark.createDataFrame([], LOOKUP_SCHEMA)
     df = spark.read.schema(INDEX_SCHEMA + ", bucket int").parquet(index_dir(table))
     # entries written by rolled-back / restored-over instants never happened
     from . import timeline as tl

@@ -178,17 +178,23 @@ class HoodieTable:
         s = self.schema
         data_schema = T.StructType([f for f in s.fields
                                     if f.name not in META_COLUMNS])
-        paths = [self.view().abs(sl.base_file.path) for sl in slices]
-        df = self.spark.read.schema(data_schema).parquet(*paths)
-        # per-source-file identity via input_file_name basename
+        abs_paths = [os.path.abspath(self.view().abs(sl.base_file.path))
+                     for sl in slices]
+        df = self.spark.read.schema(data_schema).parquet(*abs_paths)
+        # per-source-file identity keyed by the FULL path: partitioned source
+        # layouts routinely repeat basenames across partition dirs
+        # (000000_0 / part-00000 in each dt= dir) — basename keys would either
+        # throw (duplicate map keys) or mis-assign partitions
         kv = []
-        for sl in slices:
+        for sl, ap in zip(slices, abs_paths):
             fname = (f"{sl.file_id}_{WRITE_TOKEN}_{sl.base_instant}.parquet")
-            kv += [F.lit(sl.base_file.file_name),
+            kv += [F.lit(ap),
                    F.lit(f"{sl.base_instant}\x1f{sl.partition}\x1f{fname}")]
         m = F.create_map(*kv)
-        tagged = F.split(m[F.element_at(F.split(F.input_file_name(), "/"), -1)],
-                         "\x1f")
+        # input_file_name() yields a URI (file:///...; percent-encoded) —
+        # normalize back to the plain absolute path used as the map key
+        fpath = F.url_decode(F.regexp_replace(F.input_file_name(), "^file:(//)?", ""))
+        tagged = F.split(m[fpath], "\x1f")
         df = (df.withColumn(COMMIT_TIME, tagged.getItem(0))
                 .withColumn(COMMIT_SEQNO, F.lit(None).cast("string"))
                 .withColumn(RECORD_KEY, record_key_expr(self.config))

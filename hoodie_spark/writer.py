@@ -108,32 +108,40 @@ class WriteClient:
     def bulk_insert(self, df: DataFrame, sort_mode: str = SortMode.GLOBAL_SORT) -> WriteResult:
         """SparkRDDWriteClient.java:223 — sorted initial load via the row
         writer path (HoodieDatasetBulkInsertHelper.java:115): a plain
-        DataFrame write, globally range-sorted by (partition, key)."""
-        cfg = self.table.config
+        DataFrame write, globally range-sorted by (partition, key).
+
+        The prepared batch is persisted across the sizing count and the
+        write job — without the cache, the count would be a SECOND full
+        scan + key-gen pass over the input (2× ingest read cost)."""
         wcfg = self.table.write_config
+        self._ensure_index_ready()
+        instant = self._begin(tl.COMMIT)
         prepared = self._prepare(df)
         if wcfg.combine_before_insert:
             prepared = self._dedup(prepared)
-        n = prepared.count()
-        instant = self._begin(tl.COMMIT)
-        if n == 0:
-            return self._commit(instant, tl.COMMIT, WriteOperation.BULK_INSERT, [])
-        rpf = wcfg.records_per_file()
-        num_files = max(1, math.ceil(n / rpf))
-        prefix = uuid.uuid4().hex[:13]
-        if sort_mode == SortMode.GLOBAL_SORT:
-            arranged = prepared.repartitionByRange(num_files, F.col(PARTITION_PATH), F.col(RECORD_KEY))
-        elif sort_mode == SortMode.PARTITION_SORT:
-            arranged = prepared.repartition(num_files, F.col(PARTITION_PATH))
-        else:
-            arranged = prepared.repartition(num_files)
-        arranged = arranged.withColumn(
-            BUCKET, F.concat(F.lit(prefix + "-"), F.spark_partition_id().cast("string")))
-        write_df = self._stamp_meta(arranged, instant).withColumn(KIND, F.lit("base"))
-        sort_cols = [RECORD_KEY] if sort_mode != SortMode.NONE else None
-        stats = self._write_files(write_df, instant, already_partitioned=True, sort_cols=sort_cols)
-        self._index_written(stats, instant)
-        return self._commit(instant, tl.COMMIT, WriteOperation.BULK_INSERT, stats)
+        prepared = prepared.persist()
+        try:
+            n = prepared.count()
+            if n == 0:
+                return self._commit(instant, tl.COMMIT, WriteOperation.BULK_INSERT, [])
+            rpf = wcfg.records_per_file()
+            num_files = max(1, math.ceil(n / rpf))
+            prefix = uuid.uuid4().hex[:13]
+            if sort_mode == SortMode.GLOBAL_SORT:
+                arranged = prepared.repartitionByRange(num_files, F.col(PARTITION_PATH), F.col(RECORD_KEY))
+            elif sort_mode == SortMode.PARTITION_SORT:
+                arranged = prepared.repartition(num_files, F.col(PARTITION_PATH))
+            else:
+                arranged = prepared.repartition(num_files)
+            arranged = arranged.withColumn(
+                BUCKET, F.concat(F.lit(prefix + "-"), F.spark_partition_id().cast("string")))
+            write_df = self._stamp_meta(arranged, instant).withColumn(KIND, F.lit("base"))
+            sort_cols = [RECORD_KEY] if sort_mode != SortMode.NONE else None
+            stats = self._write_files(write_df, instant, already_partitioned=True, sort_cols=sort_cols)
+            return self._commit(instant, tl.COMMIT, WriteOperation.BULK_INSERT,
+                                stats, index_fn=self._index_fn(stats, instant))
+        finally:
+            prepared.unpersist()
 
     def insert(self, df: DataFrame) -> WriteResult:
         """SparkRDDWriteClient.java:172 — insert with small-file packing, no
@@ -219,6 +227,12 @@ class WriteClient:
 
     # ------------------------------------------------------------- internals
     def _begin(self, action: str) -> str:
+        """Start the transaction. MUST run before the file-system view
+        snapshot / index tagging / workload profiling: the baseline recorded
+        here is what _check_conflicts compares against, so any commit that
+        completes after planning starts must sort above it (the reference's
+        TransactionManager begins the transaction before the write is
+        planned for the same reason)."""
         instant = self.table.timeline.new_instant_time()
         last = self.table.timeline.last_completed()
         self._txn_baseline[instant] = last.timestamp if last else ""
@@ -226,17 +240,44 @@ class WriteClient:
         self.table.timeline.transition_inflight(action, instant)
         return instant
 
+    def _ensure_index_ready(self) -> None:
+        """Init/backfill the record index BEFORE any table lock is taken
+        (ensure_initialized acquires the lock itself; calling it from inside
+        _commit's lock would deadlock the non-reentrant file lock)."""
+        if self.table.write_config.record_index:
+            from . import record_index
+            record_index.ensure_initialized(self.table)
+
+    def _index_fn(self, stats: list[dict], instant: str, dels=None):
+        """Record-index maintenance closure, run by _commit AFTER the OCC
+        conflict check (inside the lock): an aborted instant must never
+        leave index entries behind — its 'R' rows would make still-live keys
+        look removed and re-tag as inserts (duplicates)."""
+        if not self.table.write_config.record_index:
+            return None
+
+        def fn():
+            self._index_written(stats, instant)
+            if dels is not None and dels.limit(1).count():
+                from . import record_index
+                record_index.append_removals(self.table, dels, instant)
+        return fn
+
     def _commit(self, instant: str, action: str, operation: str, stats: list[dict],
                 replaced: dict[str, list[str]] | None = None,
-                extra: dict | None = None) -> WriteResult:
+                extra: dict | None = None, index_fn=None) -> WriteResult:
         if self.table.write_config.concurrency_mode == WriteConcurrencyMode.OPTIMISTIC:
             from .timeline import LockProvider
 
             with LockProvider(self.table.base_path,
                               self.table.write_config.lock_timeout_s):
                 self._check_conflicts(instant, stats, replaced)
+                if index_fn is not None:
+                    index_fn()
                 return self._do_commit(instant, action, operation, stats,
                                        replaced, extra)
+        if index_fn is not None:
+            index_fn()
         return self._do_commit(instant, action, operation, stats, replaced, extra)
 
     def _check_conflicts(self, instant: str, stats: list[dict],
@@ -368,6 +409,11 @@ class WriteClient:
         from .keygen import partition_resolvable
         force_global = (operation == WriteOperation.DELETE
                         and not partition_resolvable(df, cfg))
+        self._ensure_index_ready()
+        # begin the txn BEFORE the view snapshot + tagging + profiling: a
+        # commit landing during planning must be above the OCC baseline
+        action = tl.DELTACOMMIT if is_mor else tl.COMMIT
+        instant = self._begin(action)
         prepared = self._prepare(df).withColumn(ORD, self._ord_col(df))
         if operation == WriteOperation.DELETE:
             prepared = prepared.withColumn(OP, F.lit("D")).withColumn(HARD, F.lit(1))
@@ -393,7 +439,6 @@ class WriteClient:
             PARTITION_PATH, F.coalesce(F.col("_target_pp"), F.col(PARTITION_PATH)))
         tagged = tagged.persist()
         try:
-            action = tl.DELTACOMMIT if is_mor else tl.COMMIT
             updates = tagged.filter(F.col("_target_file_id").isNotNull()) \
                             .withColumn(BUCKET, F.col("_target_file_id"))
             inserts = tagged.filter(F.col("_target_file_id").isNull()) \
@@ -418,7 +463,6 @@ class WriteClient:
                     affected_updates[key] = affected_updates.get(key, 0) + n
             pack_small = not is_mor
             plan, n_new = self._plan_insert_buckets(view, insert_counts, pack_small)
-            instant = self._begin(action)
             if plan:
                 plan_df = F.broadcast(self.spark.createDataFrame(
                     plan, "pp string, lo double, hi double, file_id string, is_new boolean"))
@@ -440,18 +484,16 @@ class WriteClient:
             else:
                 stats, emptied = self._write_cow(updates, inserts, view,
                                                  instant, affected_updates)
-            self._index_written(stats, instant)
-            if self.table.write_config.record_index:
+            dels = None
+            if wcfg.record_index:
                 dels = tagged.filter((F.col(OP) == "D") &
                                      F.col("_target_file_id").isNotNull()) \
                              .select(RECORD_KEY, PARTITION_PATH)
-                from . import record_index
-                if dels.limit(1).count():
-                    record_index.append_removals(self.table, dels, instant)
             n_upd = sum(s.get("num_updates", 0) for s in stats)
             return self._commit(instant, action, operation, stats,
                                 replaced=emptied or None,
-                                extra={"num_updates": n_upd})
+                                extra={"num_updates": n_upd},
+                                index_fn=self._index_fn(stats, instant, dels))
         finally:
             tagged.unpersist()
 
@@ -625,32 +667,39 @@ class WriteClient:
 
     # ------------------------------------------------------------- overwrite
     def _overwrite(self, df: DataFrame, operation: str) -> WriteResult:
+        self._ensure_index_ready()
+        instant = self._begin(tl.REPLACECOMMIT)
         prepared = self._prepare(df)
         if self.table.write_config.combine_before_insert:
             prepared = self._dedup(prepared)
-        n = prepared.count()
-        view = self.table.view()
-        instant = self._begin(tl.REPLACECOMMIT)
-        stats: list[dict] = []
-        touched: list[str] = []
-        if n > 0:
-            rpf = self.table.write_config.records_per_file()
-            num_files = max(1, math.ceil(n / rpf))
-            prefix = uuid.uuid4().hex[:13]
-            arranged = (prepared
-                        .repartitionByRange(num_files, F.col(PARTITION_PATH), F.col(RECORD_KEY))
-                        .withColumn(BUCKET, F.concat(F.lit(prefix + "-"),
-                                                     F.spark_partition_id().cast("string"))))
-            write_df = self._stamp_meta(arranged, instant).withColumn(KIND, F.lit("base"))
-            stats = self._write_files(write_df, instant, already_partitioned=True,
-                                      sort_cols=[RECORD_KEY])
-            self._index_written(stats, instant)
-            touched = sorted({s["partition"] for s in stats})
-        if operation == WriteOperation.INSERT_OVERWRITE_TABLE:
-            replaced = view.live_group_ids()
-        else:
-            replaced = view.live_group_ids(partitions=touched)
-        return self._commit(instant, tl.REPLACECOMMIT, operation, stats, replaced=replaced)
+        # cached across the sizing count and the write — one input pass
+        prepared = prepared.persist()
+        try:
+            n = prepared.count()
+            view = self.table.view()
+            stats: list[dict] = []
+            touched: list[str] = []
+            if n > 0:
+                rpf = self.table.write_config.records_per_file()
+                num_files = max(1, math.ceil(n / rpf))
+                prefix = uuid.uuid4().hex[:13]
+                arranged = (prepared
+                            .repartitionByRange(num_files, F.col(PARTITION_PATH), F.col(RECORD_KEY))
+                            .withColumn(BUCKET, F.concat(F.lit(prefix + "-"),
+                                                         F.spark_partition_id().cast("string"))))
+                write_df = self._stamp_meta(arranged, instant).withColumn(KIND, F.lit("base"))
+                stats = self._write_files(write_df, instant, already_partitioned=True,
+                                          sort_cols=[RECORD_KEY])
+                touched = sorted({s["partition"] for s in stats})
+            if operation == WriteOperation.INSERT_OVERWRITE_TABLE:
+                replaced = view.live_group_ids()
+            else:
+                replaced = view.live_group_ids(partitions=touched)
+            return self._commit(instant, tl.REPLACECOMMIT, operation, stats,
+                                replaced=replaced,
+                                index_fn=self._index_fn(stats, instant))
+        finally:
+            prepared.unpersist()
 
     # ------------------------------------------------------- record index
     def _index_written(self, stats: list[dict], instant: str) -> None:
@@ -680,13 +729,15 @@ class WriteClient:
             w = w.sortWithinPartitions(PP, BUCKET, *sort_cols)
         w.write.partitionBy(PP, KIND, BUCKET).mode("overwrite").parquet(tmp)
 
-        placed: list[tuple[str, str, str, str]] = []  # (pp, fid, kind, dst)
+        moves: list[tuple[str, str, str, str, str]] = []  # (pp, fid, kind, src, dst)
         for pp_dir in sorted(os.listdir(tmp)):
             if not pp_dir.startswith(f"{PP}="):
                 continue
             pp_enc = pp_dir[len(PP) + 1:]
             pp = urllib.parse.unquote(pp_enc)
             pp = "" if pp == NO_PARTITION else pp
+            dst_dir = os.path.join(self.table.base_path, pp) if pp else self.table.base_path
+            os.makedirs(dst_dir, exist_ok=True)
             for kind_dir in sorted(os.listdir(os.path.join(tmp, pp_dir))):
                 kind = kind_dir.split("=", 1)[1]
                 kdir = os.path.join(tmp, pp_dir, kind_dir)
@@ -700,20 +751,22 @@ class WriteClient:
                         fname = f"{fid}_{WRITE_TOKEN}_{instant}.parquet"
                     else:
                         fname = f"{fid}_{instant}.delta.parquet"
-                    dst_dir = os.path.join(self.table.base_path, pp) if pp else self.table.base_path
-                    os.makedirs(dst_dir, exist_ok=True)
-                    dst = os.path.join(dst_dir, fname)
-                    os.replace(src, dst)
-                    placed.append((pp, fid, kind, dst))
+                    moves.append((pp, fid, kind, src, os.path.join(dst_dir, fname)))
 
-        # footer stats harvested in parallel — O(files) metadata reads are
-        # the only per-file driver work, so don't serialize them
+        # finalize (rename + footer harvest) is threaded: the per-file driver
+        # work is O(files)/16 wall-clock, not a serial commit tail
         from concurrent.futures import ThreadPoolExecutor
 
         stats_cols = self.table.write_config.stats_columns
-        with ThreadPoolExecutor(max_workers=min(16, max(1, len(placed)))) as ex:
-            footers = list(ex.map(lambda p: _footer_stats(p[3], stats_cols),
-                                  placed))
+
+        def _finalize(m):
+            _pp, _fid, _kind, src_p, dst_p = m
+            os.replace(src_p, dst_p)
+            return _footer_stats(dst_p, stats_cols)
+
+        with ThreadPoolExecutor(max_workers=min(16, max(1, len(moves)))) as ex:
+            footers = list(ex.map(_finalize, moves))
+        placed = [(pp, fid, kind, dst) for pp, fid, kind, _src, dst in moves]
         stats: list[dict] = []
         for (pp, fid, kind, dst), st in zip(placed, footers):
             fname = os.path.basename(dst)
@@ -729,6 +782,10 @@ class WriteClient:
                 rec["col_stats"] = st["col_stats"]
             stats.append(rec)
         shutil.rmtree(tmp, ignore_errors=True)
+        if self.table.write_config.index_type in (IndexType.BLOOM,
+                                                  IndexType.GLOBAL_BLOOM):
+            from . import bloom
+            bloom.harvest(self.table, stats, instant)
         return stats
 
 

@@ -44,6 +44,36 @@ def test_index_matches_scan_path(spark, tmp_table_path):
     assert a.snapshot().select("o_orderkey").distinct().count() == n
 
 
+def test_enable_on_existing_table_backfills(spark, tmp_table_path):
+    """Turning record_index on for a pre-existing table must backfill from
+    ALL live file slices: keys in file groups the first post-enable write
+    doesn't touch would otherwise tag as inserts and duplicate."""
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    # create WITHOUT the index, spread over many small files
+    tbl = HoodieTable.create(
+        spark, tmp_table_path, "ri5", ["o_orderkey"], "o_orderdate",
+        write_config=WriteConfig(parquet_max_file_size=256 * 1024,
+                                 parquet_small_file_limit=200 * 1024))
+    tbl.bulk_insert(orders)
+    assert not record_index.exists(tbl)
+
+    # reopen with the flag on; first write touches only a few keys
+    tbl2 = HoodieTable.load(
+        spark, tmp_table_path,
+        write_config=WriteConfig(record_index=True,
+                                 parquet_max_file_size=256 * 1024,
+                                 parquet_small_file_limit=200 * 1024))
+    tbl2.upsert(orders.filter(F.col("o_orderkey") % 50 == 0)
+                .withColumn("o_orderstatus", F.lit("E")))
+    assert record_index.exists(tbl2)
+    # keys in untouched groups must update in place, not duplicate
+    tbl2.upsert(orders.withColumn("o_orderpriority", F.lit("ALL")))
+    snap = tbl2.snapshot()
+    assert snap.count() == orders.count()
+    assert snap.select("o_orderkey").distinct().count() == orders.count()
+    assert snap.filter("o_orderpriority = 'ALL'").count() == orders.count()
+
+
 def test_index_survives_rollback(spark, tmp_table_path):
     orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
     tbl = HoodieTable.create(spark, tmp_table_path, "ri2", ["o_orderkey"],
