@@ -111,6 +111,15 @@ def harvest(table, stats: list[dict], instant: str) -> None:
     os.replace(tmp, _sidecar(table, instant))
 
 
+def drop_sidecar(table, instant: str) -> None:
+    """Remove an instant's sketch sidecar (OCC abort / rollback / restore):
+    harvest runs before the conflict check, so an aborted commit would
+    otherwise leave an orphan sidecar forever."""
+    p = _sidecar(table, instant)
+    if os.path.exists(p):
+        os.remove(p)
+
+
 def _load(table, instants: set[str]) -> dict[tuple[str, str], dict]:
     out: dict[tuple[str, str], dict] = {}
     for inst in instants:

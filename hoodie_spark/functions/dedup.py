@@ -218,15 +218,18 @@ def simhash_sigs(df: DataFrame, id_col: str, text_col: str,
     per-bit votes are plain CASE sums partially aggregated map-side, so the
     shuffle carries only (id, bits × 8 B). This replaces the interpreted
     O(bits × tokens) md5 fold of :func:`simhash_signature` for bulk runs.
-    Rows whose text has no tokens keep the all-zero signature (matching the
-    Column form, where an empty vote sum is never > 0).
+
+    Token-less rows survive via ``explode_outer`` (one null-hash row that
+    votes 0 on every bit), so the vote sum is 0 and the signature is
+    all-zero — matching the Column form, where an empty vote sum is never
+    > 0 — in ONE aggregation with no second input pass or restore join.
     """
-    base = _spread(df).select(F.col(id_col), F.col(text_col).alias("__t"))
-    hashed = base.select(
-        F.col(id_col), F.explode(tokens(F.col("__t"))).alias("__tok")
+    hashed = _spread(df).select(
+        F.col(id_col), F.explode_outer(tokens(F.col(text_col))).alias("__tok")
     ).select(F.col(id_col), F.md5("__tok").alias("__h"))
     votes = [
-        F.sum(F.when(F.substring("__h", i, 1).isin(*_HEX_HI), 1).otherwise(-1))
+        F.sum(F.when(F.col("__h").isNull(), 0)
+               .when(F.substring("__h", i, 1).isin(*_HEX_HI), 1).otherwise(-1))
         .alias(f"__v{i}")
         for i in range(1, bits + 1)
     ]
@@ -234,13 +237,8 @@ def simhash_sigs(df: DataFrame, id_col: str, text_col: str,
         F.when(F.col(f"__v{i}") > 0, F.lit("1")).otherwise(F.lit("0"))
         for i in range(1, bits + 1)
     ])
-    sigs = hashed.groupBy(id_col).agg(*votes).select(
+    return hashed.groupBy(id_col).agg(*votes).select(
         F.col(id_col), sig.alias("simhash"))
-    # left join restores token-less rows (dropped by the explode) with the
-    # all-zero signature; the signature side is tiny (id + bits chars).
-    return base.select(id_col).join(sigs, id_col, "left").select(
-        F.col(id_col),
-        F.coalesce(F.col("simhash"), F.lit("0" * bits)).alias("simhash"))
 
 
 def with_simhash(df: DataFrame, text_col: str, bits: int = 16,

@@ -82,7 +82,13 @@ def sign_lsh_key(vec, planes: int, dim: int | None = None) -> Column:
             proj = F.aggregate(F.zip_with(vec, row, lambda x, s: x * s),
                                F.lit(0.0), lambda acc, x: acc + x)
             bits.append(F.when(proj > 0, F.lit("1")).otherwise(F.lit("0")))
-        return F.concat(*bits)
+        # zip_with null-pads on length mismatch, which would silently zero
+        # every bit and collapse mismatched vectors into one bucket — fail
+        # loudly instead
+        return F.when(F.size(vec) == dim, F.concat(*bits)).otherwise(
+            F.raise_error(F.concat(
+                F.lit(f"sign_lsh_key: vector length != dim={dim} (got "),
+                F.size(vec).cast("string"), F.lit(")"))))
 
     def bit(p):
         proj = F.aggregate(

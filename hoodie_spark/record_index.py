@@ -102,27 +102,39 @@ def ensure_initialized(table, view=None) -> None:
             f.write("initialized")
 
 
-def append_from_written_files(table, stats: list[dict], instant: str) -> None:
-    """Register every key present in the commit's new BASE files.
-
-    Reads the just-written files' (key, partition, file name) projection —
-    ground truth from storage, so the index can never drift from the data.
-    Rewritten groups re-append their keys; lookup dedups latest-wins.
-    """
+def entries_from_written_files(table, stats: list[dict], instant: str):
+    """Index entries ('A' rows) for every key in the commit's new BASE
+    files, read back from storage — ground truth, so the index can never
+    drift from the data. Returns a DataFrame (or None when the commit wrote
+    no base files); the caller decides when to append it (the write path
+    materializes it BEFORE taking the table lock so only the parquet append
+    holds the lock)."""
     from .fsview import BaseFile, FileSlice
 
     base_stats = [s for s in stats if not s.get("is_delta")]
     if not base_stats:
-        return
+        return None
     slices = [FileSlice(s["partition"], s["file_id"], instant,
                         BaseFile(s["path"], s["file_name"], s.get("size", 0),
                                  bootstrap=s.get("bootstrap", False)))
               for s in base_stats]
-    entries = (table.read_slices_base(slices)
-               .select(F.col(RECORD_KEY), F.col(PARTITION_PATH),
-                       F.split(F.col(FILE_NAME), "_").getItem(0).alias("file_id"),
-                       F.lit("A").alias("op"), F.lit(instant).alias("instant")))
-    _write(table, entries, instant)
+    return (table.read_slices_base(slices)
+            .select(F.col(RECORD_KEY), F.col(PARTITION_PATH),
+                    F.split(F.col(FILE_NAME), "_").getItem(0).alias("file_id"),
+                    F.lit("A").alias("op"), F.lit(instant).alias("instant")))
+
+
+def append_entries(table, entries: DataFrame) -> None:
+    """Append precomputed entries (see :func:`entries_from_written_files`).
+    Rewritten groups re-append their keys; lookup dedups latest-wins."""
+    _write(table, entries, "precomputed")
+
+
+def append_from_written_files(table, stats: list[dict], instant: str) -> None:
+    """Register every key present in the commit's new BASE files."""
+    entries = entries_from_written_files(table, stats, instant)
+    if entries is not None:
+        _write(table, entries, instant)
 
 
 def append_removals(table, keys_df: DataFrame, instant: str) -> None:

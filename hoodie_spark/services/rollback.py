@@ -32,6 +32,8 @@ def _delete_instant_files(table, ts: str) -> list[str]:
             if os.path.exists(p):
                 os.remove(p)
                 deleted.append(st["path"])
+    from .. import bloom
+    bloom.drop_sidecar(table, ts)
     return deleted
 
 

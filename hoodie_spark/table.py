@@ -191,9 +191,13 @@ class HoodieTable:
             kv += [F.lit(ap),
                    F.lit(f"{sl.base_instant}\x1f{sl.partition}\x1f{fname}")]
         m = F.create_map(*kv)
-        # input_file_name() yields a URI (file:///...; percent-encoded) —
-        # normalize back to the plain absolute path used as the map key
-        fpath = F.url_decode(F.regexp_replace(F.input_file_name(), "^file:(//)?", ""))
+        # input_file_name() yields a URI (file:///...; %XX-encoded but with
+        # literal '+' left as-is). url_decode alone would turn that '+' into
+        # a space (URLDecoder semantics) and miss the map key — escape '+'
+        # to %2B first so only true %XX sequences are decoded.
+        fpath = F.url_decode(F.regexp_replace(
+            F.regexp_replace(F.input_file_name(), "^file:(//)?", ""),
+            r"\+", "%2B"))
         tagged = F.split(m[fpath], "\x1f")
         df = (df.withColumn(COMMIT_TIME, tagged.getItem(0))
                 .withColumn(COMMIT_SEQNO, F.lit(None).cast("string"))

@@ -252,15 +252,35 @@ class WriteClient:
         """Record-index maintenance closure, run by _commit AFTER the OCC
         conflict check (inside the lock): an aborted instant must never
         leave index entries behind — its 'R' rows would make still-live keys
-        look removed and re-tag as inserts (duplicates)."""
+        look removed and re-tag as inserts (duplicates).
+
+        The entry DataFrame is computed AND materialized here, before the
+        lock is taken: the expensive Spark jobs (reading the just-written
+        base files, probing the delete batch) run lock-free; inside the lock
+        only the parquet append remains, keeping lock hold time short for
+        concurrent writers (lock_timeout_s)."""
         if not self.table.write_config.record_index:
             return None
+        from . import record_index
+
+        entries = record_index.entries_from_written_files(
+            self.table, stats, instant)
+        if entries is not None:
+            entries = entries.persist()
+            entries.count()  # materialize pre-lock
+        has_dels = dels is not None and bool(dels.limit(1).count())
 
         def fn():
-            self._index_written(stats, instant)
-            if dels is not None and dels.limit(1).count():
-                from . import record_index
+            try:
+                if entries is not None:
+                    record_index.append_entries(self.table, entries)
+            finally:
+                if entries is not None:
+                    entries.unpersist()
+            if has_dels:
                 record_index.append_removals(self.table, dels, instant)
+
+        fn.cleanup = (entries.unpersist if entries is not None else None)
         return fn
 
     def _commit(self, instant: str, action: str, operation: str, stats: list[dict],
@@ -271,7 +291,13 @@ class WriteClient:
 
             with LockProvider(self.table.base_path,
                               self.table.write_config.lock_timeout_s):
-                self._check_conflicts(instant, stats, replaced)
+                try:
+                    self._check_conflicts(instant, stats, replaced)
+                except WriteConflictError:
+                    cleanup = getattr(index_fn, "cleanup", None)
+                    if cleanup is not None:
+                        cleanup()
+                    raise
                 if index_fn is not None:
                     index_fn()
                 return self._do_commit(instant, action, operation, stats,
@@ -306,6 +332,10 @@ class WriteClient:
                 p = os.path.join(self.table.base_path, s["path"])
                 if not os.path.isabs(s["path"]) and os.path.exists(p):
                     os.remove(p)
+            # bloom sketches were harvested before the conflict check —
+            # drop the aborted instant's sidecar so no junk accumulates
+            from . import bloom
+            bloom.drop_sidecar(self.table, instant)
             for state in (tl.REQUESTED, tl.INFLIGHT):
                 for act in tl.DATA_ACTIONS:
                     self.table.timeline.delete_instant(
