@@ -203,10 +203,16 @@ def _fx_events_ingest(spark, sf_dir, path):
     tbl = HoodieTable.create(spark, path, "events", ["event_id"], "ts",
                              partition_expr=None)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    src = ParquetDFSSource(os.path.join(sf_dir, "events.parquet"))
-    # SqlQueryBasedTransformer converts the nanosecond epoch to a µs timestamp
-    pipe = Ingestor(tbl, src, transformer_sql="""
-        SELECT event_id, timestamp_micros(ts DIV 1000) AS ts, user_id,
+    src_path = os.path.join(sf_dir, "events.parquet")
+    src = ParquetDFSSource(src_path)
+    # SqlQueryBasedTransformer normalizes ts to a session-tz timestamp.
+    # The testdata's physical ts type has changed across regenerations
+    # (int64 nanos vs timestamp[us]); branch on what Spark actually reads.
+    src_ts = dict(spark.read.parquet(src_path).dtypes)["ts"]
+    ts_expr = ("timestamp_micros(ts DIV 1000)" if src_ts == "bigint"
+               else "CAST(ts AS TIMESTAMP)")
+    pipe = Ingestor(tbl, src, transformer_sql=f"""
+        SELECT event_id, {ts_expr} AS ts, user_id,
                event_type, value, props
         FROM <SRC>""")
     pipe.sync_once()

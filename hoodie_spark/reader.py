@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from . import timeline as tl
 from .config import (COMMIT_TIME, OPERATION, PARTITION_PATH, RECORD_KEY,
-                     TableType)
+                     IndexType, TableType)
 from .keygen import record_key_expr
 
 
@@ -85,7 +85,10 @@ class ReadClient:
         is_mor = self.table.config.table_type == TableType.MERGE_ON_READ
         if skip_filters:
             slices = prune_by_stats(slices, skip_filters, mor=is_mor)
-        if is_mor:
+        return self._assemble(view, slices, as_of)
+
+    def _assemble(self, view, slices, as_of: str | None) -> DataFrame:
+        if self.table.config.table_type == TableType.MERGE_ON_READ:
             return self._merge_on_read(view, slices, as_of)
         return self.table.read_slices_base(slices)
 
@@ -172,15 +175,72 @@ class ReadClient:
         return self._resolve(merged).drop(OPERATION)
 
     # ------------------------------------------------------------ key lookup
+    def _key_candidate_slices(self, keyed: DataFrame, view,
+                              as_of: str | None) -> list:
+        """Prune the live slice list to files that may contain any incoming
+        key — the reference's read path is an index lookup
+        (HoodieReadClient.java:138-186), never a table scan.
+
+        Three pruning tiers, cheapest-first:
+        1. record index (exact key → file-group map) when enabled — the
+           candidate set is exactly the groups holding the keys;
+        2. manifest per-file [min_key, max_key] interval overlap with the
+           incoming key range (IntervalTreeBasedIndexFileFilter);
+        3. bloom key sketches when the table writes them (BLOOM index).
+        MOR slices carrying log files are never pruned by base-file stats —
+        a delta row may hold the key even when the base range doesn't."""
+        is_mor = self.table.config.table_type == TableType.MERGE_ON_READ
+        if self.table.write_config.record_index and as_of is None:
+            from . import record_index
+            if record_index.is_initialized(self.table):
+                loc = record_index.lookup(self.table, view)
+                groups = {(r[0], r[1]) for r in
+                          loc.join(F.broadcast(keyed), RECORD_KEY, "left_semi")
+                          .select(PARTITION_PATH, "file_id")
+                          .distinct().collect()}
+                return view.slices_for_groups(groups)
+
+        slices = view.latest_slices(as_of=as_of)
+        lo, hi = keyed.agg(F.min(RECORD_KEY), F.max(RECORD_KEY)).collect()[0]
+        pruned, sketchable = [], []
+        for sl in slices:
+            bf = sl.base_file
+            if is_mor and sl.log_files:
+                pruned.append(sl)
+                continue
+            if bf is None or bf.min_key is None or bf.max_key is None \
+                    or lo is None:
+                pruned.append(sl)
+                continue
+            if bf.max_key >= lo and bf.min_key <= hi:
+                sketchable.append(sl)
+        if sketchable and self.table.write_config.index_type in (
+                IndexType.BLOOM, IndexType.GLOBAL_BLOOM):
+            from . import bloom
+            sketchable = bloom.prune(
+                self.spark, keyed.withColumn(PARTITION_PATH, F.lit(None)
+                                             .cast("string")),
+                sketchable, True, self.table)
+        return pruned + sketchable
+
     def read_keys(self, keys_df: DataFrame, as_of: str | None = None) -> DataFrame:
         """HoodieReadClient.readROView:138 — rows for a set of keys; keys_df
-        carries the natural key columns."""
-        keyed = keys_df.select(record_key_expr(self.table.config).alias(RECORD_KEY))
-        return self.snapshot(as_of=as_of).join(
-            F.broadcast(keyed.distinct()), RECORD_KEY, "left_semi")
+        carries the natural key columns. The scan is pruned to candidate
+        files via the record index / key ranges / bloom sketches (see
+        :meth:`_key_candidate_slices`) before the semi join."""
+        keyed = keys_df.select(
+            record_key_expr(self.table.config).alias(RECORD_KEY)).distinct()
+        view = self.table.view()
+        slices = self._key_candidate_slices(keyed, view, as_of)
+        return self._assemble(view, slices, as_of).join(
+            F.broadcast(keyed), RECORD_KEY, "left_semi")
 
     def exists(self, keys_df: DataFrame) -> DataFrame:
-        """HoodieReadClient.checkExists:172."""
-        keyed = keys_df.select(record_key_expr(self.table.config).alias(RECORD_KEY))
-        present = self.snapshot().select(RECORD_KEY)
+        """HoodieReadClient.checkExists:172 — same pruned plan as
+        :meth:`read_keys`, projecting only the key column."""
+        keyed = keys_df.select(
+            record_key_expr(self.table.config).alias(RECORD_KEY))
+        view = self.table.view()
+        slices = self._key_candidate_slices(keyed.distinct(), view, None)
+        present = self._assemble(view, slices, None).select(RECORD_KEY)
         return keyed.join(present, RECORD_KEY, "left_semi")

@@ -167,6 +167,25 @@ def test_filter_exists_and_read_keys(spark, customer, tmp_table_path):
     assert got.count() == 2  # 500 was never written
 
 
+def test_read_keys_prunes_scan(spark, customer, tmp_table_path):
+    """A point lookup must NOT scan the whole table: globally-sorted bulk
+    insert yields disjoint per-file key ranges, so the manifest range prune
+    should cut the scan to a strict subset of live files."""
+    tbl = HoodieTable.create(
+        spark, tmp_table_path, "customer", recordkey_fields=["c_custkey"],
+        write_config=WriteConfig(parquet_max_file_size=8 * 1024,
+                                 record_size_estimate=512))
+    tbl.bulk_insert(customer)
+    n_files = len(tbl.snapshot().inputFiles())
+    assert n_files >= 4  # sizing produced a multi-file table
+    got = tbl.read_keys(customer.filter("c_custkey = 7"))
+    assert got.count() == 1
+    assert len(got.inputFiles()) <= max(1, n_files // 2)
+    # exists() takes the same pruned plan
+    ex = tbl.exists_keys(customer.filter("c_custkey in (7, 999999)"))
+    assert ex.count() == 1
+
+
 def test_schema_evolution_add_column(spark, customer, tmp_table_path):
     tbl = HoodieTable.create(spark, tmp_table_path, "customer",
                              recordkey_fields=["c_custkey"])
