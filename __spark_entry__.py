@@ -27,7 +27,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hoodie_spark import HoodieTable
-from hoodie_spark.config import META_COLUMNS, TableType, WriteConfig
+from hoodie_spark.config import (META_COLUMNS, IndexType, TableType,
+                                 WriteConfig)
 from hoodie_spark import functions as HF
 from hoodie_spark.sources import load_table
 
@@ -334,6 +335,27 @@ def _fx_orders_ri(spark, sf_dir, path):
     return {"tbl": tbl}
 
 
+def _fx_orders_bloom(spark, sf_dir, path):
+    """Same mutation chain as orders_cow, but tagged through the BLOOM
+    index: small files + a floor-level sketch gate force every base file to
+    carry a key sketch, so upsert/delete tagging exercises range pruning AND
+    sketch-membership pruning (SparkHoodieBloomIndex.java:256-289)."""
+    tbl = HoodieTable.create(
+        spark, path, "orders_bloom", ["o_orderkey"], "o_orderdate",
+        partition_expr="cast(year(o_orderdate) as string)",
+        write_config=WriteConfig(index_type=IndexType.BLOOM,
+                                 parquet_max_file_size=512 * 1024,
+                                 bloom_sketch_min_records=1))
+    orders = _orders(spark, sf_dir)
+    tbl.bulk_insert(orders)
+    tbl.upsert(orders.filter(F.col("o_orderkey") % 10 == 0)
+               .withColumn("o_orderstatus", F.lit("X"))
+               .withColumn("o_totalprice", F.col("o_totalprice") + 100.0))
+    tbl.delete(orders.filter(F.col("o_orderkey") % 7 == 3)
+               .select("o_orderkey", "o_orderdate"))
+    return {"tbl": tbl}
+
+
 _BUILDERS = {
     "orders_cow": _fx_orders_cow, "orders_ow": _fx_orders_ow,
     "orders_owt": _fx_orders_owt, "orders_rb": _fx_orders_rb,
@@ -343,7 +365,7 @@ _BUILDERS = {
     "warehouse": _fx_warehouse, "orders_cdc": _fx_orders_cdc,
     "orders_evolve": _fx_orders_evolve, "orders_partial": _fx_orders_partial,
     "orders_global": _fx_orders_global, "orders_skip": _fx_orders_skip,
-    "orders_ri": _fx_orders_ri,
+    "orders_ri": _fx_orders_ri, "orders_bloom": _fx_orders_bloom,
 }
 
 _ORDER_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
@@ -659,6 +681,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["record_index_upsert"] = lambda s, d: _data(
         _fixture(s, d, "orders_ri")["tbl"].snapshot()).select(*_ORDER_COLS)
+    q["bloom_index_upsert"] = lambda s, d: _data(
+        _fixture(s, d, "orders_bloom")["tbl"].snapshot()).select(*_ORDER_COLS)
 
     # ---- data skipping (file pruning must not change results)
     q["data_skipping"] = lambda s, d: _data(
@@ -906,6 +930,7 @@ SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
 FROM orders WHERE NOT (o_totalprice < 20000)
 """
     o["record_index_upsert"] = _COW_FINAL
+    o["bloom_index_upsert"] = _COW_FINAL
     o["data_skipping"] = f"""
 SELECT {sel_orders} FROM orders WHERE o_totalprice > 300000.0
 """

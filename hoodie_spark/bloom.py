@@ -131,12 +131,48 @@ def _load(table, instants: set[str]) -> dict[tuple[str, str], dict]:
     return out
 
 
+# Broadcast budget for one probe round: the candidate-sketch table is
+# broadcast to every executor, and a wide upsert can touch tens of
+# thousands of sketched files (up to 512 KB of hex each at the 2^21-bit
+# cap). Probing in bounded batches keeps any single broadcast to a few MB
+# and the membership-test work to |keys| x batch, instead of one
+# GB-scale broadcast precisely when the index matters most.
+PROBE_BATCH_BYTES = 32 << 20
+PROBE_BATCH_FILES = 256
+
+
+def _probe(spark: SparkSession, keys: DataFrame, batch: list,
+           is_global: bool) -> set:
+    """One bounded broadcast-join probe round; returns surviving
+    (partition, file_id) pairs (file_id only in global mode)."""
+    cand_df = F.broadcast(spark.createDataFrame(
+        [(pp, fid, m, hx) for pp, fid, m, hx, _sl in batch],
+        f"{PARTITION_PATH} string, __fid string, __m long, __hex string"))
+    joined = keys.crossJoin(cand_df.drop(PARTITION_PATH)) if is_global \
+        else keys.join(cand_df, PARTITION_PATH)
+    member = F.lit(True)
+    for s, pos in enumerate(_positions(F.col(RECORD_KEY), F.col("__m"),
+                                       K_HASHES)):
+        joined = joined.withColumn(f"__p{s}", pos)
+        member = member & F.expr(
+            f"(cast(conv(substr(__hex, cast(__p{s} div 4 as int) + 1, 1), 16, 10)"
+            f" as int) & shiftleft(1, cast(__p{s} % 4 as int))) != 0")
+    if is_global:
+        return {(r[0],) for r in
+                joined.filter(member).select("__fid").distinct().collect()}
+    return {tuple(r) for r in
+            joined.filter(member).select(PARTITION_PATH, "__fid")
+            .distinct().collect()}
+
+
 def prune(spark: SparkSession, prepared: DataFrame, slices, is_global: bool,
           table) -> list:
     """Drop candidate slices whose sketch proves no incoming key is present.
 
     Files without a sketch (pre-bloom commits, bootstrap sources) are kept —
-    pruning is strictly conservative."""
+    pruning is strictly conservative. Candidates are probed in batches
+    bounded by ``PROBE_BATCH_BYTES`` / ``PROBE_BATCH_FILES`` so the
+    broadcast stays small no matter how many files the write touches."""
     blooms = _load(table, {sl.base_instant for sl in slices
                            if sl.base_file is not None})
     cands, keep = [], []
@@ -150,26 +186,33 @@ def prune(spark: SparkSession, prepared: DataFrame, slices, is_global: bool,
     if not cands:
         return keep
 
-    cand_df = F.broadcast(spark.createDataFrame(
-        [(pp, fid, m, hx) for pp, fid, m, hx, _sl in cands],
-        f"{PARTITION_PATH} string, __fid string, __m long, __hex string"))
+    batches: list[list] = []
+    cur: list = []
+    cur_bytes = 0
+    for c in cands:
+        if cur and (cur_bytes + len(c[3]) > PROBE_BATCH_BYTES
+                    or len(cur) >= PROBE_BATCH_FILES):
+            batches.append(cur)
+            cur, cur_bytes = [], 0
+        cur.append(c)
+        cur_bytes += len(c[3])
+    batches.append(cur)
+
     keys = prepared.select(RECORD_KEY, PARTITION_PATH).distinct()
-    joined = keys.crossJoin(cand_df.drop(PARTITION_PATH)) if is_global \
-        else keys.join(cand_df, PARTITION_PATH)
-    member = F.lit(True)
-    for s, pos in enumerate(_positions(F.col(RECORD_KEY), F.col("__m"),
-                                       K_HASHES)):
-        joined = joined.withColumn(f"__p{s}", pos)
-        member = member & F.expr(
-            f"(cast(conv(substr(__hex, cast(__p{s} div 4 as int) + 1, 1), 16, 10)"
-            f" as int) & shiftleft(1, cast(__p{s} % 4 as int))) != 0")
-    if is_global:
-        hits = {(r[0],) for r in
-                joined.filter(member).select("__fid").distinct().collect()}
-        survive = [sl for pp, fid, _m, _h, sl in cands if (fid,) in hits]
-    else:
-        hits = {tuple(r) for r in
-                joined.filter(member).select(PARTITION_PATH, "__fid")
-                .distinct().collect()}
-        survive = [sl for pp, fid, _m, _h, sl in cands if (pp, fid) in hits]
+    if len(batches) > 1:
+        # probed once per batch — pin so the key-gen scan runs once
+        keys = keys.persist()
+    try:
+        survive = []
+        for batch in batches:
+            hits = _probe(spark, keys, batch, is_global)
+            if is_global:
+                survive.extend(sl for pp, fid, _m, _h, sl in batch
+                               if (fid,) in hits)
+            else:
+                survive.extend(sl for pp, fid, _m, _h, sl in batch
+                               if (pp, fid) in hits)
+    finally:
+        if len(batches) > 1:
+            keys.unpersist()
     return keep + survive

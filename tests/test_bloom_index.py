@@ -87,3 +87,52 @@ def test_bloom_upsert_matches_simple_index(spark, tmp_table_path):
     ra = sorted(tuple(r) for r in a.snapshot().select(*cols).collect())
     rb = sorted(tuple(r) for r in b.snapshot().select(*cols).collect())
     assert ra == rb
+
+
+def test_probe_batches_bound_broadcast(spark, tmp_table_path, monkeypatch):
+    """With 1k+ sketched candidate files the probe must run in bounded
+    batches (no single GB-scale broadcast) and still prune exactly —
+    surviving files are precisely the ones holding a probed key."""
+    import json
+
+    from hoodie_spark.fsview import BaseFile, FileSlice
+
+    n_files, m = 1200, 1 << 10
+    files = [(f"f{i:04d}-0_0-0-0_c1.parquet", f"key-{i:04d}")
+             for i in range(n_files)]
+    # honest sketches: the same xxhash64 derivation prune uses, one key each
+    rows = spark.createDataFrame(files, "fn string, k string") \
+        .select("fn", *[p.alias(f"p{s}") for s, p in enumerate(
+            bloom._positions(F.col("k"), F.lit(m), bloom.K_HASHES))]).collect()
+    side = {}
+    for r in rows:
+        chars = ["0"] * (m // 4)
+        for s in range(bloom.K_HASHES):
+            pos = r[f"p{s}"]
+            chars[pos // 4] = format(
+                int(chars[pos // 4], 16) | (1 << (pos % 4)), "x")
+        side[r["fn"]] = {"m": m, "k": bloom.K_HASHES, "hex": "".join(chars)}
+
+    class FakeTable:
+        base_path = tmp_table_path
+    os.makedirs(os.path.join(tmp_table_path, ".hoodie", "bloom"))
+    with open(os.path.join(tmp_table_path, ".hoodie", "bloom", "c1.json"),
+              "w") as f:
+        json.dump(side, f)
+
+    slices = [FileSlice("p", fn.split("_")[0], "c1",
+                        BaseFile(fn, fn, num_records=1))
+              for fn, _k in files]
+    probed = {"key-0007", "key-0420", "key-1111"}
+    keys = spark.createDataFrame(
+        [(k, "p") for k in probed], f"{RECORD_KEY} string, {PARTITION_PATH} string")
+
+    calls = []
+    real_probe = bloom._probe
+    monkeypatch.setattr(bloom, "_probe", lambda sp, kdf, batch, g:
+                        calls.append(len(batch)) or real_probe(sp, kdf, batch, g))
+    surviving = bloom.prune(spark, keys, slices, False, FakeTable())
+    assert len(calls) >= n_files // bloom.PROBE_BATCH_FILES
+    assert all(c <= bloom.PROBE_BATCH_FILES for c in calls)
+    assert {sl.file_id for sl in surviving} == \
+        {f"f{k.split('-')[1]}-0" for k in probed}
