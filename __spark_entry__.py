@@ -184,6 +184,49 @@ def _fx_orders_merge(spark, sf_dir, path):
     return {"tbl": tbl}
 
 
+def _fx_orders_merge_sql(spark, sf_dir, path):
+    """The same MERGE as orders_merge, but issued as SQL TEXT through the
+    string-level front-end (HoodieSqlParser.scala:171 /
+    MergeIntoHoodieTableCommand.scala:56 parity)."""
+    from hoodie_spark.sql import run_sql
+
+    tbl = HoodieTable.create(
+        spark, path, "orders_merge_sql", ["o_orderkey"], "o_orderdate",
+        partition_expr="cast(year(o_orderdate) as string)")
+    orders = _orders(spark, sf_dir)
+    tbl.bulk_insert(orders)
+    src = (orders.filter(F.col("o_orderkey") % 3 == 0)
+           .withColumn("o_totalprice", F.col("o_totalprice") + 10.0)
+           .unionByName(orders.filter(F.col("o_orderkey") % 5 == 1)
+                        .withColumn("o_orderkey", F.col("o_orderkey") + 1000000)))
+    src.createOrReplaceTempView("merge_src")
+    run_sql(spark, """
+        MERGE INTO orders_merge_sql AS t
+        USING merge_src s
+        ON t.o_orderkey = s.o_orderkey
+        WHEN MATCHED AND s.o_totalprice > 50000 THEN UPDATE SET
+            o_totalprice = s.o_totalprice, o_orderpriority = 'MERGED'
+        WHEN MATCHED THEN DELETE
+        WHEN NOT MATCHED THEN INSERT *
+    """, {"orders_merge_sql": tbl})
+    return {"tbl": tbl}
+
+
+def _fx_orders_truncate(spark, sf_dir, path):
+    """TRUNCATE TABLE then re-insert a filtered load: the truncate must
+    supersede every pre-truncate row while keeping the schema writable."""
+    from hoodie_spark.sql import run_sql
+
+    tbl = HoodieTable.create(
+        spark, path, "orders_trunc", ["o_orderkey"], "o_orderdate",
+        partition_expr="cast(year(o_orderdate) as string)")
+    orders = _orders(spark, sf_dir)
+    tbl.bulk_insert(orders)
+    run_sql(spark, "TRUNCATE TABLE orders_trunc", {"orders_trunc": tbl})
+    tbl.upsert(orders.filter(F.col("o_orderkey") % 4 == 2))
+    return {"tbl": tbl}
+
+
 def _fx_orders_dml(spark, sf_dir, path):
     tbl = HoodieTable.create(
         spark, path, "orders_dml", ["o_orderkey"], "o_orderdate",
@@ -362,6 +405,8 @@ _BUILDERS = {
     "orders_mor": _fx_orders_mor, "orders_mor_c": _fx_orders_mor_c,
     "orders_cluster": _fx_orders_cluster, "orders_merge": _fx_orders_merge,
     "orders_dml": _fx_orders_dml, "events_ingest": _fx_events_ingest,
+    "orders_merge_sql": _fx_orders_merge_sql,
+    "orders_trunc": _fx_orders_truncate,
     "warehouse": _fx_warehouse, "orders_cdc": _fx_orders_cdc,
     "orders_evolve": _fx_orders_evolve, "orders_partial": _fx_orders_partial,
     "orders_global": _fx_orders_global, "orders_skip": _fx_orders_skip,
@@ -673,6 +718,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ---- SQL DML
     q["merge_into"] = lambda s, d: _data(
         _fixture(s, d, "orders_merge")["tbl"].snapshot()).select(*_ORDER_COLS)
+    q["merge_into_sql"] = lambda s, d: _data(
+        _fixture(s, d, "orders_merge_sql")["tbl"].snapshot()).select(*_ORDER_COLS)
+    q["truncate_table"] = lambda s, d: _data(
+        _fixture(s, d, "orders_trunc")["tbl"].snapshot()).select(*_ORDER_COLS)
     q["update_where"] = lambda s, d: _data(
         _fixture(s, d, "orders_dml")["tbl"]
         .snapshot(as_of=_fixture(s, d, "orders_dml")["c2"])).select(*_ORDER_COLS)
@@ -903,6 +952,9 @@ FROM orders WHERE o_orderkey % 5 = 0
 """
     o["mor_compaction"] = _MOR_FINAL
 
+    o["truncate_table"] = f"""
+SELECT {sel_orders} FROM orders WHERE o_orderkey % 4 = 2
+"""
     o["merge_into"] = """
 SELECT o_orderkey, o_custkey, o_orderstatus,
        o_totalprice + 10.0 AS o_totalprice, o_orderdate,
@@ -917,6 +969,7 @@ SELECT o_orderkey + 1000000 AS o_orderkey, o_custkey, o_orderstatus,
        o_totalprice, o_orderdate, o_orderpriority
 FROM orders WHERE o_orderkey % 5 = 1
 """
+    o["merge_into_sql"] = o["merge_into"]
     o["update_where"] = """
 SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
        CASE WHEN o_orderstatus = 'F' THEN '0-URGENT'

@@ -1,0 +1,388 @@
+"""SQL-text DML front-end: MERGE INTO / UPDATE / DELETE / TRUNCATE strings
+driven into the builder API.
+
+Reference parity: HoodieSqlParser.scala:171 (extended Spark parser that
+accepts MERGE/UPDATE/DELETE on hudi tables), HoodieAnalysis.scala:105,184,198
+(resolution into MergeIntoHoodieTableCommand / UpdateHoodieTableCommand /
+DeleteHoodieTableCommand), TruncateHoodieTableCommand.scala.
+
+Spark-first: we don't need Catalyst parser extensions — the statement is
+parsed at the string level (quote- and paren-aware, never inside literals)
+and compiled onto :class:`~hoodie_spark.sql.merge.MergeIntoBuilder` /
+``update`` / ``delete_where`` / ``truncate``, whose expressions Catalyst
+then plans as one upsert batch. Source subqueries run through
+``spark.sql(...)`` so the full SQL surface (unions, CTEs, functions) is
+available inside ``USING (...)``.
+
+Semantics notes:
+* clause order = priority, first matching clause wins (matched clauses);
+* unqualified columns that exist on BOTH sides resolve to the SOURCE —
+  matched rows satisfy the ON equality so for key columns the two are
+  interchangeable; the reference's ExpressionPayload resolves against the
+  joined (source-first) row the same way;
+* ``insert *`` / ``update set *`` expand to the target's data columns,
+  taking values from same-named source columns.
+"""
+
+from __future__ import annotations
+
+import re
+
+_KEYWORDS = {
+    "and", "or", "not", "in", "is", "null", "like", "between", "exists",
+    "case", "when", "then", "else", "end", "cast", "as", "true", "false",
+    "div", "interval", "date", "timestamp", "distinct", "select", "from",
+    "where", "group", "by", "order", "having", "union", "all", "join", "on",
+    "inner", "left", "right", "full", "cross", "current_date",
+    "current_timestamp",
+}
+
+
+def _mask(s: str) -> str:
+    """Lower-cased copy with string literals and parenthesized regions
+    blanked, same length — safe for keyword/comma/equals position finding
+    at the statement's top level."""
+    out = []
+    depth = 0
+    q: str | None = None
+    for c in s:
+        if q is not None:
+            out.append(" ")
+            if c == q:
+                q = None
+        elif c in ("'", '"'):
+            q = c
+            out.append(" ")
+        elif c == "(":
+            depth += 1
+            out.append(" ")
+        elif c == ")":
+            depth -= 1
+            out.append(" ")
+        elif depth > 0:
+            out.append(" ")
+        else:
+            out.append(c.lower())
+    return "".join(out)
+
+
+def _mask_quotes(s: str) -> str:
+    """Lower-cased copy with only string literals blanked (parens kept)."""
+    out = []
+    q: str | None = None
+    for c in s:
+        if q is not None:
+            out.append(" ")
+            if c == q:
+                q = None
+        elif c in ("'", '"'):
+            q = c
+            out.append(" ")
+        else:
+            out.append(c.lower())
+    return "".join(out)
+
+
+def _find_kw(mask: str, kw: str, start: int = 0) -> int:
+    m = re.compile(rf"\b{kw}\b").search(mask, start)
+    return m.start() if m else -1
+
+
+def _split_top(s: str, sep: str = ",") -> list[str]:
+    mask = _mask(s)
+    parts, last = [], 0
+    for i, c in enumerate(mask):
+        if c == sep:
+            parts.append(s[last:i])
+            last = i + 1
+    parts.append(s[last:])
+    return [p.strip() for p in parts if p.strip()]
+
+
+def _parse_relation(text: str) -> tuple[str, str | None]:
+    """``name``, ``name alias``, ``name as alias`` → (name, alias)."""
+    toks = text.split()
+    if not toks:
+        raise ValueError(f"cannot parse relation from {text!r}")
+    if len(toks) == 1:
+        return toks[0], None
+    if len(toks) == 3 and toks[1].lower() == "as":
+        return toks[0], toks[2]
+    if len(toks) == 2:
+        return toks[0], toks[1]
+    raise ValueError(f"cannot parse relation from {text!r}")
+
+
+class _Rewriter:
+    """Rewrites user aliases/table names to the builder's fixed ``target``/
+    ``source`` qualifiers, and qualifies bare columns (source-first) so
+    expressions stay unambiguous over the joined frame."""
+
+    def __init__(self, target_names: set[str], source_names: set[str],
+                 source_cols: set[str], target_cols: set[str]):
+        self.tnames = {n.lower() for n in target_names if n}
+        self.snames = {n.lower() for n in source_names if n}
+        self.scols = {c.lower() for c in source_cols}
+        self.tcols = {c.lower() for c in target_cols}
+
+    def __call__(self, expr: str) -> str:
+        mask = _mask_quotes(expr)
+        out = []
+        pos = 0
+        for m in re.finditer(r"\b[a-zA-Z_][\w]*\b", mask):
+            word = m.group(0)
+            start, end = m.span()
+            nxt = mask[end:end + 80].lstrip()
+            prev = mask[:start].rstrip()
+            out.append(expr[pos:start])
+            pos = end
+            if prev.endswith("."):           # already-qualified column
+                out.append(expr[start:end])
+            elif nxt.startswith("."):        # qualifier position
+                if word in self.snames:
+                    out.append("source")
+                elif word in self.tnames:
+                    out.append("target")
+                else:
+                    out.append(expr[start:end])
+            elif nxt.startswith("(") or word in _KEYWORDS:
+                out.append(expr[start:end])  # function call / keyword
+            elif word in self.scols:
+                out.append(f"source.{expr[start:end]}")
+            elif word in self.tcols:
+                out.append(f"target.{expr[start:end]}")
+            else:
+                out.append(expr[start:end])
+        out.append(expr[pos:])
+        return "".join(out)
+
+
+def _strip_qualifier(col: str) -> str:
+    return col.split(".")[-1].strip().strip("`")
+
+
+def parse_merge(sql: str) -> dict:
+    """Parse a MERGE INTO statement into its structural pieces (strings —
+    expression rewriting happens at execution when schemas are known)."""
+    mask = _mask(sql)
+    m = re.match(r"\s*merge\s+into\b", mask)
+    if not m:
+        raise ValueError("not a MERGE INTO statement")
+    i_using = _find_kw(mask, "using", m.end())
+    i_on = _find_kw(mask, "on", i_using)
+    i_when = _find_kw(mask, "when", i_on)
+    if min(i_using, i_on, i_when) < 0:
+        raise ValueError("MERGE INTO needs USING, ON and WHEN clauses")
+    target, talias = _parse_relation(sql[m.end():i_using].strip())
+
+    src_text = sql[i_using + len("using"):i_on].strip()
+    if src_text.startswith("("):
+        # find the matching close paren in the raw text
+        depth, q, close = 0, None, -1
+        for i, c in enumerate(src_text):
+            if q:
+                if c == q:
+                    q = None
+            elif c in ("'", '"'):
+                q = c
+            elif c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth == 0:
+                    close = i
+                    break
+        source = src_text[1:close].strip()
+        rest = src_text[close + 1:].split()
+        salias = rest[-1] if rest else None
+        if salias and salias.lower() == "as":
+            salias = None
+        source_is_query = True
+    else:
+        source, salias = _parse_relation(src_text)
+        source_is_query = False
+
+    on = sql[i_on + len("on"):i_when].strip()
+
+    clauses = []
+    # split the tail at top-level WHEN keywords
+    tail, tmask = sql[i_when:], mask[i_when:]
+    starts = [mm.start() for mm in re.finditer(r"\bwhen\b", tmask)]
+    starts.append(len(tail))
+    for a, b in zip(starts, starts[1:]):
+        ctext = tail[a:b].strip()
+        cmask = _mask(ctext)
+        i_then = _find_kw(cmask, "then")
+        if i_then < 0:
+            raise ValueError(f"WHEN clause missing THEN: {ctext!r}")
+        head, body = ctext[:i_then], ctext[i_then + len("then"):].strip()
+        hmask = cmask[:i_then]
+        matched = re.search(r"\bnot\s+matched\b", hmask) is None
+        i_and = _find_kw(hmask, "and")
+        cond = head[i_and + len("and"):].strip() if i_and >= 0 else None
+        bmask = _mask(body)
+        if bmask.startswith("update"):
+            i_set = _find_kw(bmask, "set")
+            assigns_text = body[i_set + len("set"):].strip()
+            if assigns_text == "*":
+                sets = "*"
+            else:
+                sets = {}
+                for a_txt in _split_top(assigns_text):
+                    amask = _mask(a_txt)
+                    eq = amask.find("=")
+                    if eq < 0:
+                        raise ValueError(f"bad assignment {a_txt!r}")
+                    sets[_strip_qualifier(a_txt[:eq])] = a_txt[eq + 1:].strip()
+            clauses.append(("update", matched, cond, sets))
+        elif bmask.startswith("delete"):
+            clauses.append(("delete", matched, cond, None))
+        elif bmask.startswith("insert"):
+            rest = body[len("insert"):].strip()
+            if rest == "*":
+                clauses.append(("insert", matched, cond, "*"))
+            else:
+                mm = re.match(r"\((?P<cols>.*?)\)\s*values\s*\((?P<vals>.*)\)\s*$",
+                              rest, re.IGNORECASE | re.DOTALL)
+                if not mm:
+                    raise ValueError(f"bad INSERT clause {rest!r}")
+                cols = [_strip_qualifier(c) for c in
+                        _split_top(mm.group("cols"))]
+                vals = _split_top(mm.group("vals"))
+                if len(cols) != len(vals):
+                    raise ValueError("INSERT column/value count mismatch")
+                clauses.append(("insert", matched, cond,
+                                dict(zip(cols, vals))))
+        else:
+            raise ValueError(f"unsupported merge action {body!r}")
+    return {"target": target, "target_alias": talias, "source": source,
+            "source_is_query": source_is_query, "source_alias": salias,
+            "on": on, "clauses": clauses}
+
+
+def _exec_merge(spark, sql: str, tables: dict) -> object:
+    p = parse_merge(sql)
+    tname = p["target"].split(".")[-1].strip("`")
+    tbl = tables.get(p["target"]) or tables.get(tname)
+    if tbl is None:
+        raise ValueError(f"unknown hoodie table {p['target']!r}")
+    src = spark.sql(p["source"]) if p["source_is_query"] \
+        else spark.table(p["source"])
+    target_cols = [n for n, _ in tbl.data_columns()]
+    rw = _Rewriter({p["target"], tname, p["target_alias"]},
+                   {p["source"], p["source_alias"]},
+                   set(src.columns), set(target_cols))
+    b = tbl.merge(src, rw(p["on"]))
+    for kind, matched, cond, payload in p["clauses"]:
+        cond_rw = rw(cond) if cond else None
+        if kind == "update":
+            if payload == "*":
+                payload = {c: f"source.{c}" for c in target_cols
+                           if c in src.columns}
+            else:
+                payload = {c: rw(e) for c, e in payload.items()}
+            b.when_matched_update(set=payload, condition=cond_rw)
+        elif kind == "delete":
+            b.when_matched_delete(condition=cond_rw)
+        else:
+            values = None if payload == "*" else \
+                {c: rw(e) for c, e in payload.items()}
+            b.when_not_matched_insert(values=values, condition=cond_rw)
+    return b.execute()
+
+
+def _exec_update(spark, sql: str, tables: dict) -> object:
+    mask = _mask(sql)
+    m = re.match(r"\s*update\b", mask)
+    i_set = _find_kw(mask, "set", m.end())
+    i_where = _find_kw(mask, "where", i_set)
+    tname = sql[m.end():i_set].strip()
+    tbl = tables.get(tname) or tables.get(tname.split(".")[-1].strip("`"))
+    if tbl is None:
+        raise ValueError(f"unknown hoodie table {tname!r}")
+    assigns_text = sql[i_set + len("set"):i_where if i_where >= 0 else len(sql)]
+    sets = {}
+    for a_txt in _split_top(assigns_text):
+        eq = _mask(a_txt).find("=")
+        sets[_strip_qualifier(a_txt[:eq])] = a_txt[eq + 1:].strip()
+    where = sql[i_where + len("where"):].strip() if i_where >= 0 else None
+    return tbl.update(set=sets, where=where)
+
+
+def _exec_delete(spark, sql: str, tables: dict) -> object:
+    mask = _mask(sql)
+    m = re.match(r"\s*delete\s+from\b", mask)
+    i_where = _find_kw(mask, "where", m.end())
+    tname = sql[m.end():i_where if i_where >= 0 else len(sql)].strip()
+    tbl = tables.get(tname) or tables.get(tname.split(".")[-1].strip("`"))
+    if tbl is None:
+        raise ValueError(f"unknown hoodie table {tname!r}")
+    cond = sql[i_where + len("where"):].strip() if i_where >= 0 else "true"
+    return tbl.delete_where(cond)
+
+
+def _exec_truncate(spark, sql: str, tables: dict) -> object:
+    mask = _mask(sql)
+    m = re.match(r"\s*truncate\s+table\b", mask)
+    tname = sql[m.end():].strip()
+    tbl = tables.get(tname) or tables.get(tname.split(".")[-1].strip("`"))
+    if tbl is None:
+        raise ValueError(f"unknown hoodie table {tname!r}")
+    return tbl.truncate()
+
+
+def _exec_alter(spark, sql: str, tables: dict) -> None:
+    """ALTER TABLE t ADD COLUMNS (a int, ...) | CHANGE [COLUMN] a a <type> |
+    RENAME TO t2 (AlterHoodieTableAddColumnsCommand / ...ChangeColumnCommand
+    / ...RenameCommand)."""
+    mask = _mask(sql)
+    m = re.match(r"\s*alter\s+table\b", mask)
+    mm = re.search(r"\b(add\s+columns?|change(?:\s+column)?|rename\s+to)\b",
+                   mask)
+    if not mm:
+        raise ValueError(f"unsupported ALTER TABLE statement: {sql!r}")
+    tname = sql[m.end():mm.start()].strip()
+    tbl = tables.get(tname) or tables.get(tname.split(".")[-1].strip("`"))
+    if tbl is None:
+        raise ValueError(f"unknown hoodie table {tname!r}")
+    verb = mm.group(1).split()[0]
+    rest = sql[mm.end():].strip()
+    if verb == "add":
+        if rest.startswith("("):
+            rest = rest[1:rest.rindex(")")]
+        cols = {}
+        for part in _split_top(rest):
+            toks = part.split(None, 1)
+            cols[toks[0].strip("`")] = toks[1]
+        tbl.add_columns(cols)
+    elif verb == "change":
+        toks = rest.split(None, 2)
+        old, new, new_type = toks[0].strip("`"), toks[1].strip("`"), toks[2]
+        if old.lower() != new.lower():
+            raise ValueError(
+                "Can not support change column name for hoodie table")
+        tbl.change_column(old, new_type)
+    else:
+        tbl.rename_table(rest.strip("`"))
+
+
+def run_sql(spark, sql: str, tables: dict):
+    """Execute one DML statement against registered hoodie tables.
+
+    ``tables`` maps table name → :class:`HoodieTable` (the stand-in for the
+    reference's session catalog lookup, HoodieAnalysis.scala:105). MERGE
+    source relations resolve through the Spark session (temp views) or as a
+    ``USING (subquery)``."""
+    head = _mask(sql).lstrip()
+    if head.startswith("merge"):
+        return _exec_merge(spark, sql, tables)
+    if head.startswith("update"):
+        return _exec_update(spark, sql, tables)
+    if head.startswith("delete"):
+        return _exec_delete(spark, sql, tables)
+    if head.startswith("truncate"):
+        return _exec_truncate(spark, sql, tables)
+    if head.startswith("alter"):
+        return _exec_alter(spark, sql, tables)
+    raise ValueError("run_sql handles MERGE/UPDATE/DELETE/TRUNCATE/ALTER; "
+                     "use spark.sql() for queries over registered views")

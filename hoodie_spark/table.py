@@ -29,6 +29,30 @@ from .timeline import Timeline
 _PROPERTIES = "hoodie.properties.json"
 
 
+def _parse_ddl_type(t: str | T.DataType) -> T.DataType:
+    if isinstance(t, T.DataType):
+        return t
+    return T._parse_datatype_string(t)
+
+
+# Avro-resolution-style widening ladder (TableSchemaResolver
+# .isSchemaCompatible semantics): numeric promotion only, no renames.
+_NUM_LADDER = ["byte", "short", "integer", "long", "float", "double"]
+
+
+def _widenable(old: T.DataType, new: T.DataType) -> bool:
+    if old == new:
+        return True
+    o, n = old.typeName(), new.typeName()
+    if o in _NUM_LADDER and n in _NUM_LADDER:
+        return _NUM_LADDER.index(o) <= _NUM_LADDER.index(n)
+    if isinstance(old, T.DecimalType) and isinstance(new, T.DecimalType):
+        return (new.precision >= old.precision
+                and new.scale >= old.scale
+                and new.precision - new.scale >= old.precision - old.scale)
+    return False
+
+
 class HoodieTable:
     def __init__(self, spark: SparkSession, base_path: str, config: TableConfig,
                  write_config: WriteConfig | None = None):
@@ -141,6 +165,57 @@ class HoodieTable:
     def empty_df(self) -> DataFrame:
         s = self.schema or T.StructType()
         return self.spark.createDataFrame([], s)
+
+    # --------------------------------------------------------- ALTER TABLE
+    def add_columns(self, cols: dict[str, str]) -> None:
+        """ALTER TABLE ADD COLUMNS (AlterHoodieTableAddColumnsCommand.scala):
+        append nullable fields to the stored schema; existing files read the
+        new columns as null."""
+        current = self.schema
+        if current is None:
+            raise ValueError("table has no schema yet")
+        names = {f.name for f in current.fields}
+        added = [T.StructField(n, _parse_ddl_type(t), True)
+                 for n, t in cols.items() if n not in names]
+        if not added:
+            return
+        import json as _json
+        self.config.schema_json = _json.dumps(
+            T.StructType(list(current.fields) + added).jsonValue())
+        self.save_properties()
+
+    def change_column(self, name: str, new_type: str) -> None:
+        """ALTER TABLE CHANGE COLUMN (AlterHoodieTableChangeColumnCommand
+        .scala:93): compatible TYPE change for an existing column — the
+        reference rejects renames ("Can not support change column name")
+        and validates Avro-resolution compatibility; we allow the same
+        widening ladder. Existing files are NOT rewritten: the parquet
+        reader up-casts old pages to the new type (Spark type-widening
+        reads), new writes store the new type."""
+        current = self.schema
+        if current is None or name not in {f.name for f in current.fields}:
+            raise ValueError(f"no such column {name!r}")
+        nt = _parse_ddl_type(new_type)
+        fields = []
+        for f in current.fields:
+            if f.name != name:
+                fields.append(f)
+                continue
+            if not _widenable(f.dataType, nt):
+                raise ValueError(
+                    f"incompatible type change for {name!r}: "
+                    f"{f.dataType.simpleString()} -> {nt.simpleString()}")
+            fields.append(T.StructField(name, nt, True))
+        import json as _json
+        self.config.schema_json = _json.dumps(T.StructType(fields).jsonValue())
+        self.save_properties()
+
+    def rename_table(self, new_name: str) -> None:
+        """ALTER TABLE RENAME TO (AlterHoodieTableRenameCommand.scala):
+        re-init the table config under the new name; data and timeline stay
+        in place."""
+        self.config.name = new_name
+        self.save_properties()
 
     # ---------------------------------------------------------------- reads
     def view(self) -> FileSystemView:
@@ -272,6 +347,14 @@ class HoodieTable:
 
     def filter_exists(self, df: DataFrame) -> DataFrame:
         return self._writer.filter_exists(df)
+
+    def truncate(self):
+        """TRUNCATE TABLE (TruncateHoodieTableCommand.scala): one
+        replacecommit superseding every live file group; schema, timeline
+        and table config are kept, so history before the truncate is still
+        time-travel readable until cleaned."""
+        data = [n for n, _ in self.data_columns()]
+        return self._writer.insert_overwrite_table(self.empty_df().select(*data))
 
     # ------------------------------------------------------ table services
     def rollback(self, instant_ts: str):

@@ -1,0 +1,192 @@
+"""SQL-text DML front-end tests, mirroring the reference's
+TestMergeIntoTable.scala cases as raw SQL strings (basic :25, ignored
+record :115, conditions/delete clause, star expansion) plus UPDATE /
+DELETE / TRUNCATE statements (UpdateHoodieTableCommand.scala,
+TruncateHoodieTableCommand.scala)."""
+
+import pytest
+
+from hoodie_spark import HoodieTable
+from hoodie_spark.sql import parse_merge, run_sql
+
+
+@pytest.fixture()
+def h1(spark, tmp_table_path):
+    """Reference-style (id, name, price, ts) table, primaryKey=id."""
+    return HoodieTable.create(spark, tmp_table_path, "h1",
+                              recordkey_fields=["id"],
+                              precombine_field="ts")
+
+
+def _rows(tbl):
+    return sorted(tuple(r) for r in
+                  tbl.snapshot().select("id", "name", "price", "ts").collect())
+
+
+def test_merge_basic_lifecycle(spark, h1):
+    """TestMergeIntoTable.scala:25 'Test MergeInto Basic', all four merges."""
+    tables = {"h1": h1}
+    # seed the schema (create-table DDL equivalent)
+    h1.bulk_insert(spark.sql(
+        "select 0 as id, 'seed' as name, cast(0 as double) as price, "
+        "0 as ts").limit(0))
+
+    run_sql(spark, """
+        merge into h1
+        using (
+         select 1 as id, 'a1' as name, 10.0 as price, 1000 as ts, '1' as flag
+        ) s0
+        on s0.id = h1.id
+        when matched and flag = '1' then update set
+        id = s0.id, name = s0.name, price = s0.price, ts = s0.ts
+        when not matched and flag = '1' then insert *
+    """, tables)
+    assert _rows(h1) == [(1, "a1", 10.0, 1000)]
+
+    run_sql(spark, """
+        merge into h1
+        using (
+         select 1 as id, 'a1' as name, 10.0 as price, 1001 as ts
+        ) s0
+        on s0.id = h1.id
+        when matched then update set
+        id = s0.id, name = s0.name, price = s0.price + h1.price, ts = s0.ts
+        when not matched then insert *
+    """, tables)
+    assert _rows(h1) == [(1, "a1", 20.0, 1001)]
+
+    run_sql(spark, """
+        merge into h1
+        using (
+         select * from (
+         select 1 as id, 'a1' as name, 10.0 as price, 1002 as ts
+         union all
+         select 2 as id, 'a2' as name, 12.0 as price, 1001 as ts
+         )
+        ) s0
+        on s0.id = h1.id
+        when matched then update set
+        id = s0.id, name = s0.name, price = s0.price + h1.price, ts = s0.ts
+        when not matched and id % 2 = 0 then insert *
+    """, tables)
+    assert _rows(h1) == [(1, "a1", 30.0, 1002), (2, "a2", 12.0, 1001)]
+
+    run_sql(spark, """
+        merge into h1
+        using (
+         select 1 as id, 'a1' as name, 12.0 as price, 1003 as ts
+        ) s0
+        on s0.id = h1.id
+        when matched and id != 1 then update set
+           id = s0.id, name = s0.name, price = s0.price, ts = s0.ts
+        when matched and id = 1 then delete
+        when not matched then insert *
+    """, tables)
+    assert h1.snapshot().filter("id = 1").count() == 0
+
+
+def test_merge_ignored_record(spark, h1):
+    """TestMergeIntoTable.scala:115: a source row matching no clause
+    condition is ignored entirely."""
+    h1.bulk_insert(spark.sql("select 1 as id, 'a1' as name, "
+                             "10.0 as price, 1000 as ts"))
+    spark.sql("select 1 as id, 'a1u' as name, 11.0 as price, 1001 as ts "
+              "union all "
+              "select 2 as id, 'a2' as name, 12.0 as price, 1002 as ts"
+              ).createOrReplaceTempView("src_v")
+    run_sql(spark, """
+        merge into h1 as t
+        using src_v s0
+        on s0.id = t.id
+        when matched and s0.id = 99 then update set *
+        when not matched and s0.id = 99 then insert *
+    """, {"h1": h1})
+    assert _rows(h1) == [(1, "a1", 10.0, 1000)]
+
+
+def test_merge_star_expansion(spark, h1):
+    """update set * / insert * expand to target data columns from source."""
+    h1.bulk_insert(spark.sql("select 1 as id, 'a1' as name, "
+                             "10.0 as price, 1000 as ts"))
+    run_sql(spark, """
+        merge into h1
+        using (select 1 as id, 'a1u' as name, 11.0 as price, 1001 as ts
+               union all
+               select 3 as id, 'a3' as name, 13.0 as price, 1003 as ts) s0
+        on s0.id = h1.id
+        when matched then update set *
+        when not matched then insert *
+    """, {"h1": h1})
+    assert _rows(h1) == [(1, "a1u", 11.0, 1001), (3, "a3", 13.0, 1003)]
+
+
+def test_update_delete_truncate_text(spark, h1):
+    h1.bulk_insert(spark.sql(
+        "select id, concat('n', id) as name, cast(id as double) as price, "
+        "1000 as ts from range(10)"))
+    run_sql(spark, "update h1 set price = price * 2 where id >= 5", {"h1": h1})
+    got = {r[0]: r[1] for r in
+           h1.snapshot().select("id", "price").collect()}
+    assert got[4] == 4.0 and got[7] == 14.0
+    run_sql(spark, "delete from h1 where id < 3", {"h1": h1})
+    assert h1.snapshot().count() == 7
+    run_sql(spark, "truncate table h1", {"h1": h1})
+    assert h1.snapshot().count() == 0
+    assert [n for n, _ in h1.data_columns()] == ["id", "name", "price", "ts"]
+    # still writable after truncate
+    h1.upsert(spark.sql("select 9 as id, 'back' as name, 1.0 as price, "
+                        "1 as ts"))
+    assert h1.snapshot().count() == 1
+
+
+def test_alter_table_text(spark, h1):
+    import pytest as _pytest
+
+    h1.bulk_insert(spark.sql("select 1 as id, 'a1' as name, "
+                             "10.0 as price, 1000 as ts"))
+    tables = {"h1": h1}
+    run_sql(spark, "alter table h1 add columns (tag string, score double)",
+            tables)
+    assert dict(h1.data_columns())["tag"] == "string"
+    snap = h1.snapshot()
+    assert snap.filter("tag is null and score is null").count() == 1
+
+    # compatible type widening: old files read through the widened schema
+    run_sql(spark, "alter table h1 change column ts ts bigint", tables)
+    assert dict(h1.data_columns())["ts"] == "bigint"
+    assert h1.snapshot().select("ts").collect()[0][0] == 1000
+    h1.upsert(spark.sql("select 2 as id, 'a2' as name, 2.0 as price, "
+                        "cast(8589934592 as bigint) as ts"))
+    got = {r[0]: r[1] for r in h1.snapshot().select("id", "ts").collect()}
+    assert got == {1: 1000, 2: 8589934592}
+
+    # incompatible narrowing / renames are rejected as in the reference
+    with _pytest.raises(ValueError, match="incompatible"):
+        run_sql(spark, "alter table h1 change column ts ts int", tables)
+    with _pytest.raises(ValueError, match="change column name"):
+        run_sql(spark, "alter table h1 change column name label string",
+                tables)
+
+    run_sql(spark, "alter table h1 rename to h1_renamed", tables)
+    assert h1.config.name == "h1_renamed"
+    # reload from disk sees the new name
+    reloaded = HoodieTable.load(spark, h1.base_path)
+    assert reloaded.config.name == "h1_renamed"
+
+
+def test_parse_merge_structure():
+    p = parse_merge("""
+        merge into db.tgt as t
+        using (select 1 as a) src
+        on src.a = t.a
+        when matched and t.a > 0 then update set a = src.a
+        when matched then delete
+        when not matched then insert (a) values (src.a)
+    """)
+    assert p["target"] == "db.tgt" and p["target_alias"] == "t"
+    assert p["source_is_query"] and p["source_alias"] == "src"
+    assert p["on"].strip() == "src.a = t.a"
+    kinds = [(c[0], c[1]) for c in p["clauses"]]
+    assert kinds == [("update", True), ("delete", True), ("insert", False)]
+    assert p["clauses"][0][3] == {"a": "src.a"}
+    assert p["clauses"][2][3] == {"a": "src.a"}
