@@ -43,6 +43,9 @@ from .similarity import (
     brute_force_topk,
     lsh_bucket_topk,
     ivf_topk,
+    kmeans_centroids,
+    write_ivf_index,
+    ivf_topk_from_index,
 )
 from .multimodal import (
     MEDIA_META_SCHEMA,

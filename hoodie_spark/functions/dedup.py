@@ -223,6 +223,11 @@ def simhash_sigs(df: DataFrame, id_col: str, text_col: str,
     votes 0 on every bit), so the vote sum is 0 and the signature is
     all-zero — matching the Column form, where an empty vote sum is never
     > 0 — in ONE aggregation with no second input pass or restore join.
+
+    Multiplicity contract: the groupBy returns ONE row per distinct
+    ``id_col`` value. Rows sharing an id have their token streams merged
+    into a single signature (they do not each get a row — callers needing
+    per-row signatures should pre-assign a unique id).
     """
     hashed = _spread(df).select(
         F.col(id_col), F.explode_outer(tokens(F.col(text_col))).alias("__tok")

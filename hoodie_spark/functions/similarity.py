@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "dot", "l2_norm", "cosine", "sign_lsh_key",
     "brute_force_topk", "lsh_bucket_topk", "ivf_topk",
+    "kmeans_centroids", "write_ivf_index", "ivf_topk_from_index",
 ]
 
 
@@ -84,11 +85,15 @@ def sign_lsh_key(vec, planes: int, dim: int | None = None) -> Column:
             bits.append(F.when(proj > 0, F.lit("1")).otherwise(F.lit("0")))
         # zip_with null-pads on length mismatch, which would silently zero
         # every bit and collapse mismatched vectors into one bucket — fail
-        # loudly instead
-        return F.when(F.size(vec) == dim, F.concat(*bits)).otherwise(
-            F.raise_error(F.concat(
-                F.lit(f"sign_lsh_key: vector length != dim={dim} (got "),
-                F.size(vec).cast("string"), F.lit(")"))))
+        # loudly instead. Null vectors (missing embeddings) map to a null
+        # key, never the error branch: size(NULL) is null, so without the
+        # isNull arm the when-condition itself would be null and the row
+        # would fall into raise_error with an unreadable null-concat message.
+        return (F.when(vec.isNull(), F.lit(None).cast("string"))
+                .when(F.size(vec) == dim, F.concat(*bits))
+                .otherwise(F.raise_error(F.concat(
+                    F.lit(f"sign_lsh_key: vector length != dim={dim} (got "),
+                    F.size(vec).cast("string"), F.lit(")")))))
 
     def bit(p):
         proj = F.aggregate(
@@ -166,6 +171,119 @@ def lsh_bucket_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
     )
 
 
+def _assign_centroids(c: DataFrame, cent: DataFrame) -> DataFrame:
+    """Nearest centroid per corpus vector (cosine argmax, ties → smaller
+    centroid id): map-side broadcast loop, one pass over the corpus."""
+    assign_w = Window.partitionBy("c_id").orderBy(F.desc("aff"), F.asc("k_id"))
+    return (
+        c.crossJoin(F.broadcast(cent))
+        .select("c_id", "c_v", "c_n", F.col("k_id"),
+                (dot("c_v", "k_v") / (F.col("c_n") * F.col("k_n"))).alias("aff"))
+        .withColumn("rnk", F.row_number().over(assign_w))
+        .filter(F.col("rnk") == 1)
+        .select("c_id", "c_v", "c_n", F.col("k_id").alias("centroid"))
+    )
+
+
+def kmeans_centroids(corpus: DataFrame, id_col: str, vec_col: str,
+                     n_centroids: int = 16, iters: int = 4,
+                     sample_fraction: float | None = None,
+                     seed: int = 42) -> DataFrame:
+    """Sampled Lloyd's k-means codebook for :func:`ivf_topk`.
+
+    The scale shape: each iteration is ONE map pass over the (optionally
+    sampled) corpus — broadcast the k×dim centroid matrix, argmax-assign,
+    then a (centroid, dimension)-keyed partial-sum shuffle of k×dim rows;
+    only the k×dim codebook is ever collected. At 100 TB you train on a
+    ~0.1% sample (set ``sample_fraction``) and the cost is independent of
+    corpus size. Deterministic: seeded sample, smallest-id init, and empty
+    clusters keep their previous centroid.
+
+    Returns a DataFrame with columns ``(id_col, vec_col)`` (ids 0..k-1),
+    ready to pass as ``ivf_topk(..., centroids=...)``.
+    """
+    spark = corpus.sparkSession
+    c = _prep(corpus, id_col, vec_col, "c").filter(F.col("c_n") > 0)
+    if sample_fraction is not None:
+        c = c.sample(False, sample_fraction, seed=seed)
+    c = c.persist()
+    try:
+        init = [r[0] for r in
+                c.orderBy("c_id").limit(n_centroids).select("c_v").collect()]
+        cents: list[list[float]] = [list(v) for v in init]
+        for _ in range(max(0, iters)):
+            cent_df = spark.createDataFrame(
+                [(i, v) for i, v in enumerate(cents)],
+                "k_id int, k_v array<double>").withColumn("k_n", l2_norm("k_v"))
+            stats = (_assign_centroids(c, F.broadcast(cent_df))
+                     .select("centroid", F.posexplode("c_v").alias("pos", "x"))
+                     .groupBy("centroid", "pos")
+                     .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+                     .collect())
+            new = {int(r["centroid"]): dict() for r in stats}
+            for r in stats:
+                new[int(r["centroid"])][int(r["pos"])] = r["s"] / r["n"]
+            cents = [
+                [by_pos[p] for p in sorted(by_pos)] if (by_pos := new.get(i))
+                else cents[i]  # empty cluster: keep previous centroid
+                for i in range(len(cents))
+            ]
+    finally:
+        c.unpersist()
+    return spark.createDataFrame(
+        [(i, v) for i, v in enumerate(cents)],
+        f"{id_col} int, __v array<double>").withColumnRenamed("__v", vec_col)
+
+
+def write_ivf_index(corpus: DataFrame, centroids: DataFrame, id_col: str,
+                    vec_col: str, path: str) -> None:
+    """Persist the inverted lists as a ``partitionBy(centroid)`` parquet
+    layout — the 100 TB serving shape: a probe then reads only
+    ``n_probe / n_centroids`` of the data via partition pruning."""
+    c = _prep(corpus, id_col, vec_col, "c")
+    cent = _prep(centroids, id_col, vec_col, "k")
+    (_assign_centroids(c, cent)
+     .select(F.col("c_id").alias(id_col), F.col("c_v").alias(vec_col),
+             F.col("c_n").alias("__norm"), "centroid")
+     .write.partitionBy("centroid").mode("overwrite").parquet(path))
+
+
+def ivf_topk_from_index(spark, index_path: str, centroids: DataFrame,
+                        queries: DataFrame, id_col: str, vec_col: str,
+                        k: int = 10, n_probe: int = 4) -> DataFrame:
+    """Probe a persisted :func:`write_ivf_index` layout. The
+    ``centroid IN (...)`` filter prunes at the partition-directory level,
+    so only the probed inverted lists are scanned."""
+    cent = _prep(centroids, id_col, vec_col, "k")
+    q = _prep(queries, id_col, vec_col, "q")
+    probe_w = Window.partitionBy("q_id").orderBy(F.desc("aff"), F.asc("k_id"))
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .select("q_id", "q_v", "q_n", F.col("k_id"),
+                (dot("q_v", "k_v") / (F.col("q_n") * F.col("k_n"))).alias("aff"))
+        .withColumn("rnk", F.row_number().over(probe_w))
+        .filter(F.col("rnk") <= n_probe)
+        .select("q_id", "q_v", "q_n", F.col("k_id").alias("centroid")))
+    wanted = [r[0] for r in probes.select("centroid").distinct().collect()]
+    index = (spark.read.parquet(index_path)
+             .filter(F.col("centroid").isin(wanted))
+             .select(F.col(id_col).alias("c_id"),
+                     F.col(vec_col).alias("c_v"),
+                     F.col("__norm").alias("c_n"), "centroid"))
+    scored = (
+        index.join(F.broadcast(probes), "centroid")
+        .filter(F.col("c_id") != F.col("q_id"))
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("c_id").alias("neighbor_id"),
+            (dot("c_v", "q_v") / (F.col("c_n") * F.col("q_n"))).alias("cos"))
+        .distinct())
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank", "cos"))
+
+
 def ivf_topk(corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
              k: int = 10, n_centroids: int = 16, n_probe: int = 4,
              centroids: DataFrame | None = None) -> DataFrame:
@@ -182,16 +300,7 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
         centroids = corpus.orderBy(F.col(id_col)).limit(n_centroids)
     cent = _prep(centroids, id_col, vec_col, "k")
 
-    # nearest centroid per corpus vector (cosine argmax, ties → smaller id)
-    assign_w = Window.partitionBy("c_id").orderBy(F.desc("aff"), F.asc("k_id"))
-    assigned = (
-        c.crossJoin(F.broadcast(cent))
-        .select("c_id", "c_v", "c_n", F.col("k_id"),
-                (dot("c_v", "k_v") / (F.col("c_n") * F.col("k_n"))).alias("aff"))
-        .withColumn("rnk", F.row_number().over(assign_w))
-        .filter(F.col("rnk") == 1)
-        .select("c_id", "c_v", "c_n", F.col("k_id").alias("centroid"))
-    )
+    assigned = _assign_centroids(c, cent)
 
     # each query probes its n_probe nearest centroids
     q = _prep(queries, id_col, vec_col, "q")

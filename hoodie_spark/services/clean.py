@@ -67,12 +67,13 @@ def clean(table, policy: str = CleaningPolicy.KEEP_LATEST_COMMITS,
             deleted_paths += paths
     if not deleted_slices:
         return None
+    fs = table.storage
     for p in deleted_paths:
         if os.path.isabs(p):
             continue  # metadata-only bootstrap source — never ours to delete
         ap = os.path.join(table.base_path, p)
-        if os.path.exists(ap):
-            os.remove(ap)
+        if fs.exists(ap):
+            fs.remove(ap)
     t = timeline.new_instant_time()
     timeline.create_requested(tl.CLEAN, t)
     timeline.complete(tl.CLEAN, t, {

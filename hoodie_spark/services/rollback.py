@@ -29,8 +29,8 @@ def _delete_instant_files(table, ts: str) -> list[str]:
             if os.path.isabs(st["path"]):
                 continue  # metadata-only bootstrap source — never deleted
             p = os.path.join(table.base_path, st["path"])
-            if os.path.exists(p):
-                os.remove(p)
+            if table.storage.exists(p):
+                table.storage.remove(p)
                 deleted.append(st["path"])
     from .. import bloom
     bloom.drop_sidecar(table, ts)

@@ -2,6 +2,9 @@ from .ingest import (CsvDFSSource, HoodieIncrSource, Ingestor, JdbcSource,
                      JsonDFSSource, KafkaSource, MultiTableIngestor,
                      ParquetDFSSource, SqlSource)
 from .async_services import AsyncTableServices
+from .schema import (FileBasedSchemaProvider, RowBasedSchemaProvider,
+                     SchemaProvider, SchemaRegistryProvider,
+                     StaticSchemaProvider)
 from .sink import foreach_batch_writer, write_stream
 from .stateful import stateful_dedup, stateful_session_counts
 from .source import incremental_batches, latest_offset
@@ -9,4 +12,7 @@ from .source import incremental_batches, latest_offset
 __all__ = ["foreach_batch_writer", "write_stream", "incremental_batches",
            "latest_offset", "Ingestor", "ParquetDFSSource", "JsonDFSSource",
            "CsvDFSSource", "JdbcSource", "KafkaSource", "SqlSource",
-           "HoodieIncrSource", "MultiTableIngestor", "AsyncTableServices", "stateful_dedup", "stateful_session_counts"]
+           "HoodieIncrSource", "MultiTableIngestor", "AsyncTableServices",
+           "stateful_dedup", "stateful_session_counts", "SchemaProvider",
+           "StaticSchemaProvider", "FileBasedSchemaProvider",
+           "SchemaRegistryProvider", "RowBasedSchemaProvider"]

@@ -39,7 +39,8 @@ class _DFSSource(Source):
 
     path: str
     fmt: str = "parquet"
-    schema: str | None = None
+    # DDL string, StructType, or a schema.SchemaProvider
+    schema: object | None = None
     options: dict | None = None
 
     def fetch(self, spark: SparkSession, checkpoint):
@@ -57,9 +58,12 @@ class _DFSSource(Source):
                 max_mtime = max(max_mtime, m)
         if not files:
             return None, checkpoint
+        from .schema import resolve_schema
+
         reader = spark.read
-        if self.schema:
-            reader = reader.schema(self.schema)
+        resolved = resolve_schema(self.schema, spark)
+        if resolved is not None:
+            reader = reader.schema(resolved)
         for k, v in (self.options or {}).items():
             reader = reader.option(k, v)
         return reader.format(self.fmt).load(files), repr(max_mtime)
@@ -129,8 +133,12 @@ class KafkaSource(Source):
         new_ck = json.dumps(
             {self.topic: {str(r["partition"]): r["mx"] + 1 for r in rows}})
         if self.value_schema:
-            df = df.select(F.from_json(F.col("value").cast("string"),
-                                       self.value_schema).alias("v")).select("v.*")
+            from .schema import resolve_schema
+
+            df = df.select(F.from_json(
+                F.col("value").cast("string"),
+                resolve_schema(self.value_schema, spark)).alias("v")
+            ).select("v.*")
         return df, new_ck
 
 

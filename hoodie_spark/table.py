@@ -55,11 +55,14 @@ def _widenable(old: T.DataType, new: T.DataType) -> bool:
 
 class HoodieTable:
     def __init__(self, spark: SparkSession, base_path: str, config: TableConfig,
-                 write_config: WriteConfig | None = None):
+                 write_config: WriteConfig | None = None,
+                 storage=None):
         self.spark = spark
         self.base_path = base_path
         self.config = config
         self.write_config = write_config or WriteConfig()
+        from .storage import LOCAL
+        self.storage = storage or LOCAL
         self.timeline = Timeline(base_path)
         from .writer import WriteClient  # local import to avoid cycle
         self._writer = WriteClient(self)
@@ -73,14 +76,15 @@ class HoodieTable:
                partition_expr: str | None = None,
                table_type: str = TableType.COPY_ON_WRITE,
                payload: str | None = None,
-               write_config: WriteConfig | None = None) -> "HoodieTable":
+               write_config: WriteConfig | None = None,
+               storage=None) -> "HoodieTable":
         cfg = TableConfig(
             name=name, table_type=table_type, recordkey_fields=recordkey_fields,
             precombine_field=precombine_field, partition_fields=partition_fields,
             partition_expr=partition_expr)
         if payload:
             cfg.payload = payload
-        tbl = HoodieTable(spark, base_path, cfg, write_config)
+        tbl = HoodieTable(spark, base_path, cfg, write_config, storage=storage)
         tbl.timeline.init()
         tbl.save_properties()
         return tbl

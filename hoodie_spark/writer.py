@@ -289,19 +289,24 @@ class WriteClient:
         if self.table.write_config.concurrency_mode == WriteConcurrencyMode.OPTIMISTIC:
             from .timeline import LockProvider
 
-            with LockProvider(self.table.base_path,
-                              self.table.write_config.lock_timeout_s):
-                try:
+            # any exit before index_fn() ran (conflict abort, lock timeout,
+            # commit error) must release the pre-lock-materialized index
+            # entries or the cached DataFrame leaks for the session lifetime
+            invoked = False
+            try:
+                with LockProvider(self.table.base_path,
+                                  self.table.write_config.lock_timeout_s):
                     self._check_conflicts(instant, stats, replaced)
-                except WriteConflictError:
-                    cleanup = getattr(index_fn, "cleanup", None)
-                    if cleanup is not None:
-                        cleanup()
-                    raise
-                if index_fn is not None:
-                    index_fn()
-                return self._do_commit(instant, action, operation, stats,
-                                       replaced, extra)
+                    if index_fn is not None:
+                        invoked = True
+                        index_fn()
+                    return self._do_commit(instant, action, operation, stats,
+                                           replaced, extra)
+            except BaseException:
+                cleanup = getattr(index_fn, "cleanup", None)
+                if not invoked and cleanup is not None:
+                    cleanup()
+                raise
         if index_fn is not None:
             index_fn()
         return self._do_commit(instant, action, operation, stats, replaced, extra)
@@ -328,10 +333,11 @@ class WriteClient:
                 theirs.update((pp, fid) for fid in fids)
         overlap = ours & theirs
         if overlap:
+            fs = self.table.storage
             for s in stats:
                 p = os.path.join(self.table.base_path, s["path"])
-                if not os.path.isabs(s["path"]) and os.path.exists(p):
-                    os.remove(p)
+                if not os.path.isabs(s["path"]) and fs.exists(p):
+                    fs.remove(p)
             # bloom sketches were harvested before the conflict check —
             # drop the aborted instant's sidecar so no junk accumulates
             from . import bloom
@@ -759,21 +765,25 @@ class WriteClient:
             w = w.sortWithinPartitions(PP, BUCKET, *sort_cols)
         w.write.partitionBy(PP, KIND, BUCKET).mode("overwrite").parquet(tmp)
 
+        # all directory mutations below go through the Storage seam
+        # (FSUtils/HoodieWrapperFileSystem equivalent) so an object-store
+        # backend swaps in without touching the write path
+        fs = self.table.storage
         moves: list[tuple[str, str, str, str, str]] = []  # (pp, fid, kind, src, dst)
-        for pp_dir in sorted(os.listdir(tmp)):
+        for pp_dir in fs.listdir(tmp):
             if not pp_dir.startswith(f"{PP}="):
                 continue
             pp_enc = pp_dir[len(PP) + 1:]
             pp = urllib.parse.unquote(pp_enc)
             pp = "" if pp == NO_PARTITION else pp
             dst_dir = os.path.join(self.table.base_path, pp) if pp else self.table.base_path
-            os.makedirs(dst_dir, exist_ok=True)
-            for kind_dir in sorted(os.listdir(os.path.join(tmp, pp_dir))):
+            fs.makedirs(dst_dir)
+            for kind_dir in fs.listdir(os.path.join(tmp, pp_dir)):
                 kind = kind_dir.split("=", 1)[1]
                 kdir = os.path.join(tmp, pp_dir, kind_dir)
-                for bucket_dir in sorted(os.listdir(kdir)):
+                for bucket_dir in fs.listdir(kdir):
                     fid = urllib.parse.unquote(bucket_dir.split("=", 1)[1])
-                    parts = [f for f in os.listdir(os.path.join(kdir, bucket_dir))
+                    parts = [f for f in fs.listdir(os.path.join(kdir, bucket_dir))
                              if f.endswith(".parquet")]
                     assert len(parts) == 1, f"expected 1 file per bucket, got {parts}"
                     src = os.path.join(kdir, bucket_dir, parts[0])
@@ -791,7 +801,7 @@ class WriteClient:
 
         def _finalize(m):
             _pp, _fid, _kind, src_p, dst_p = m
-            os.replace(src_p, dst_p)
+            fs.rename(src_p, dst_p)
             return _footer_stats(dst_p, stats_cols)
 
         with ThreadPoolExecutor(max_workers=min(16, max(1, len(moves)))) as ex:
@@ -803,7 +813,7 @@ class WriteClient:
             rec = {
                 "partition": pp, "file_id": fid, "file_name": fname,
                 "path": os.path.join(pp, fname) if pp else fname,
-                "instant": instant, "size": os.path.getsize(dst),
+                "instant": instant, "size": fs.size(dst),
                 "num_records": st["num_records"],
                 "min_key": st["min_key"], "max_key": st["max_key"],
                 "is_delta": kind != "base",
@@ -811,7 +821,7 @@ class WriteClient:
             if st.get("col_stats"):
                 rec["col_stats"] = st["col_stats"]
             stats.append(rec)
-        shutil.rmtree(tmp, ignore_errors=True)
+        fs.rmtree(tmp)
         if self.table.write_config.index_type in (IndexType.BLOOM,
                                                   IndexType.GLOBAL_BLOOM):
             from . import bloom

@@ -73,3 +73,47 @@ def test_mor_full_delete_then_compact(spark, tmp_table_path):
     tbl.compact()
     assert tbl.snapshot().count() == 0       # survives compaction
     assert tbl.read_optimized().count() == 0  # old base must not resurrect
+
+
+def test_storage_seam_routes_mutations(spark, orders, tmp_table_path):
+    """Write/clean/rollback file mutations must flow through the Storage
+    interface (the object-store seam), not raw os calls."""
+    from hoodie_spark import HoodieTable
+    from hoodie_spark.storage import LocalStorage
+
+    class Counting(LocalStorage):
+        def __init__(self):
+            self.calls = {"rename": 0, "remove": 0, "listdir": 0,
+                          "rmtree": 0, "makedirs": 0}
+
+        def rename(self, src, dst):
+            self.calls["rename"] += 1
+            super().rename(src, dst)
+
+        def remove(self, path):
+            self.calls["remove"] += 1
+            super().remove(path)
+
+        def listdir(self, path):
+            self.calls["listdir"] += 1
+            return super().listdir(path)
+
+        def rmtree(self, path):
+            self.calls["rmtree"] += 1
+            super().rmtree(path)
+
+        def makedirs(self, path):
+            self.calls["makedirs"] += 1
+            super().makedirs(path)
+
+    st = Counting()
+    tbl = HoodieTable.create(
+        spark, tmp_table_path, "orders", recordkey_fields=["o_orderkey"],
+        precombine_field="o_orderdate", storage=st)
+    small = orders.filter("o_orderkey < 500")
+    tbl.bulk_insert(small)
+    assert st.calls["rename"] > 0 and st.calls["listdir"] > 0
+    r2 = tbl.upsert(small.limit(50))
+    tbl.rollback(r2.instant)
+    assert st.calls["remove"] > 0
+    assert tbl.snapshot().count() == small.count()

@@ -131,6 +131,47 @@ def test_ivf_recall_reasonable(emb):
     assert len(e & a) / len(e) > 0.3  # probing half the lists on random data
 
 
+def test_ivf_kmeans_recall(emb):
+    """Trained codebook: recall@10 >= 0.9 vs brute force while probing only
+    half the inverted lists (the honest IVF quality bar)."""
+    cents = HF.kmeans_centroids(emb, "vec_id", "embedding",
+                                n_centroids=16, iters=4)
+    assert cents.count() == 16
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = HF.brute_force_topk(emb, q, "vec_id", "embedding", k=10)
+    approx = HF.ivf_topk(emb, q, "vec_id", "embedding", k=10,
+                         n_probe=8, centroids=cents)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    assert len(e & a) / len(e) >= 0.9
+
+
+def test_ivf_persisted_index_prunes(emb, tmp_table_path):
+    """partitionBy(centroid) layout: a probe reads only the probed lists
+    (partition pruning) and returns the same result as the in-memory path."""
+    import os
+
+    spark = emb.sparkSession
+    path = os.path.join(tmp_table_path, "ivf")
+    cents = HF.kmeans_centroids(emb, "vec_id", "embedding",
+                                n_centroids=8, iters=2)
+    HF.write_ivf_index(emb, cents, "vec_id", "embedding", path)
+    assert len(os.listdir(path)) >= 4  # centroid=... partition dirs
+    q = emb.filter(F.col("vec_id") == 1)
+    via_index = HF.ivf_topk_from_index(spark, path, cents, q, "vec_id",
+                                       "embedding", k=10, n_probe=2)
+    in_mem = HF.ivf_topk(emb, q, "vec_id", "embedding", k=10, n_probe=2,
+                         centroids=cents)
+    assert sorted(map(tuple, via_index.collect())) == \
+        sorted(map(tuple, in_mem.collect()))
+    # scan is pruned to the probed partition directories: the centroid IN
+    # filter must land in the scan's PartitionFilters (inputFiles() reports
+    # the unpruned file index, so read the physical plan instead)
+    plan = via_index._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "centroid" in plan.split("PartitionFilters: [", 1)[1].split("]")[0]
+
+
 # -------------------------------------------------------------- multimodal
 def test_media_attach_and_decode(docs):
     m = HF.attach_media(docs.select("doc_id", F.encode("text", "utf-8").alias("p")), "p",

@@ -266,3 +266,94 @@ def test_stateful_session_counts(spark, tmp_table_path):
     rows = {(r.user_id, r.session_n, r.n_events) for r in
             spark.read.parquet(out).collect()}
     assert rows == {(7, 0, 2), (7, 1, 1)}
+
+
+def test_kafka_source_offset_roundtrip(spark):
+    """KafkaSource offset protocol (JsonKafkaSource/KafkaOffsetGen.java):
+    the checkpoint is a {topic: {partition: next_offset}} JSON string fed
+    back as startingOffsets — verified against a mocked kafka reader."""
+    import json
+
+    from hoodie_spark.streaming.ingest import KafkaSource
+
+    kafka_df = spark.createDataFrame(
+        [(0, 0, '{"k": 1, "v": "a"}'), (0, 1, '{"k": 2, "v": "b"}'),
+         (1, 5, '{"k": 3, "v": "c"}')],
+        "partition int, offset long, value string",
+    ).withColumn("value", F.col("value").cast("binary"))
+
+    class FakeReader:
+        def __init__(self, df):
+            self._df = df
+            self.opts = {}
+
+        def format(self, fmt):
+            assert fmt == "kafka"
+            return self
+
+        def option(self, k, v):
+            self.opts[k] = v
+            return self
+
+        def load(self):
+            return self._df
+
+    class FakeSpark:
+        def __init__(self, df):
+            self.read = FakeReader(df)
+
+    src = KafkaSource(bootstrap_servers="b:9092", topic="t",
+                      value_schema="k long, v string")
+    fs = FakeSpark(kafka_df)
+    df, ck = src.fetch(fs, None)
+    assert fs.read.opts["startingOffsets"] == "earliest"
+    assert fs.read.opts["subscribe"] == "t"
+    # next offset per partition = max consumed + 1
+    assert json.loads(ck) == {"t": {"0": 2, "1": 6}}
+    # value JSON parsed through the declared schema
+    assert sorted(tuple(r) for r in df.collect()) == \
+        [(1, "a"), (2, "b"), (3, "c")]
+
+    # round-trip: the returned checkpoint is fed back verbatim
+    fs2 = FakeSpark(kafka_df.limit(0))
+    df2, ck2 = src.fetch(fs2, ck)
+    assert fs2.read.opts["startingOffsets"] == ck
+    assert df2 is None and ck2 == ck
+
+
+def test_schema_providers(spark, tmp_table_path):
+    """FilebasedSchemaProvider / SchemaRegistryProvider / static DDL all
+    resolve to the same StructType and drive a CSV ingest identically."""
+    from hoodie_spark.streaming import (CsvDFSSource, FileBasedSchemaProvider,
+                                        SchemaRegistryProvider,
+                                        StaticSchemaProvider)
+    from hoodie_spark.streaming.schema import resolve_schema
+
+    ddl = "id bigint, name string, score double"
+    expected = resolve_schema(StaticSchemaProvider(ddl), spark)
+
+    os.makedirs(tmp_table_path, exist_ok=True)
+    sf = os.path.join(tmp_table_path, "schema.ddl")
+    with open(sf, "w") as f:
+        f.write(ddl)
+    assert resolve_schema(FileBasedSchemaProvider(sf), spark) == expected
+
+    # registry: Confluent-style {"schema": ...} payload via injected fetcher
+    import json as _json
+    reg = SchemaRegistryProvider(
+        "http://registry/subjects/t/versions/latest",
+        fetcher=lambda url: _json.dumps({"schema": ddl}))
+    assert resolve_schema(reg, spark) == expected
+    # raw-text registry payload also accepted
+    assert resolve_schema(
+        SchemaRegistryProvider("u", fetcher=lambda u: ddl), spark) == expected
+
+    # end-to-end: provider-driven CSV source reads with the declared types
+    src_dir = os.path.join(tmp_table_path, "csv")
+    os.makedirs(src_dir)
+    with open(os.path.join(src_dir, "a.csv"), "w") as f:
+        f.write("id,name,score\n1,a,0.5\n2,b,1.5\n")
+    src = CsvDFSSource(src_dir, schema=FileBasedSchemaProvider(sf))
+    df, _ck = src.fetch(spark, None)
+    assert df.schema == expected
+    assert df.count() == 2
