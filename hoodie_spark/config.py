@@ -125,7 +125,10 @@ class TableConfig:
     payload: str = MergePolicy.OVERWRITE_LATEST
     # latest schema as StructType.json(); updated on each commit
     schema_json: str | None = None
-    version: int = 1
+    # table layout version (services/upgrade.py): v2 = manifests carry
+    # per-file record-key ranges. New tables are created at the current
+    # version; v1 tables are migrated by services.upgrade.upgrade().
+    version: int = 2
 
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self), indent=2)

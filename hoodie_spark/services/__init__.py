@@ -3,6 +3,8 @@ from .cluster import cluster
 from .compact import compact, schedule_compaction
 from .rollback import restore, rollback, savepoint
 from .archive import archive
+from .upgrade import CURRENT_VERSION, downgrade, upgrade
 
 __all__ = ["clean", "CleaningPolicy", "cluster", "compact",
-           "schedule_compaction", "rollback", "restore", "savepoint", "archive"]
+           "schedule_compaction", "rollback", "restore", "savepoint",
+           "archive", "upgrade", "downgrade", "CURRENT_VERSION"]

@@ -366,6 +366,129 @@ def _exec_alter(spark, sql: str, tables: dict) -> None:
         tbl.rename_table(rest.strip("`"))
 
 
+def _parse_options(text: str) -> dict:
+    """``k = 'v', k2 = "v2"`` (inside OPTIONS/TBLPROPERTIES parens)."""
+    out = {}
+    for part in _split_top(text):
+        eq = _mask(part).find("=")
+        if eq < 0:
+            continue
+        k = part[:eq].strip().strip("'\"`")
+        v = part[eq + 1:].strip().strip("'\"")
+        out[k] = v
+    return out
+
+
+def _exec_create(spark, sql: str, tables: dict):
+    """CREATE TABLE [IF NOT EXISTS] t [(cols)] USING hudi LOCATION '...'
+    [OPTIONS(...)|TBLPROPERTIES(...)] [PARTITIONED BY (...)] [AS SELECT ...]
+    (CreateHoodieTableCommand.scala / CreateHoodieTableAsSelectCommand.scala).
+    The created table is registered into ``tables`` under its name."""
+    from ..config import TableType, WriteConfig
+    from ..table import HoodieTable
+
+    mask = _mask(sql)
+    m = re.match(r"\s*create\s+table\s+(?:if\s+not\s+exists\s+)?", mask)
+    # table name runs to '(' (column list), 'using', or end
+    rest_mask = mask[m.end():]
+    stop = len(rest_mask)
+    for tok in (r"\busing\b", r"\blocation\b", r"\bas\b"):
+        t = re.search(tok, rest_mask)
+        if t:
+            stop = min(stop, t.start())
+    paren = sql.find("(", m.end())
+    head_end = m.end() + stop
+    cols_ddl = None
+    if 0 <= paren < head_end:
+        # column list: matching close paren in raw text
+        depth, close = 0, -1
+        for i in range(paren, len(sql)):
+            if sql[i] == "(":
+                depth += 1
+            elif sql[i] == ")":
+                depth -= 1
+                if depth == 0:
+                    close = i
+                    break
+        cols_ddl = sql[paren + 1:close].strip()
+        name = sql[m.end():paren].strip()
+    else:
+        name = sql[m.end():head_end].strip()
+    name = name.split(".")[-1].strip("`")
+
+    def _clause(kw, need_parens=True):
+        mm = re.search(rf"\b{kw}\b", mask)
+        if not mm:
+            return None
+        if not need_parens:
+            return None
+        start = sql.find("(", mm.end())
+        depth, close = 0, -1
+        for i in range(start, len(sql)):
+            if sql[i] == "(":
+                depth += 1
+            elif sql[i] == ")":
+                depth -= 1
+                if depth == 0:
+                    close = i
+                    break
+        return sql[start + 1:close]
+
+    opts = {}
+    for kw in ("options", "tblproperties"):
+        c = _clause(kw)
+        if c:
+            opts.update(_parse_options(c))
+    loc = re.search(r"\blocation\b", mask)
+    if not loc:
+        raise ValueError("CREATE TABLE needs LOCATION '<path>' "
+                         "(no external catalog)")
+    lm = re.match(r"\s*'([^']*)'|\s*\"([^\"]*)\"", sql[loc.end():])
+    location = lm.group(1) or lm.group(2)
+    part_by = _clause(r"partitioned\s+by")
+    partition_fields = [c.strip().strip("`") for c in
+                        _split_top(part_by)] if part_by else None
+
+    keys = [k.strip() for k in opts.get("primaryKey", "").split(",") if k]
+    ttype = TableType.MERGE_ON_READ if opts.get("type", "cow").lower() in (
+        "mor", "merge_on_read") else TableType.COPY_ON_WRITE
+    tbl = HoodieTable.create(
+        spark, location, name, recordkey_fields=keys or ["id"],
+        precombine_field=opts.get("preCombineField"),
+        partition_fields=partition_fields, table_type=ttype,
+        payload=opts.get("payload"), write_config=WriteConfig())
+
+    i_as = _find_kw(mask, "as")
+    if i_as >= 0 and re.match(r"\s*select\b", mask[i_as + 2:]):
+        tbl.bulk_insert(spark.sql(sql[i_as + 2:]))
+    elif cols_ddl:
+        tbl.evolve_schema(spark.createDataFrame([], cols_ddl))
+        tbl.save_properties()
+    tables[name] = tbl
+    return tbl
+
+
+def _exec_insert(spark, sql: str, tables: dict):
+    """INSERT INTO t SELECT ... | VALUES ... and INSERT OVERWRITE [TABLE] t
+    SELECT ... (InsertIntoHoodieTableCommand.scala). VALUES columns map
+    positionally onto the target's data columns."""
+    mask = _mask(sql)
+    m = re.match(r"\s*insert\s+(into|overwrite)\s+(?:table\s+)?", mask)
+    overwrite = m.group(1) == "overwrite"
+    body = re.search(r"\b(select|values)\b", mask[m.end():])
+    tname = sql[m.end():m.end() + body.start()].strip()
+    tbl = tables.get(tname) or tables.get(tname.split(".")[-1].strip("`"))
+    if tbl is None:
+        raise ValueError(f"unknown hoodie table {tname!r}")
+    df = spark.sql(sql[m.end() + body.start():])
+    if body.group(1) == "values":
+        data = [n for n, _ in tbl.data_columns()]
+        if len(df.columns) != len(data):
+            raise ValueError("INSERT VALUES arity != table columns")
+        df = df.toDF(*data)
+    return tbl.insert_overwrite(df) if overwrite else tbl.insert(df)
+
+
 def run_sql(spark, sql: str, tables: dict):
     """Execute one DML statement against registered hoodie tables.
 
@@ -384,5 +507,10 @@ def run_sql(spark, sql: str, tables: dict):
         return _exec_truncate(spark, sql, tables)
     if head.startswith("alter"):
         return _exec_alter(spark, sql, tables)
-    raise ValueError("run_sql handles MERGE/UPDATE/DELETE/TRUNCATE/ALTER; "
-                     "use spark.sql() for queries over registered views")
+    if head.startswith("create"):
+        return _exec_create(spark, sql, tables)
+    if head.startswith("insert"):
+        return _exec_insert(spark, sql, tables)
+    raise ValueError(
+        "run_sql handles CREATE/INSERT/MERGE/UPDATE/DELETE/TRUNCATE/ALTER; "
+        "use spark.sql() for queries over registered views")

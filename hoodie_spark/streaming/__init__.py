@@ -8,6 +8,9 @@ from .schema import (FileBasedSchemaProvider, RowBasedSchemaProvider,
 from .sink import foreach_batch_writer, write_stream
 from .stateful import stateful_dedup, stateful_session_counts
 from .source import incremental_batches, latest_offset
+from .transform import (AWSDmsTransformer, ChainedTransformer,
+                        FlatteningTransformer, SqlQueryTransformer,
+                        Transformer)
 
 __all__ = ["foreach_batch_writer", "write_stream", "incremental_batches",
            "latest_offset", "Ingestor", "ParquetDFSSource", "JsonDFSSource",
@@ -15,4 +18,6 @@ __all__ = ["foreach_batch_writer", "write_stream", "incremental_batches",
            "HoodieIncrSource", "MultiTableIngestor", "AsyncTableServices",
            "stateful_dedup", "stateful_session_counts", "SchemaProvider",
            "StaticSchemaProvider", "FileBasedSchemaProvider",
-           "SchemaRegistryProvider", "RowBasedSchemaProvider"]
+           "SchemaRegistryProvider", "RowBasedSchemaProvider",
+           "Transformer", "SqlQueryTransformer", "FlatteningTransformer",
+           "ChainedTransformer", "AWSDmsTransformer"]

@@ -175,11 +175,15 @@ class Ingestor:
 
     def __init__(self, table, source: Source,
                  transformer_sql: str | None = None,
+                 transformers: list | None = None,
                  operation: str = "upsert",
                  compact_every: int | None = None):
         self.table = table
         self.source = source
         self.transformer_sql = transformer_sql
+        # list of Transformer / callables, applied in order after
+        # transformer_sql (ChainedTransformer.java semantics)
+        self.transformers = list(transformers or [])
         self.operation = operation
         self.compact_every = compact_every
 
@@ -202,6 +206,8 @@ class Ingestor:
             df.createOrReplaceTempView("src")
             df = self.table.spark.sql(
                 self.transformer_sql.replace("<SRC>", "src"))
+        for t in self.transformers:
+            df = t(self.table.spark, df)
         self.table._writer.commit_extra[CHECKPOINT_KEY] = new_ck
         if self.operation == "insert":
             res = self.table.insert(df)

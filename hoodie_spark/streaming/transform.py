@@ -1,0 +1,88 @@
+"""Transformer chain for the ingestion pipeline.
+
+Reference parity: hudi-utilities/.../transform/Transformer.java (interface),
+SqlQueryBasedTransformer.java (<SRC> placeholder over a temp view),
+FlatteningTransformer.java:56 (recursive struct flattening to
+``parent_child`` columns), ChainedTransformer.java (apply in order),
+AWSDmsTransformer.java (add the DMS ``Op`` column when the source batch
+lacks it, so full loads and CDC batches share one pipeline).
+
+Spark-first: transformers are DataFrame → DataFrame callables; the whole
+source → transform → write pipeline stays one Catalyst plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+class Transformer:
+    """apply(spark, df) -> DataFrame."""
+
+    def apply(self, spark, df: DataFrame) -> DataFrame:  # pragma: no cover
+        raise NotImplementedError
+
+    def __call__(self, spark, df: DataFrame) -> DataFrame:
+        return self.apply(spark, df)
+
+
+class SqlQueryTransformer(Transformer):
+    """SqlQueryBasedTransformer.java: a SQL statement with a ``<SRC>``
+    placeholder bound to the incoming batch."""
+
+    def __init__(self, sql: str):
+        self.sql = sql
+
+    def apply(self, spark, df: DataFrame) -> DataFrame:
+        df.createOrReplaceTempView("src")
+        return spark.sql(self.sql.replace("<SRC>", "src"))
+
+
+class FlatteningTransformer(Transformer):
+    """FlatteningTransformer.java:56 — recursively flatten struct columns
+    into ``parent_child`` top-level columns (arrays/maps pass through)."""
+
+    def apply(self, spark, df: DataFrame) -> DataFrame:
+        cols = self._flatten(df.schema, None)
+        return df.select(*cols)
+
+    def _flatten(self, schema: T.StructType, prefix: str | None):
+        out = []
+        for f in schema.fields:
+            path = f.name if prefix is None else f"{prefix}.{f.name}"
+            if isinstance(f.dataType, T.StructType):
+                out.extend(self._flatten(f.dataType, path))
+            else:
+                out.append(F.col(path).alias(path.replace(".", "_")))
+        return out
+
+
+class AWSDmsTransformer(Transformer):
+    """AWSDmsTransformer.java: a DMS full-load batch has no ``Op`` column —
+    add it (empty = insert) so the CDC payload path handles both shapes."""
+
+    def apply(self, spark, df: DataFrame) -> DataFrame:
+        if "Op" in df.columns:
+            return df
+        return df.withColumn("Op", F.lit(""))
+
+
+class ChainedTransformer(Transformer):
+    """ChainedTransformer.java: apply transformers left to right."""
+
+    def __init__(self, *transformers):
+        self.transformers = [t if callable(t) else _as_callable(t)
+                             for t in transformers]
+
+    def apply(self, spark, df: DataFrame) -> DataFrame:
+        for t in self.transformers:
+            df = t(spark, df)
+        return df
+
+
+def _as_callable(t):
+    if isinstance(t, Transformer):
+        return t
+    raise TypeError(f"not a transformer: {t!r}")

@@ -390,6 +390,14 @@ class HoodieTable:
         from .services import archive
         return archive(self, max_active)
 
+    def upgrade(self, to_version: int | None = None):
+        from .services import CURRENT_VERSION, upgrade
+        return upgrade(self, to_version or CURRENT_VERSION)
+
+    def downgrade(self, to_version: int = 1):
+        from .services import downgrade
+        return downgrade(self, to_version)
+
     # ------------------------------------------------------------ SQL DML
     def merge(self, source: DataFrame, on: str):
         from .sql import MergeIntoBuilder

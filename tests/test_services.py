@@ -175,3 +175,40 @@ def test_compaction_strategies(spark, tmp_table_path):
     assert len(bounded) == 1
     assert schedule_compaction(tbl, CompactionStrategy.log_size,
                                threshold_bytes=1) == all_logs
+
+
+def test_upgrade_downgrade_key_ranges(spark, orders, tmp_table_path):
+    """v1 <-> v2 layout migration: downgrade strips per-file key ranges
+    from the manifests; upgrade backfills them from parquet footers and
+    restores range-pruned point lookups (UpgradeDowngrade.java shape)."""
+    from hoodie_spark import HoodieTable, WriteConfig
+
+    tbl = HoodieTable.create(
+        spark, tmp_table_path, "orders", recordkey_fields=["o_orderkey"],
+        write_config=WriteConfig(parquet_max_file_size=64 * 1024,
+                                 record_size_estimate=512))
+    tbl.bulk_insert(orders)
+    assert tbl.config.version == 2
+
+    def ranges():
+        return [(st.get("min_key"), st.get("max_key"))
+                for inst in tbl.timeline.completed()
+                for st in tbl.timeline.metadata(inst).get("write_stats", [])]
+
+    assert all(lo is not None for lo, _ in ranges())
+    n = tbl.downgrade()
+    assert tbl.config.version == 1 and n > 0
+    assert all(lo is None and hi is None for lo, hi in ranges())
+    # reload sees the persisted version
+    assert HoodieTable.load(spark, tmp_table_path).config.version == 1
+
+    n2 = tbl.upgrade()
+    assert tbl.config.version == 2 and n2 == n
+    assert all(lo is not None for lo, _ in ranges())
+    # the backfilled ranges actually prune again
+    total = len(tbl.snapshot().inputFiles())
+    got = tbl.read_keys(orders.filter("o_orderkey = 7"))
+    assert got.count() == 1
+    assert len(got.inputFiles()) < total
+    # idempotent / no-op on current version
+    assert tbl.upgrade() == 0

@@ -174,6 +174,56 @@ def test_alter_table_text(spark, h1):
     assert reloaded.config.name == "h1_renamed"
 
 
+def test_create_table_and_insert_text(spark, tmp_table_path):
+    """CREATE TABLE ... USING hudi + INSERT INTO / OVERWRITE / VALUES
+    (CreateHoodieTableCommand.scala, InsertIntoHoodieTableCommand.scala)."""
+    from hoodie_spark.config import TableType
+
+    tables = {}
+    tbl = run_sql(spark, f"""
+        create table h2 (
+          id int, name string, price double, ts long
+        ) using hudi
+        location '{tmp_table_path}/h2'
+        options ( primaryKey = 'id', preCombineField = 'ts' )
+    """, tables)
+    assert tables["h2"] is tbl
+    assert tbl.config.recordkey_fields == ["id"]
+    assert tbl.config.precombine_field == "ts"
+    assert [n for n, _ in tbl.data_columns()] == ["id", "name", "price", "ts"]
+
+    run_sql(spark, "insert into h2 values (1, 'a', 1.5, 100)", tables)
+    run_sql(spark, "insert into h2 select 2 as id, 'b' as name, "
+                   "2.5 as price, cast(200 as long) as ts", tables)
+    assert sorted(tuple(r) for r in tbl.snapshot()
+                  .select("id", "name", "price", "ts").collect()) == \
+        [(1, "a", 1.5, 100), (2, "b", 2.5, 200)]
+    run_sql(spark, "insert overwrite table h2 select 9 as id, 'z' as name, "
+                   "9.0 as price, cast(900 as long) as ts", tables)
+    assert [tuple(r) for r in tbl.snapshot()
+            .select("id", "name", "price", "ts").collect()] == \
+        [(9, "z", 9.0, 900)]
+
+    # CTAS + MOR type option
+    t2 = run_sql(spark, f"""
+        create table h3 using hudi location '{tmp_table_path}/h3'
+        options (primaryKey = 'id', preCombineField = 'ts', type = 'mor')
+        as select 5 as id, 'c' as name, 0.5 as price, cast(1 as long) as ts
+    """, tables)
+    assert t2.config.table_type == TableType.MERGE_ON_READ
+    assert t2.snapshot().count() == 1
+
+    # partitioned create
+    t3 = run_sql(spark, f"""
+        create table h4 (id int, dt string, v double) using hudi
+        location '{tmp_table_path}/h4'
+        options (primaryKey = 'id') partitioned by (dt)
+    """, tables)
+    assert t3.config.partition_fields == ["dt"]
+    run_sql(spark, "insert into h4 values (1, '2024-01-01', 0.5)", tables)
+    assert t3.snapshot().count() == 1
+
+
 def test_parse_merge_structure():
     p = parse_merge("""
         merge into db.tgt as t

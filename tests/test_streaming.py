@@ -357,3 +357,35 @@ def test_schema_providers(spark, tmp_table_path):
     df, _ck = src.fetch(spark, None)
     assert df.schema == expected
     assert df.count() == 2
+
+
+def test_transformer_chain_flattening_dms(spark, tmp_table_path):
+    """FlatteningTransformer + AWSDmsTransformer + ChainedTransformer
+    semantics (FlatteningTransformer.java:56, AWSDmsTransformer.java)."""
+    from hoodie_spark.streaming import (AWSDmsTransformer, ChainedTransformer,
+                                        FlatteningTransformer,
+                                        SqlQueryTransformer)
+
+    df = spark.sql("""
+        select 1 as id,
+               named_struct('city', 'x', 'geo',
+                            named_struct('lat', 1.5, 'lon', 2.5)) as addr,
+               array(1, 2) as tags
+    """)
+    flat = FlatteningTransformer().apply(spark, df)
+    assert set(flat.columns) == {"id", "addr_city", "addr_geo_lat",
+                                 "addr_geo_lon", "tags"}
+    row = flat.collect()[0]
+    assert row.addr_geo_lat == 1.5 and row.tags == [1, 2]
+
+    dms = AWSDmsTransformer().apply(spark, df)
+    assert dms.filter("Op = ''").count() == 1
+    # already-present Op passes through untouched
+    assert AWSDmsTransformer().apply(
+        spark, df.withColumn("Op", F.lit("U"))).filter("Op = 'U'").count() == 1
+
+    chained = ChainedTransformer(
+        FlatteningTransformer(), AWSDmsTransformer(),
+        SqlQueryTransformer("SELECT id, addr_city, Op FROM <SRC>"))
+    out = chained.apply(spark, df)
+    assert out.columns == ["id", "addr_city", "Op"]
