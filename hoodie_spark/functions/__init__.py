@@ -51,6 +51,7 @@ from .multimodal import (
     MEDIA_META_SCHEMA,
     attach_media,
     decode_media_meta,
+    register_codec,
     sample_frames,
 )
 from .sessions import sessionize
@@ -64,5 +65,6 @@ __all__ = [
     "dot", "l2_norm", "cosine", "brute_force_topk", "lsh_bucket_topk",
     "ivf_topk",
     "MEDIA_META_SCHEMA", "attach_media", "decode_media_meta", "sample_frames",
+    "register_codec",
     "sessionize",
 ]

@@ -27,7 +27,40 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["MEDIA_META_SCHEMA", "attach_media", "decode_media_meta", "sample_frames"]
+__all__ = ["MEDIA_META_SCHEMA", "attach_media", "decode_media_meta",
+           "sample_frames", "register_codec"]
+
+# ------------------------------------------------------------ codec registry
+# The explicit plugin point for real decoders: register a callable
+# ``fn(payload: bytes | None) -> {"width", "height", "channels",
+# "decode_digest"}`` under a name (e.g. with PIL:
+# ``register_codec("pil", lambda b: ...Image.open(io.BytesIO(b))...)``),
+# then ``decode_media_meta(df, codec="pil")``. Codec callables are shipped
+# to executors by cloudpickle with the mapInPandas closure, so driver-side
+# registration is all a user needs.
+_CODECS: dict = {}
+
+
+def register_codec(name: str, fn) -> None:
+    _CODECS[name] = fn
+
+
+def _fake_codec(b):
+    """Deterministic byte-derived decode: exercises the full Arrow batch
+    path without an image/audio library."""
+    import hashlib
+
+    if b is None:
+        return {"width": None, "height": None, "channels": None,
+                "decode_digest": None}
+    d = hashlib.md5(bytes(b)).hexdigest()
+    return {"width": int(d[:4], 16) % 1920 + 1,
+            "height": int(d[4:8], 16) % 1080 + 1,
+            "channels": int(d[8], 16) % 4 + 1,
+            "decode_digest": d}
+
+
+register_codec("fake", _fake_codec)
 
 MEDIA_META_SCHEMA = T.StructType([
     T.StructField("media_type", T.StringType()),   # image | audio | video
@@ -57,33 +90,37 @@ _DECODED_FIELDS = "width int, height int, channels int, decode_digest string"
 
 
 def decode_media_meta(df: DataFrame, media_col: str = "media",
-                      fake: bool = True) -> DataFrame:
+                      fake: bool = True, codec=None) -> DataFrame:
     """Decode stage: media bytes → (width, height, channels, digest).
 
-    Arrow-batched ``mapInPandas``; schema = input + decoded fields. With
-    ``fake=True`` the decode is a deterministic function of the payload
-    bytes (md5-derived), exercising the full batch path without a codec.
+    Arrow-batched ``mapInPandas``; schema = input + decoded fields.
+    ``codec`` selects the decoder: a name from :func:`register_codec`, or a
+    callable ``bytes|None -> dict``. The built-in ``"fake"`` codec is a
+    deterministic function of the payload bytes (md5-derived), exercising
+    the full batch path without an image/audio library; ``fake=True`` is
+    the back-compat spelling of ``codec="fake"``. With no codec resolved
+    the stage raises at the exact plug-in point a real decoder (PIL /
+    torchaudio / pyav) registers into.
     """
+    if codec is None and fake:
+        codec = "fake"
+    if isinstance(codec, str):
+        codec = _CODECS.get(codec)
     out_schema = T.StructType(
         df.schema.fields + T.StructType.fromDDL(_DECODED_FIELDS).fields)
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import hashlib
-
         for pdf in batches:
-            if not fake:
+            if codec is None:
                 raise NotImplementedError(
-                    "real media decoding requires an image/audio codec "
-                    "(PIL/pyav) not available in this environment; "
-                    "pass fake=True for the deterministic test decoder")
-            digests = [hashlib.md5(bytes(b)).hexdigest() if b is not None else None
-                       for b in pdf[media_col]]
+                    "no media codec: register one with "
+                    "hoodie_spark.functions.register_codec(name, fn) and "
+                    "pass codec=name (or codec=callable); codec='fake' is "
+                    "the deterministic test decoder")
+            decoded = [codec(b) for b in pdf[media_col]]
             pdf = pdf.copy()
-            # fake decode: dimensions derived from the digest — stable
-            pdf["width"] = [int(d[:4], 16) % 1920 + 1 if d else None for d in digests]
-            pdf["height"] = [int(d[4:8], 16) % 1080 + 1 if d else None for d in digests]
-            pdf["channels"] = [int(d[8], 16) % 4 + 1 if d else None for d in digests]
-            pdf["decode_digest"] = digests
+            for field in ("width", "height", "channels", "decode_digest"):
+                pdf[field] = [d[field] for d in decoded]
             yield pdf
 
     return df.mapInPandas(decode, schema=out_schema)

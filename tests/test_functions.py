@@ -185,8 +185,27 @@ def test_media_attach_and_decode(docs):
 
 def test_decode_not_implemented_without_codec(docs):
     m = HF.attach_media(docs.select("doc_id", F.encode("text", "utf-8").alias("p")), "p")
-    with pytest.raises(Exception, match="NotImplementedError|real media decoding"):
+    with pytest.raises(Exception, match="NotImplementedError|no media codec"):
         HF.decode_media_meta(m, fake=False).collect()
+
+
+def test_decode_custom_codec_plugin(docs):
+    """register_codec is the real-decoder plug-in point: a user codec runs
+    inside the Arrow batch stage and its outputs land in the schema."""
+    def byte_len_codec(b):
+        return {"width": len(b) if b is not None else None, "height": 1,
+                "channels": 1, "decode_digest": "custom"}
+
+    HF.register_codec("bytelen", byte_len_codec)
+    m = HF.attach_media(docs.select("doc_id", F.encode("text", "utf-8")
+                                    .alias("p")), "p")
+    out = HF.decode_media_meta(m, codec="bytelen").limit(5).collect()
+    for r in out:
+        assert r.width == r.media_meta.n_bytes
+        assert r.decode_digest == "custom"
+    # a bare callable works without registration too
+    out2 = HF.decode_media_meta(m, codec=byte_len_codec).limit(1).collect()
+    assert out2[0].height == 1
 
 
 def test_sample_frames(spark):
