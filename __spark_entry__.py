@@ -263,6 +263,30 @@ def _fx_events_ingest(spark, sf_dir, path):
     return {"tbl": tbl}
 
 
+def _fx_events_rollup(spark, sf_dir, path):
+    """Continuous windowed aggregate (hypertable rollup): Structured
+    Streaming watermark + window agg, update-mode upserted into a
+    (window_start, event_type)-keyed table. The oracle is the plain batch
+    SQL — the streaming rollup must hash-match it exactly."""
+    from hoodie_spark.streaming import (continuous_aggregate,
+                                        create_rollup_table)
+
+    ev = load_table(spark, sf_dir, "events")
+    src = os.path.join(path, "src")
+    ev.coalesce(4).write.mode("overwrite").parquet(src)
+    tbl = create_rollup_table(spark, os.path.join(path, "tbl"),
+                              "events_rollup", ["event_type"])
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    q = continuous_aggregate(
+        stream, tbl, "ts", ["event_type"], "300 seconds",
+        {"cnt": F.count(F.lit(1)),
+         "sum_value": F.sum(F.col("value").cast(_DEC)).cast("double")},
+        watermark="10 hours", checkpoint=os.path.join(path, "ckpt"),
+        trigger_available_now=True)
+    q.awaitTermination(300)
+    return {"tbl": tbl}
+
+
 def _fx_warehouse(spark, sf_dir, path):
     """All TPC-H-ish tables as COW tables; snapshot views hd_<name> for the
     SQL-on-snapshot surface (SURVEY.md §2.8)."""
@@ -407,6 +431,7 @@ _BUILDERS = {
     "orders_dml": _fx_orders_dml, "events_ingest": _fx_events_ingest,
     "orders_merge_sql": _fx_orders_merge_sql,
     "orders_trunc": _fx_orders_truncate,
+    "events_rollup": _fx_events_rollup,
     "warehouse": _fx_warehouse, "orders_cdc": _fx_orders_cdc,
     "orders_evolve": _fx_orders_evolve, "orders_partial": _fx_orders_partial,
     "orders_global": _fx_orders_global, "orders_skip": _fx_orders_skip,
@@ -767,6 +792,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
              F.sum(F.col("value").cast(_DEC)).cast("double").alias("sum_value"))
         .select(F.unix_micros("w.start").alias("w_start"), "event_type",
                 "cnt", "sum_value"))
+    q["continuous_rollup"] = lambda s, d: (
+        _fixture(s, d, "events_rollup")["tbl"].snapshot()
+        .select(F.unix_micros("window_start").alias("w_start"), "event_type",
+                "cnt", "sum_value"))
 
     # ---- text analysis
     q["text_stats"] = lambda s, d: load_table(s, d, "documents").select(
@@ -1050,6 +1079,8 @@ SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // 300000000) * 300000000 AS w_start,
        {_sum_d('value', 'sum_value')}
 FROM events GROUP BY 1, 2
 """
+    # the streaming rollup must land on the same batch answer
+    o["continuous_rollup"] = o["events_window"]
 
     for name, sql in TPCH_SQL.items():
         o[name] = sql.format(**_RAW)

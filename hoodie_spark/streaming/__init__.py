@@ -5,6 +5,8 @@ from .async_services import AsyncTableServices
 from .schema import (FileBasedSchemaProvider, RowBasedSchemaProvider,
                      SchemaProvider, SchemaRegistryProvider,
                      StaticSchemaProvider)
+from .rollup import (continuous_aggregate, create_rollup_table,
+                     windowed_rollup_frame)
 from .sink import foreach_batch_writer, write_stream
 from .stateful import stateful_dedup, stateful_session_counts
 from .source import incremental_batches, latest_offset
@@ -20,4 +22,6 @@ __all__ = ["foreach_batch_writer", "write_stream", "incremental_batches",
            "StaticSchemaProvider", "FileBasedSchemaProvider",
            "SchemaRegistryProvider", "RowBasedSchemaProvider",
            "Transformer", "SqlQueryTransformer", "FlatteningTransformer",
-           "ChainedTransformer", "AWSDmsTransformer"]
+           "ChainedTransformer", "AWSDmsTransformer",
+           "continuous_aggregate", "create_rollup_table",
+           "windowed_rollup_frame"]

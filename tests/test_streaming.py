@@ -389,3 +389,62 @@ def test_transformer_chain_flattening_dms(spark, tmp_table_path):
         SqlQueryTransformer("SELECT id, addr_city, Op FROM <SRC>"))
     out = chained.apply(spark, df)
     assert out.columns == ["id", "addr_city", "Op"]
+
+
+def test_continuous_aggregate_rollup(spark, events, tmp_table_path):
+    """Hypertable-rollup: streaming windowed counts with a watermark,
+    upserted into a (window_start, key)-keyed table; a second batch with
+    in-watermark late data REFINES the already-written window rows, and
+    the final table matches the batch aggregate of everything ingested."""
+    import datetime as dt
+
+    from hoodie_spark.streaming import (continuous_aggregate,
+                                        create_rollup_table)
+
+    os.makedirs(tmp_table_path)
+    src = os.path.join(tmp_table_path, "src")
+    ckpt = os.path.join(tmp_table_path, "ckpt")
+    os.makedirs(src)
+    tbl = create_rollup_table(spark, os.path.join(tmp_table_path, "rollup"),
+                              "ev_rollup", ["event_type"])
+
+    first = events.filter("event_id < 600")
+    first.coalesce(1).write.mode("append").parquet(src)
+
+    def run_once():
+        stream = spark.readStream.schema(events.schema).parquet(src)
+        q = continuous_aggregate(
+            stream, tbl, "ts", ["event_type"], "300 seconds",
+            {"cnt": F.count(F.lit(1)), "sum_value": F.sum("value")},
+            watermark="10 hours", checkpoint=ckpt,
+            trigger_available_now=True)
+        q.awaitTermination(180)
+
+    run_once()
+
+    def expected(df):
+        return {
+            (r[0], r[1]): (r[2], round(r[3], 6)) for r in
+            df.groupBy(F.window("ts", "300 seconds").alias("w"), "event_type")
+              .agg(F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("s"))
+              .select(F.col("w.start"), "event_type", "cnt", "s").collect()}
+
+    def got():
+        return {(r[0], r[1]): (r[2], round(r[3], 6)) for r in
+                tbl.snapshot().select("window_start", "event_type", "cnt",
+                                      "sum_value").collect()}
+
+    assert got() == expected(first)
+
+    # batch 2: the SAME time range again (late-but-in-watermark events) —
+    # update mode re-emits refined windows, the upsert rewrites their rows
+    second = events.filter("event_id >= 600")
+    second.coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    assert got() == expected(events)
+    # rollup table is a real table: time travel still sees the first state
+    c1 = tbl.timeline.completed()[0].timestamp
+    assert {k: v for k, v in got().items()} != \
+        {(r[0], r[1]): (r[2], round(r[3], 6)) for r in
+         tbl.snapshot(as_of=c1).select("window_start", "event_type", "cnt",
+                                       "sum_value").collect()}
