@@ -8,11 +8,12 @@ from .config import (BootstrapMode, IndexType, MergePolicy, TableConfig,
                      TableType, WriteConcurrencyMode, WriteConfig,
                      WriteOperation)
 from .cdc import apply_cdc
+from .export import export_snapshot
 from .table import HoodieTable
 from .writer import WriteConflictError
 
 __all__ = [
     "HoodieTable", "TableConfig", "WriteConfig", "TableType", "MergePolicy",
     "IndexType", "WriteOperation", "BootstrapMode", "WriteConcurrencyMode",
-    "WriteConflictError",
+    "WriteConflictError", "apply_cdc", "export_snapshot",
 ]

@@ -1,5 +1,7 @@
 """Edge cases: empty batches, full-delete, re-insert, unpartitioned ops."""
 
+import os
+
 from pyspark.sql import functions as F
 
 from hoodie_spark import HoodieTable
@@ -117,3 +119,47 @@ def test_storage_seam_routes_mutations(spark, orders, tmp_table_path):
     tbl.rollback(r2.instant)
     assert st.calls["remove"] > 0
     assert tbl.snapshot().count() == small.count()
+
+
+def test_snapshot_exporter(spark, orders, tmp_table_path):
+    """HoodieSnapshotExporter shapes: parquet + json + hudi outputs,
+    _SUCCESS tag, refuses existing target, as-of export."""
+    import pytest
+
+    from hoodie_spark import HoodieTable, export_snapshot
+
+    os.makedirs(tmp_table_path)
+    src = os.path.join(tmp_table_path, "tbl")
+    tbl = HoodieTable.create(spark, src, "orders",
+                             recordkey_fields=["o_orderkey"],
+                             precombine_field="o_orderdate")
+    c1 = tbl.bulk_insert(orders.filter("o_orderkey < 1000")).instant
+    tbl.upsert(orders.filter("o_orderkey < 100")
+               .withColumn("o_orderstatus", F.lit("E")))
+
+    out = os.path.join(tmp_table_path, "parquet_out")
+    export_snapshot(tbl, out, "parquet")
+    assert os.path.exists(os.path.join(out, "_SUCCESS"))
+    back = spark.read.parquet(out)
+    assert back.count() == tbl.snapshot().count()
+    assert not [c for c in back.columns if c.startswith("_hoodie")]
+    assert back.filter("o_orderstatus = 'E'").count() == \
+        orders.filter("o_orderkey < 100").count()
+    with pytest.raises(FileExistsError):
+        export_snapshot(tbl, out, "parquet")
+    with pytest.raises(ValueError, match="invalid output format"):
+        export_snapshot(tbl, out + "2", "csvx")
+
+    # as-of export sees the pre-upsert state
+    out1 = os.path.join(tmp_table_path, "asof_out")
+    export_snapshot(tbl, out1, "json", as_of=c1)
+    assert spark.read.json(out1).filter("o_orderstatus = 'E'").count() == 0
+
+    # hudi-format copy is a loadable table with identical snapshot
+    out2 = os.path.join(tmp_table_path, "hudi_out")
+    export_snapshot(tbl, out2, "hudi")
+    copy = HoodieTable.load(spark, out2)
+    assert sorted(tuple(r) for r in
+                  copy.snapshot().select("o_orderkey", "o_orderstatus").collect()) == \
+        sorted(tuple(r) for r in
+               tbl.snapshot().select("o_orderkey", "o_orderstatus").collect())
