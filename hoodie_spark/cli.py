@@ -1,0 +1,114 @@
+"""Command-line entry points for table inspection and services.
+
+Reference parity: the hudi-cli shell's inspection commands (``commits
+show``, ``show files``, ``stats``) and the standalone utility jobs —
+HoodieCompactor.java, HoodieCleaner.java, HoodieClusteringJob.java,
+HoodieSnapshotExporter.java — each of which is a main() that builds a
+Spark context, opens the table, and runs one service.
+
+Usage::
+
+    python -m hoodie_spark.cli <base_path> commits
+    python -m hoodie_spark.cli <base_path> files [--partition P]
+    python -m hoodie_spark.cli <base_path> stats
+    python -m hoodie_spark.cli <base_path> compact
+    python -m hoodie_spark.cli <base_path> clean [--retained N]
+    python -m hoodie_spark.cli <base_path> cluster [--sort-cols a,b]
+    python -m hoodie_spark.cli <base_path> rollback <instant>
+    python -m hoodie_spark.cli <base_path> savepoint [<instant>]
+    python -m hoodie_spark.cli <base_path> restore <instant>
+    python -m hoodie_spark.cli <base_path> export <target> [--format parquet]
+    python -m hoodie_spark.cli <base_path> upgrade|downgrade
+
+Output is one JSON document on stdout (machine-readable, like the
+utilities' exit contracts).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="hoodie_spark.cli")
+    p.add_argument("base_path")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    sub.add_parser("commits")
+    f = sub.add_parser("files")
+    f.add_argument("--partition", default=None)
+    sub.add_parser("stats")
+    sub.add_parser("compact")
+    c = sub.add_parser("clean")
+    c.add_argument("--retained", type=int, default=None)
+    cl = sub.add_parser("cluster")
+    cl.add_argument("--sort-cols", default=None)
+    r = sub.add_parser("rollback")
+    r.add_argument("instant")
+    s = sub.add_parser("savepoint")
+    s.add_argument("instant", nargs="?", default=None)
+    rs = sub.add_parser("restore")
+    rs.add_argument("instant")
+    e = sub.add_parser("export")
+    e.add_argument("target")
+    e.add_argument("--format", default="parquet")
+    sub.add_parser("upgrade")
+    sub.add_parser("downgrade")
+    return p
+
+
+def main(argv: list[str] | None = None, spark=None) -> dict:
+    """Run one command; returns (and prints) the result dict. ``spark`` is
+    injectable for tests; otherwise a local session is created."""
+    args = _build_parser().parse_args(argv)
+    if spark is None:
+        from pyspark.sql import SparkSession
+
+        spark = (SparkSession.builder.master("local[*]")
+                 .appName("hoodie_spark_cli")
+                 .config("spark.sql.session.timeZone", "UTC")
+                 .config("spark.ui.enabled", "false").getOrCreate())
+    from .table import HoodieTable
+
+    tbl = HoodieTable.load(spark, args.base_path)
+    if args.cmd == "commits":
+        out = {"commits": tbl.commits()}
+    elif args.cmd == "files":
+        parts = [args.partition] if args.partition else None
+        out = {"files": tbl.files(partitions=parts)}
+    elif args.cmd == "stats":
+        out = tbl.stats()
+    elif args.cmd == "compact":
+        inst = tbl.compact()
+        out = {"compaction_instant": inst}
+    elif args.cmd == "clean":
+        out = {"cleaned": tbl.clean(retained=args.retained)}
+    elif args.cmd == "cluster":
+        cols = args.sort_cols.split(",") if args.sort_cols else None
+        out = {"clustering_instant": tbl.cluster(sort_cols=cols)}
+    elif args.cmd == "rollback":
+        tbl.rollback(args.instant)
+        out = {"rolled_back": args.instant}
+    elif args.cmd == "savepoint":
+        out = {"savepoint": tbl.savepoint(args.instant)}
+    elif args.cmd == "restore":
+        tbl.restore(args.instant)
+        out = {"restored_to": args.instant}
+    elif args.cmd == "export":
+        from .export import export_snapshot
+
+        latest = export_snapshot(tbl, args.target, args.format)
+        out = {"exported": args.target, "as_of": latest}
+    elif args.cmd == "upgrade":
+        out = {"stats_touched": tbl.upgrade(),
+               "version": tbl.config.version}
+    else:
+        out = {"stats_touched": tbl.downgrade(),
+               "version": tbl.config.version}
+    print(json.dumps(out, default=str))
+    return out
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

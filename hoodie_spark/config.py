@@ -183,6 +183,14 @@ class WriteConfig:
     # (their key scan is cheaper than the probe); default-sized 120 MB
     # files (~117k records at 1 KB/record) are above it.
     bloom_sketch_min_records: int = 100_000
+    # write-commit callbacks (HoodieWriteCommitCallback.java:25): callables
+    # invoked AFTER an instant publishes, with a message dict
+    # {commit_time, table_name, base_path, operation, write_stats}
+    # (HoodieWriteCommitCallbackMessage fields). Callback failures are the
+    # caller's problem by default (callback_on_commit_error='raise'); set
+    # 'warn' to log-and-continue like the reference's HTTP callback.
+    commit_callbacks: list = field(default_factory=list)
+    callback_on_commit_error: str = "raise"
 
     def records_per_file(self) -> int:
         return max(1, self.parquet_max_file_size // max(1, self.record_size_estimate))

@@ -372,7 +372,31 @@ class WriteClient:
         if total_recs:
             self.table.write_config.record_size_estimate = max(
                 8, int(total_bytes / total_recs))
+        self._fire_commit_callbacks(instant, operation, stats)
         return WriteResult(instant, operation, stats)
+
+    def _fire_commit_callbacks(self, instant: str, operation: str,
+                               stats: list[dict]) -> None:
+        """HoodieWriteCommitCallback.call — invoked after a successful
+        publish with the HoodieWriteCommitCallbackMessage fields."""
+        cbs = self.table.write_config.commit_callbacks
+        if not cbs:
+            return
+        msg = {"commit_time": instant,
+               "table_name": self.table.config.name,
+               "base_path": self.table.base_path,
+               "operation": operation,
+               "write_stats": stats}
+        for cb in cbs:
+            try:
+                cb(msg)
+            except Exception:
+                if self.table.write_config.callback_on_commit_error == "raise":
+                    raise
+                import logging
+                logging.getLogger(__name__).warning(
+                    "commit callback %r failed for %s", cb, instant,
+                    exc_info=True)
 
     def _prepare(self, df: DataFrame) -> DataFrame:
         """Key generation + schema evolution + column alignment."""

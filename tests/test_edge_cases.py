@@ -163,3 +163,61 @@ def test_snapshot_exporter(spark, orders, tmp_table_path):
                   copy.snapshot().select("o_orderkey", "o_orderstatus").collect()) == \
         sorted(tuple(r) for r in
                tbl.snapshot().select("o_orderkey", "o_orderstatus").collect())
+
+
+def test_commit_callbacks(spark, orders, tmp_table_path):
+    """HoodieWriteCommitCallback: fired after each successful publish with
+    the commit message fields; 'warn' mode swallows callback failures."""
+    from hoodie_spark import HoodieTable, WriteConfig
+
+    got = []
+    wc = WriteConfig(commit_callbacks=[lambda m: got.append(m)])
+    tbl = HoodieTable.create(spark, tmp_table_path, "cbt",
+                             recordkey_fields=["o_orderkey"],
+                             write_config=wc)
+    r1 = tbl.bulk_insert(orders.limit(100))
+    r2 = tbl.upsert(orders.limit(10))
+    assert [m["commit_time"] for m in got] == [r1.instant, r2.instant]
+    assert got[0]["table_name"] == "cbt"
+    assert got[0]["operation"] == "bulk_insert"
+    assert got[0]["write_stats"] and got[0]["base_path"] == tmp_table_path
+
+    def boom(m):
+        raise RuntimeError("callback down")
+
+    wc.commit_callbacks.append(boom)
+    import pytest
+    with pytest.raises(RuntimeError):
+        tbl.upsert(orders.limit(5))
+    wc.callback_on_commit_error = "warn"
+    n = len(tbl.commits())
+    tbl.upsert(orders.limit(5))  # fails the callback, not the commit
+    assert len(tbl.commits()) == n + 1
+
+
+def test_cli_commands(spark, orders, tmp_table_path):
+    """CLI parity with the utility mains: inspection + services + export."""
+    from hoodie_spark import HoodieTable
+    from hoodie_spark import cli
+
+    tbl = HoodieTable.create(spark, tmp_table_path, "clit",
+                             recordkey_fields=["o_orderkey"],
+                             precombine_field="o_orderdate")
+    tbl.bulk_insert(orders.limit(500))
+    tbl.upsert(orders.limit(50).withColumn("o_orderstatus", F.lit("C")))
+
+    out = cli.main([tmp_table_path, "commits"], spark=spark)
+    assert len(out["commits"]) == 2
+    out = cli.main([tmp_table_path, "stats"], spark=spark)
+    assert out["total_records"] == 500
+    out = cli.main([tmp_table_path, "files"], spark=spark)
+    assert out["files"]
+    exp = os.path.join(tmp_table_path + "_exp")
+    out = cli.main([tmp_table_path, "export", exp], spark=spark)
+    assert os.path.exists(os.path.join(exp, "_SUCCESS"))
+    out = cli.main([tmp_table_path, "downgrade"], spark=spark)
+    assert out["version"] == 1
+    out = cli.main([tmp_table_path, "upgrade"], spark=spark)
+    assert out["version"] == 2
+    import shutil
+    shutil.rmtree(exp, ignore_errors=True)
