@@ -177,7 +177,8 @@ class Ingestor:
                  transformer_sql: str | None = None,
                  transformers: list | None = None,
                  operation: str = "upsert",
-                 compact_every: int | None = None):
+                 compact_every: int | None = None,
+                 initial_checkpoint: str | None = None):
         self.table = table
         self.source = source
         self.transformer_sql = transformer_sql
@@ -186,6 +187,9 @@ class Ingestor:
         self.transformers = list(transformers or [])
         self.operation = operation
         self.compact_every = compact_every
+        # InitialCheckpointProvider / --checkpoint: where to start when the
+        # table carries no checkpoint yet (fresh pipeline over old data)
+        self.initial_checkpoint = initial_checkpoint
 
     def checkpoint(self) -> str | None:
         for inst in reversed(self.table.timeline.completed()):
@@ -193,7 +197,7 @@ class Ingestor:
             ck = md.get("extra", {}).get(CHECKPOINT_KEY)
             if ck is not None:
                 return ck
-        return None
+        return self.initial_checkpoint
 
     def sync_once(self):
         """DeltaSync.syncOnce (DeltaSync.java:262). Returns WriteResult|None."""

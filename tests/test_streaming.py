@@ -448,3 +448,33 @@ def test_continuous_aggregate_rollup(spark, events, tmp_table_path):
         {(r[0], r[1]): (r[2], round(r[3], 6)) for r in
          tbl.snapshot(as_of=c1).select("window_start", "event_type", "cnt",
                                        "sum_value").collect()}
+
+
+def test_ingest_initial_checkpoint(spark, events, tmp_table_path):
+    """InitialCheckpointProvider / --checkpoint: a fresh pipeline starts
+    from the supplied checkpoint instead of the beginning."""
+    import time
+
+    from hoodie_spark.streaming import Ingestor, ParquetDFSSource
+
+    os.makedirs(tmp_table_path)
+    src = os.path.join(tmp_table_path, "src")
+    os.makedirs(src)
+    old = os.path.join(src, "old.parquet")
+    events.limit(100).write.mode("overwrite").parquet(old)
+    cutoff = time.time()
+    os.utime(old, (cutoff - 100, cutoff - 100))
+
+    tbl = HoodieTable.create(spark, os.path.join(tmp_table_path, "t"),
+                             "ev", ["event_id"], "ts")
+    # DFS checkpoint = mtime; starting at `cutoff` skips the old file
+    ing = Ingestor(tbl, ParquetDFSSource(src),
+                   initial_checkpoint=repr(cutoff))
+    assert ing.sync_once() is None  # nothing newer than the checkpoint
+
+    new = os.path.join(src, "new.parquet")
+    events.filter("event_id >= 100").limit(50).write.mode(
+        "overwrite").parquet(new)
+    os.utime(new, (cutoff + 5, cutoff + 5))
+    assert ing.sync_once() is not None
+    assert tbl.snapshot().count() == 50  # old file never ingested
