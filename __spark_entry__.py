@@ -797,6 +797,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .select(F.unix_micros("window_start").alias("w_start"), "event_type",
                 "cnt", "sum_value"))
 
+    def _asof(s, d):
+        ev = load_table(s, d, "events")
+        left = ev.filter("event_type = 'purchase'").select(
+            "event_id", "user_id", "ts")
+        right = ev.filter("event_type = 'click'").select(
+            "user_id", "ts", "value", "event_id")
+        out = HF.asof_join(left, right, ["user_id"], "ts",
+                           right_cols=["value"], right_tiebreak="event_id")
+        return out.select("event_id",
+                          F.unix_micros("ts_asof").alias("click_ts_us"),
+                          F.col("value_asof").alias("click_value"))
+    q["asof_join"] = _asof
+
     # ---- text analysis
     q["text_stats"] = lambda s, d: load_table(s, d, "documents").select(
         "doc_id",
@@ -1081,6 +1094,20 @@ FROM events GROUP BY 1, 2
 """
     # the streaming rollup must land on the same batch answer
     o["continuous_rollup"] = o["events_window"]
+    o["asof_join"] = """
+WITH l AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+           FROM events WHERE event_type = 'purchase'),
+r AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value, event_id
+      FROM events WHERE event_type = 'click')
+SELECT l.event_id,
+       (SELECT epoch_us(r.ts) FROM r
+        WHERE r.user_id = l.user_id AND r.ts <= l.ts
+        ORDER BY r.ts DESC, r.event_id DESC LIMIT 1) AS click_ts_us,
+       (SELECT r.value FROM r
+        WHERE r.user_id = l.user_id AND r.ts <= l.ts
+        ORDER BY r.ts DESC, r.event_id DESC LIMIT 1) AS click_value
+FROM l
+"""
 
     for name, sql in TPCH_SQL.items():
         o[name] = sql.format(**_RAW)

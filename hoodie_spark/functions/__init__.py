@@ -54,6 +54,7 @@ from .multimodal import (
     register_codec,
     sample_frames,
 )
+from .asof import asof_join
 from .sessions import sessionize
 
 __all__ = [
@@ -67,4 +68,5 @@ __all__ = [
     "MEDIA_META_SCHEMA", "attach_media", "decode_media_meta", "sample_frames",
     "register_codec",
     "sessionize",
+    "asof_join",
 ]

@@ -234,3 +234,54 @@ def test_sessionize(spark):
     assert out[3][0] == "7#1"
     assert out[4][0] == "8#0"
     assert out[1][1] == base and out[3][1] == rows[2][2]
+
+
+# -------------------------------------------------------------- as-of join
+def _asof_fixture(spark):
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 25, "b"), (2, 5, "c"), (3, 50, "d")],
+        "k int, t int, lv string").withColumn("t", F.timestamp_seconds("t"))
+    right = spark.createDataFrame(
+        [(1, 10, 100.0, 1), (1, 20, 200.0, 2), (1, 10, 150.0, 3),
+         (2, 7, 300.0, 4)],
+        "k int, t int, rv double, rid int") \
+        .withColumn("t", F.timestamp_seconds("t"))
+    return left, right
+
+
+def test_asof_join_backward(spark):
+    left, right = _asof_fixture(spark)
+    out = HF.asof_join(left, right, ["k"], "t", right_cols=["rv"],
+                       right_tiebreak="rid")
+    got = {(r.k, r.lv): r.rv_asof for r in out.collect()}
+    # k=1,t=10: two right rows at t=10 -> greatest rid (3) wins -> 150.0
+    # k=1,t=25: latest <=25 is t=20 -> 200.0
+    # k=2,t=5 : no right row <=5 -> null; k=3: no right rows at all
+    assert got == {(1, "a"): 150.0, (1, "b"): 200.0,
+                   (2, "c"): None, (3, "d"): None}
+
+
+def test_asof_join_forward_and_tolerance(spark):
+    left, right = _asof_fixture(spark)
+    fwd = HF.asof_join(left, right, ["k"], "t", right_cols=["rv"],
+                       direction="forward", right_tiebreak="rid")
+    got = {(r.k, r.lv): r.rv_asof for r in fwd.collect()}
+    # forward: earliest right >= left; k=1,t=10 ties -> smallest rid (1)
+    assert got == {(1, "a"): 100.0, (1, "b"): None,
+                   (2, "c"): 300.0, (3, "d"): None}
+    tol = HF.asof_join(left, right, ["k"], "t", right_cols=["rv"],
+                       tolerance_seconds=4, right_tiebreak="rid")
+    got = {(r.k, r.lv): r.rv_asof for r in tol.collect()}
+    # k=1,t=25 matches t=20 but gap 5s > 4s tolerance -> nulled
+    assert got == {(1, "a"): 150.0, (1, "b"): None,
+                   (2, "c"): None, (3, "d"): None}
+
+
+def test_asof_join_single_shuffle_plan(spark):
+    """The merge-join formulation: exactly one Exchange on the key, no
+    range/nested-loop join in the plan."""
+    left, right = _asof_fixture(spark)
+    out = HF.asof_join(left, right, ["k"], "t", right_cols=["rv"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning(k#") <= 2  # union sides
