@@ -810,6 +810,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           F.col("value_asof").alias("click_value"))
     q["asof_join"] = _asof
 
+    def _range(s, d):
+        ev = load_table(s, d, "events")
+        left = ev.filter("event_type = 'purchase'").select(
+            "event_id", "user_id", "ts")
+        right = (ev.filter("event_type = 'click'")
+                 .select("user_id", F.col("ts").alias("s"),
+                         (F.col("ts") + F.expr("interval 6 hours"))
+                         .alias("e"),
+                         F.col("event_id").alias("click_id")))
+        out = HF.range_join(left, right, ["user_id"], "ts", "s", "e",
+                            bucket_width=21600.0)
+        return out.select("event_id", "click_id")
+    q["range_join"] = _range
+
     # ---- text analysis
     q["text_stats"] = lambda s, d: load_table(s, d, "documents").select(
         "doc_id",
@@ -1107,6 +1121,16 @@ SELECT l.event_id,
         WHERE r.user_id = l.user_id AND r.ts <= l.ts
         ORDER BY r.ts DESC, r.event_id DESC LIMIT 1) AS click_value
 FROM l
+"""
+    o["range_join"] = """
+WITH l AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+           FROM events WHERE event_type = 'purchase'),
+r AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS s,
+             CAST(ts AS TIMESTAMP) + INTERVAL 6 HOUR AS e,
+             event_id AS click_id
+      FROM events WHERE event_type = 'click')
+SELECT l.event_id, r.click_id
+FROM l JOIN r ON l.user_id = r.user_id AND r.s <= l.ts AND l.ts <= r.e
 """
 
     for name, sql in TPCH_SQL.items():

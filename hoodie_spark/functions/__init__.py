@@ -55,6 +55,7 @@ from .multimodal import (
     sample_frames,
 )
 from .asof import asof_join
+from .ranges import range_join
 from .sessions import sessionize
 
 __all__ = [
@@ -69,4 +70,5 @@ __all__ = [
     "register_codec",
     "sessionize",
     "asof_join",
+    "range_join",
 ]

@@ -285,3 +285,42 @@ def test_asof_join_single_shuffle_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
     assert plan.count("Exchange hashpartitioning(k#") <= 2  # union sides
+
+
+# -------------------------------------------------------------- range join
+def test_range_join_inner_and_left(spark):
+    left = spark.createDataFrame(
+        [(1, 5.0, "p1"), (1, 15.0, "p2"), (2, 8.0, "p3"), (3, 1.0, "p4")],
+        "k int, x double, lv string")
+    right = spark.createDataFrame(
+        [(1, 0.0, 10.0, "A"), (1, 4.0, 20.0, "B"), (2, 9.0, 12.0, "C")],
+        "k int, s double, e double, rv string")
+    out = HF.range_join(left, right, ["k"], "x", "s", "e", bucket_width=5.0)
+    got = sorted((r.lv, r.rv) for r in out.collect())
+    assert got == [("p1", "A"), ("p1", "B"), ("p2", "B")]
+    lo = HF.range_join(left, right, ["k"], "x", "s", "e",
+                       bucket_width=5.0, how="left")
+    got = sorted((r.lv, r.rv) for r in lo.collect())
+    assert got == [("p1", "A"), ("p1", "B"), ("p2", "B"),
+                   ("p3", None), ("p4", None)]
+
+
+def test_range_join_matches_naive_and_plan(spark, events):
+    """Bucketed result == naive inequality join on timestamps; the plan is
+    a hash equi-join, not a nested loop."""
+    left = events.filter("event_type = 'purchase'") \
+        .select("user_id", "ts", "event_id").limit(200)
+    right = (events.filter("event_type = 'click'")
+             .select("user_id", F.col("ts").alias("s"),
+                     (F.col("ts") + F.expr("interval 10 minutes")).alias("e"),
+                     F.col("event_id").alias("rid")))
+    out = HF.range_join(left, right, ["user_id"], "ts", "s", "e",
+                        bucket_width=600.0)
+    naive = left.join(right, (left["user_id"] == right["user_id"]) &
+                      (right["s"] <= left["ts"]) & (left["ts"] <= right["e"]))
+    assert sorted((r.event_id, r.rid) for r in out.collect()) == \
+        sorted((r.event_id, r.rid) for r in naive.collect())
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan \
+        or "BroadcastHashJoin" in plan
