@@ -324,3 +324,35 @@ def test_range_join_matches_naive_and_plan(spark, events):
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan \
         or "BroadcastHashJoin" in plan
+
+
+def test_asof_join_matches_model_random(spark):
+    """Property check: asof_join == per-row python model on random-ish
+    clustered data (keys collide, ts collide, right ties)."""
+    import random
+
+    rnd = random.Random(42)
+    left = [(rnd.randint(1, 8), rnd.randint(0, 50), i)
+            for i in range(300)]
+    right = [(rnd.randint(1, 8), rnd.randint(0, 50), float(i), i)
+             for i in range(200)]
+    ldf = spark.createDataFrame(left, "k int, t int, lid int") \
+        .withColumn("t", F.timestamp_seconds("t"))
+    rdf = spark.createDataFrame(right, "k int, t int, rv double, rid int") \
+        .withColumn("t", F.timestamp_seconds("t"))
+
+    out = HF.asof_join(ldf, rdf, ["k"], "t", right_cols=["rv"],
+                       right_tiebreak="rid")
+    got = {r.lid: r.rv_asof for r in out.collect()}
+
+    def model(k, t):
+        cands = [(rt, rid, rv) for (rk, rt, rv, rid) in right
+                 if rk == k and rt <= t]
+        if not cands:
+            return None
+        rt, rid, rv = max(cands, key=lambda c: (c[0], c[1]))
+        return rv
+
+    assert len(got) == len(left)
+    for (k, t, lid) in left:
+        assert got[lid] == model(k, t), (k, t, lid)

@@ -240,3 +240,60 @@ def test_parse_merge_structure():
     assert kinds == [("update", True), ("delete", True), ("insert", False)]
     assert p["clauses"][0][3] == {"a": "src.a"}
     assert p["clauses"][2][3] == {"a": "src.a"}
+
+
+def test_merge_mor_partitioned_text(spark, tmp_table_path):
+    """TestMergeIntoTable.scala:193 'Test MergeInto for MOR table': MOR +
+    partitioned create, insert-only merge with condition, conditional
+    update that doesn't fire, then one that does, then delete."""
+    tables = {}
+    run_sql(spark, f"""
+        create table hm (
+          id int, name string, price double, ts long, dt string
+        ) using hudi
+        options ( type = 'mor', primaryKey = 'id', preCombineField = 'ts' )
+        partitioned by (dt)
+        location '{tmp_table_path}/hm'
+    """, tables)
+
+    run_sql(spark, """
+        merge into hm as t0
+        using (select 1 as id, 'a1' as name, 10.0 as price, 1000 as ts,
+                      '2021-03-21' as dt) as s0
+        on t0.id = s0.id
+        when not matched and s0.id % 2 = 1 then insert *
+    """, tables)
+    tbl = tables["hm"]
+
+    def rows():
+        return sorted(tuple(r) for r in tbl.snapshot()
+                      .select("id", "name", "price", "dt").collect())
+    assert rows() == [(1, "a1", 10.0, "2021-03-21")]
+
+    # matched-condition does NOT fire -> unchanged
+    run_sql(spark, """
+        merge into hm as t0
+        using (select 1 as id, 'a1' as name, 12.0 as price, 1001 as ts,
+                      '2021-03-21' as dt) as s0
+        on t0.id = s0.id
+        when matched and id % 2 = 0 then update set *
+    """, tables)
+    assert rows() == [(1, "a1", 10.0, "2021-03-21")]
+
+    # fires -> updated
+    run_sql(spark, """
+        merge into hm as t0
+        using (select 1 as id, 'a1' as name, 12.0 as price, 1001 as ts,
+                      '2021-03-21' as dt) as s0
+        on t0.id = s0.id
+        when matched and id % 2 = 1 then update set *
+    """, tables)
+    assert rows() == [(1, "a1", 12.0, "2021-03-21")]
+
+    run_sql(spark, """
+        merge into hm t0
+        using (select 1 as id) s0
+        on t0.id = s0.id
+        when matched then delete
+    """, tables)
+    assert rows() == []
