@@ -207,3 +207,23 @@ def test_soft_delete_flag(spark, customer, tmp_table_path):
         "_hoodie_is_deleted", F.lit(True))
     tbl.upsert(soft)
     assert tbl.snapshot().count() == customer.filter("c_custkey % 11 <> 0").count()
+
+
+def test_read_keys_mor_with_deltas(spark, customer, tmp_table_path):
+    """MOR key lookup: slices with log files are never pruned by base-file
+    key ranges (a delta row may hold the key), and the merged value wins."""
+    from hoodie_spark import TableType
+
+    tbl = HoodieTable.create(
+        spark, tmp_table_path, "customer", recordkey_fields=["c_custkey"],
+        precombine_field="c_acctbal",
+        table_type=TableType.MERGE_ON_READ,
+        write_config=WriteConfig(parquet_max_file_size=8 * 1024,
+                                 record_size_estimate=512))
+    tbl.bulk_insert(customer)
+    tbl.upsert(customer.filter("c_custkey = 77")
+               .withColumn("c_acctbal", F.lit(1e9)))
+    got = tbl.read_keys(customer.filter("c_custkey in (7, 77)"))
+    rows = {r.c_custkey: r.c_acctbal for r in got.collect()}
+    assert set(rows) == {7, 77}
+    assert rows[77] == 1e9  # the delta value, not the base row

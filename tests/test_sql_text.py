@@ -297,3 +297,21 @@ def test_merge_mor_partitioned_text(spark, tmp_table_path):
         when matched then delete
     """, tables)
     assert rows() == []
+
+
+def test_change_column_mor_deltas(spark, tmp_table_path):
+    """Widening must hold across MOR delta files and survive compaction."""
+    from hoodie_spark import TableType
+
+    t = HoodieTable.create(spark, tmp_table_path, "m", ["id"], "ts",
+                           table_type=TableType.MERGE_ON_READ)
+    t.bulk_insert(spark.sql("select 1 as id, 10 as v, cast(1 as int) as ts"))
+    t.upsert(spark.sql("select 1 as id, 20 as v, cast(2 as int) as ts"))
+    t.change_column("v", "bigint")
+    assert dict(t.data_columns())["v"] == "bigint"
+    assert t.snapshot().select("v").collect()[0][0] == 20
+    t.upsert(spark.sql("select 2 as id, cast(8589934592 as bigint) as v, "
+                       "cast(3 as int) as ts"))
+    t.compact()
+    got = {r.id: r.v for r in t.snapshot().select("id", "v").collect()}
+    assert got == {1: 20, 2: 8589934592}
