@@ -217,6 +217,11 @@ def parse_merge(sql: str) -> dict:
             raise ValueError(f"WHEN clause missing THEN: {ctext!r}")
         head, body = ctext[:i_then], ctext[i_then + len("then"):].strip()
         hmask = cmask[:i_then]
+        if re.search(r"\bnot\s+matched\s+by\s+source\b", hmask):
+            raise ValueError(
+                "WHEN NOT MATCHED BY SOURCE is not supported (the reference "
+                "SQL surface predates it); express it as a separate "
+                "DELETE/UPDATE over the target")
         matched = re.search(r"\bnot\s+matched\b", hmask) is None
         i_and = _find_kw(hmask, "and")
         cond = head[i_and + len("and"):].strip() if i_and >= 0 else None

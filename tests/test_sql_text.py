@@ -315,3 +315,11 @@ def test_change_column_mor_deltas(spark, tmp_table_path):
     t.compact()
     got = {r.id: r.v for r in t.snapshot().select("id", "v").collect()}
     assert got == {1: 20, 2: 8589934592}
+
+
+def test_merge_not_matched_by_source_rejected():
+    with pytest.raises(ValueError, match="NOT MATCHED BY SOURCE"):
+        parse_merge("""
+            merge into t using s on t.id = s.id
+            when not matched by source then delete
+        """)
