@@ -263,6 +263,45 @@ def _fx_events_ingest(spark, sf_dir, path):
     return {"tbl": tbl}
 
 
+def _fx_orders_bootstrap(spark, sf_dir, path):
+    """METADATA_ONLY bootstrap: adopt a year-partitioned parquet dir
+    without rewriting it, then upsert through the bootstrapped index
+    (SparkBootstrapCommitActionExecutor / HoodieBootstrapRelation)."""
+    src = os.path.join(path, "source")
+    orders = _orders(spark, sf_dir)
+    (orders.withColumn("__y", F.expr("cast(year(o_orderdate) as string)"))
+     .write.partitionBy("__y").mode("overwrite").parquet(src))
+    # drop the partition column from the files' dirs name (partitionBy
+    # wrote __y=YYYY dirs); rename to bare-year layout the keygen produces
+    for d in list(os.listdir(src)):
+        if d.startswith("__y="):
+            os.rename(os.path.join(src, d), os.path.join(src, d[4:]))
+    tbl = HoodieTable.bootstrap(
+        spark, os.path.join(path, "tbl"), src, "orders_boot",
+        ["o_orderkey"], "o_orderdate",
+        partition_expr="cast(year(o_orderdate) as string)")
+    tbl.upsert(orders.filter(F.col("o_orderkey") % 10 == 0)
+               .withColumn("o_orderstatus", F.lit("X"))
+               .withColumn("o_totalprice", F.col("o_totalprice") + 100.0))
+    return {"tbl": tbl}
+
+
+def _fx_orders_archive(spark, sf_dir, path):
+    """Timeline archival: 12 commits, archive down to 4 active — reads
+    must still see the full state and incremental-from-start must still
+    work off the archived timeline (HoodieTimelineArchiveLog)."""
+    tbl = HoodieTable.create(
+        spark, path, "orders_arch", ["o_orderkey"], "o_orderdate",
+        partition_expr="cast(year(o_orderdate) as string)")
+    orders = _orders(spark, sf_dir)
+    tbl.bulk_insert(orders)
+    for i in range(10):
+        tbl.upsert(orders.filter(F.col("o_orderkey") % 10 == i)
+                   .withColumn("o_orderpriority", F.lit(f"A{i}")))
+    tbl.archive(max_active=4)
+    return {"tbl": tbl}
+
+
 def _fx_events_rollup(spark, sf_dir, path):
     """Continuous windowed aggregate (hypertable rollup): Structured
     Streaming watermark + window agg, update-mode upserted into a
@@ -432,6 +471,8 @@ _BUILDERS = {
     "orders_merge_sql": _fx_orders_merge_sql,
     "orders_trunc": _fx_orders_truncate,
     "events_rollup": _fx_events_rollup,
+    "orders_boot": _fx_orders_bootstrap,
+    "orders_arch": _fx_orders_archive,
     "warehouse": _fx_warehouse, "orders_cdc": _fx_orders_cdc,
     "orders_evolve": _fx_orders_evolve, "orders_partial": _fx_orders_partial,
     "orders_global": _fx_orders_global, "orders_skip": _fx_orders_skip,
@@ -757,6 +798,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _fixture(s, d, "orders_ri")["tbl"].snapshot()).select(*_ORDER_COLS)
     q["bloom_index_upsert"] = lambda s, d: _data(
         _fixture(s, d, "orders_bloom")["tbl"].snapshot()).select(*_ORDER_COLS)
+    q["bootstrap_read"] = lambda s, d: _data(
+        _fixture(s, d, "orders_boot")["tbl"].snapshot()).select(*_ORDER_COLS)
+    q["archived_timeline_read"] = lambda s, d: _data(
+        _fixture(s, d, "orders_arch")["tbl"].snapshot()).select(*_ORDER_COLS)
 
     # ---- data skipping (file pruning must not change results)
     q["data_skipping"] = lambda s, d: _data(
@@ -1040,6 +1085,18 @@ FROM orders WHERE NOT (o_totalprice < 20000)
 """
     o["record_index_upsert"] = _COW_FINAL
     o["bloom_index_upsert"] = _COW_FINAL
+    o["bootstrap_read"] = """
+SELECT o_orderkey, o_custkey,
+       CASE WHEN o_orderkey % 10 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+       CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 100.0 ELSE o_totalprice END AS o_totalprice,
+       o_orderdate, o_orderpriority
+FROM orders
+"""
+    o["archived_timeline_read"] = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+       'A' || CAST(o_orderkey % 10 AS VARCHAR) AS o_orderpriority
+FROM orders
+"""
     o["data_skipping"] = f"""
 SELECT {sel_orders} FROM orders WHERE o_totalprice > 300000.0
 """
