@@ -907,6 +907,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         load_table(s, d, "embeddings").filter(F.col("vec_id") < 10),
         "vec_id", "embedding", k=10, n_centroids=16, n_probe=4).select(
             "query_id", "neighbor_id", "rank")
+    q["ann_lsh"] = lambda s, d: HF.lsh_bucket_topk(
+        load_table(s, d, "embeddings"),
+        load_table(s, d, "embeddings").filter(F.col("vec_id") < 10),
+        "vec_id", "embedding", k=10, planes=6, dim=64).select(
+            "query_id", "neighbor_id", "rank")
 
     # ---- multimodal plumbing
     q["multimodal_decode"] = lambda s, d: HF.decode_media_meta(
@@ -1290,6 +1295,34 @@ SELECT id_a, id_b, CAST(dist AS BIGINT) AS distance FROM (
     plane = ("CASE WHEN strpos('01234567', substr(md5('p' || CAST(p AS VARCHAR) "
              "|| ':' || CAST(i - 1 AS VARCHAR)), 1, 1)) > 0 "
              "THEN 1.0 ELSE -1.0 END")
+    o["ann_lsh"] = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, ve,
+         sqrt(list_sum(list_transform(ve, x -> x * x))) AS nrm,
+         array_to_string(list_transform(range(0, 6), p ->
+           CASE WHEN list_sum(list_transform(range(1, 65), i ->
+                  ve[CAST(i AS INT)] * {plane})) > 0
+                THEN '1' ELSE '0' END), '') AS bucket
+  FROM v
+),
+q AS (SELECT * FROM n WHERE vec_id < 10),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_sum(list_transform(range(1, 65),
+           i -> c.ve[CAST(i AS INT)] * q.ve[CAST(i AS INT)])) / (c.nrm * q.nrm) AS cos
+  FROM n c JOIN q ON c.bucket = q.bucket WHERE c.vec_id <> q.vec_id
+)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 10
+"""
     o["dedup_embedding"] = f"""
 WITH v AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
