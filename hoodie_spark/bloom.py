@@ -65,20 +65,30 @@ def _positions(key_col, m_col, k: int):
 
 
 def harvest(table, stats: list[dict], instant: str) -> None:
-    """Compute and persist key sketches for the commit's new base files.
+    """Compute and persist key sketches for the commit's new base files
+    (eager mode, ``bloom_harvest_on_write=True``).
 
     Only files above ``bloom_sketch_min_records`` are sketched (cost gate:
     below that, scanning the file's key column at tag time is cheaper than
     the sketch jobs). Unsketched files are simply never pruned."""
-    floor = table.write_config.bloom_sketch_min_records
-    base = [s for s in stats if not s.get("is_delta") and not s.get("bootstrap")
-            and s.get("num_records", 0) >= max(1, floor)]
-    if not base:
+    floor = max(1, table.write_config.bloom_sketch_min_records)
+    files = [(instant, s["file_name"], s["path"], s["num_records"])
+             for s in stats if not s.get("is_delta") and not s.get("bootstrap")
+             and s.get("num_records", 0) >= floor]
+    _harvest_files(table, files)
+
+
+def _harvest_files(table, files: list[tuple[str, str, str, int]]) -> None:
+    """ONE column-pruned Spark job sketching ``files`` =
+    [(instant, file_name, rel_or_abs_path, num_records)], merged into the
+    per-instant sidecars (lazy harvest appends to sidecars of past
+    commits; eager harvest creates the current commit's)."""
+    if not files:
         return
     spark = table.spark
-    m_of = {s["file_name"]: _m_for(s["num_records"]) for s in base}
-    paths = [s["path"] if os.path.isabs(s["path"])
-             else os.path.join(table.base_path, s["path"]) for s in base]
+    m_of = {fn: _m_for(n) for _i, fn, _p, n in files}
+    paths = [p if os.path.isabs(p) else os.path.join(table.base_path, p)
+             for _i, _fn, p, _n in files]
     mk = F.create_map(*[x for fn, mv in m_of.items()
                         for x in (F.lit(fn), F.lit(mv))])
     df = (spark.read.schema(table.schema).parquet(*paths)
@@ -102,13 +112,22 @@ def harvest(table, stats: list[dict], instant: str) -> None:
             v = (wv >> (4 * j)) & 15
             if v:
                 chars[wi * 16 + j] = format(v, "x")
-    out = {fn: {"m": m_of[fn], "k": K_HASHES, "hex": "".join(chars)}
-           for fn, chars in hex_of.items()}
+    by_instant: dict[str, dict] = {}
+    for inst, fn, _p, _n in files:
+        by_instant.setdefault(inst, {})[fn] = {
+            "m": m_of[fn], "k": K_HASHES, "hex": "".join(hex_of[fn])}
     os.makedirs(_bloom_dir(table), exist_ok=True)
-    tmp = _sidecar(table, instant) + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(out, f)
-    os.replace(tmp, _sidecar(table, instant))
+    for inst, recs in by_instant.items():
+        path = _sidecar(table, inst)
+        if os.path.exists(path):  # lazy append to an existing sidecar
+            with open(path) as f:
+                merged = json.load(f)
+            merged.update(recs)
+            recs = merged
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(recs, f)
+        os.replace(tmp, path)
 
 
 def drop_sidecar(table, instant: str) -> None:
@@ -172,9 +191,27 @@ def prune(spark: SparkSession, prepared: DataFrame, slices, is_global: bool,
     Files without a sketch (pre-bloom commits, bootstrap sources) are kept —
     pruning is strictly conservative. Candidates are probed in batches
     bounded by ``PROBE_BATCH_BYTES`` / ``PROBE_BATCH_FILES`` so the
-    broadcast stays small no matter how many files the write touches."""
+    broadcast stays small no matter how many files the write touches.
+
+    Lazy harvest: eligible candidate files (non-bootstrap, above the
+    record-count floor) that have no sketch yet are sketched here, once,
+    before probing — the cost lands at the first tag that would probe them
+    (amortized across all later tags) instead of on every write, and files
+    never probed are never sketched."""
     blooms = _load(table, {sl.base_instant for sl in slices
                            if sl.base_file is not None})
+    floor = max(1, table.write_config.bloom_sketch_min_records)
+    missing = [
+        (sl.base_instant, sl.base_file.file_name, sl.base_file.path,
+         sl.base_file.num_records)
+        for sl in slices
+        if sl.base_file is not None and not sl.base_file.bootstrap
+        and sl.base_file.num_records >= floor
+        and (sl.base_instant, sl.base_file.file_name) not in blooms]
+    if missing:
+        _harvest_files(table, missing)
+        blooms = _load(table, {i for i, _fn, _p, _n in missing} |
+                       {k[0] for k in blooms})
     cands, keep = [], []
     for sl in slices:
         rec = blooms.get((sl.base_instant, sl.base_file.file_name)) \

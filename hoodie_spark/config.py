@@ -151,7 +151,11 @@ class WriteConfig:
     parquet_small_file_limit: int = 100 * 1024 * 1024
     # bootstrap estimate; refined from observed bytes/record after each commit
     record_size_estimate: int = 1024
-    index_type: str = IndexType.BLOOM
+    # SIMPLE by default: the bloom sketch pays an extra column-pruned pass
+    # over written files, which read-only / append-only workloads never
+    # recoup. Opt into BLOOM/GLOBAL_BLOOM for upsert-heavy tables; sketches
+    # are then harvested lazily at first tag (see bloom_harvest_on_write).
+    index_type: str = IndexType.SIMPLE
     merge_policy: str | None = None  # None -> table payload
     combine_before_insert: bool = False
     combine_before_upsert: bool = True
@@ -183,14 +187,22 @@ class WriteConfig:
     # (their key scan is cheaper than the probe); default-sized 120 MB
     # files (~117k records at 1 KB/record) are above it.
     bloom_sketch_min_records: int = 100_000
+    # When True, sketches are computed eagerly right after each write (an
+    # extra column-pruned Spark job per commit — Hudi folds this into the
+    # write by storing blooms in parquet footers). Default False: harvest
+    # lazily at the first bloom tag, only for candidate files that survived
+    # range pruning, so files never probed are never sketched.
+    bloom_harvest_on_write: bool = False
     # write-commit callbacks (HoodieWriteCommitCallback.java:25): callables
     # invoked AFTER an instant publishes, with a message dict
     # {commit_time, table_name, base_path, operation, write_stats}
-    # (HoodieWriteCommitCallbackMessage fields). Callback failures are the
-    # caller's problem by default (callback_on_commit_error='raise'); set
-    # 'warn' to log-and-continue like the reference's HTTP callback.
+    # (HoodieWriteCommitCallbackMessage fields). Callbacks fire AFTER the
+    # instant has published, so a raised callback error cannot roll the
+    # commit back — a caller that treats it as a write failure and retries
+    # would double-write. Default 'warn' (log-and-continue), matching the
+    # reference's HTTP callback; set 'raise' to propagate instead.
     commit_callbacks: list = field(default_factory=list)
-    callback_on_commit_error: str = "raise"
+    callback_on_commit_error: str = "warn"
 
     def records_per_file(self) -> int:
         return max(1, self.parquet_max_file_size // max(1, self.record_size_estimate))

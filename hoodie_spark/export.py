@@ -77,14 +77,28 @@ def _export_as_hudi(table, target_path: str, latest: str) -> None:
             dst = os.path.join(target_path, rel)
             os.makedirs(os.path.dirname(dst), exist_ok=True)
             shutil.copy2(view.abs(rel), dst)
-    # timeline (completed instants up to the snapshot point) + properties
+    # timeline (completed instants up to the snapshot point) + properties.
+    # Archived instants have no active-timeline file to copy — their history
+    # travels via the archive jsonl below (filtered to the snapshot point),
+    # which the target's snapshot fold needs to reconstruct old slices.
     tl = table.timeline
     dst_tl = os.path.join(target_path, ".hoodie", "timeline")
     os.makedirs(dst_tl, exist_ok=True)
-    for inst in tl.completed():
+    for inst in tl.completed(include_archived=False):
         if inst.timestamp <= latest:
             shutil.copy2(tl._path(inst),
                          os.path.join(dst_tl, inst.filename()))
+    if os.path.exists(tl.archive_path):
+        dst_arch = os.path.join(target_path, ".hoodie", "archived",
+                                "commits.jsonl")
+        os.makedirs(os.path.dirname(dst_arch), exist_ok=True)
+        import json
+        with open(tl.archive_path) as src, open(dst_arch, "w") as out:
+            for line in src:
+                if not line.strip():
+                    continue
+                if json.loads(line).get("timestamp", "") <= latest:
+                    out.write(line)
     src_hoodie = os.path.join(table.base_path, ".hoodie")
     for fn in sorted(os.listdir(src_hoodie)):
         p = os.path.join(src_hoodie, fn)

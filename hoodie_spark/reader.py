@@ -104,14 +104,25 @@ class ReadClient:
         return self.table.read_slices_base(slices)
 
     def _merge_on_read(self, view, slices, as_of: str | None) -> DataFrame:
-        base = self.table.read_slices_base(slices)
-        delta_paths = [view.abs(lf.path) for sl in slices
+        """MOR snapshot assembly. Slices WITHOUT pending deltas ("clean")
+        are emitted as a direct base scan — no Exchange, no window; only
+        dirty slices pay the union + shuffle-by-key resolve. At scale a
+        table with 1% dirty slices shuffles 1% of its rows, not 100%
+        (parity: HoodieMergeOnReadRDD.scala:72-76 merges per-slice, so the
+        reference never shuffles clean file groups either)."""
+        dirty = [sl for sl in slices if sl.log_files_as_of(as_of)]
+        if not dirty:
+            return self.table.read_slices_base(slices)
+        clean = [sl for sl in slices if not sl.log_files_as_of(as_of)]
+        base = self.table.read_slices_base(dirty)
+        delta_paths = [view.abs(lf.path) for sl in dirty
                        for lf in sl.log_files_as_of(as_of)]
-        if not delta_paths:
-            return base
         deltas = self.table.read_delta_files(delta_paths)
         merged = base.withColumn(OPERATION, F.lit("I")).unionByName(deltas)
-        return self._resolve(merged).drop(OPERATION)
+        resolved = self._resolve(merged).drop(OPERATION)
+        if not clean:
+            return resolved
+        return self.table.read_slices_base(clean).unionByName(resolved)
 
     def _resolve(self, df: DataFrame) -> DataFrame:
         """Equivalent of the log-scanner fold (HoodieMergedLogRecordScanner
@@ -165,14 +176,10 @@ class ReadClient:
         return df.filter((F.col(COMMIT_TIME) > begin) & (F.col(COMMIT_TIME) <= end_ts))
 
     def _merge_on_read_incremental(self, view, slices, end_ts: str) -> DataFrame:
-        base = self.table.read_slices_base(slices)
-        delta_paths = [view.abs(lf.path) for sl in slices
-                       for lf in sl.log_files_as_of(end_ts)]
-        if not delta_paths:
-            return base
-        deltas = self.table.read_delta_files(delta_paths)
-        merged = base.withColumn(OPERATION, F.lit("I")).unionByName(deltas)
-        return self._resolve(merged).drop(OPERATION)
+        # same clean/dirty split as snapshot (the incremental file list is
+        # already restricted to touched groups, but a touched group whose
+        # deltas were all compacted away is clean again)
+        return self._merge_on_read(view, slices, end_ts)
 
     # ------------------------------------------------------------ key lookup
     def _key_candidate_slices(self, keyed: DataFrame, view,

@@ -16,10 +16,12 @@ available inside ``USING (...)``.
 
 Semantics notes:
 * clause order = priority, first matching clause wins (matched clauses);
-* unqualified columns that exist on BOTH sides resolve to the SOURCE —
-  matched rows satisfy the ON equality so for key columns the two are
-  interchangeable; the reference's ExpressionPayload resolves against the
-  joined (source-first) row the same way;
+* unqualified columns that exist on BOTH sides resolve to the SOURCE only
+  when the column is mentioned in the ON clause (matched rows satisfy the
+  ON equality, so the two sides are interchangeable there); any OTHER
+  both-sides column must be qualified — we raise, like Spark's analyzer,
+  instead of silently picking a side (``SET cnt = cnt + 1`` would
+  otherwise read the SOURCE's cnt);
 * ``insert *`` / ``update set *`` expand to the target's data columns,
   taking values from same-named source columns.
 """
@@ -83,6 +85,27 @@ def _mask_quotes(s: str) -> str:
     return "".join(out)
 
 
+def _blank_case_end(mask: str) -> str:
+    """Blank CASE ... END regions (nesting-aware) in an already-masked
+    string, so the WHEN/THEN of a CASE expression inside a merge action
+    (``UPDATE SET v = CASE WHEN ... THEN ... END``) never reads as
+    merge-clause structure."""
+    out = list(mask)
+    depth = 0
+    start = 0
+    for m in re.finditer(r"\b(case|end)\b", mask):
+        if m.group(1) == "case":
+            if depth == 0:
+                start = m.start()
+            depth += 1
+        elif depth:
+            depth -= 1
+            if depth == 0:
+                for i in range(start, m.end()):
+                    out[i] = " "
+    return "".join(out)
+
+
 def _find_kw(mask: str, kw: str, start: int = 0) -> int:
     m = re.compile(rf"\b{kw}\b").search(mask, start)
     return m.start() if m else -1
@@ -115,15 +138,21 @@ def _parse_relation(text: str) -> tuple[str, str | None]:
 
 class _Rewriter:
     """Rewrites user aliases/table names to the builder's fixed ``target``/
-    ``source`` qualifiers, and qualifies bare columns (source-first) so
-    expressions stay unambiguous over the joined frame."""
+    ``source`` qualifiers, and qualifies bare columns so expressions stay
+    unambiguous over the joined frame. A bare column living on BOTH sides
+    resolves to the source only when it is mentioned in the ON clause
+    (equated for matched rows); otherwise it is a hard error, matching
+    Spark's ambiguity analysis — silently picking the source would turn
+    ``SET cnt = cnt + 1`` into ``source.cnt + 1``."""
 
     def __init__(self, target_names: set[str], source_names: set[str],
-                 source_cols: set[str], target_cols: set[str]):
+                 source_cols: set[str], target_cols: set[str],
+                 on_cols: set[str] | None = None):
         self.tnames = {n.lower() for n in target_names if n}
         self.snames = {n.lower() for n in source_names if n}
         self.scols = {c.lower() for c in source_cols}
         self.tcols = {c.lower() for c in target_cols}
+        self.on_cols = {c.lower() for c in (on_cols or set())}
 
     def __call__(self, expr: str) -> str:
         mask = _mask_quotes(expr)
@@ -147,6 +176,12 @@ class _Rewriter:
                     out.append(expr[start:end])
             elif nxt.startswith("(") or word in _KEYWORDS:
                 out.append(expr[start:end])  # function call / keyword
+            elif word in self.scols and word in self.tcols \
+                    and word not in self.on_cols:
+                raise ValueError(
+                    f"ambiguous column {word!r}: exists in both source and "
+                    "target and is not equated in the ON clause — qualify "
+                    "it with the source or target alias")
             elif word in self.scols:
                 out.append(f"source.{expr[start:end]}")
             elif word in self.tcols:
@@ -164,7 +199,9 @@ def _strip_qualifier(col: str) -> str:
 def parse_merge(sql: str) -> dict:
     """Parse a MERGE INTO statement into its structural pieces (strings —
     expression rewriting happens at execution when schemas are known)."""
-    mask = _mask(sql)
+    # blank CASE...END before structural keyword search: a CASE's WHEN/THEN
+    # must never split merge clauses or be mistaken for a clause's THEN
+    mask = _blank_case_end(_mask(sql))
     m = re.match(r"\s*merge\s+into\b", mask)
     if not m:
         raise ValueError("not a MERGE INTO statement")
@@ -211,7 +248,7 @@ def parse_merge(sql: str) -> dict:
     starts.append(len(tail))
     for a, b in zip(starts, starts[1:]):
         ctext = tail[a:b].strip()
-        cmask = _mask(ctext)
+        cmask = _blank_case_end(_mask(ctext))
         i_then = _find_kw(cmask, "then")
         if i_then < 0:
             raise ValueError(f"WHEN clause missing THEN: {ctext!r}")
@@ -274,9 +311,12 @@ def _exec_merge(spark, sql: str, tables: dict) -> object:
     src = spark.sql(p["source"]) if p["source_is_query"] \
         else spark.table(p["source"])
     target_cols = [n for n, _ in tbl.data_columns()]
+    # columns mentioned in ON are equated for matched rows, so a bare
+    # reference to one is side-interchangeable; others must be qualified
+    on_cols = set(re.findall(r"\b[a-zA-Z_]\w*\b", _mask_quotes(p["on"])))
     rw = _Rewriter({p["target"], tname, p["target_alias"]},
                    {p["source"], p["source_alias"]},
-                   set(src.columns), set(target_cols))
+                   set(src.columns), set(target_cols), on_cols=on_cols)
     b = tbl.merge(src, rw(p["on"]))
     for kind, matched, cond, payload in p["clauses"]:
         cond_rw = rw(cond) if cond else None

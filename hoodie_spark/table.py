@@ -225,8 +225,15 @@ class HoodieTable:
     def view(self) -> FileSystemView:
         return FileSystemView(self.timeline)
 
+    def _abs(self, rel_path: str) -> str:
+        # FileSystemView.abs without the view: path resolution needs only
+        # base_path, never the manifest fold
+        if os.path.isabs(rel_path):  # metadata-only bootstrap source file
+            return rel_path
+        return os.path.join(self.base_path, rel_path)
+
     def read_slices_base(self, slices) -> DataFrame:
-        view_abs = self.view().abs
+        view_abs = self._abs
         normal, boot = [], []
         for sl in slices:
             if sl.base_file is None:
@@ -257,7 +264,7 @@ class HoodieTable:
         s = self.schema
         data_schema = T.StructType([f for f in s.fields
                                     if f.name not in META_COLUMNS])
-        abs_paths = [os.path.abspath(self.view().abs(sl.base_file.path))
+        abs_paths = [os.path.abspath(self._abs(sl.base_file.path))
                      for sl in slices]
         df = self.spark.read.schema(data_schema).parquet(*abs_paths)
         # per-source-file identity keyed by the FULL path: partitioned source

@@ -846,8 +846,9 @@ class WriteClient:
                 rec["col_stats"] = st["col_stats"]
             stats.append(rec)
         fs.rmtree(tmp)
-        if self.table.write_config.index_type in (IndexType.BLOOM,
-                                                  IndexType.GLOBAL_BLOOM):
+        wc = self.table.write_config
+        if wc.bloom_harvest_on_write and wc.index_type in (
+                IndexType.BLOOM, IndexType.GLOBAL_BLOOM):
             from . import bloom
             bloom.harvest(self.table, stats, instant)
         return stats

@@ -33,6 +33,7 @@ def _make_table(spark, path, sort_mode=None):
         spark, path, "bloomy", ["ukey"], "o_orderdate",
         write_config=WriteConfig(index_type=IndexType.BLOOM,
                                  bloom_sketch_min_records=1,
+                                 bloom_harvest_on_write=True,
                                  parquet_max_file_size=128 * 1024,
                                  parquet_small_file_limit=64 * 1024))
     tbl.bulk_insert(_uuid_orders(spark), sort_mode=sort_mode or SortMode.NONE)
@@ -115,6 +116,7 @@ def test_probe_batches_bound_broadcast(spark, tmp_table_path, monkeypatch):
 
     class FakeTable:
         base_path = tmp_table_path
+        write_config = WriteConfig(bloom_sketch_min_records=1)
     os.makedirs(os.path.join(tmp_table_path, ".hoodie", "bloom"))
     with open(os.path.join(tmp_table_path, ".hoodie", "bloom", "c1.json"),
               "w") as f:
@@ -136,3 +138,37 @@ def test_probe_batches_bound_broadcast(spark, tmp_table_path, monkeypatch):
     assert all(c <= bloom.PROBE_BATCH_FILES for c in calls)
     assert {sl.file_id for sl in surviving} == \
         {f"f{k.split('-')[1]}-0" for k in probed}
+
+
+def test_lazy_harvest_at_first_tag(spark, tmp_table_path):
+    """Default harvest mode: writes pay NO sketch job; the first upsert tag
+    sketches the candidate files once (sidecar appears for the bulk-insert
+    instant), and later tags reuse them — results identical throughout."""
+    from hoodie_spark.writer import SortMode
+
+    tbl = HoodieTable.create(
+        spark, tmp_table_path, "lazy_bloom", ["ukey"], "o_orderdate",
+        write_config=WriteConfig(index_type=IndexType.BLOOM,
+                                 bloom_sketch_min_records=1,
+                                 parquet_max_file_size=128 * 1024,
+                                 parquet_small_file_limit=64 * 1024))
+    tbl.bulk_insert(_uuid_orders(spark), sort_mode=SortMode.NONE)
+    bloom_dir = os.path.join(tmp_table_path, ".hoodie", "bloom")
+    assert not os.path.isdir(bloom_dir) or not os.listdir(bloom_dir), \
+        "lazy mode must not sketch at write time"
+
+    batch = _uuid_orders(spark).filter(F.col("o_orderkey") % 401 == 1)
+    tbl.upsert(batch.withColumn("o_orderstatus", F.lit("LZ")))
+    sidecars = os.listdir(bloom_dir)
+    assert sidecars, "first tag must harvest sketches for candidate files"
+
+    # second tag reuses them (no new sidecar content is required)
+    import json as _json
+    before = {s: _json.load(open(os.path.join(bloom_dir, s))) for s in sidecars}
+    tbl.upsert(batch.withColumn("o_orderstatus", F.lit("L2")))
+    n = _uuid_orders(spark).count()
+    snap = tbl.snapshot()
+    assert snap.count() == n
+    assert snap.filter("o_orderstatus = 'L2'").count() == batch.count()
+    for s, content in before.items():
+        assert _json.load(open(os.path.join(bloom_dir, s))) == content

@@ -186,13 +186,17 @@ def test_commit_callbacks(spark, orders, tmp_table_path):
         raise RuntimeError("callback down")
 
     wc.commit_callbacks.append(boom)
-    import pytest
-    with pytest.raises(RuntimeError):
-        tbl.upsert(orders.limit(5))
-    wc.callback_on_commit_error = "warn"
+    # default 'warn': the instant has already published when callbacks run,
+    # so a callback failure must not read as a write failure (a retry would
+    # double-write); reference's HTTP callback logs failures too
     n = len(tbl.commits())
     tbl.upsert(orders.limit(5))  # fails the callback, not the commit
     assert len(tbl.commits()) == n + 1
+    wc.callback_on_commit_error = "raise"
+    import pytest
+    with pytest.raises(RuntimeError):
+        tbl.upsert(orders.limit(5))
+    assert len(tbl.commits()) == n + 2  # raised AFTER publish — committed
 
 
 def test_cli_commands(spark, orders, tmp_table_path):
@@ -221,3 +225,34 @@ def test_cli_commands(spark, orders, tmp_table_path):
     assert out["version"] == 2
     import shutil
     shutil.rmtree(exp, ignore_errors=True)
+
+
+def test_snapshot_export_archived_table(spark, orders, tmp_table_path):
+    """Hudi-format export of a table whose oldest commits were archived:
+    must not try to copy nonexistent active-timeline files, and must carry
+    the archive jsonl so the copy's snapshot fold still sees full history."""
+    from hoodie_spark import HoodieTable, WriteConfig, export_snapshot
+    from hoodie_spark.services.archive import archive
+
+    os.makedirs(tmp_table_path)
+    src = os.path.join(tmp_table_path, "tbl")
+    tbl = HoodieTable.create(spark, src, "orders",
+                             recordkey_fields=["o_orderkey"],
+                             precombine_field="o_orderdate",
+                             write_config=WriteConfig(max_commits_to_keep=2))
+    base = orders.filter("o_orderkey < 2000")
+    tbl.bulk_insert(base)
+    for k in (3, 5, 7):
+        tbl.upsert(base.filter(f"o_orderkey % {k} = 0")
+                   .withColumn("o_orderstatus", F.lit(f"A{k}")))
+    assert archive(tbl) > 0, "fixture must actually archive instants"
+
+    out = os.path.join(tmp_table_path, "hudi_out")
+    export_snapshot(tbl, out, "hudi")
+    assert os.path.exists(os.path.join(out, ".hoodie", "archived",
+                                       "commits.jsonl"))
+    copy = HoodieTable.load(spark, out)
+    assert sorted(tuple(r) for r in
+                  copy.snapshot().select("o_orderkey", "o_orderstatus").collect()) == \
+        sorted(tuple(r) for r in
+               tbl.snapshot().select("o_orderkey", "o_orderstatus").collect())

@@ -78,3 +78,51 @@ def test_mor_upsert_new_keys_creates_base_files(spark, events, tmp_table_path):
     res = tbl.upsert(new)
     assert any(not s["is_delta"] for s in res.stats)
     assert tbl.snapshot().count() == events.count() + new.count()
+
+
+def test_mor_snapshot_resolves_only_dirty_slices(spark, events, tmp_table_path):
+    """Scale guard: the shuffle-by-key resolve must see only slices that
+    carry deltas — clean file groups go straight from scan to output
+    (HoodieMergeOnReadRDD.scala:72-76 merges per-slice; a 1%-dirty table
+    must not shuffle 100% of its rows)."""
+    from hoodie_spark.reader import ReadClient
+
+    tbl = make_events_table(spark, tmp_table_path)
+    tbl.bulk_insert(events)
+    one_type = events.select("event_type").first()[0]
+    upd = (events.filter(F.col("event_type") == one_type)
+           .limit(50)
+           .withColumn("value", F.col("value") + 5.0)
+           .withColumn("ts", F.expr("ts + interval 1 hour")))
+    tbl.upsert(upd)
+
+    seen_files = []
+    orig = ReadClient._resolve
+
+    def spy(self, df):
+        seen_files.extend(df.inputFiles())
+        return orig(self, df)
+
+    try:
+        ReadClient._resolve = spy
+        snap = tbl.snapshot()
+        assert snap.count() == events.count()
+        assert snap.filter("value >= 5.0").count() >= upd.count()
+    finally:
+        ReadClient._resolve = orig
+
+    view = tbl.view()
+    slices = view.latest_slices()
+    dirty = [sl for sl in slices if sl.log_files]
+    clean = [sl for sl in slices if not sl.log_files]
+    assert dirty and clean, "fixture must produce both dirty and clean slices"
+    # the same basename recurs across partitions — compare partition-
+    # qualified relative paths, not basenames
+    clean_bases = {sl.base_file.path for sl in clean if sl.base_file}
+    resolved = {f.split("://", 1)[-1] for f in seen_files}
+    hit = {p for p in clean_bases if any(r.endswith("/" + p) for r in resolved)}
+    assert not hit, f"clean base files entered the resolve window: {hit}"
+    dirty_bases = {sl.base_file.path for sl in dirty if sl.base_file}
+    missed = {p for p in dirty_bases
+              if not any(r.endswith("/" + p) for r in resolved)}
+    assert not missed, f"dirty base files missing from resolve: {missed}"

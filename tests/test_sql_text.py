@@ -323,3 +323,67 @@ def test_merge_not_matched_by_source_rejected():
             merge into t using s on t.id = s.id
             when not matched by source then delete
         """)
+
+
+def test_merge_case_when_in_action(spark, h1):
+    """A CASE WHEN inside an UPDATE SET body must not split the WHEN-clause
+    list (the reference SQL surface accepts CASE expressions in merge
+    actions)."""
+    h1.bulk_insert(spark.sql(
+        "select id, concat('n', id) as name, cast(id as double) as price, "
+        "1000 as ts from range(4)"))
+    run_sql(spark, """
+        merge into h1 as t
+        using (select 1 as id, 'x' as name, -3.0 as price, 1001 as ts
+               union all
+               select 9 as id, 'nine' as name, 9.0 as price, 1001 as ts) s
+        on t.id = s.id
+        when matched then update set
+            name = s.name,
+            price = case when s.price > 0 then s.price else 0 end,
+            ts = s.ts
+        when not matched then insert *
+    """, {"h1": h1})
+    got = {r[0]: (r[1], r[2]) for r in
+           h1.snapshot().select("id", "name", "price").collect()}
+    assert got[1] == ("x", 0.0)      # negative price clamped by CASE
+    assert got[9] == ("nine", 9.0)   # inserted
+    assert got[2] == ("n2", 2.0)     # untouched
+
+
+def test_merge_case_when_in_condition(spark, h1):
+    """CASE WHEN inside a clause condition (before THEN) parses too."""
+    h1.bulk_insert(spark.sql("select 1 as id, 'a' as name, 5.0 as price, "
+                             "1000 as ts"))
+    run_sql(spark, """
+        merge into h1 as t
+        using (select 1 as id, 'b' as name, 7.0 as price, 1001 as ts) s
+        on t.id = s.id
+        when matched and case when s.price > 6 then true else false end
+            then update set name = s.name, price = s.price, ts = s.ts
+    """, {"h1": h1})
+    assert _rows(h1) == [(1, "b", 7.0, 1001)]
+
+
+def test_merge_ambiguous_unqualified_column_raises(spark, h1):
+    """An unqualified column on BOTH sides that is not ON-equated is a hard
+    error (Spark-analyzer parity): silently resolving source-first would
+    turn `SET price = price + 1` into source.price + 1."""
+    h1.bulk_insert(spark.sql("select 1 as id, 'a' as name, 5.0 as price, "
+                             "1000 as ts"))
+    with pytest.raises(ValueError, match="ambiguous column 'price'"):
+        run_sql(spark, """
+            merge into h1 as t
+            using (select 1 as id, 100.0 as price, 1001 as ts) s
+            on t.id = s.id
+            when matched then update set price = price + 1, ts = s.ts
+        """, {"h1": h1})
+    # qualified forms work, and ON-equated columns (id) stay usable bare
+    run_sql(spark, """
+        merge into h1 as t
+        using (select 1 as id, 100.0 as price, 1001 as ts) s
+        on t.id = s.id
+        when matched and id = 1 then update set price = t.price + 1,
+            ts = s.ts
+    """, {"h1": h1})
+    assert _rows(h1) == [(1, "a", 6.0, 1001)]
