@@ -185,10 +185,10 @@ def _fx_orders_merge(spark, sf_dir, path):
 
 
 def _fx_orders_merge_sql(spark, sf_dir, path):
-    """The same MERGE as orders_merge, but issued as SQL TEXT through the
-    string-level front-end (HoodieSqlParser.scala:171 /
-    MergeIntoHoodieTableCommand.scala:56 parity)."""
-    from hoodie_spark.sql import run_sql
+    """The same MERGE as orders_merge, but issued NATIVELY through
+    ``spark.sql()`` with the hoodie session interception enabled
+    (HoodieAnalysis.scala:105 parity — see hoodie_spark/sql/session.py)."""
+    from hoodie_spark.sql import disable, enable
 
     tbl = HoodieTable.create(
         spark, path, "orders_merge_sql", ["o_orderkey"], "o_orderdate",
@@ -200,29 +200,37 @@ def _fx_orders_merge_sql(spark, sf_dir, path):
            .unionByName(orders.filter(F.col("o_orderkey") % 5 == 1)
                         .withColumn("o_orderkey", F.col("o_orderkey") + 1000000)))
     src.createOrReplaceTempView("merge_src")
-    run_sql(spark, """
-        MERGE INTO orders_merge_sql AS t
-        USING merge_src s
-        ON t.o_orderkey = s.o_orderkey
-        WHEN MATCHED AND s.o_totalprice > 50000 THEN UPDATE SET
-            o_totalprice = s.o_totalprice, o_orderpriority = 'MERGED'
-        WHEN MATCHED THEN DELETE
-        WHEN NOT MATCHED THEN INSERT *
-    """, {"orders_merge_sql": tbl})
+    enable(spark, {"orders_merge_sql": tbl})
+    try:
+        spark.sql("""
+            MERGE INTO orders_merge_sql AS t
+            USING merge_src s
+            ON t.o_orderkey = s.o_orderkey
+            WHEN MATCHED AND s.o_totalprice > 50000 THEN UPDATE SET
+                o_totalprice = s.o_totalprice, o_orderpriority = 'MERGED'
+            WHEN MATCHED THEN DELETE
+            WHEN NOT MATCHED THEN INSERT *
+        """)
+    finally:
+        disable(spark)
     return {"tbl": tbl}
 
 
 def _fx_orders_truncate(spark, sf_dir, path):
     """TRUNCATE TABLE then re-insert a filtered load: the truncate must
     supersede every pre-truncate row while keeping the schema writable."""
-    from hoodie_spark.sql import run_sql
+    from hoodie_spark.sql import disable, enable
 
     tbl = HoodieTable.create(
         spark, path, "orders_trunc", ["o_orderkey"], "o_orderdate",
         partition_expr="cast(year(o_orderdate) as string)")
     orders = _orders(spark, sf_dir)
     tbl.bulk_insert(orders)
-    run_sql(spark, "TRUNCATE TABLE orders_trunc", {"orders_trunc": tbl})
+    enable(spark, {"orders_trunc": tbl})
+    try:
+        spark.sql("TRUNCATE TABLE orders_trunc")
+    finally:
+        disable(spark)
     tbl.upsert(orders.filter(F.col("o_orderkey") % 4 == 2))
     return {"tbl": tbl}
 
