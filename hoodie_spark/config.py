@@ -168,6 +168,14 @@ class WriteConfig:
     # clustering
     clustering_small_file_limit: int = 50 * 1024 * 1024
     clustering_target_file_size: int = 120 * 1024 * 1024
+    # plan strategy: "small_files" (all partitions) or "recent_days"
+    # (SparkRecentDaysClusteringPlanStrategy.java:112-122 — only the
+    # lexicographically-latest N partitions are even considered, so a
+    # date-partitioned 100 TB table plans over days, not years)
+    clustering_plan_strategy: str = "small_files"
+    clustering_target_partitions: int = 2  # daybased.lookback.partitions
+    clustering_max_bytes_in_group: int = 2 * 1024 * 1024 * 1024
+    clustering_max_num_groups: int = 30
     # concurrency (§1.6): single-writer by default; optimistic mode takes the
     # table lock at commit and aborts on overlapping file-group writes
     concurrency_mode: str = WriteConcurrencyMode.SINGLE_WRITER

@@ -1,8 +1,10 @@
 """Clustering: rewrite many small file groups into few large sorted ones.
 
 Reference parity: SparkRecentDaysClusteringPlanStrategy.java:54-122 (plan =
-pick small slices per partition), SparkSortAndSizeExecutionStrategy.java:
-51-86 (execute = bulk-insert sorted by sortColumns, target file size),
+pick small slices per partition, only over the most recent N partitions),
+PartitionAwareClusteringPlanStrategy.java:60-100 (partition filter + greedy
+byte-capped grouping), SparkSortAndSizeExecutionStrategy.java:51-86
+(execute = bulk-insert sorted by sortColumns, target file size),
 HoodieClusteringConfig.java:37-116; commits as a replacecommit
 (HoodieReplaceCommitMetadata).
 
@@ -23,9 +25,28 @@ from .. import timeline as tl
 from ..config import FILE_NAME, PARTITION_PATH, RECORD_KEY
 
 
-def plan_clustering(table, partitions=None, small_file_limit=None):
+def recent_partitions(table, target_partitions: int | None = None) -> list[str]:
+    """SparkRecentDaysClusteringPlanStrategy.filterPartitionPaths:112-122 —
+    reverse-lexicographic sort + limit. Date-style partition paths sort so
+    the latest N days win; the planner never stats a slice outside the
+    lookback window (at 100 TB: plan over days, not years)."""
+    n = target_partitions if target_partitions is not None else \
+        table.write_config.clustering_target_partitions
+    parts = sorted(table.view().partitions(), reverse=True)
+    return parts[:n] if n > 0 else parts
+
+
+def plan_clustering(table, partitions=None, small_file_limit=None,
+                    plan_strategy: str | None = None,
+                    target_partitions: int | None = None):
     """Slices worth clustering: base-only slices smaller than the limit
-    (slices with pending deltas are left for compaction first)."""
+    (slices with pending deltas are left for compaction first). With
+    ``plan_strategy="recent_days"`` (or the table's configured strategy),
+    candidates are restricted to :func:`recent_partitions` unless an
+    explicit partition list is given."""
+    strategy = plan_strategy or table.write_config.clustering_plan_strategy
+    if partitions is None and strategy == "recent_days":
+        partitions = recent_partitions(table, target_partitions)
     limit = small_file_limit or table.write_config.clustering_small_file_limit
     out = []
     for sl in table.view().latest_slices(partitions=partitions):
@@ -35,10 +56,41 @@ def plan_clustering(table, partitions=None, small_file_limit=None):
     return out
 
 
+def pack_groups(table, plan, max_bytes_in_group=None, max_num_groups=None):
+    """Greedy byte-capped grouping within each partition
+    (PartitionAwareClusteringPlanStrategy / buildClusteringGroupsForPartition
+    :72-100): groups bound the bytes any single execution unit rewrites, and
+    the total group count is capped — a planner invariant, not an executor
+    one (Spark's range partitioner parallelizes inside a group anyway)."""
+    cap = max_bytes_in_group or table.write_config.clustering_max_bytes_in_group
+    ngroups = max_num_groups or table.write_config.clustering_max_num_groups
+    by_part: dict[str, list] = {}
+    for sl in plan:
+        by_part.setdefault(sl.partition, []).append(sl)
+    groups: list[list] = []
+    for part in sorted(by_part):
+        cur, size = [], 0
+        for sl in by_part[part]:
+            if size >= cap and cur:
+                groups.append(cur)
+                cur, size = [], 0
+            cur.append(sl)
+            size += sl.base_file.size
+        if cur:
+            groups.append(cur)
+    return groups[:ngroups]
+
+
 def cluster(table, sort_cols: list[str] | None = None, partitions=None,
-            small_file_limit=None, target_file_size=None):
+            small_file_limit=None, target_file_size=None,
+            plan_strategy: str | None = None,
+            target_partitions: int | None = None):
     """Returns the replacecommit instant, or None if nothing to cluster."""
-    plan = plan_clustering(table, partitions, small_file_limit)
+    plan = plan_clustering(table, partitions, small_file_limit,
+                           plan_strategy, target_partitions)
+    if len(plan) < 2:
+        return None
+    plan = [sl for grp in pack_groups(table, plan) for sl in grp]
     if len(plan) < 2:
         return None
     target = target_file_size or table.write_config.clustering_target_file_size

@@ -34,10 +34,18 @@ class AsyncTableServices:
     """
 
     def __init__(self, table, compact_every: int | None = None,
-                 clean_every: int | None = None):
+                 clean_every: int | None = None,
+                 cluster_every: int | None = None,
+                 cluster_plan_strategy: str | None = None):
         self.table = table
         self.compact_every = compact_every
         self.clean_every = clean_every
+        self.cluster_every = cluster_every
+        # streaming ingest clusters with the recency plan by default: only
+        # the newest partitions accumulate small files, and planning over
+        # the full history every N commits defeats the point at scale
+        # (AsyncClusteringService + SparkRecentDaysClusteringPlanStrategy)
+        self.cluster_plan_strategy = cluster_plan_strategy or "recent_days"
         self.write_lock = threading.Lock()
         self._wake = threading.Event()
         self._stopped = threading.Event()
@@ -85,6 +93,12 @@ class AsyncTableServices:
             if n_delta and n_delta % self.compact_every == 0:
                 with self.write_lock:
                     self.table.compact()
+        if self.cluster_every:
+            n_data = len(tl_.completed(("commit", "deltacommit")))
+            if n_data and n_data % self.cluster_every == 0:
+                with self.write_lock:
+                    self.table.cluster(
+                        plan_strategy=self.cluster_plan_strategy)
         if self.clean_every:
             n_commits = len(tl_.completed())
             if n_commits and n_commits % self.clean_every == 0:

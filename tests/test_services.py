@@ -110,6 +110,64 @@ def test_clustering(spark, orders, tmp_table_path):
     assert after.filter(F.col("_hoodie_commit_time") == t).count() == 0
 
 
+def test_clustering_recent_days_plan(spark, orders, tmp_table_path):
+    """SparkRecentDaysClusteringPlanStrategy.java:112-122: only the
+    lexicographically-latest N partitions are planned; older partitions'
+    file groups are untouched by the clustering replacecommit."""
+    from hoodie_spark.services.cluster import plan_clustering, recent_partitions
+
+    tbl = make_orders(spark, tmp_table_path)
+    for i in range(4):
+        tbl.bulk_insert(orders.filter(f"o_orderkey % 4 = {i}"))
+    all_parts = sorted(tbl.view().partitions())
+    assert len(all_parts) > 3  # orderdate years span 1992..1998
+    lookback = set(all_parts[-2:])
+    assert set(recent_partitions(tbl, 2)) == lookback
+
+    plan = plan_clustering(tbl, plan_strategy="recent_days",
+                           target_partitions=2)
+    assert plan and {sl.partition for sl in plan} == lookback
+
+    old_files_before = {(sl.partition, sl.file_id, sl.base_instant)
+                        for sl in tbl.view().latest_slices()
+                        if sl.partition not in lookback}
+    t = tbl.cluster(sort_cols=["o_orderkey"], plan_strategy="recent_days",
+                    target_partitions=2)
+    assert t is not None
+    after = tbl.view().latest_slices()
+    # old partitions: identical slices survive
+    assert {(sl.partition, sl.file_id, sl.base_instant) for sl in after
+            if sl.partition not in lookback} == old_files_before
+    # recent partitions: rewritten at the replacecommit
+    assert all(sl.base_instant == t for sl in after
+               if sl.partition in lookback)
+    assert tbl.snapshot().count() == orders.count()
+
+
+def test_clustering_group_packing(spark, orders, tmp_table_path):
+    """PartitionAwareClusteringPlanStrategy:72-100 — groups are byte-capped
+    per partition and the total group count is bounded."""
+    from hoodie_spark.services.cluster import pack_groups, plan_clustering
+
+    tbl = make_orders(spark, tmp_table_path)
+    for i in range(4):
+        tbl.bulk_insert(orders.filter(f"o_orderkey % 4 = {i}"))
+    plan = plan_clustering(tbl)
+    sizes = [sl.base_file.size for sl in plan]
+    cap = max(sizes) * 2 + 1
+    groups = pack_groups(tbl, plan, max_bytes_in_group=cap,
+                         max_num_groups=1000)
+    # every group stays within one partition; byte cap respected before the
+    # closing slice (greedy: a group may exceed only via its last element)
+    for grp in groups:
+        assert len({sl.partition for sl in grp}) == 1
+        assert sum(sl.base_file.size for sl in grp[:-1]) < cap
+    assert sorted(sl.file_id for grp in groups for sl in grp) == \
+        sorted(sl.file_id for sl in plan)
+    capped = pack_groups(tbl, plan, max_bytes_in_group=cap, max_num_groups=2)
+    assert len(capped) == 2
+
+
 def test_mor_compaction(spark, events, tmp_table_path):
     tbl = HoodieTable.create(spark, tmp_table_path, "events",
                              recordkey_fields=["event_id"], precombine_field="ts",

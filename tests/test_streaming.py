@@ -195,6 +195,38 @@ def test_async_table_services(spark, tmp_table_path):
             orders.filter(F.col("o_orderkey") % 5 == i).count()
 
 
+def test_async_clustering_recent_days(spark, tmp_table_path):
+    """cluster_every wiring: the service thread schedules clustering with
+    the recent-days plan, so only the newest partitions are rewritten
+    (AsyncClusteringService + SparkRecentDaysClusteringPlanStrategy)."""
+    from pyspark.sql import functions as F
+
+    from hoodie_spark import HoodieTable
+    from hoodie_spark.streaming import AsyncTableServices, foreach_batch_writer
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    tbl = HoodieTable.create(
+        spark, tmp_table_path, "async_cl", ["o_orderkey"], "o_orderdate",
+        partition_expr="date_format(o_orderdate,'yyyy')")
+    old_parts = sorted(set(
+        r[0] for r in orders.select(
+            F.date_format("o_orderdate", "yyyy")).distinct().collect()))
+    services = AsyncTableServices(tbl, cluster_every=4)
+    fn = foreach_batch_writer(tbl, services=services)
+    for i in range(4):  # 4 commits of small files -> clustering fires
+        fn(orders.filter(F.col("o_orderkey") % 4 == i), i)
+    services.stop()
+    assert any(c["operation"] == "cluster" for c in tbl.commits())
+    # only the 2 most recent partitions were rewritten by the replacecommit
+    lookback = set(old_parts[-2:])
+    t = next(c["instant"] for c in tbl.commits()
+             if c["operation"] == "cluster")
+    rewritten = {sl.partition for sl in tbl.view().latest_slices()
+                 if sl.base_instant == t}
+    assert rewritten and rewritten <= lookback
+    assert tbl.snapshot().count() == orders.count()
+
+
 def test_stateful_dedup_across_batches(spark, tmp_table_path):
     import os
     import time
