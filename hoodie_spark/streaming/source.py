@@ -7,7 +7,12 @@ incremental query between two commit-timestamp offsets
 Spark-first: offsets ARE instant timestamps; a poll loop (or foreachBatch
 of a driving stream) asks ``incremental_batches`` for whatever committed
 after the last offset. Replaying all batches equals the snapshot — the
-streaming-parity invariant the tests assert."""
+streaming-parity invariant the tests assert.
+
+For a REAL ``spark.readStream.format("hoodie_spark")`` subscription (with
+engine-managed checkpoints and executor-side reads) use
+:class:`hoodie_spark.sources.HoodieDataSource` — this generator remains as
+the lightweight in-process path for drivers like streaming/ingest.py."""
 
 from __future__ import annotations
 
