@@ -930,6 +930,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         F.col("media_meta.digest").alias("digest"),
         "width", "height", "channels")
 
+    # ---- native format() surface: same final state as cow_snapshot but
+    # read through spark.read.format("hoodie_spark") (Python DataSource,
+    # per-slice pyarrow reads) instead of the library reader
+    def _q_datasource(s, d):
+        from hoodie_spark.sources import HoodieDataSource
+
+        tbl = _fixture(s, d, "orders_cow")["tbl"]
+        s.dataSource.register(HoodieDataSource)
+        return _data(s.read.format("hoodie_spark")
+                     .load(tbl.base_path)).select(*_ORDER_COLS)
+    q["datasource_read"] = _q_datasource
+
     # ---- SQL-on-snapshot (TPC-H style). Deliberately LAST: the driver
     # records only the first 50 queries, and every unique operator must land
     # inside that window — TPC-H rows are parity evidence for one §2.6 row,
@@ -1435,6 +1447,9 @@ SELECT doc_id,
        CAST({_NIB.format(c=f"substr({md}, 9, 1)")} % 4 + 1 AS INT) AS channels
 FROM documents
 """
+    # the datasource read must land on the exact same final state the
+    # library reader produces for the same table
+    o["datasource_read"] = _COW_FINAL
     return o
 
 
