@@ -710,6 +710,96 @@ GROUP BY c_nationkey
 """,
 }
 
+# q2/q11/q16/q20 need PARTSUPP, which the testdata lacks; both engines run
+# the same query text, so each derives an identical partsupp from lineitem
+# (availqty = total lined quantity, supplycost = best observed unit price).
+# Shared CTE text, prepended to those queries below.
+_PS_CTE = f"""
+WITH partsupp AS (
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         CAST(SUM(CAST(l_quantity AS {_DEC})) AS DOUBLE) AS ps_availqty,
+         MIN(l_extendedprice / l_quantity) AS ps_supplycost
+  FROM {{l}} GROUP BY l_partkey, l_suppkey
+)
+"""
+
+TPCH_SQL["tpch_q2"] = _PS_CTE + """
+SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, ps_supplycost
+FROM {p}, {s}, partsupp, {n}, {r}
+WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+  AND p_size = 15 AND p_type = 'STANDARD'
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'EUROPE'
+  AND ps_supplycost = (
+    SELECT MIN(ps2.ps_supplycost)
+    FROM partsupp ps2, {s} s2, {n} n2, {r} r2
+    WHERE ps2.ps_partkey = p_partkey AND s2.s_suppkey = ps2.ps_suppkey
+      AND s2.s_nationkey = n2.n_nationkey AND n2.n_regionkey = r2.r_regionkey
+      AND r2.r_name = 'EUROPE')
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+TPCH_SQL["tpch_q11"] = _PS_CTE + f"""
+SELECT ps_partkey, part_value FROM (
+  SELECT ps_partkey,
+         {_sum_d('ps_supplycost * ps_availqty', 'part_value')}
+  FROM partsupp, {{s}}, {{n}}
+  WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
+    AND n_name = 'NATION_3'
+  GROUP BY ps_partkey
+) inner_q
+WHERE part_value > (
+  SELECT CAST(SUM(CAST(ps_supplycost * ps_availqty AS {_DEC})) AS DOUBLE) * 0.002
+  FROM partsupp, {{s}}, {{n}}
+  WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
+    AND n_name = 'NATION_3')
+"""
+
+TPCH_SQL["tpch_q16"] = _PS_CTE + """
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT ps_suppkey) AS supplier_cnt
+FROM partsupp, {p}
+WHERE p_partkey = ps_partkey
+  AND p_brand <> 'Brand#11' AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+  AND ps_suppkey NOT IN (SELECT s_suppkey FROM {s} WHERE s_acctbal < 0.0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+TPCH_SQL["tpch_q20"] = _PS_CTE + f"""
+SELECT s_name, s_acctbal
+FROM {{s}}, {{n}}
+WHERE s_suppkey IN (
+    SELECT ps_suppkey FROM partsupp
+    WHERE ps_partkey IN (SELECT p_partkey FROM {{p}} WHERE p_name LIKE 'red%')
+      AND ps_availqty > (
+        SELECT 0.5 * CAST(SUM(CAST(l_quantity AS {_DEC})) AS DOUBLE)
+        FROM {{l}}
+        WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+          AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'))
+  AND s_nationkey = n_nationkey AND n_name = 'NATION_5'
+"""
+
+# q21 without l_commitdate/l_receiptdate: "the line this supplier failed on"
+# is marked by l_returnflag = 'R'; shape (multi-supplier order, this supplier
+# is the only one at fault) is unchanged.
+TPCH_SQL["tpch_q21"] = """
+SELECT s_name, COUNT(*) AS numwait
+FROM {s}, {l} l1, {o}, {n}
+WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+  AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM {l} l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM {l} l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+  AND s_nationkey = n_nationkey AND n_name = 'NATION_1'
+GROUP BY s_name
+"""
+
 _HD = {k: f"hd_{v}" for k, v in
        {"l": "lineitem", "o": "orders", "c": "customer", "s": "supplier",
         "n": "nation", "r": "region", "p": "part"}.items()}
