@@ -985,6 +985,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ["text"], "doc_id").select("doc_id")
     q["dedup_minhash_lsh"] = lambda s, d: HF.minhash_candidate_pairs(
         _dup_docs(s, d), "doc_id", "text")
+    q["dedup_groups"] = lambda s, d: HF.duplicate_groups(
+        HF.minhash_candidate_pairs(_dup_docs(s, d), "doc_id", "text"))
     q["dedup_jaccard"] = lambda s, d: HF.jaccard_dedup_pairs(
         _dup_docs(s, d), "doc_id", "text", threshold=0.8).select(
             "id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
@@ -1352,6 +1354,20 @@ SELECT min(doc_id) AS doc_id FROM (
     o["dedup_minhash_lsh"] = f"""
 WITH {_DOC_CORPUS}, {_MINHASH_SIG}
 SELECT id_a, id_b FROM cand
+"""
+    # transitive closure of the LSH candidate pairs; group = component min
+    o["dedup_groups"] = f"""
+WITH RECURSIVE {_DOC_CORPUS}, {_MINHASH_SIG},
+sym AS (
+  SELECT id_a AS a, id_b AS b FROM cand
+  UNION SELECT id_b AS a, id_a AS b FROM cand
+),
+reach AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a WHERE s.b <> r.a
+)
+SELECT a AS id, LEAST(a, MIN(b)) AS group_id FROM reach GROUP BY a
 """
     o["dedup_jaccard"] = f"""
 WITH {_DOC_CORPUS}, {_MINHASH_SIG},

@@ -54,6 +54,7 @@ from .multimodal import (
     register_codec,
     sample_frames,
 )
+from .components import duplicate_groups, dedup_by_groups
 from .asof import asof_join
 from .ranges import range_join
 from .sessions import sessionize
@@ -69,6 +70,7 @@ __all__ = [
     "MEDIA_META_SCHEMA", "attach_media", "decode_media_meta", "sample_frames",
     "register_codec",
     "sessionize",
+    "duplicate_groups", "dedup_by_groups",
     "asof_join",
     "range_join",
 ]

@@ -1,0 +1,102 @@
+"""Duplicate-group clustering: connected components over candidate pairs.
+
+Near-dup detection (MinHash/SimHash/embedding LSH) emits PAIRS; acting on
+them — keep one document per duplicate *cluster* — needs the transitive
+closure. This implements the alternating large-star / small-star
+connected-components algorithm of Kiveris et al., "Connected Components in
+MapReduce and Beyond" (SoCC'14): O(log^2 n) rounds, every round a
+map + shuffle-on-node-id, no driver-side graph state.
+
+Scale design:
+
+* Each round is two window aggregations partitioned by node id — plain
+  hash-shuffles on a long key, no collect_list of neighbor sets (a hub
+  node's neighborhood never materializes in one task's memory; the
+  per-node minimum folds map-side).
+* Iteration state is persisted and localCheckpoint-ed so the lineage (and
+  thus planning time) stays O(1) per round instead of O(rounds).
+* Convergence is detected from bounded aggregates (edge count + subtract
+  count), never by collecting edges.
+
+The reference engine has no dedup-clustering surface; this extends it per
+the north-star (BASELINE.json).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["duplicate_groups", "dedup_by_groups"]
+
+
+def _canon(edges: DataFrame) -> DataFrame:
+    """Orient every undirected edge as (hi > lo), dropping self-loops."""
+    hi = F.greatest("hi", "lo")
+    lo = F.least("hi", "lo")
+    return (edges.select(hi.alias("hi"), lo.alias("lo"))
+            .filter(F.col("hi") != F.col("lo")).distinct())
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """(v, m) for every neighbor v > u, m = min(N(u) ∪ {u})."""
+    sym = edges.select(F.col("hi").alias("u"), F.col("lo").alias("v")).union(
+        edges.select(F.col("lo").alias("u"), F.col("hi").alias("v")))
+    m = F.least(F.min("v").over(Window.partitionBy("u")), F.col("u"))
+    return (sym.withColumn("m", m)
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
+            .filter(F.col("hi") != F.col("lo")).distinct())
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Rewire every strictly-smaller neighborhood to its minimum."""
+    m = F.min("lo").over(Window.partitionBy("hi"))
+    with_m = edges.withColumn("m", m)
+    rewired = (with_m.filter(F.col("lo") != F.col("m"))
+               .select(F.col("lo").alias("hi"), F.col("m").alias("lo")))
+    anchor = with_m.select("hi", F.col("m").alias("lo"))
+    return rewired.union(anchor).distinct()
+
+
+def duplicate_groups(pairs: DataFrame, id_a: str = "id_a",
+                     id_b: str = "id_b", max_iter: int = 25) -> DataFrame:
+    """Resolve candidate duplicate pairs into components.
+
+    Returns ``(id, group_id)`` — one row per node appearing in ``pairs``,
+    where ``group_id`` is the smallest id in the node's connected
+    component (the canonical representative, itself included).
+    """
+    edges = _canon(pairs.select(F.col(id_a).alias("hi"),
+                                F.col(id_b).alias("lo")))
+    edges = edges.persist()
+    n_edges = edges.count()
+    for it in range(max_iter):
+        if n_edges == 0:
+            break
+        nxt = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        n_nxt = nxt.count()
+        # both sides distinct: equal size + empty difference ⇒ fixpoint
+        if n_nxt == n_edges and nxt.subtract(edges).isEmpty():
+            edges.unpersist()
+            edges, n_edges = nxt, n_nxt
+            break
+        edges.unpersist()
+        edges, n_edges = nxt, n_nxt
+    # at the fixpoint the edge set is a star forest: (member, root)
+    members = edges.groupBy("hi").agg(F.min("lo").alias("group_id")).select(
+        F.col("hi").alias("id"), "group_id")
+    roots = (edges.select(F.col("lo").alias("id")).distinct()
+             .join(members.select(F.col("id")), "id", "left_anti")
+             .withColumn("group_id", F.col("id")))
+    return members.unionByName(roots)
+
+
+def dedup_by_groups(df: DataFrame, id_col: str, pairs: DataFrame,
+                    id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
+    """Keep one representative row (the component-min id) per duplicate
+    cluster; rows never named in ``pairs`` pass through untouched."""
+    losers = (duplicate_groups(pairs, id_a, id_b)
+              .filter(F.col("id") != F.col("group_id"))
+              .select(F.col("id").alias(id_col)))
+    return df.join(losers, id_col, "left_anti")

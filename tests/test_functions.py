@@ -356,3 +356,51 @@ def test_asof_join_matches_model_random(spark):
     assert len(got) == len(left)
     for (k, t, lid) in left:
         assert got[lid] == model(k, t), (k, t, lid)
+
+
+# ------------------------------------------------- connected components
+def _uf_components(pairs):
+    """Union-find model: id -> min id of its component."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+def test_duplicate_groups_matches_union_find_model(spark):
+    import random
+
+    rng = random.Random(7)
+    nodes = list(range(200))
+    pairs = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(150)]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    # adversarial long chain (worst case for naive label propagation)
+    pairs += [(i, i + 1) for i in range(300, 340)]
+    got = {r.id: r.group_id for r in HF.duplicate_groups(
+        spark.createDataFrame(pairs, ["id_a", "id_b"])).collect()}
+    assert got == _uf_components(pairs)
+
+
+def test_dedup_by_groups_keeps_one_per_cluster(spark, dup_corpus):
+    pairs = HF.minhash_candidate_pairs(dup_corpus, "doc_id", "text")
+    kept = HF.dedup_by_groups(dup_corpus, "doc_id", pairs)
+    groups = HF.duplicate_groups(pairs)
+    n_docs = dup_corpus.count()
+    n_members = groups.count()
+    n_groups = groups.select("group_id").distinct().count()
+    # every non-canonical member dropped, everything else kept
+    assert kept.count() == n_docs - (n_members - n_groups)
+    # kept set contains every canonical representative
+    missing = (groups.select(F.col("group_id").alias("doc_id")).distinct()
+               .join(kept, "doc_id", "left_anti").count())
+    assert missing == 0
