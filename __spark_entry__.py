@@ -910,6 +910,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ---- payload policies / index modes / schema evolution / CDC
     q["cdc_upsert"] = lambda s, d: _data(
         _fixture(s, d, "orders_cdc")["tbl"].snapshot()).select(*_ORDER_COLS)
+
+    def _q_cdc_incremental(s, d):
+        fx = _fixture(s, d, "orders_cow")
+        cdc = fx["tbl"].incremental_cdc(begin=fx["c1"])
+        return cdc.select(
+            "op",
+            F.coalesce(F.col("after.o_orderkey"),
+                       F.col("before.o_orderkey")).alias("o_orderkey"),
+            F.col("before.o_orderstatus").alias("before_status"),
+            F.col("before.o_totalprice").alias("before_price"),
+            F.col("after.o_orderstatus").alias("after_status"),
+            F.col("after.o_totalprice").alias("after_price"))
+    q["cdc_incremental"] = _q_cdc_incremental
     q["schema_evolution"] = lambda s, d: _data(
         _fixture(s, d, "orders_evolve")["tbl"].snapshot()).select(
             *_ORDER_COLS, "o_comment")
@@ -1223,6 +1236,22 @@ SELECT o_orderkey, o_custkey, o_orderstatus,
             ELSE o_totalprice END AS o_totalprice,
        o_orderdate, o_orderpriority
 FROM orders WHERE o_orderkey % 13 <> 5
+"""
+    # change events after the initial load of the cow fixture: commit 2
+    # updates every key%10=0 (status X, price+100), commit 3 deletes key%7=3
+    # (whose pre-image reflects commit 2 where both predicates hit)
+    o["cdc_incremental"] = """
+SELECT 'u' AS op, o_orderkey,
+       o_orderstatus AS before_status, o_totalprice AS before_price,
+       'X' AS after_status, o_totalprice + 100.0 AS after_price
+FROM orders WHERE o_orderkey % 10 = 0
+UNION ALL
+SELECT 'd' AS op, o_orderkey,
+       CASE WHEN o_orderkey % 10 = 0 THEN 'X' ELSE o_orderstatus END,
+       CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 100.0
+            ELSE o_totalprice END,
+       CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE)
+FROM orders WHERE o_orderkey % 7 = 3
 """
     o["schema_evolution"] = """
 SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,

@@ -175,6 +175,73 @@ class ReadClient:
             df = self.table.read_slices_base(slices)
         return df.filter((F.col(COMMIT_TIME) > begin) & (F.col(COMMIT_TIME) <= end_ts))
 
+    def incremental_cdc(self, begin: str | None = None,
+                        end: str | None = None) -> DataFrame:
+        """CDC-format incremental query: one change event per (commit, key)
+        — ``op`` 'i'/'u'/'d', commit ``ts``, ``before``/``after`` row images
+        — inferred per commit by diffing each touched file group's slice
+        against its previous version (the "infer from data files" mode of
+        Hudi's CDC RFC-51; this reference snapshot predates the cdc query
+        type, so the surface extends it).
+
+        Scale shape: each commit reads only its touched file groups, twice
+        (pre- and post-image version) — never a full-table diff — and the
+        join is keyed on (partition, record key) within those groups.
+        Requires the cleaner to still retain the pre-image slice versions
+        (the same retention constraint real CDC reads have)."""
+        begin = begin or ""
+        timeline = self.table.timeline
+        all_insts = timeline.completed(tl.DATA_ACTIONS)
+        insts = [i for i in all_insts
+                 if i.timestamp > begin and (end is None or i.timestamp <= end)]
+        data_cols = [c for c in self.table.empty_df().columns
+                     if not c.startswith("_hoodie")]
+        key_cols = [PARTITION_PATH, RECORD_KEY]
+        img = lambda cols: F.struct(*[F.col(c) for c in cols])  # noqa: E731
+        empty_events = self.spark.createDataFrame(
+            [], self.table.empty_df()
+            .select(F.lit("i").alias("op"), F.lit("").alias("ts"),
+                    *key_cols, img(data_cols).alias("before"),
+                    img(data_cols).alias("after")).schema)
+        view = self.table.view()
+        chunks = []
+        for inst in insts:
+            md = timeline.metadata(inst)
+            touched = {(st["partition"], st["file_id"])
+                       for st in md.get("write_stats", [])}
+            for pp, fids in md.get("replaced", {}).items():
+                touched |= {(pp, fid) for fid in fids}
+            prev_ts = max((i.timestamp for i in all_insts
+                           if i.timestamp < inst.timestamp), default=None)
+            new_df = self._assemble(
+                view, view.slices_for_groups(touched, as_of=inst.timestamp),
+                inst.timestamp)
+            old_df = (self._assemble(
+                view, view.slices_for_groups(touched, as_of=prev_ts), prev_ts)
+                if prev_ts is not None else self.table.empty_df())
+            n = new_df.select(*key_cols,
+                              F.col(COMMIT_TIME).alias("__new_ct"),
+                              img(data_cols).alias("after"))
+            o = old_df.select(*key_cols, img(data_cols).alias("before"))
+            j = n.join(o, key_cols, "full_outer")
+            chunks.append(
+                j.filter(F.col("after").isNull() |  # deletes
+                         # rewritten in THIS commit (carried-over rows keep
+                         # their original commit time and emit no event)
+                         (F.col("__new_ct") == inst.timestamp))
+                .select(
+                    F.when(F.col("before").isNull(), F.lit("i"))
+                    .when(F.col("after").isNull(), F.lit("d"))
+                    .otherwise(F.lit("u")).alias("op"),
+                    F.lit(inst.timestamp).alias("ts"),
+                    *key_cols, "before", "after"))
+        if not chunks:
+            return empty_events
+        out = chunks[0]
+        for c in chunks[1:]:
+            out = out.unionByName(c)
+        return out
+
     def _merge_on_read_incremental(self, view, slices, end_ts: str) -> DataFrame:
         # same clean/dirty split as snapshot (the incremental file list is
         # already restricted to touched groups, but a touched group whose

@@ -312,6 +312,10 @@ class HoodieTable:
                     skip_filters: list[tuple] | None = None) -> DataFrame:
         return self._reader.incremental(begin, end, skip_filters=skip_filters)
 
+    def incremental_cdc(self, begin: str | None = None,
+                        end: str | None = None) -> DataFrame:
+        return self._reader.incremental_cdc(begin, end)
+
     def read_keys(self, keys_df: DataFrame, as_of: str | None = None) -> DataFrame:
         return self._reader.read_keys(keys_df, as_of=as_of)
 
