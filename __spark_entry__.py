@@ -470,6 +470,25 @@ def _fx_orders_bloom(spark, sf_dir, path):
     return {"tbl": tbl}
 
 
+def _fx_orders_bucket(spark, sf_dir, path):
+    """Same mutation chain as orders_cow through the hash-BUCKET index:
+    fixed key→file-group routing, zero-I/O tagging (extension beyond this
+    reference snapshot; public HoodieSimpleBucketIndex design)."""
+    tbl = HoodieTable.create(
+        spark, path, "orders_bucket", ["o_orderkey"], "o_orderdate",
+        partition_expr="cast(year(o_orderdate) as string)",
+        write_config=WriteConfig(index_type=IndexType.BUCKET,
+                                 bucket_index_num_buckets=4))
+    orders = _orders(spark, sf_dir)
+    tbl.bulk_insert(orders)
+    tbl.upsert(orders.filter(F.col("o_orderkey") % 10 == 0)
+               .withColumn("o_orderstatus", F.lit("X"))
+               .withColumn("o_totalprice", F.col("o_totalprice") + 100.0))
+    tbl.delete(orders.filter(F.col("o_orderkey") % 7 == 3)
+               .select("o_orderkey", "o_orderdate"))
+    return {"tbl": tbl}
+
+
 _BUILDERS = {
     "orders_cow": _fx_orders_cow, "orders_ow": _fx_orders_ow,
     "orders_owt": _fx_orders_owt, "orders_rb": _fx_orders_rb,
@@ -485,6 +504,7 @@ _BUILDERS = {
     "orders_evolve": _fx_orders_evolve, "orders_partial": _fx_orders_partial,
     "orders_global": _fx_orders_global, "orders_skip": _fx_orders_skip,
     "orders_ri": _fx_orders_ri, "orders_bloom": _fx_orders_bloom,
+    "orders_bucket": _fx_orders_bucket,
 }
 
 _ORDER_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
@@ -896,6 +916,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _fixture(s, d, "orders_ri")["tbl"].snapshot()).select(*_ORDER_COLS)
     q["bloom_index_upsert"] = lambda s, d: _data(
         _fixture(s, d, "orders_bloom")["tbl"].snapshot()).select(*_ORDER_COLS)
+    q["bucket_index_upsert"] = lambda s, d: _data(
+        _fixture(s, d, "orders_bucket")["tbl"].snapshot()).select(*_ORDER_COLS)
     q["bootstrap_read"] = lambda s, d: _data(
         _fixture(s, d, "orders_boot")["tbl"].snapshot()).select(*_ORDER_COLS)
     q["archived_timeline_read"] = lambda s, d: _data(
@@ -1215,6 +1237,7 @@ FROM orders WHERE NOT (o_totalprice < 20000)
 """
     o["record_index_upsert"] = _COW_FINAL
     o["bloom_index_upsert"] = _COW_FINAL
+    o["bucket_index_upsert"] = _COW_FINAL
     o["bootstrap_read"] = """
 SELECT o_orderkey, o_custkey,
        CASE WHEN o_orderkey % 10 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,

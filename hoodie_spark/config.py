@@ -86,6 +86,10 @@ class IndexType:
     GLOBAL_SIMPLE = "global_simple"
     BLOOM = "bloom"
     GLOBAL_BLOOM = "global_bloom"
+    # hash-bucket index (the public HoodieSimpleBucketIndex design; this
+    # reference snapshot predates it): record → fixed file group via
+    # hash(key) % num_buckets — tagging reads NOTHING
+    BUCKET = "bucket"
 
 
 # Meta columns prepended to every stored row
@@ -156,6 +160,11 @@ class WriteConfig:
     # recoup. Opt into BLOOM/GLOBAL_BLOOM for upsert-heavy tables; sketches
     # are then harvested lazily at first tag (see bloom_harvest_on_write).
     index_type: str = IndexType.SIMPLE
+    # fixed file groups per partition for IndexType.BUCKET; pick so
+    # partition_size / num_buckets ≈ target file size — it cannot be
+    # changed after the first write (bucket ↔ file-group mapping is the
+    # index)
+    bucket_index_num_buckets: int = 8
     merge_policy: str | None = None  # None -> table payload
     combine_before_insert: bool = False
     combine_before_upsert: bool = True

@@ -35,6 +35,12 @@ def tag_location(spark: SparkSession, prepared: DataFrame, table,
         IndexType.GLOBAL_SIMPLE, IndexType.GLOBAL_BLOOM)
     view = view or table.view()
 
+    # bucket index: location is a pure function of the key — no data read.
+    # (key-only deletes can't compute the partition, so they fall through
+    # to the global join lookup below.)
+    if index_type == IndexType.BUCKET and not force_global:
+        return _tag_bucket(spark, prepared, table, view)
+
     if table.write_config.record_index:
         from . import record_index
 
@@ -88,6 +94,41 @@ def tag_location(spark: SparkSession, prepared: DataFrame, table,
     if not is_global:
         return joined.withColumn("_target_pp", F.col(PARTITION_PATH))
     return joined
+
+
+def bucket_fid_expr(num_buckets: int):
+    """Deterministic bucket file-group id for a record key. The fid embeds
+    the bucket number (like Hudi's bucket-id fileId prefix), so the
+    key → file-group mapping IS the index."""
+    return F.format_string(
+        "bucket%05d-0",
+        F.pmod(F.xxhash64(F.col(RECORD_KEY)), F.lit(num_buckets)).cast("int"))
+
+
+def _tag_bucket(spark: SparkSession, prepared: DataFrame, table,
+                view) -> DataFrame:
+    """Hash-bucket tagging: ``_target_file_id`` = bucket fid when that file
+    group already exists (update/merge path), else null (insert creates the
+    group). The only lookup is a driver-side existing-group list from the
+    manifest fold — zero data-file I/O however large the table, which is
+    the entire point of the bucket index at 100 TB."""
+    fid = bucket_fid_expr(table.write_config.bucket_index_num_buckets)
+    existing = sorted({(pp, f) for (pp, f), grp in view.groups.items()
+                       if grp.is_live(None) and grp.latest_slice(None)})
+    tagged = prepared.withColumn("__bucket_fid", fid)
+    if existing:
+        ex_df = F.broadcast(spark.createDataFrame(
+            existing, "__ex_pp string, __ex_fid string"))
+        tagged = tagged.join(
+            ex_df, (F.col(PARTITION_PATH) == F.col("__ex_pp")) &
+            (F.col("__bucket_fid") == F.col("__ex_fid")), "left")
+        target = F.when(F.col("__ex_fid").isNotNull(), F.col("__bucket_fid"))
+        tagged = tagged.withColumn("_target_file_id", target) \
+                       .drop("__ex_pp", "__ex_fid")
+    else:
+        tagged = tagged.withColumn("_target_file_id",
+                                   F.lit(None).cast("string"))
+    return tagged.withColumn("_target_pp", F.col(PARTITION_PATH))
 
 
 def _tag_from_record_index(prepared: DataFrame, table, view,

@@ -124,6 +124,23 @@ class WriteClient:
             n = prepared.count()
             if n == 0:
                 return self._commit(instant, tl.COMMIT, WriteOperation.BULK_INSERT, [])
+            if wcfg.index_type == IndexType.BUCKET:
+                # bucket-index tables are bucketed from the FIRST write:
+                # later tag-free upserts rely on every key living in its
+                # hash bucket's file group
+                from .index import bucket_fid_expr
+                fid = bucket_fid_expr(wcfg.bucket_index_num_buckets)
+                arranged = (prepared
+                            .repartition(F.col(PARTITION_PATH), fid)
+                            .withColumn(BUCKET, fid))
+                write_df = self._stamp_meta(arranged, instant) \
+                               .withColumn(KIND, F.lit("base"))
+                stats = self._write_files(write_df, instant,
+                                          already_partitioned=True,
+                                          sort_cols=[RECORD_KEY])
+                return self._commit(instant, tl.COMMIT,
+                                    WriteOperation.BULK_INSERT, stats,
+                                    index_fn=self._index_fn(stats, instant))
             rpf = wcfg.records_per_file()
             num_files = max(1, math.ceil(n / rpf))
             prefix = uuid.uuid4().hex[:13]
@@ -487,11 +504,14 @@ class WriteClient:
             prepared = self._dedup_keep_op(prepared)
 
         view = self.table.view()
-        if operation == WriteOperation.INSERT:
+        use_bucket = wcfg.index_type == IndexType.BUCKET
+        if operation == WriteOperation.INSERT and not use_bucket:
             tagged = prepared.withColumn("_target_file_id", F.lit(None).cast("string")) \
                              .withColumn("_target_pp", F.lit(None).cast("string")) \
                              .withColumn("_target_base_instant", F.lit(None).cast("string"))
         else:
+            # bucket index tags INSERTs too: rows for an existing bucket
+            # group must merge into it (the group IS the index)
             tagged = tag_location(self.spark, prepared, self.table, view=view,
                                   force_global=force_global)
         # global index: update the record in its existing partition
@@ -522,8 +542,18 @@ class WriteClient:
                     key = (pp, fid)
                     affected_updates[key] = affected_updates.get(key, 0) + n
             pack_small = not is_mor
-            plan, n_new = self._plan_insert_buckets(view, insert_counts, pack_small)
-            if plan:
+            if use_bucket and "__bucket_fid" in tagged.columns:
+                # fixed routing: each insert creates (or joins) its bucket's
+                # file group; no small-file packing, no planner
+                plan = None
+                inserts = inserts.withColumn(BUCKET, F.col("__bucket_fid")) \
+                                 .withColumn("__is_new", F.lit(True))
+            else:
+                plan, _n_new = self._plan_insert_buckets(
+                    view, insert_counts, pack_small)
+            if plan is None:
+                pass  # bucket routing already assigned
+            elif plan:
                 plan_df = F.broadcast(self.spark.createDataFrame(
                     plan, "pp string, lo double, hi double, file_id string, is_new boolean"))
                 u = (F.pmod(F.xxhash64(F.col(RECORD_KEY)), F.lit(1_000_000)) / 1_000_000.0)
