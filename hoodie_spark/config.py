@@ -219,6 +219,10 @@ class WriteConfig:
     # would double-write. Default 'warn' (log-and-continue), matching the
     # reference's HTTP callback; set 'raise' to propagate instead.
     commit_callbacks: list = field(default_factory=list)
+    # pre-publish gates (public SparkPreCommitValidator design; beyond this
+    # reference snapshot): callables(ctx) that raise
+    # PreCommitValidationError to abort the write BEFORE readers can see it
+    pre_commit_validators: list = field(default_factory=list)
     callback_on_commit_error: str = "warn"
 
     def records_per_file(self) -> int:

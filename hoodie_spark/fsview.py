@@ -116,40 +116,51 @@ class FileSystemView:
         for inst in tl.completed(DATA_ACTIONS):
             if inst.timestamp in rolled_back:
                 continue
-            md = tl.metadata(inst)
-            for st in md.get("write_stats", []):
-                pp, fid = st["partition"], st["file_id"]
-                grp = self.groups.setdefault((pp, fid), FileGroup(pp, fid))
-                if st.get("is_delta"):
-                    base_t = st.get("base_instant", inst.timestamp)
-                    sl = grp.slices.setdefault(base_t, FileSlice(pp, fid, base_t))
-                    if (pp, fid, base_t) in deleted_slices or st["path"] in deleted_logs:
-                        continue
-                    sl.log_files.append(
-                        LogFile(st["path"], st["file_name"], inst.timestamp,
-                                st.get("size", 0), st.get("num_records", 0)))
-                else:
-                    if (pp, fid, inst.timestamp) in deleted_slices:
-                        continue
-                    sl = grp.slices.setdefault(inst.timestamp, FileSlice(pp, fid, inst.timestamp))
-                    sl.base_file = BaseFile(st["path"], st["file_name"], st.get("size", 0),
-                                            st.get("num_records", 0), st.get("min_key"),
-                                            st.get("max_key"),
-                                            bootstrap=st.get("bootstrap", False),
-                                            col_stats=st.get("col_stats"))
-            # ``replaced`` applies to every data action: replacecommits list
-            # the file groups they supersede, and ordinary commits list
-            # groups whose rewrite produced ZERO rows (full-group delete —
-            # without this the old slice would stay latest and resurrect)
-            for pp, fids in md.get("replaced", {}).items():
-                for fid in fids:
-                    grp = self.groups.get((pp, fid))
-                    if grp is not None and grp.replaced_at is None:
-                        grp.replaced_at = inst.timestamp
+            self._apply_data(inst.timestamp, tl.metadata(inst),
+                             deleted_slices, deleted_logs)
         # drop slices that the cleaner fully deleted and ended up empty
         for grp in self.groups.values():
             grp.slices = {t: s for t, s in grp.slices.items()
                           if s.base_file is not None or s.log_files}
+
+    def _apply_data(self, ts: str, md: dict,
+                    deleted_slices: set[tuple[str, str, str]] = frozenset(),
+                    deleted_logs: set[str] = frozenset()) -> None:
+        for st in md.get("write_stats", []):
+            pp, fid = st["partition"], st["file_id"]
+            grp = self.groups.setdefault((pp, fid), FileGroup(pp, fid))
+            if st.get("is_delta"):
+                base_t = st.get("base_instant", ts)
+                sl = grp.slices.setdefault(base_t, FileSlice(pp, fid, base_t))
+                if (pp, fid, base_t) in deleted_slices or st["path"] in deleted_logs:
+                    continue
+                sl.log_files.append(
+                    LogFile(st["path"], st["file_name"], ts,
+                            st.get("size", 0), st.get("num_records", 0)))
+            else:
+                if (pp, fid, ts) in deleted_slices:
+                    continue
+                sl = grp.slices.setdefault(ts, FileSlice(pp, fid, ts))
+                sl.base_file = BaseFile(st["path"], st["file_name"], st.get("size", 0),
+                                        st.get("num_records", 0), st.get("min_key"),
+                                        st.get("max_key"),
+                                        bootstrap=st.get("bootstrap", False),
+                                        col_stats=st.get("col_stats"))
+        # ``replaced`` applies to every data action: replacecommits list
+        # the file groups they supersede, and ordinary commits list
+        # groups whose rewrite produced ZERO rows (full-group delete —
+        # without this the old slice would stay latest and resurrect)
+        for pp, fids in md.get("replaced", {}).items():
+            for fid in fids:
+                grp = self.groups.get((pp, fid))
+                if grp is not None and grp.replaced_at is None:
+                    grp.replaced_at = ts
+
+    def apply_pending(self, ts: str, md: dict) -> None:
+        """Overlay a not-yet-published commit's metadata on the fold —
+        the post-state view pre-commit validators inspect BEFORE the
+        instant publishes (readers never see an unvalidated state)."""
+        self._apply_data(ts, md)
 
     # --------------------------------------------------------------- queries
     def latest_slices(self, as_of: str | None = None,

@@ -397,6 +397,10 @@ class HoodieTable:
         from .services import cluster
         return cluster(self, sort_cols, **kw)
 
+    def apply_ttl(self, **kw):
+        from .services import apply_ttl
+        return apply_ttl(self, **kw)
+
     def archive(self, max_active: int | None = None):
         from .services import archive
         return archive(self, max_active)

@@ -350,22 +350,29 @@ class WriteClient:
                 theirs.update((pp, fid) for fid in fids)
         overlap = ours & theirs
         if overlap:
-            fs = self.table.storage
-            for s in stats:
-                p = os.path.join(self.table.base_path, s["path"])
-                if not os.path.isabs(s["path"]) and fs.exists(p):
-                    fs.remove(p)
-            # bloom sketches were harvested before the conflict check —
-            # drop the aborted instant's sidecar so no junk accumulates
-            from . import bloom
-            bloom.drop_sidecar(self.table, instant)
-            for state in (tl.REQUESTED, tl.INFLIGHT):
-                for act in tl.DATA_ACTIONS:
-                    self.table.timeline.delete_instant(
-                        tl.Instant(instant, act, state))
+            self._abort_write(instant, stats)
             raise WriteConflictError(
                 f"instant {instant} conflicts on file groups "
                 f"{sorted(overlap)[:5]} with a commit after {baseline}")
+
+    def _abort_write(self, instant: str, stats: list[dict]) -> None:
+        """Remove a not-yet-published instant's files + timeline markers
+        (marker-based rollback equivalent — the manifest lists exactly what
+        we wrote). Used by the OCC conflict abort and failed pre-commit
+        validation."""
+        fs = self.table.storage
+        for s in stats:
+            p = os.path.join(self.table.base_path, s["path"])
+            if not os.path.isabs(s["path"]) and fs.exists(p):
+                fs.remove(p)
+        # bloom sketches may have been harvested already — drop the aborted
+        # instant's sidecar so no junk accumulates
+        from . import bloom
+        bloom.drop_sidecar(self.table, instant)
+        for state in (tl.REQUESTED, tl.INFLIGHT):
+            for act in tl.DATA_ACTIONS:
+                self.table.timeline.delete_instant(
+                    tl.Instant(instant, act, state))
 
     def _do_commit(self, instant: str, action: str, operation: str,
                    stats: list[dict],
@@ -384,6 +391,21 @@ class WriteClient:
             "avg_record_size": int(total_bytes / total_recs) if total_recs else None,
             "extra": merged_extra,
         }
+        validators = self.table.write_config.pre_commit_validators
+        if validators:
+            # the would-be post state: the manifest fold + this commit's
+            # metadata overlaid — nothing on the timeline yet, so a failed
+            # gate aborts with readers never having seen the write
+            from .validators import PreCommitContext
+            post_view = self.table.view()
+            post_view.apply_pending(instant, meta)
+            ctx = PreCommitContext(self.table, instant, stats, post_view)
+            try:
+                for v in validators:
+                    v(ctx)
+            except BaseException:
+                self._abort_write(instant, stats)
+                raise
         self.table.timeline.complete(action, instant, meta)
         self.table.save_properties()
         if total_recs:

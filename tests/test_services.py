@@ -270,3 +270,35 @@ def test_upgrade_downgrade_key_ranges(spark, orders, tmp_table_path):
     assert len(got.inputFiles()) < total
     # idempotent / no-op on current version
     assert tbl.upgrade() == 0
+
+
+# ---------------------------------------------------------- partition TTL
+def test_partition_ttl_expires_old_partitions(spark, orders, tmp_table_path):
+    from hoodie_spark.services import expired_partitions
+
+    tbl = HoodieTable.create(
+        spark, tmp_table_path, "orders", ["o_orderkey"], "o_orderdate",
+        partition_expr="cast(year(o_orderdate) as string)")
+    tbl.bulk_insert(orders)
+    parts = sorted(tbl.view().partitions())
+    assert len(parts) >= 3
+
+    # keep_latest: all but the newest two are due
+    assert expired_partitions(tbl, keep_latest=2) == parts[:-2]
+    # older_than: strict lexicographic cut
+    assert expired_partitions(tbl, older_than=parts[1]) == parts[:1]
+
+    n_keep = tbl.snapshot().filter(
+        F.col("_hoodie_partition_path").isin(parts[-2:])).count()
+    res = tbl.apply_ttl(keep_latest=2)
+    assert res is not None
+    snap = tbl.snapshot()
+    assert sorted(tbl.view().partitions()) == parts[-2:]
+    assert snap.count() == n_keep
+    # expiry is a replacecommit — incremental readers see it on the timeline
+    assert tbl.timeline.completed()[-1].action == "replacecommit"
+    # nothing further due; conflicting policies rejected
+    assert tbl.apply_ttl(keep_latest=2) is None
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        expired_partitions(tbl, keep_latest=1, older_than="x")
