@@ -489,6 +489,26 @@ def _fx_orders_bucket(spark, sf_dir, path):
     return {"tbl": tbl}
 
 
+def _fx_orders_si(spark, sf_dir, path):
+    """Secondary index on a NON-key column: bulk_insert → CREATE INDEX →
+    upsert that MOVES the indexed value (key%10=0: custkey+1000000, the
+    stale-entry worst case) → delete key%7=3. Lookups must see exactly the
+    post-mutation state (stale entries only cost I/O, never rows)."""
+    tbl = HoodieTable.create(
+        spark, path, "orders_si", ["o_orderkey"], "o_orderdate",
+        partition_expr="cast(year(o_orderdate) as string)")
+    orders = _orders(spark, sf_dir)
+    tbl.bulk_insert(orders)
+    tbl.create_secondary_index("o_custkey")
+    upd = (orders.filter(F.col("o_orderkey") % 10 == 0)
+           .withColumn("o_custkey", F.col("o_custkey") + 1000000)
+           .withColumn("o_orderstatus", F.lit("X")))
+    tbl.upsert(upd)
+    tbl.delete(orders.filter(F.col("o_orderkey") % 7 == 3)
+               .select("o_orderkey"))
+    return {"tbl": tbl}
+
+
 _BUILDERS = {
     "orders_cow": _fx_orders_cow, "orders_ow": _fx_orders_ow,
     "orders_owt": _fx_orders_owt, "orders_rb": _fx_orders_rb,
@@ -505,6 +525,7 @@ _BUILDERS = {
     "orders_global": _fx_orders_global, "orders_skip": _fx_orders_skip,
     "orders_ri": _fx_orders_ri, "orders_bloom": _fx_orders_bloom,
     "orders_bucket": _fx_orders_bucket,
+    "orders_si": _fx_orders_si,
 }
 
 _ORDER_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
@@ -867,11 +888,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["cow_filter_exists"] = lambda s, d: (
         _fixture(s, d, "orders_cow")["tbl"]
         .filter_exists(_orders(s, d)).select("o_orderkey"))
-    q["cow_point_lookup"] = lambda s, d: _data(
-        _fixture(s, d, "orders_cow")["tbl"].read_keys(
-            s.range(1).select(F.lit(100).cast("long").alias("o_orderkey"))
-        )).select(*_ORDER_COLS)
-
     # ---- replace-commit family
     q["insert_overwrite"] = lambda s, d: _data(
         _fixture(s, d, "orders_ow")["tbl"]
@@ -918,6 +934,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _fixture(s, d, "orders_bloom")["tbl"].snapshot()).select(*_ORDER_COLS)
     q["bucket_index_upsert"] = lambda s, d: _data(
         _fixture(s, d, "orders_bucket")["tbl"].snapshot()).select(*_ORDER_COLS)
+
+    def _q_secondary_index(s, d):
+        tbl = _fixture(s, d, "orders_si")["tbl"]
+        vals = [r.o_custkey for r in _orders(s, d)
+                .select("o_custkey").distinct()
+                .filter(F.col("o_custkey") % 97 == 3).collect()]
+        vals = sorted(vals) + [v + 1000000 for v in sorted(vals)]
+        return _data(tbl.read_by_column("o_custkey", vals)).select(*_ORDER_COLS)
+    q["secondary_index_lookup"] = _q_secondary_index
     q["bootstrap_read"] = lambda s, d: _data(
         _fixture(s, d, "orders_boot")["tbl"].snapshot()).select(*_ORDER_COLS)
     q["archived_timeline_read"] = lambda s, d: _data(
@@ -1069,6 +1094,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      .load(tbl.base_path)).select(*_ORDER_COLS)
     q["datasource_read"] = _q_datasource
 
+    # ---- past the driver's 50-row window (verified by tools/check_oracle.py
+    # instead): cow_point_lookup exercises the same read_keys pruning path as
+    # the in-window cow_read_keys row, so it is the operator row allowed to
+    # spill.
+    q["cow_point_lookup"] = lambda s, d: _data(
+        _fixture(s, d, "orders_cow")["tbl"].read_keys(
+            s.range(1).select(F.lit(100).cast("long").alias("o_orderkey"))
+        )).select(*_ORDER_COLS)
+
     # ---- SQL-on-snapshot (TPC-H style). Deliberately LAST: the driver
     # records only the first 50 queries, and every unique operator must land
     # inside that window — TPC-H rows are parity evidence for one §2.6 row,
@@ -1175,6 +1209,18 @@ SELECT o_orderkey FROM orders WHERE o_orderkey % 7 = 3
 """
     o["cow_point_lookup"] = f"""
 SELECT * FROM ({_COW_FINAL}) WHERE o_orderkey = 100
+"""
+    # final state of orders_si, filtered to the looked-up custkeys: raw
+    # custkeys with custkey%97=3 plus their moved (+1000000) counterparts
+    o["secondary_index_lookup"] = """
+SELECT o_orderkey,
+       CASE WHEN o_orderkey % 10 = 0 THEN o_custkey + 1000000
+            ELSE o_custkey END AS o_custkey,
+       CASE WHEN o_orderkey % 10 = 0 THEN 'X' ELSE o_orderstatus END
+         AS o_orderstatus,
+       o_totalprice, o_orderdate, o_orderpriority
+FROM orders
+WHERE o_orderkey % 7 <> 3 AND o_custkey % 97 = 3
 """
     o["insert_overwrite"] = """
 SELECT o_orderkey, o_custkey, o_orderstatus,

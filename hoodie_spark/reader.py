@@ -309,6 +309,31 @@ class ReadClient:
         return self._assemble(view, slices, as_of).join(
             F.broadcast(keyed), RECORD_KEY, "left_semi")
 
+    def read_by_column(self, column: str, values: list) -> DataFrame:
+        """Point/in-list lookup on a NON-key column. With a secondary index
+        (:mod:`hoodie_spark.secondary_index`) the scan prunes to exactly
+        the file groups that ever contained a requested value; otherwise it
+        falls back to the column-stats-pruned snapshot. Either way the real
+        predicate is re-applied, so index staleness can only cost I/O,
+        never correctness."""
+        from . import secondary_index
+
+        vals = list(values)
+        view = self.table.view()
+        values_df = self.spark.createDataFrame([(v,) for v in vals],
+                                               ["value"])
+        groups = secondary_index.lookup_groups(self.table, column,
+                                               values_df, view=view)
+        if groups is None:
+            if len(vals) == 1:
+                return self.snapshot(
+                    skip_filters=[(column, "=", vals[0])]).filter(
+                        F.col(column) == vals[0])
+            return self.snapshot().filter(F.col(column).isin(vals))
+        slices = view.slices_for_groups(groups)
+        df = self._assemble(view, slices, None)
+        return df.filter(F.col(column).isin(vals))
+
     def exists(self, keys_df: DataFrame) -> DataFrame:
         """HoodieReadClient.checkExists:172 — same pruned plan as
         :meth:`read_keys`, projecting only the key column."""

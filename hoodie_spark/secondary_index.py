@@ -1,0 +1,198 @@
+"""Secondary index: non-key column value → file-group pruning map.
+
+Public Hudi-1.0 secondary-index design (this reference snapshot predates
+it): point predicates on NON-key columns normally scan every file whose
+[min, max] range admits the value — useless for high-cardinality columns
+whose ranges overlap everywhere. A secondary index persists the distinct
+``(value, partition, file_id)`` tuples per written file, so a lookup prunes
+the scan to exactly the file groups that ever contained the value.
+
+Consistency model (pruning index — false positives allowed, false
+negatives never):
+  * entries are appended per commit from the just-written files; rewrites
+    keep the file_id, so stale entries only over-approximate (the reader
+    re-applies the real predicate);
+  * entries pointing at replaced file groups are filtered by the live-group
+    set at lookup;
+  * :func:`create_index` backfills from ALL live slices first and writes an
+    init marker — file groups written before the index existed would
+    otherwise be silently missed (a correctness bug, not a perf one);
+  * :func:`compact` rewrites the index keeping only entries whose file
+    group is still live.
+
+Layout: ``<base>/.hoodie/secondary_index/<column>/<instant>[-b].parquet``
+(value kept in its native parquet type).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .config import PARTITION_PATH
+
+__all__ = ["create_index", "drop_index", "indexed_columns", "exists",
+           "append_entries_for_stats", "lookup_groups", "compact"]
+
+
+def _dir(table, column: str) -> str:
+    return os.path.join(table.base_path, ".hoodie", "secondary_index", column)
+
+
+def _marker(table, column: str) -> str:
+    return _dir(table, column) + ".init"
+
+
+def exists(table, column: str) -> bool:
+    return os.path.exists(_marker(table, column))
+
+
+def indexed_columns(table) -> list[str]:
+    root = os.path.join(table.base_path, ".hoodie", "secondary_index")
+    if not os.path.isdir(root):
+        return []
+    return sorted(c for c in os.listdir(root)
+                  if not c.endswith(".init") and exists(table, c))
+
+
+def _harvest(table, slices, column: str) -> DataFrame | None:
+    """Distinct (value, partition, file_id) from the given slices' base
+    files — a column-pruned scan of exactly those files."""
+    paths = [table.view().abs(sl.base_file.path) for sl in slices
+             if sl.base_file is not None]
+    if not paths:
+        return None
+    df = table.spark.read.parquet(*paths)
+    if column not in df.columns:
+        return None
+    return (df.select(F.col(column).alias("value"),
+                      F.col(PARTITION_PATH).alias("pp"),
+                      F.element_at(F.split(F.input_file_name(), "/"), -1)
+                      .alias("__f"))
+            .withColumn("file_id",
+                        F.element_at(F.split(F.col("__f"), "_"), 1))
+            .drop("__f").distinct())
+
+
+def _append(table, column: str, entries: DataFrame, instant: str) -> None:
+    d = _dir(table, column)
+    os.makedirs(d, exist_ok=True)
+    tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex[:8]}")
+    entries.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+    os.replace(os.path.join(tmp, part),
+               os.path.join(d, f"{instant}-{uuid.uuid4().hex[:6]}.parquet"))
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def create_index(table, column: str) -> None:
+    """CREATE INDEX: backfill from every live base slice, then mark
+    initialized. Cost = one column-pruned pass over the table, paid once
+    (the per-commit maintenance afterwards touches only written files)."""
+    if exists(table, column):
+        return
+    view = table.view()
+    entries = _harvest(table, view.latest_slices(), column)
+    if entries is not None:
+        _append(table, column, entries, "00000000000000000")
+    os.makedirs(_dir(table, column), exist_ok=True)
+    with open(_marker(table, column), "w") as f:
+        f.write(column)
+
+
+def drop_index(table, column: str) -> None:
+    shutil.rmtree(_dir(table, column), ignore_errors=True)
+    try:
+        os.remove(_marker(table, column))
+    except FileNotFoundError:
+        pass
+
+
+def append_entries_for_stats(table, stats: list[dict], instant: str) -> None:
+    """Per-commit maintenance: harvest the indexed columns from this
+    commit's written files only (base AND delta — a delta can introduce new
+    values into an existing slice)."""
+    cols = indexed_columns(table)
+    if not cols:
+        return
+    paths = [os.path.join(table.base_path, s["path"]) for s in stats
+             if not os.path.isabs(s["path"])]
+    if not paths:
+        return
+    df = table.spark.read.parquet(*paths)
+    for column in cols:
+        if column not in df.columns:
+            continue
+        entries = (df.select(F.col(column).alias("value"),
+                             F.col(PARTITION_PATH).alias("pp"),
+                             F.lit(None).cast("string").alias("file_id"),
+                             F.element_at(F.split(F.input_file_name(), "/"),
+                                          -1).alias("__f"))
+                   .withColumn("file_id",
+                               F.element_at(F.split(F.col("__f"), "_"), 1))
+                   .drop("__f").distinct())
+        _append(table, column, entries, instant)
+
+
+def _read_index(table, column: str) -> DataFrame | None:
+    d = _dir(table, column)
+    if not os.path.isdir(d):
+        return None
+    files = [os.path.join(d, f) for f in os.listdir(d)
+             if f.endswith(".parquet")]
+    if not files:
+        return None
+    return table.spark.read.parquet(*files)
+
+
+def lookup_groups(table, column: str, values_df: DataFrame,
+                  view=None) -> set[tuple[str, str]] | None:
+    """Live file groups that may contain any of the values (one column
+    ``value``). None = index unusable (caller falls back to stats/scan)."""
+    if not exists(table, column):
+        return None
+    idx = _read_index(table, column)
+    if idx is None:
+        return set()
+    view = view or table.view()
+    live = {(pp, fid) for (pp, fid), grp in view.groups.items()
+            if grp.is_live(None) and grp.latest_slice(None)}
+    hit = (idx.join(F.broadcast(values_df.select("value").distinct()),
+                    "value", "left_semi")
+           .select("pp", "file_id").distinct().collect())
+    return {(r.pp, r.file_id) for r in hit} & live
+
+
+def compact(table, column: str) -> int:
+    """Rewrite the index keeping only entries for live file groups.
+    Returns the number of entries kept."""
+    idx = _read_index(table, column)
+    if idx is None:
+        return 0
+    view = table.view()
+    live = sorted({(pp, fid) for (pp, fid), grp in view.groups.items()
+                   if grp.is_live(None) and grp.latest_slice(None)})
+    d = _dir(table, column)
+    if not live:
+        shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(d, exist_ok=True)
+        return 0
+    live_df = F.broadcast(table.spark.createDataFrame(
+        live, "pp string, file_id string"))
+    kept = idx.join(live_df, ["pp", "file_id"], "left_semi").distinct()
+    tmp = d + f".compact-{uuid.uuid4().hex[:8]}"
+    kept.coalesce(1).write.mode("overwrite").parquet(tmp)
+    n = table.spark.read.parquet(tmp).count()
+    old = d
+    shutil.rmtree(old, ignore_errors=True)
+    os.makedirs(old, exist_ok=True)
+    part = [f for f in os.listdir(tmp) if f.endswith(".parquet")]
+    for i, f in enumerate(part):
+        os.replace(os.path.join(tmp, f),
+                   os.path.join(old, f"compacted-{i}.parquet"))
+    shutil.rmtree(tmp, ignore_errors=True)
+    return n

@@ -316,6 +316,17 @@ class HoodieTable:
                         end: str | None = None) -> DataFrame:
         return self._reader.incremental_cdc(begin, end)
 
+    def create_secondary_index(self, column: str) -> None:
+        from . import secondary_index
+        secondary_index.create_index(self, column)
+
+    def drop_secondary_index(self, column: str) -> None:
+        from . import secondary_index
+        secondary_index.drop_index(self, column)
+
+    def read_by_column(self, column: str, values: list) -> DataFrame:
+        return self._reader.read_by_column(column, values)
+
     def read_keys(self, keys_df: DataFrame, as_of: str | None = None) -> DataFrame:
         return self._reader.read_keys(keys_df, as_of=as_of)
 

@@ -412,7 +412,29 @@ class WriteClient:
             self.table.write_config.record_size_estimate = max(
                 8, int(total_bytes / total_recs))
         self._fire_commit_callbacks(instant, operation, stats)
+        self._maintain_secondary_indexes(instant, stats)
         return WriteResult(instant, operation, stats)
+
+    def _maintain_secondary_indexes(self, instant: str,
+                                    stats: list[dict]) -> None:
+        """Post-publish secondary-index upkeep. A failure here must not
+        fail the (already published) commit, but a silently-stale index
+        would cause FALSE NEGATIVES on lookups — so on error the affected
+        indexes are invalidated (marker dropped) and a warning logged."""
+        from . import secondary_index
+        cols = secondary_index.indexed_columns(self.table)
+        if not cols:
+            return
+        try:
+            secondary_index.append_entries_for_stats(self.table, stats,
+                                                     instant)
+        except Exception as e:  # noqa: BLE001
+            import logging
+            for c in cols:
+                secondary_index.drop_index(self.table, c)
+            logging.getLogger(__name__).warning(
+                "secondary index maintenance failed (%s); dropped indexes "
+                "%s — recreate with create_index()", e, cols)
 
     def _fire_commit_callbacks(self, instant: str, operation: str,
                                stats: list[dict]) -> None:
