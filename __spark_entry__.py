@@ -1097,11 +1097,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ---- past the driver's 50-row window (verified by tools/check_oracle.py
     # instead): cow_point_lookup exercises the same read_keys pruning path as
     # the in-window cow_read_keys row, so it is the operator row allowed to
-    # spill.
+    # spill; the pipeline ops below were added after the window filled.
     q["cow_point_lookup"] = lambda s, d: _data(
         _fixture(s, d, "orders_cow")["tbl"].read_keys(
             s.range(1).select(F.lit(100).cast("long").alias("o_orderkey"))
         )).select(*_ORDER_COLS)
+
+    def _pii_aug(s, d):
+        # synthesize deterministic PII into the corpus so redaction has
+        # something to scrub at every sf
+        return load_table(s, d, "documents").select(
+            "doc_id",
+            F.concat(F.col("text"), F.lit(" contact u"),
+                     F.col("doc_id").cast("string"),
+                     F.lit("@example.com or 10.0.0."),
+                     (F.col("doc_id") % 200).cast("string")).alias("text"))
+    q["pii_redaction"] = lambda s, d: _pii_aug(s, d).select(
+        "doc_id", HF.redact_pii("text").alias("red"),
+        HF.pii_hits("text").alias("hits"))
+    q["hash_sample"] = lambda s, d: HF.deterministic_sample(
+        load_table(s, d, "documents"), "doc_id", keep=1, out_of=4
+    ).select("doc_id")
+    q["shard_packing"] = lambda s, d: HF.pack_shards(
+        load_table(s, d, "documents").select(
+            "doc_id", HF.token_count("text").cast("double").alias("w")),
+        "w", 2000.0, ["doc_id"], num_buckets=8).select("doc_id", "shard_id")
+    q["ngram_freq"] = lambda s, d: HF.top_ngrams(
+        load_table(s, d, "documents"), "text", n=4, k=20)
 
     # ---- SQL-on-snapshot (TPC-H style). Deliberately LAST: the driver
     # records only the first 50 queries, and every unique operator must land
@@ -1209,6 +1231,50 @@ SELECT o_orderkey FROM orders WHERE o_orderkey % 7 = 3
 """
     o["cow_point_lookup"] = f"""
 SELECT * FROM ({_COW_FINAL}) WHERE o_orderkey = 100
+"""
+    # training-pipeline ops over documents (past the driver window; verified
+    # by tools/check_oracle.py)
+    from hoodie_spark.functions.pipeline import _PII_PATTERNS
+
+    aug = ("text || ' contact u' || CAST(doc_id AS VARCHAR) || "
+           "'@example.com or 10.0.0.' || CAST(doc_id % 200 AS VARCHAR)")
+    steps = [f"s0 AS (SELECT doc_id, {aug} AS c, 0 AS h FROM documents)"]
+    for i, (tag, pat) in enumerate(_PII_PATTERNS):
+        steps.append(
+            f"s{i + 1} AS (SELECT doc_id, "
+            f"regexp_replace(c, '{pat}', '<{tag.upper()}>', 'g') AS c, "
+            f"h + len(regexp_extract_all(c, '{pat}')) AS h FROM s{i})")
+    o["pii_redaction"] = ("WITH " + ",\n".join(steps) +
+                          f"\nSELECT doc_id, c AS red, h AS hits "
+                          f"FROM s{len(_PII_PATTERNS)}")
+    o["hash_sample"] = f"""
+SELECT doc_id FROM documents
+WHERE ({_hex4("md5(CAST(doc_id AS VARCHAR))", 1)}) % 4 < 1
+"""
+    o["shard_packing"] = f"""
+WITH w AS (SELECT doc_id,
+                  CAST(len({_TOKENS.format(t='text')}) AS DOUBLE) AS w
+           FROM documents)
+SELECT doc_id,
+       CAST(floor((sum(w) OVER (ORDER BY doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) - w) / 2000.0) AS BIGINT)
+         AS shard_id
+FROM w
+"""
+    o["ngram_freq"] = """
+WITH norm AS (SELECT doc_id,
+                     trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+              FROM documents),
+sh AS (SELECT doc_id,
+              CASE WHEN length(t) >= 4
+                   THEN list_distinct(list_transform(range(1, length(t) - 2),
+                                      i -> substr(t, CAST(i AS INT), 4)))
+                   ELSE CAST([] AS VARCHAR[]) END AS shingles
+       FROM norm),
+ex AS (SELECT unnest(shingles) AS ngram FROM sh)
+SELECT ngram, COUNT(*) AS df FROM ex
+GROUP BY ngram ORDER BY df DESC, ngram ASC LIMIT 20
 """
     # final state of orders_si, filtered to the looked-up custkeys: raw
     # custkeys with custkey%97=3 plus their moved (+1000000) counterparts

@@ -58,6 +58,10 @@ from .components import duplicate_groups, dedup_by_groups
 from .asof import asof_join
 from .ranges import range_join
 from .sessions import sessionize
+from .pipeline import (
+    redact_pii, pii_hits, deterministic_sample, sample_hash, pack_shards,
+    top_ngrams,
+)
 
 __all__ = [
     "tokens", "token_count", "regex_token_count", "char_ngrams", "lang_id",
@@ -73,4 +77,6 @@ __all__ = [
     "duplicate_groups", "dedup_by_groups",
     "asof_join",
     "range_join",
+    "redact_pii", "pii_hits", "deterministic_sample", "sample_hash",
+    "pack_shards", "top_ngrams",
 ]

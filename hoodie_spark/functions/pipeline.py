@@ -1,0 +1,154 @@
+"""Training-data pipeline operators: PII redaction, deterministic sampling,
+token-budget shard packing, corpus n-gram frequency.
+
+Design notes for 100 TB:
+
+* :func:`redact_pii` and :func:`deterministic_sample` are pure Column
+  expressions — map-only, whole-stage-codegen, zero shuffles.
+* :func:`pack_shards` needs a GLOBAL running sum; the naive
+  ``Window.orderBy`` with no partition key collapses to one task. This
+  implementation uses the classic two-pass distributed prefix sum:
+  range-repartition on the order key, per-partition window cumsum, then a
+  driver-side fold of the (num_partitions)-row per-partition totals into
+  broadcast offsets. The only driver data is one row per partition.
+* :func:`top_ngrams` explodes shingles but aggregates with map-side partial
+  counts; only the (k)-row result reaches the driver.
+
+Hashing is md5-hex (stable across engines so the DuckDB oracle reproduces
+results bit-for-bit); the sampling hash uses the first 4 hex nibbles as a
+uniform 16-bit integer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import char_ngrams
+
+__all__ = ["redact_pii", "pii_hits", "deterministic_sample", "sample_hash",
+           "pack_shards", "top_ngrams"]
+
+
+# Plain character-class regexes only, so Java regex and DuckDB's RE2 agree.
+# Order matters: emails before bare domains, long digit runs before phones.
+_PII_PATTERNS: list[tuple[str, str]] = [
+    ("email", "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+[.][a-zA-Z]{2,}"),
+    ("card", "[0-9]{4}[ -][0-9]{4}[ -][0-9]{4}[ -][0-9]{4}"),
+    ("ssn", "[0-9]{3}-[0-9]{2}-[0-9]{4}"),
+    ("phone", "[+][0-9]{1,3}[ -][0-9]{3}[ -][0-9]{3}[ -][0-9]{4}"),
+    ("ipv4", "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"),
+]
+
+
+def redact_pii(col) -> Column:
+    """Replace common PII shapes (email, card, SSN, phone, IPv4) with
+    ``<TYPE>`` tags. Map-only; patterns applied in a fixed order so nested
+    matches (card before phone) resolve deterministically."""
+    out = F.col(col) if isinstance(col, str) else col
+    for tag, pat in _PII_PATTERNS:
+        out = F.regexp_replace(out, pat, f"<{tag.upper()}>")
+    return out
+
+
+def pii_hits(col) -> Column:
+    """Total count of PII matches across all pattern types (pre-redaction).
+    Useful as a filter signal: drop or quarantine documents with many hits."""
+    c = F.col(col) if isinstance(col, str) else col
+    # count on the progressively-redacted text so overlapping patterns are
+    # not double-counted (mirrors redact_pii's application order)
+    total = F.lit(0)
+    cur = c
+    for tag, pat in _PII_PATTERNS:
+        total = total + F.regexp_count(cur, F.lit(pat))
+        cur = F.regexp_replace(cur, pat, f"<{tag.upper()}>")
+    return total
+
+
+def sample_hash(col, salt: str = "") -> Column:
+    """Uniform 16-bit hash of a key: ``int(md5(salt || key)[:4], 16)``.
+    Engine-portable (the oracle reproduces it with nibble arithmetic)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(F.concat(F.lit(salt), c.cast("string"))),
+                              1, 4), 16, 10).cast("long")
+
+
+def deterministic_sample(df: DataFrame, key_col: str, keep: int,
+                         out_of: int = 65536, salt: str = "") -> DataFrame:
+    """Deterministic, repartition-stable sampling: keep rows whose key
+    hashes below ``keep / out_of``. Unlike ``df.sample()`` the result is a
+    pure function of the data — re-runs, retries and different partition
+    layouts all select the same rows, and the same key always lands in the
+    same split (so a doc never leaks from train to eval across runs).
+    ``out_of`` must divide 65536 so the hash is exactly uniform."""
+    if 65536 % out_of != 0:
+        raise ValueError("out_of must divide 65536")
+    return df.filter((sample_hash(F.col(key_col), salt) % out_of) < keep)
+
+
+def pack_shards(df: DataFrame, weight_col: str, budget: float,
+                order_cols: list[str], num_buckets: int = 256) -> DataFrame:
+    """Assign each row a ``shard_id`` so consecutive rows (in ``order_cols``
+    order) fill shards of ~``budget`` total weight (e.g. pack documents into
+    training shards of ~1M tokens).
+
+    Semantics (deterministic, SQL-expressible): rows are globally ordered by
+    ``order_cols``; ``shard_id = floor(prefix_sum_before_row / budget)`` —
+    a shard may overshoot the budget by at most one row, and a row heavier
+    than the budget gets a shard of its own.
+
+    Distributed prefix sum without a global single-task window: rows are
+    binned into order-contiguous buckets by EQUAL-WIDTH ranges of the first
+    order column (min/max from one aggregate — NOT sampled partitioning,
+    so the binning is a pure function of the data and identical across the
+    two passes); cumsum runs per bucket in parallel, and the driver folds
+    one total per bucket into broadcast offsets. Driver data = one row per
+    bucket. Equal-width bins can skew with pathological key distributions —
+    that costs balance in the window stage, never correctness.
+
+    The first entry of ``order_cols`` must be numeric.
+    """
+    lead = order_cols[0]
+    lo, hi = df.agg(F.min(lead), F.max(lead)).first()
+    if lo is None:
+        return df.withColumn("shard_id", F.lit(None).cast("long"))
+    span = float(hi) - float(lo)
+    if span <= 0 or num_buckets <= 1:
+        bucket = F.lit(0)
+    else:
+        bucket = F.least(
+            F.lit(num_buckets - 1),
+            F.floor((F.col(lead).cast("double") - F.lit(float(lo)))
+                    / F.lit(span) * F.lit(num_buckets)).cast("int"))
+    w = (F.col(weight_col) if isinstance(weight_col, str)
+         else weight_col).cast("double")
+    staged = df.withColumn("__bkt", bucket).withColumn("__w", w)
+    # one row per bucket — bounded driver data
+    totals = {r["__bkt"]: r["__t"] for r in
+              staged.groupBy("__bkt").agg(F.sum("__w").alias("__t"))
+              .collect()}
+    offsets, acc = {}, 0.0
+    for b in sorted(totals):
+        offsets[b] = acc
+        acc += totals[b]
+    off_df = F.broadcast(df.sparkSession.createDataFrame(
+        [(int(b), float(o)) for b, o in offsets.items()],
+        "__bkt int, __off double"))
+    win = Window.partitionBy("__bkt").orderBy(*order_cols)
+    local_cum = F.sum("__w").over(win) - F.col("__w")
+    return (staged.join(off_df, "__bkt")
+            .withColumn("shard_id",
+                        F.floor((F.col("__off") + local_cum)
+                                / F.lit(float(budget))))
+            .drop("__bkt", "__w", "__off"))
+
+
+def top_ngrams(df: DataFrame, text_col: str, n: int = 5, k: int = 20,
+               ) -> DataFrame:
+    """Corpus-wide most frequent character n-grams (distinct per document,
+    i.e. document frequency). Explode is map-side; the count aggregation
+    does a map-side partial so the shuffle carries (ngram, partial_count)
+    pairs, not rows. Ties break lexicographically for determinism."""
+    return (df.select(F.explode(char_ngrams(text_col, n)).alias("ngram"))
+            .groupBy("ngram").agg(F.count(F.lit(1)).alias("df"))
+            .orderBy(F.desc("df"), F.asc("ngram")).limit(k))

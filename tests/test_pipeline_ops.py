@@ -1,0 +1,113 @@
+"""Tests for PII redaction, deterministic sampling, shard packing and
+corpus n-gram frequency (hoodie_spark.functions.pipeline)."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from hoodie_spark import functions as HF
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+# -------------------------------------------------------------------- pii
+def test_redact_pii_scrubs_known_shapes(spark):
+    rows = spark.createDataFrame([
+        (1, "mail me at jane.doe+x@example.co.uk please"),
+        (2, "card 1234-5678-9012-3456 and ssn 123-45-6789"),
+        (3, "call +1 555-123-4567 from 192.168.0.1"),
+        (4, "no pii here"),
+    ], ["id", "text"])
+    got = {r.id: r.red for r in rows.select(
+        "id", HF.redact_pii("text").alias("red")).collect()}
+    assert got[1] == "mail me at <EMAIL> please"
+    assert got[2] == "card <CARD> and ssn <SSN>"
+    assert got[3] == "call <PHONE> from <IP" + "V4>"
+    assert got[4] == "no pii here"
+    hits = {r.id: r.n for r in rows.select(
+        "id", HF.pii_hits("text").alias("n")).collect()}
+    assert hits == {1: 1, 2: 2, 3: 2, 4: 0}
+
+
+def test_redact_pii_does_not_double_count_nested(spark):
+    # a card number contains phone/ssn-like substrings; the ordered
+    # application must count it once as card
+    rows = spark.createDataFrame([(1, "1111-2222-3333-4444")], ["id", "t"])
+    assert rows.select(HF.pii_hits("t")).first()[0] == 1
+
+
+# --------------------------------------------------------- deterministic sample
+def test_deterministic_sample_stable_and_unbiased(docs):
+    a = HF.deterministic_sample(docs, "doc_id", keep=16, out_of=64)
+    b = HF.deterministic_sample(docs.repartition(7), "doc_id",
+                                keep=16, out_of=64)
+    ids_a = sorted(r.doc_id for r in a.select("doc_id").collect())
+    ids_b = sorted(r.doc_id for r in b.select("doc_id").collect())
+    assert ids_a == ids_b          # partition-layout invariant
+    n, total = len(ids_a), docs.count()
+    assert 0.15 < n / total < 0.35  # ~25% +- sampling noise
+
+    # matches the reference hash exactly
+    some = ids_a[0]
+    h = int(hashlib.md5(str(some).encode()).hexdigest()[:4], 16)
+    assert h % 64 < 16
+
+
+def test_deterministic_sample_splits_are_disjoint(docs):
+    train = HF.deterministic_sample(docs, "doc_id", keep=48, out_of=64)
+    val = docs.exceptAll(train)
+    assert train.count() + val.count() == docs.count()
+    assert train.join(val, "doc_id", "inner").count() == 0
+
+
+def test_deterministic_sample_validates_out_of(docs):
+    with pytest.raises(ValueError):
+        HF.deterministic_sample(docs, "doc_id", keep=1, out_of=1000)
+
+
+# ------------------------------------------------------------- shard packing
+def test_pack_shards_matches_sequential_model(docs):
+    budget = 2000.0
+    df = docs.select("doc_id", HF.token_count("text").alias("w"))
+    out = HF.pack_shards(df, "w", budget, ["doc_id"], num_buckets=8)
+    got = {r.doc_id: r.shard_id for r in out.collect()}
+
+    rows = sorted(df.collect(), key=lambda r: r.doc_id)
+    cum = 0.0
+    for r in rows:
+        assert got[r.doc_id] == int(cum // budget), r.doc_id
+        cum += r.w
+
+
+def test_pack_shards_budget_overshoot_bounded(docs):
+    budget = 1500.0
+    df = docs.select("doc_id", HF.token_count("text").alias("w"))
+    out = HF.pack_shards(df, "w", budget, ["doc_id"], num_buckets=4)
+    per = (out.groupBy("shard_id").agg(F.sum("w").alias("tot"),
+                                       F.max("w").alias("mx")).collect())
+    n_shards = len(per)
+    assert n_shards > 1
+    for r in per:
+        # a shard never exceeds budget by more than its last (<= max) row
+        assert r.tot <= budget + r.mx
+
+
+def test_pack_shards_single_value_order_key(spark):
+    df = spark.createDataFrame([(1, 10.0)] * 5, ["k", "w"])
+    out = HF.pack_shards(df, "w", 25.0, ["k"], num_buckets=16)
+    assert out.count() == 5  # degenerate span: single bucket, still packs
+
+
+# ---------------------------------------------------------------- top ngrams
+def test_top_ngrams_deterministic_topk(docs):
+    a = HF.top_ngrams(docs, "text", n=4, k=10).collect()
+    b = HF.top_ngrams(docs.repartition(5), "text", n=4, k=10).collect()
+    assert [(r.ngram, r.df) for r in a] == [(r.ngram, r.df) for r in b]
+    dfs = [r.df for r in a]
+    assert dfs == sorted(dfs, reverse=True) and len(a) == 10
