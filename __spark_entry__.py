@@ -489,6 +489,21 @@ def _fx_orders_bucket(spark, sf_dir, path):
     return {"tbl": tbl}
 
 
+def _fx_orders_zorder(spark, sf_dir, path):
+    """Many small files, then z-order cluster on (custkey, totalprice) —
+    contents must be byte-identical; the layout only moves rows."""
+    tbl = HoodieTable.create(
+        spark, path, "orders_zorder", ["o_orderkey"], "o_orderdate",
+        partition_expr="cast(year(o_orderdate) as string)",
+        write_config=WriteConfig(parquet_max_file_size=256 * 1024,
+                                 parquet_small_file_limit=200 * 1024,
+                                 stats_columns=["o_custkey", "o_totalprice"]))
+    tbl.bulk_insert(_orders(spark, sf_dir))
+    tbl.write_config.parquet_max_file_size = 120 * 1024 * 1024
+    tbl.cluster(sort_cols=["o_custkey", "o_totalprice"], layout="zorder")
+    return {"tbl": tbl}
+
+
 def _fx_orders_si(spark, sf_dir, path):
     """Secondary index on a NON-key column: bulk_insert → CREATE INDEX →
     upsert that MOVES the indexed value (key%10=0: custkey+1000000, the
@@ -526,6 +541,7 @@ _BUILDERS = {
     "orders_ri": _fx_orders_ri, "orders_bloom": _fx_orders_bloom,
     "orders_bucket": _fx_orders_bucket,
     "orders_si": _fx_orders_si,
+    "orders_zorder": _fx_orders_zorder,
 }
 
 _ORDER_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
@@ -1124,6 +1140,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w", 2000.0, ["doc_id"], num_buckets=8).select("doc_id", "shard_id")
     q["ngram_freq"] = lambda s, d: HF.top_ngrams(
         load_table(s, d, "documents"), "text", n=4, k=20)
+    q["zorder_clustering"] = lambda s, d: _data(
+        _fixture(s, d, "orders_zorder")["tbl"].snapshot()).select(*_ORDER_COLS)
 
     # ---- SQL-on-snapshot (TPC-H style). Deliberately LAST: the driver
     # records only the first 50 queries, and every unique operator must land
@@ -1307,6 +1325,7 @@ SELECT {sel_orders} FROM orders WHERE o_orderkey % 2 = 0
 """
     o["rollback_restore"] = f"SELECT {sel_orders} FROM orders"
     o["clustering"] = f"SELECT {sel_orders} FROM orders"
+    o["zorder_clustering"] = f"SELECT {sel_orders} FROM orders"
 
     o["mor_snapshot"] = _MOR_FINAL
     o["mor_read_optimized"] = f"SELECT {sel_orders} FROM orders"

@@ -84,8 +84,17 @@ def pack_groups(table, plan, max_bytes_in_group=None, max_num_groups=None):
 def cluster(table, sort_cols: list[str] | None = None, partitions=None,
             small_file_limit=None, target_file_size=None,
             plan_strategy: str | None = None,
-            target_partitions: int | None = None):
-    """Returns the replacecommit instant, or None if nothing to cluster."""
+            target_partitions: int | None = None,
+            layout: str = "linear", curve_bits: int = 16):
+    """Returns the replacecommit instant, or None if nothing to cluster.
+
+    ``layout="linear"`` (default) sorts by ``sort_cols`` directly — best
+    pruning on the leading column only. ``layout="zorder"`` /
+    ``layout="hilbert"`` sort by a space-filling curve over ``sort_cols``
+    (:mod:`hoodie_spark.services.layout`), keeping every output file tight
+    in ALL layout dimensions so column-stats skipping prunes on any of
+    them. Public layout-optimization design — beyond this reference
+    snapshot, which only ships the linear sort."""
     plan = plan_clustering(table, partitions, small_file_limit,
                            plan_strategy, target_partitions)
     if len(plan) < 2:
@@ -103,9 +112,16 @@ def cluster(table, sort_cols: list[str] | None = None, partitions=None,
     prefix = uuid.uuid4().hex[:13]
     instant = writer._begin(tl.REPLACECOMMIT)
     from ..writer import BUCKET, KIND, base_file_name
+    if layout != "linear":
+        from .layout import with_curve_key
+        df = with_curve_key(df, sort_cols, layout, bits=curve_bits)
+        order_cols = ["__curve"]
+    else:
+        order_cols = list(sort_cols)
     arranged = (df.repartitionByRange(num_files, F.col(PARTITION_PATH),
-                                      *[F.col(c) for c in sort_cols])
-                .sortWithinPartitions(PARTITION_PATH, *sort_cols)
+                                      *[F.col(c) for c in order_cols])
+                .sortWithinPartitions(PARTITION_PATH, *order_cols)
+                .drop("__curve")
                 .withColumn(BUCKET, F.concat(F.lit(prefix + "-"),
                                              F.spark_partition_id().cast("string")))
                 .withColumn(FILE_NAME, base_file_name(F.col(BUCKET), instant))
