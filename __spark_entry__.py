@@ -1142,6 +1142,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         load_table(s, d, "documents"), "text", n=4, k=20)
     q["zorder_clustering"] = lambda s, d: _data(
         _fixture(s, d, "orders_zorder")["tbl"].snapshot()).select(*_ORDER_COLS)
+    q["corpus_filter"] = lambda s, d: HF.filter_corpus(
+        load_table(s, d, "documents"), "text", langs=["en", "und"],
+        min_quality=0.75, min_tokens=30, max_pii_hits=0).select("doc_id")
+    q["embedding_projection"] = lambda s, d: load_table(
+        s, d, "embeddings").select(
+            "vec_id", *[F.round(p, 6).alias(f"p{i}") for i, p in enumerate(
+                HF.random_projection(F.col("embedding"), 4, 64))])
 
     # ---- SQL-on-snapshot (TPC-H style). Deliberately LAST: the driver
     # records only the first 50 queries, and every unique operator must land
@@ -1293,6 +1300,52 @@ sh AS (SELECT doc_id,
 ex AS (SELECT unnest(shingles) AS ngram FROM sh)
 SELECT ngram, COUNT(*) AS df FROM ex
 GROUP BY ngram ORDER BY df DESC, ngram ASC LIMIT 20
+"""
+    # corpus quality gate: same predicates as text_stats' columns, plus the
+    # pii chain (on the raw text) folded to a hit count
+    pii_steps = ["p0 AS (SELECT doc_id, text AS c, 0 AS h FROM documents)"]
+    for i, (tag, pat) in enumerate(_PII_PATTERNS):
+        pii_steps.append(
+            f"p{i + 1} AS (SELECT doc_id, "
+            f"regexp_replace(c, '{pat}', '<{tag.upper()}>', 'g') AS c, "
+            f"h + len(regexp_extract_all(c, '{pat}')) AS h FROM p{i})")
+    o["corpus_filter"] = ("WITH " + ",\n".join(pii_steps) + f"""
+SELECT d.doc_id FROM documents d
+JOIN p{len(_PII_PATTERNS)} pp ON d.doc_id = pp.doc_id
+WHERE ({_lang_id_sql()}) IN ('en', 'und')
+  AND round(
+        0.4 * least(CAST(length(text) AS DOUBLE) / 200.0, 1.0)
+      + 0.3 * (CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
+               / greatest(CAST(length(text) AS DOUBLE), 1.0))
+      + 0.2 * least(CAST({_lang_score_sql('en')} AS DOUBLE) / 5.0, 1.0)
+      + 0.1 * (1.0 - CAST(length(regexp_replace(lower(text), '[a-z0-9 \\t\\n\\r]', '', 'g')) AS DOUBLE)
+               / greatest(CAST(length(text) AS DOUBLE), 1.0)), 6) >= 0.75
+  AND len({_TOKENS.format(t='text')}) >= 30
+  AND pp.h <= 0
+""")
+
+    # JL projection: the exact +-1 plane matrix is deterministic (md5-derived
+    # in Python), so the oracle embeds it as literals; the sum is written
+    # left-associative to match Spark's sequential fold order.
+    from hoodie_spark.functions.similarity import _plane_matrix
+
+    def _proj_sql(row):
+        # ((0.0 + x1) - x2) + ... : left-associative double chain, exactly
+        # Spark's sequential fold (+-1 weights fold into the sign, which is
+        # an exact float op)
+        parts = ["0.0"]
+        for j, w in enumerate(row):
+            parts.append(("+" if w > 0 else "-") +
+                         f" CAST(embedding[{j + 1}] AS DOUBLE)")
+        return "round(" + " ".join(parts) + ", 6)"
+
+    _proj_cols = ",\n       ".join(
+        f"{_proj_sql(r)} AS p{i}"
+        for i, r in enumerate(_plane_matrix(4, 64)))
+    o["embedding_projection"] = f"""
+SELECT vec_id,
+       {_proj_cols}
+FROM embeddings
 """
     # final state of orders_si, filtered to the looked-up custkeys: raw
     # custkeys with custkey%97=3 plus their moved (+1000000) counterparts

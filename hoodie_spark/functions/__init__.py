@@ -40,6 +40,8 @@ from .similarity import (
     dot,
     l2_norm,
     cosine,
+    normalize,
+    random_projection,
     brute_force_topk,
     lsh_bucket_topk,
     ivf_topk,
@@ -60,7 +62,7 @@ from .ranges import range_join
 from .sessions import sessionize
 from .pipeline import (
     redact_pii, pii_hits, deterministic_sample, sample_hash, pack_shards,
-    top_ngrams,
+    top_ngrams, filter_corpus,
 )
 
 __all__ = [
@@ -78,5 +80,6 @@ __all__ = [
     "asof_join",
     "range_join",
     "redact_pii", "pii_hits", "deterministic_sample", "sample_hash",
-    "pack_shards", "top_ngrams",
+    "pack_shards", "top_ngrams", "filter_corpus",
+    "normalize", "random_projection",
 ]

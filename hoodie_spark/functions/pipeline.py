@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 from .text import char_ngrams
 
 __all__ = ["redact_pii", "pii_hits", "deterministic_sample", "sample_hash",
-           "pack_shards", "top_ngrams"]
+           "pack_shards", "top_ngrams", "filter_corpus"]
 
 
 # Plain character-class regexes only, so Java regex and DuckDB's RE2 agree.
@@ -141,6 +141,34 @@ def pack_shards(df: DataFrame, weight_col: str, budget: float,
                         F.floor((F.col("__off") + local_cum)
                                 / F.lit(float(budget))))
             .drop("__bkt", "__w", "__off"))
+
+
+def filter_corpus(df: DataFrame, text_col: str,
+                  langs: list[str] | None = None,
+                  min_quality: float | None = None,
+                  min_tokens: int | None = None,
+                  max_tokens: int | None = None,
+                  max_pii_hits: int | None = None) -> DataFrame:
+    """One-stop pre-training quality gate: language allowlist, quality
+    floor, token-count band, PII ceiling — all pure Column predicates, so
+    the whole gate is a single map-only filter the scanner can pipeline.
+    Quality compares on the 6-decimal rounding (the same precision the
+    oracle checks) so knife-edge floats can't flip across engines."""
+    from .text import lang_id, quality_score, token_count
+
+    t = F.col(text_col) if isinstance(text_col, str) else text_col
+    cond = F.lit(True)
+    if langs is not None:
+        cond = cond & lang_id(t).isin(list(langs))
+    if min_quality is not None:
+        cond = cond & (F.round(quality_score(t), 6) >= float(min_quality))
+    if min_tokens is not None:
+        cond = cond & (token_count(t) >= int(min_tokens))
+    if max_tokens is not None:
+        cond = cond & (token_count(t) <= int(max_tokens))
+    if max_pii_hits is not None:
+        cond = cond & (pii_hits(t) <= int(max_pii_hits))
+    return df.filter(cond)
 
 
 def top_ngrams(df: DataFrame, text_col: str, n: int = 5, k: int = 20,

@@ -29,7 +29,8 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
-    "dot", "l2_norm", "cosine", "sign_lsh_key",
+    "dot", "l2_norm", "cosine", "normalize", "random_projection",
+    "sign_lsh_key",
     "brute_force_topk", "lsh_bucket_topk", "ivf_topk",
     "kmeans_centroids", "write_ivf_index", "ivf_topk_from_index",
 ]
@@ -47,6 +48,25 @@ def l2_norm(a) -> Column:
 
 def cosine(a, b) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def normalize(a) -> Column:
+    """Unit-L2 copy of the vector (null-safe: zero vectors stay zero)."""
+    n = l2_norm(a)
+    return F.when(n > 0, F.transform(a, lambda x: x / n)).otherwise(a)
+
+
+def random_projection(vec, out_dim: int, dim: int) -> list[Column]:
+    """Johnson–Lindenstrauss-style dimension reduction: ``out_dim`` dot
+    products against the same deterministic ±1 hyperplanes the sign-LSH
+    uses (md5-derived, so re-runs and the SQL oracle agree bit-for-bit).
+    Returns one Column per output component — map-only, codegen'd; at
+    100 TB this collapses a wide embedding scan to ``out_dim`` doubles
+    before any shuffle."""
+    mat = _plane_matrix(out_dim, dim)
+    cast = F.transform(vec, lambda x: x.cast("double"))
+    return [dot(cast, F.array(*[F.lit(w) for w in row])).alias(f"p{p}")
+            for p, row in enumerate(mat)]
 
 
 def _plane_matrix(planes: int, dim: int) -> list[list[float]]:

@@ -104,6 +104,53 @@ def test_pack_shards_single_value_order_key(spark):
     assert out.count() == 5  # degenerate span: single bucket, still packs
 
 
+# ------------------------------------------------------------- filter corpus
+def test_filter_corpus_gates_compose(docs):
+    kept = HF.filter_corpus(docs, "text", langs=["en", "und"],
+                            min_quality=0.3, min_tokens=5,
+                            max_tokens=100000, max_pii_hits=0)
+    n, total = kept.count(), docs.count()
+    assert 0 < n <= total
+    # every survivor satisfies every gate
+    chk = kept.select(
+        HF.lang_id("text").alias("l"),
+        F.round(HF.quality_score("text"), 6).alias("q"),
+        HF.token_count("text").alias("t"),
+        HF.pii_hits("text").alias("p")).collect()
+    for r in chk:
+        assert r.l in ("en", "und") and r.q >= 0.3 and r.t >= 5 and r.p == 0
+
+
+def test_filter_corpus_no_gates_is_identity(docs):
+    assert HF.filter_corpus(docs, "text").count() == docs.count()
+
+
+# --------------------------------------------------------- embedding projection
+def test_random_projection_matches_numpy(spark):
+    import numpy as np
+    from hoodie_spark.functions.similarity import _plane_matrix
+
+    dim, out = 16, 4
+    rows = [(i, [float((i * 7 + j * 3) % 11) - 5.0 for j in range(dim)])
+            for i in range(20)]
+    df = spark.createDataFrame(rows, ["id", "v"])
+    got = {r.id: [r.p0, r.p1, r.p2, r.p3] for r in df.select(
+        "id", *HF.random_projection(F.col("v"), out, dim)).collect()}
+    mat = np.array(_plane_matrix(out, dim))
+    for i, v in rows:
+        exp = mat @ np.array(v)
+        assert np.allclose(got[i], exp)
+
+
+def test_normalize_unit_norm_and_zero_safe(spark):
+    df = spark.createDataFrame([(1, [3.0, 4.0]), (2, [0.0, 0.0])],
+                               ["id", "v"])
+    out = {r.id: r.n for r in df.select(
+        "id", HF.normalize(F.col("v")).alias("n")).collect()}
+    assert out[1] == [0.6, 0.8]
+    assert out[2] == [0.0, 0.0]
+
+
 # ---------------------------------------------------------------- top ngrams
 def test_top_ngrams_deterministic_topk(docs):
     a = HF.top_ngrams(docs, "text", n=4, k=10).collect()
