@@ -534,6 +534,113 @@ def _exec_insert(spark, sql: str, tables: dict):
     return tbl.insert_overwrite(df) if overwrite else tbl.insert(df)
 
 
+def _call_lit(v: str):
+    v = v.strip()
+    if v and v[0] in "'\"":
+        return v[1:-1]
+    low = v.lower()
+    if low in ("true", "false"):
+        return low == "true"
+    try:
+        return int(v)
+    except ValueError:
+        try:
+            return float(v)
+        except ValueError:
+            return v
+
+
+def _exec_call(spark, sql: str, tables: dict):
+    """``CALL proc(table => 't', k => v, ...)`` — stored-procedure surface
+    for table services (public Hudi CALL-procedure design; beyond this
+    reference snapshot, whose CLI covers the same operations). Returns a
+    DataFrame for ``show_commits``, else the produced instant (or None)."""
+    m = re.match(r"\s*call\s+(\w+)\s*\((.*)\)\s*;?\s*$", sql,
+                 re.IGNORECASE | re.DOTALL)
+    if not m:
+        raise ValueError(f"cannot parse CALL statement: {sql!r}")
+    proc = m.group(1).lower()
+    args: dict = {}
+    for part in _split_top(m.group(2)):
+        if not part.strip():
+            continue
+        if "=>" not in part:
+            raise ValueError(f"CALL arguments must be name => value: {part!r}")
+        k, v = part.split("=>", 1)
+        args[k.strip().lower()] = _call_lit(v)
+    tname = str(args.pop("table", ""))
+    tbl = tables.get(tname) or tables.get(tname.split(".")[-1].strip("`"))
+    if tbl is None:
+        raise ValueError(f"unknown hoodie table {tname!r}")
+
+    if proc == "run_compaction":
+        return tbl.compact(strategy=args.get("strategy"))
+    if proc == "run_clustering":
+        order = [c.strip() for c in str(args.get("order", "")).split(",")
+                 if c.strip()]
+        return tbl.cluster(sort_cols=order or None,
+                           layout=str(args.get("layout", "linear")))
+    if proc == "run_clean":
+        return tbl.clean(policy=args.get("policy"),
+                         retained=args.get("retained"))
+    if proc == "rollback_to_instant":
+        return tbl.rollback(str(args["instant_time"]))
+    if proc == "create_savepoint":
+        return tbl.savepoint(str(args["instant_time"])
+                             if "instant_time" in args else None)
+    if proc == "restore_to_savepoint":
+        return tbl.restore(str(args["instant_time"]))
+    if proc == "run_ttl":
+        return tbl.apply_ttl(**args)
+    if proc == "run_archival":
+        return tbl.archive(max_active=args.get("max_active"))
+    if proc == "run_upgrade":
+        return tbl.upgrade(to_version=args.get("to_version"))
+    if proc == "show_commits":
+        insts = tbl.timeline.completed()
+        limit = int(args.get("limit", 10))
+        rows = [(i.timestamp, i.action, i.state)
+                for i in sorted(insts, key=lambda i: i.timestamp,
+                                reverse=True)[:limit]]
+        return spark.createDataFrame(
+            rows, "commit_time string, action string, state string")
+    raise ValueError(f"unknown procedure {proc!r}")
+
+
+_CREATE_INDEX_RE = re.compile(
+    r"\s*create\s+index\s+(?:if\s+not\s+exists\s+)?(?:\w+\s+)?on\s+"
+    r"(?:table\s+)?(\S+)\s*(?:using\s+\w+\s*)?\(\s*`?(\w+)`?\s*\)",
+    re.IGNORECASE)
+_DROP_INDEX_RE = re.compile(
+    r"\s*drop\s+index\s+(?:if\s+exists\s+)?`?(\w+)`?\s+on\s+(?:table\s+)?(\S+)",
+    re.IGNORECASE)
+
+
+def _exec_create_index(spark, sql: str, tables: dict) -> None:
+    """``CREATE INDEX [name] ON t (col)`` → secondary index on the column
+    (public Hudi-1.0 SQL surface)."""
+    m = _CREATE_INDEX_RE.match(sql)
+    if not m:
+        raise ValueError(f"cannot parse CREATE INDEX statement: {sql!r}")
+    tname = m.group(1)
+    tbl = tables.get(tname) or tables.get(tname.split(".")[-1].strip("`"))
+    if tbl is None:
+        raise ValueError(f"unknown hoodie table {tname!r}")
+    tbl.create_secondary_index(m.group(2))
+
+
+def _exec_drop_index(spark, sql: str, tables: dict) -> None:
+    """``DROP INDEX col ON t`` (the index is named by its column)."""
+    m = _DROP_INDEX_RE.match(sql)
+    if not m:
+        raise ValueError(f"cannot parse DROP INDEX statement: {sql!r}")
+    tname = m.group(2)
+    tbl = tables.get(tname) or tables.get(tname.split(".")[-1].strip("`"))
+    if tbl is None:
+        raise ValueError(f"unknown hoodie table {tname!r}")
+    tbl.drop_secondary_index(m.group(1))
+
+
 def run_sql(spark, sql: str, tables: dict):
     """Execute one DML statement against registered hoodie tables.
 
@@ -552,10 +659,17 @@ def run_sql(spark, sql: str, tables: dict):
         return _exec_truncate(spark, sql, tables)
     if head.startswith("alter"):
         return _exec_alter(spark, sql, tables)
+    if re.match(r"\s*create\s+index\b", head):
+        return _exec_create_index(spark, sql, tables)
+    if re.match(r"\s*drop\s+index\b", head):
+        return _exec_drop_index(spark, sql, tables)
     if head.startswith("create"):
         return _exec_create(spark, sql, tables)
+    if head.startswith("call"):
+        return _exec_call(spark, sql, tables)
     if head.startswith("insert"):
         return _exec_insert(spark, sql, tables)
     raise ValueError(
-        "run_sql handles CREATE/INSERT/MERGE/UPDATE/DELETE/TRUNCATE/ALTER; "
+        "run_sql handles CREATE/INSERT/MERGE/UPDATE/DELETE/TRUNCATE/ALTER/"
+        "CREATE INDEX/DROP INDEX/CALL; "
         "use spark.sql() for queries over registered views")

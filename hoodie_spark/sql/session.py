@@ -38,7 +38,7 @@ _TARGET_RES = {
     "drop": re.compile(r"\s*drop\s+table\s+(?:if\s+exists\s+)?(\S+)"),
 }
 _HEAD_RE = re.compile(
-    r"\s*(merge|update|delete|truncate|alter|insert|create|drop)\b")
+    r"\s*(merge|update|delete|truncate|alter|insert|create|drop|call)\b")
 
 
 def _lookup(tables: dict, raw_name: str):
@@ -63,6 +63,37 @@ def _route(spark, query: str, tables: dict):
     if not head:
         return False, None
     verb = head.group(1)
+
+    if verb == "call":
+        # Spark has no CALL statement, so this can't hijack anything; only
+        # route when the table argument resolves to a registered table
+        m = re.search(r"\btable\s*=>\s*'([^']+)'", query) or \
+            re.search(r'\btable\s*=>\s*"([^"]+)"', query)
+        if not m or _lookup(tables, m.group(1))[1] is None:
+            return False, None
+        out = run_sql(spark, query, tables)
+        key, tbl = _lookup(tables, m.group(1))
+        try:
+            tbl.register_view(key)
+        except Exception:
+            pass
+        if hasattr(out, "columns"):   # show_commits returns a DataFrame
+            return True, out
+        return True, _empty(spark)
+
+    if verb == "create" and re.match(r"\s*create\s+index\b", mask):
+        m = re.search(r"\bon\s+(?:table\s+)?(\S+)", mask)
+        if not m or _lookup(tables, query[m.start(1):m.end(1)])[1] is None:
+            return False, None
+        run_sql(spark, query, tables)
+        return True, _empty(spark)
+
+    if verb == "drop" and re.match(r"\s*drop\s+index\b", mask):
+        m = re.search(r"\bon\s+(?:table\s+)?(\S+)", mask)
+        if not m or _lookup(tables, query[m.start(1):m.end(1)])[1] is None:
+            return False, None
+        run_sql(spark, query, tables)
+        return True, _empty(spark)
 
     if verb == "create":
         # route only CREATE ... USING hudi/hoodie — other providers are

@@ -1,0 +1,112 @@
+"""CALL procedures + CREATE/DROP INDEX SQL surface (parser + spark.sql)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hoodie_spark import HoodieTable, TableType
+from hoodie_spark import secondary_index as si
+from hoodie_spark.sql.parser import run_sql
+
+
+@pytest.fixture()
+def mor(spark, orders, tmp_table_path):
+    tbl = HoodieTable.create(
+        spark, tmp_table_path, "orders_p", ["o_orderkey"], "o_orderdate",
+        partition_expr="cast(year(o_orderdate) as string)",
+        table_type=TableType.MERGE_ON_READ)
+    tbl.bulk_insert(orders)
+    tbl.upsert(orders.filter(F.col("o_orderkey") % 5 == 0)
+               .withColumn("o_orderstatus", F.lit("Z")))
+    return tbl
+
+
+def test_call_run_compaction_and_show_commits(spark, mor):
+    tables = {"orders_p": mor}
+    inst = run_sql(spark, "CALL run_compaction(table => 'orders_p')", tables)
+    assert inst is not None
+    ro = mor.read_optimized().filter("o_orderkey % 5 = 0")
+    assert ro.select("o_orderstatus").distinct().collect()[0][0] == "Z"
+
+    commits = run_sql(
+        spark, "CALL show_commits(table => 'orders_p', limit => 10)", tables)
+    rows = commits.collect()
+    assert {r.action for r in rows} >= {"commit", "deltacommit", "compaction"} \
+        or len(rows) >= 3
+    assert commits.columns == ["commit_time", "action", "state"]
+
+
+def test_call_rollback_and_savepoint(spark, orders, tmp_table_path):
+    tbl = HoodieTable.create(
+        spark, tmp_table_path, "orders_rbp", ["o_orderkey"], "o_orderdate",
+        partition_expr="cast(year(o_orderdate) as string)")
+    c1 = tbl.bulk_insert(orders).instant
+    tables = {"orders_rbp": tbl}
+    run_sql(spark, f"CALL create_savepoint(table => 'orders_rbp', "
+                   f"instant_time => '{c1}')", tables)
+    c2 = tbl.upsert(orders.limit(10)
+                    .withColumn("o_orderpriority", F.lit("BAD"))).instant
+    run_sql(spark, f"CALL rollback_to_instant(table => 'orders_rbp', "
+                   f"instant_time => '{c2}')", tables)
+    assert tbl.snapshot().filter("o_orderpriority = 'BAD'").count() == 0
+    assert tbl.snapshot().count() == orders.count()
+
+
+def test_call_run_clustering_layout(spark, orders, tmp_table_path):
+    from hoodie_spark import WriteConfig
+    tbl = HoodieTable.create(
+        spark, tmp_table_path, "orders_cl", ["o_orderkey"], "o_orderdate",
+        partition_expr="'all'",
+        write_config=WriteConfig(parquet_max_file_size=64 * 1024,
+                                 parquet_small_file_limit=60 * 1024))
+    tbl.bulk_insert(orders)
+    tbl.write_config.parquet_max_file_size = 512 * 1024
+    tbl.write_config.clustering_small_file_limit = 512 * 1024
+    inst = run_sql(
+        spark, "CALL run_clustering(table => 'orders_cl', "
+               "order => 'o_custkey,o_totalprice', layout => 'zorder')",
+        {"orders_cl": tbl})
+    assert inst is not None
+    assert tbl.snapshot().count() == orders.count()
+
+
+def test_call_errors(spark, mor):
+    with pytest.raises(ValueError, match="unknown procedure"):
+        run_sql(spark, "CALL nope(table => 'orders_p')", {"orders_p": mor})
+    with pytest.raises(ValueError, match="unknown hoodie table"):
+        run_sql(spark, "CALL run_clean(table => 'ghost')", {})
+
+
+def test_create_drop_index_sql(spark, orders, tmp_table_path):
+    tbl = HoodieTable.create(
+        spark, tmp_table_path, "orders_ix", ["o_orderkey"], "o_orderdate",
+        partition_expr="cast(year(o_orderdate) as string)")
+    tbl.bulk_insert(orders)
+    tables = {"orders_ix": tbl}
+    run_sql(spark, "CREATE INDEX cust_idx ON orders_ix (o_custkey)", tables)
+    assert si.exists(tbl, "o_custkey")
+    key = orders.first().o_custkey
+    exp = orders.filter(F.col("o_custkey") == key).count()
+    assert tbl.read_by_column("o_custkey", [key]).count() == exp
+    run_sql(spark, "DROP INDEX o_custkey ON orders_ix", tables)
+    assert not si.exists(tbl, "o_custkey")
+
+
+def test_spark_sql_native_call_and_index(spark, orders, tmp_table_path):
+    from hoodie_spark.sql import disable, enable
+
+    tbl = HoodieTable.create(
+        spark, tmp_table_path, "orders_nat", ["o_orderkey"], "o_orderdate",
+        partition_expr="cast(year(o_orderdate) as string)")
+    tbl.bulk_insert(orders)
+    enable(spark, {"orders_nat": tbl})
+    try:
+        out = spark.sql("CALL show_commits(table => 'orders_nat', limit => 3)")
+        assert out.count() >= 1 and "commit_time" in out.columns
+        spark.sql("CREATE INDEX ci ON orders_nat (o_custkey)")
+        assert si.exists(tbl, "o_custkey")
+        spark.sql("DROP INDEX o_custkey ON orders_nat")
+        assert not si.exists(tbl, "o_custkey")
+        # non-hoodie CALL-less statements still pass through untouched
+        assert spark.sql("SELECT 1 AS x").first().x == 1
+    finally:
+        disable(spark)
