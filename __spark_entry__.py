@@ -489,6 +489,25 @@ def _fx_orders_bucket(spark, sf_dir, path):
     return {"tbl": tbl}
 
 
+def _fx_orders_exprskip(spark, sf_dir, path):
+    """Expression stats (functional-index equivalent): per-file min/max of
+    year(o_orderdate) harvested at write; skip_filters on the alias prune
+    files without changing results."""
+    from pyspark.sql.window import Window
+
+    tbl = HoodieTable.create(
+        spark, path, "orders_exprskip", ["rk"], "o_orderdate",
+        write_config=WriteConfig(parquet_max_file_size=256 * 1024,
+                                 stats_exprs={"yr": "year(o_orderdate)"}))
+    # record key = rank by orderdate, so the global key sort gives tight
+    # per-file year ranges (what clustering by date yields in production)
+    keyed = _orders(spark, sf_dir).withColumn(
+        "rk", F.lpad(F.row_number().over(Window.orderBy(
+            "o_orderdate", "o_orderkey")).cast("string"), 8, "0"))
+    tbl.bulk_insert(keyed)
+    return {"tbl": tbl}
+
+
 def _fx_orders_zorder(spark, sf_dir, path):
     """Many small files, then z-order cluster on (custkey, totalprice) —
     contents must be byte-identical; the layout only moves rows."""
@@ -542,6 +561,7 @@ _BUILDERS = {
     "orders_bucket": _fx_orders_bucket,
     "orders_si": _fx_orders_si,
     "orders_zorder": _fx_orders_zorder,
+    "orders_exprskip": _fx_orders_exprskip,
 }
 
 _ORDER_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
@@ -1142,6 +1162,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         load_table(s, d, "documents"), "text", n=4, k=20)
     q["zorder_clustering"] = lambda s, d: _data(
         _fixture(s, d, "orders_zorder")["tbl"].snapshot()).select(*_ORDER_COLS)
+    q["expr_data_skipping"] = lambda s, d: _data(
+        _fixture(s, d, "orders_exprskip")["tbl"]
+        .snapshot(skip_filters=[("yr", "=", 1997)])
+        .filter("year(o_orderdate) = 1997")).select(*_ORDER_COLS)
     q["corpus_filter"] = lambda s, d: HF.filter_corpus(
         load_table(s, d, "documents"), "text", langs=["en", "und"],
         min_quality=0.75, min_tokens=30, max_pii_hits=0).select("doc_id")
@@ -1379,6 +1403,9 @@ SELECT {sel_orders} FROM orders WHERE o_orderkey % 2 = 0
     o["rollback_restore"] = f"SELECT {sel_orders} FROM orders"
     o["clustering"] = f"SELECT {sel_orders} FROM orders"
     o["zorder_clustering"] = f"SELECT {sel_orders} FROM orders"
+    o["expr_data_skipping"] = f"""
+SELECT {sel_orders} FROM orders WHERE year(o_orderdate) = 1997
+"""
 
     o["mor_snapshot"] = _MOR_FINAL
     o["mor_read_optimized"] = f"SELECT {sel_orders} FROM orders"

@@ -193,6 +193,13 @@ class WriteConfig:
     # commit manifest (column-stats-index equivalent); reads can then prune
     # files via snapshot(skip_filters=...) before Spark ever lists them
     stats_columns: list[str] = field(default_factory=list)
+    # expression stats (functional-index equivalent): alias -> SQL expr.
+    # Per-file min/max of each expression is harvested at write time and
+    # used by skip_filters on the alias. OPT-IN: costs one extra Spark job
+    # over the just-written files per commit (same cost class as bloom
+    # harvest, which is why neither is on by default). Expressions should
+    # evaluate to a numeric or string type.
+    stats_exprs: dict = field(default_factory=dict)
     # record-level index (metadata-table record index equivalent): persist a
     # key -> file-group map so upsert tagging joins a compact index instead
     # of scanning data files. Opt-in.

@@ -925,7 +925,41 @@ class WriteClient:
                 IndexType.BLOOM, IndexType.GLOBAL_BLOOM):
             from . import bloom
             bloom.harvest(self.table, stats, instant)
+        if wc.stats_exprs:
+            self._harvest_expr_stats(stats, wc.stats_exprs)
         return stats
+
+    def _harvest_expr_stats(self, stats: list[dict], exprs: dict) -> None:
+        """Functional-index equivalent (public Hudi-1.0 expression-index
+        design; beyond this reference snapshot): per-file min/max of each
+        configured SQL expression over this commit's BASE files, folded
+        into the manifest ``col_stats`` under the alias so
+        ``skip_filters=[(alias, op, v)]`` prunes files. One column-pruned
+        Spark job per commit — opt-in via ``WriteConfig.stats_exprs``.
+        Driver data is bounded: one row per written file."""
+        paths = [os.path.join(self.table.base_path, s["path"])
+                 for s in stats if not s["is_delta"]]
+        if not paths:
+            return
+        df = self.spark.read.parquet(*paths).withColumn(
+            "__f", F.input_file_name())
+        aggs = []
+        for alias, expr in exprs.items():
+            aggs += [F.min(F.expr(expr)).alias(f"mn_{alias}"),
+                     F.max(F.expr(expr)).alias(f"mx_{alias}")]
+        by_name = {os.path.basename(r["__f"]): r
+                   for r in df.groupBy("__f").agg(*aggs).collect()}
+        for s in stats:
+            r = by_name.get(s["file_name"])
+            if r is None:
+                continue
+            cs = s.setdefault("col_stats", {})
+            for alias in exprs:
+                mn, mx = r[f"mn_{alias}"], r[f"mx_{alias}"]
+                if mn is None or isinstance(mn, bool) or \
+                        not isinstance(mn, (int, float, str)):
+                    continue
+                cs[alias] = [mn, mx]
 
 
 COMMIT_SEQNO_TIEBREAK = "__seqno_tb"

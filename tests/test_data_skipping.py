@@ -67,3 +67,43 @@ def test_incremental_skip_filters(spark, stats_table):
              .filter("o_totalprice > 400000.0")
     assert inc.count() == orders.filter("o_totalprice > 400000.0").count()
     assert tbl.incremental(begin=c1).count() == 0  # nothing after first commit
+
+
+def test_expression_stats_prune_and_match(spark, tmp_table_path):
+    """stats_exprs (functional-index equivalent): per-file min/max of a SQL
+    expression prunes files for skip_filters on the alias."""
+    from pyspark.sql.window import Window
+
+    from hoodie_spark.reader import prune_by_stats
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    tbl = HoodieTable.create(
+        spark, tmp_table_path, "skipx", ["rk"], "o_orderdate",
+        write_config=WriteConfig(
+            parquet_max_file_size=64 * 1024,
+            stats_exprs={"yr": "year(o_orderdate)"}))
+    # key = rank by orderdate -> tight per-file year ranges after the
+    # global key sort
+    keyed = orders.withColumn(
+        "rk", F.lpad(F.row_number().over(Window.orderBy("o_orderdate"))
+                     .cast("string"), 6, "0"))
+    tbl.bulk_insert(keyed)
+
+    slices = tbl.view().latest_slices()
+    assert len(slices) > 3
+    assert all(sl.base_file.col_stats and "yr" in sl.base_file.col_stats
+               for sl in slices)
+    pruned = prune_by_stats(slices, [("yr", "=", 1997)], mor=False)
+    assert 0 < len(pruned) < len(slices)
+
+    exp = orders.filter("year(o_orderdate) = 1997").count()
+    got = tbl.snapshot(skip_filters=[("yr", "=", 1997)]) \
+        .filter("year(o_orderdate) = 1997").count()
+    assert got == exp
+
+    # expression stats survive an upsert rewrite of some files
+    upd = keyed.limit(20).withColumn("o_orderpriority", F.lit("X"))
+    tbl.upsert(upd)
+    got2 = tbl.snapshot(skip_filters=[("yr", "=", 1997)]) \
+        .filter("year(o_orderdate) = 1997").count()
+    assert got2 == exp
