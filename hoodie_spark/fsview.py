@@ -22,8 +22,8 @@ from __future__ import annotations
 import os
 from dataclasses import dataclass, field
 
-from .timeline import (CLEAN, DATA_ACTIONS, REPLACECOMMIT, RESTORE, ROLLBACK,
-                       Timeline)
+from .timeline import (CLEAN, DATA_ACTIONS, LOGCOMPACTION, REPLACECOMMIT,
+                       RESTORE, ROLLBACK, Timeline)
 
 
 @dataclass
@@ -48,6 +48,10 @@ class LogFile:
     instant: str
     size: int = 0
     num_records: int = 0
+    # instant of the logcompaction that folded this file into a merged
+    # delta; reads as-of >= that instant skip it (the merged delta carries
+    # its rows), older time travel still sees it
+    compacted_at: str | None = None
 
 
 @dataclass
@@ -61,9 +65,15 @@ class FileSlice:
     log_files: list[LogFile] = field(default_factory=list)
 
     def log_files_as_of(self, as_of: str | None) -> list[LogFile]:
-        if as_of is None:
-            return self.log_files
-        return [lf for lf in self.log_files if lf.instant <= as_of]
+        out = []
+        for lf in self.log_files:
+            if as_of is not None and lf.instant > as_of:
+                continue
+            if lf.compacted_at is not None and (
+                    as_of is None or as_of >= lf.compacted_at):
+                continue  # superseded by a merged delta at compacted_at
+            out.append(lf)
+        return out
 
     def total_size(self) -> int:
         return (self.base_file.size if self.base_file else 0) + sum(l.size for l in self.log_files)
@@ -113,11 +123,19 @@ class FileSystemView:
                 deleted_slices.add((s["partition"], s["file_id"], s["instant"]))
             deleted_logs.update(md.get("deleted_log_files", []))
 
+        compacted_logs: dict[str, str] = {}
+        for inst in tl.completed((LOGCOMPACTION,)):
+            if inst.timestamp in rolled_back:
+                continue
+            md = tl.metadata(inst)
+            for p in md.get("extra", {}).get("compacted_log_files", []):
+                compacted_logs[p] = inst.timestamp
+
         for inst in tl.completed(DATA_ACTIONS):
             if inst.timestamp in rolled_back:
                 continue
             self._apply_data(inst.timestamp, tl.metadata(inst),
-                             deleted_slices, deleted_logs)
+                             deleted_slices, deleted_logs, compacted_logs)
         # drop slices that the cleaner fully deleted and ended up empty
         for grp in self.groups.values():
             grp.slices = {t: s for t, s in grp.slices.items()
@@ -125,7 +143,8 @@ class FileSystemView:
 
     def _apply_data(self, ts: str, md: dict,
                     deleted_slices: set[tuple[str, str, str]] = frozenset(),
-                    deleted_logs: set[str] = frozenset()) -> None:
+                    deleted_logs: set[str] = frozenset(),
+                    compacted_logs: dict[str, str] | None = None) -> None:
         for st in md.get("write_stats", []):
             pp, fid = st["partition"], st["file_id"]
             grp = self.groups.setdefault((pp, fid), FileGroup(pp, fid))
@@ -136,7 +155,9 @@ class FileSystemView:
                     continue
                 sl.log_files.append(
                     LogFile(st["path"], st["file_name"], ts,
-                            st.get("size", 0), st.get("num_records", 0)))
+                            st.get("size", 0), st.get("num_records", 0),
+                            compacted_at=(compacted_logs or {}).get(
+                                st["path"])))
             else:
                 if (pp, fid, ts) in deleted_slices:
                     continue

@@ -30,24 +30,24 @@ class CompactionStrategy:
         """Compact slices with >= N delta files (inline-compaction trigger,
         HoodieCompactionConfig inline.compact.num.delta.commits)."""
         n = threshold or table.write_config.max_delta_commits_before_compaction
-        return [sl for sl in slices if len(sl.log_files) >= n]
+        return [sl for sl in slices if len(sl.log_files_as_of(None)) >= n]
 
     @staticmethod
     def log_size(table, slices, threshold_bytes=16 * 1024 * 1024):
         """LogFileSizeBasedCompactionStrategy.java."""
         return [sl for sl in slices
-                if sum(lf.size for lf in sl.log_files) >= threshold_bytes]
+                if sum(lf.size for lf in sl.log_files_as_of(None)) >= threshold_bytes]
 
     @staticmethod
     def all_with_logs(table, slices):
         """UnBoundedCompactionStrategy.java."""
-        return [sl for sl in slices if sl.log_files]
+        return [sl for sl in slices if sl.log_files_as_of(None)]
 
     @staticmethod
     def day_based(table, slices, partitions_to_compact=1):
         """DayBasedCompactionStrategy.java — compact only the N most recent
         partitions (partition paths sort as dates in the reference layout)."""
-        with_logs = [sl for sl in slices if sl.log_files]
+        with_logs = [sl for sl in slices if sl.log_files_as_of(None)]
         latest = sorted({sl.partition for sl in with_logs}, reverse=True)
         keep = set(latest[:partitions_to_compact])
         return [sl for sl in with_logs if sl.partition in keep]
@@ -57,13 +57,13 @@ class CompactionStrategy:
         """BoundedIOCompactionStrategy.java — greedy-select slices by
         estimated IO (read base + read logs + write new base) within a
         budget, biggest log backlog first."""
-        with_logs = sorted((sl for sl in slices if sl.log_files),
-                           key=lambda sl: sum(lf.size for lf in sl.log_files),
+        with_logs = sorted((sl for sl in slices if sl.log_files_as_of(None)),
+                           key=lambda sl: sum(lf.size for lf in sl.log_files_as_of(None)),
                            reverse=True)
         out, spent = [], 0
         for sl in with_logs:
             base = sl.base_file.size if sl.base_file else 0
-            logs = sum(lf.size for lf in sl.log_files)
+            logs = sum(lf.size for lf in sl.log_files_as_of(None))
             io = 2 * base + logs  # read base + logs, rewrite ~base-sized file
             if out and spent + io > max_io_bytes:
                 continue
@@ -87,7 +87,8 @@ def compact(table, strategy=None, **kw):
     writer = table._writer
     view = table.view()
     base = table.read_slices_base(plan).withColumn(OPERATION, F.lit("I"))
-    delta_paths = [view.abs(lf.path) for sl in plan for lf in sl.log_files]
+    delta_paths = [view.abs(lf.path) for sl in plan
+                   for lf in sl.log_files_as_of(None)]
     merged = table._reader._resolve(base.unionByName(
         table.read_delta_files(delta_paths))).drop(OPERATION)
 
@@ -109,3 +110,50 @@ def compact(table, strategy=None, **kw):
             emptied.setdefault(sl.partition, []).append(sl.file_id)
     return writer._commit(instant, tl.COMMIT, "compact", stats,
                           replaced=emptied or None).instant
+
+
+def logcompact(table, min_log_files: int = 3, partitions=None):
+    """Minor (log) compaction — public Hudi-1.0 design; this reference
+    snapshot ships only full compaction. Consolidates a slice's many small
+    delta files into ONE merged delta WITHOUT rewriting the base file: the
+    cure for MOR read amplification when bases are large and updates are
+    frequent (full compaction would rewrite gigabytes to absorb kilobytes).
+
+    Rows are concatenated verbatim (original commit-time/seqno meta
+    preserved, no pre-resolution), so snapshot/incremental/CDC semantics
+    are untouched for every payload type — the read-side fold still picks
+    winners. The originals stay on disk for time travel; reads as-of after
+    this instant skip them via the manifest (``LogFile.compacted_at``).
+
+    Returns the logcompaction instant, or None if no slice qualifies.
+    """
+    view = table.view()
+    plan = [sl for sl in view.latest_slices(partitions=partitions)
+            if sl.base_file is not None
+            and len(sl.log_files_as_of(None)) >= min_log_files]
+    if not plan:
+        return None
+    writer = table._writer
+    targets = {(sl.partition, sl.file_id): sl for sl in plan}
+    delta_paths = [view.abs(lf.path) for sl in plan
+                   for lf in sl.log_files_as_of(None)]
+    deltas = table.read_delta_files(delta_paths)
+
+    instant = writer._begin(tl.LOGCOMPACTION)
+    from ..writer import BUCKET, KIND
+    fid_col = F.split(F.col(FILE_NAME), "_").getItem(0)
+    write_df = (deltas
+                .withColumn(BUCKET, fid_col)
+                .withColumn(FILE_NAME,
+                            F.concat(fid_col,
+                                     F.lit(f"_{instant}.delta.parquet")))
+                .withColumn(KIND, F.lit("delta")))
+    write_df = writer._finalize_cols(write_df)
+    stats = writer._write_files(write_df, instant, sort_cols=None)
+    for s in stats:
+        sl = targets.get((s["partition"], s["file_id"]))
+        s["base_instant"] = sl.base_instant if sl else instant
+    compacted = [lf.path for sl in plan for lf in sl.log_files_as_of(None)]
+    return writer._commit(
+        instant, tl.LOGCOMPACTION, "logcompact", stats,
+        extra={"compacted_log_files": compacted}).instant

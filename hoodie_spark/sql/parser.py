@@ -575,6 +575,8 @@ def _exec_call(spark, sql: str, tables: dict):
 
     if proc == "run_compaction":
         return tbl.compact(strategy=args.get("strategy"))
+    if proc == "run_logcompaction":
+        return tbl.logcompact(min_log_files=int(args.get("min_log_files", 3)))
     if proc == "run_clustering":
         order = [c.strip() for c in str(args.get("order", "")).split(",")
                  if c.strip()]

@@ -408,6 +408,11 @@ class HoodieTable:
         from .services import cluster
         return cluster(self, sort_cols, **kw)
 
+    def logcompact(self, min_log_files: int = 3, partitions=None):
+        from .services import logcompact
+        return logcompact(self, min_log_files=min_log_files,
+                          partitions=partitions)
+
     def apply_ttl(self, **kw):
         from .services import apply_ttl
         return apply_ttl(self, **kw)

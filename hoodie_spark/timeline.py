@@ -27,12 +27,16 @@ from dataclasses import dataclass
 COMMIT = "commit"
 DELTACOMMIT = "deltacommit"
 REPLACECOMMIT = "replacecommit"
+# minor compaction of a slice's delta files into one merged delta (public
+# Hudi-1.0 log-compaction design; this reference snapshot has only full
+# compaction)
+LOGCOMPACTION = "logcompaction"
 CLEAN = "clean"
 ROLLBACK = "rollback"
 SAVEPOINT = "savepoint"
 RESTORE = "restore"
 
-DATA_ACTIONS = (COMMIT, DELTACOMMIT, REPLACECOMMIT)
+DATA_ACTIONS = (COMMIT, DELTACOMMIT, REPLACECOMMIT, LOGCOMPACTION)
 
 REQUESTED = "requested"
 INFLIGHT = "inflight"
