@@ -489,6 +489,24 @@ def _fx_orders_bucket(spark, sf_dir, path):
     return {"tbl": tbl}
 
 
+def _fx_orders_logcompact(spark, sf_dir, path):
+    """MOR: three delta commits over disjoint key classes (k%3), then LOG
+    compaction (merge deltas, base untouched). Snapshot must equal the
+    plain SQL mutation model."""
+    tbl = HoodieTable.create(
+        spark, path, "orders_logcompact", ["o_orderkey"], "o_orderdate",
+        partition_expr="cast(year(o_orderdate) as string)",
+        table_type=TableType.MERGE_ON_READ)
+    orders = _orders(spark, sf_dir)
+    tbl.bulk_insert(orders)
+    for i in range(3):
+        tbl.upsert(orders.filter(F.col("o_orderkey") % 3 == i)
+                   .withColumn("o_orderstatus", F.lit(f"S{i}"))
+                   .withColumn("o_totalprice", F.col("o_totalprice") + i))
+    assert tbl.logcompact(min_log_files=3) is not None
+    return {"tbl": tbl}
+
+
 def _fx_orders_exprskip(spark, sf_dir, path):
     """Expression stats (functional-index equivalent): per-file min/max of
     year(o_orderdate) harvested at write; skip_filters on the alias prune
@@ -562,6 +580,7 @@ _BUILDERS = {
     "orders_si": _fx_orders_si,
     "orders_zorder": _fx_orders_zorder,
     "orders_exprskip": _fx_orders_exprskip,
+    "orders_logcompact": _fx_orders_logcompact,
 }
 
 _ORDER_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
@@ -1162,6 +1181,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         load_table(s, d, "documents"), "text", n=4, k=20)
     q["zorder_clustering"] = lambda s, d: _data(
         _fixture(s, d, "orders_zorder")["tbl"].snapshot()).select(*_ORDER_COLS)
+    q["mor_logcompaction"] = lambda s, d: _data(
+        _fixture(s, d, "orders_logcompact")["tbl"].snapshot()).select(
+            *_ORDER_COLS)
     q["expr_data_skipping"] = lambda s, d: _data(
         _fixture(s, d, "orders_exprskip")["tbl"]
         .snapshot(skip_filters=[("yr", "=", 1997)])
@@ -1405,6 +1427,13 @@ SELECT {sel_orders} FROM orders WHERE o_orderkey % 2 = 0
     o["zorder_clustering"] = f"SELECT {sel_orders} FROM orders"
     o["expr_data_skipping"] = f"""
 SELECT {sel_orders} FROM orders WHERE year(o_orderdate) = 1997
+"""
+    o["mor_logcompaction"] = """
+SELECT o_orderkey, o_custkey,
+       'S' || CAST(o_orderkey % 3 AS VARCHAR) AS o_orderstatus,
+       o_totalprice + (o_orderkey % 3) AS o_totalprice,
+       o_orderdate, o_orderpriority
+FROM orders
 """
 
     o["mor_snapshot"] = _MOR_FINAL
