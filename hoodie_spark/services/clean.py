@@ -65,7 +65,22 @@ def clean(table, policy: str = CleaningPolicy.KEEP_LATEST_COMMITS,
                                    "instant": sl.base_instant})
             deleted_logs += [lf.path for lf in sl.log_files]
             deleted_paths += paths
-    if not deleted_slices:
+    # log files superseded by a logcompaction at/before the retention
+    # horizon: no reader inside the window can need them (older time travel
+    # is already forfeited by this policy, same as for deleted slices)
+    if earliest_retained is not None:
+        for grp in view.groups.values():
+            sl = grp.latest_slice(None)
+            if sl is None:
+                continue
+            for lf in sl.log_files:
+                if lf.compacted_at is not None \
+                        and lf.compacted_at <= earliest_retained \
+                        and lf.path not in pinned \
+                        and lf.path not in deleted_logs:
+                    deleted_logs.append(lf.path)
+                    deleted_paths.append(lf.path)
+    if not deleted_paths:
         return None
     fs = table.storage
     for p in deleted_paths:

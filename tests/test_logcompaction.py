@@ -106,3 +106,39 @@ def test_call_run_logcompaction(spark, mor_many_deltas):
     inst = run_sql(spark, "CALL run_logcompaction(table => 'olc', "
                           "min_log_files => 3)", {"olc": mor_many_deltas})
     assert inst is not None
+
+
+def test_clean_deletes_superseded_originals(spark, orders, tmp_table_path):
+    """Once the logcompaction falls behind the retention horizon, the
+    cleaner physically deletes the superseded originals; the merged delta
+    keeps serving reads."""
+    import os
+
+    tbl = HoodieTable.create(
+        spark, tmp_table_path, "olc3", ["o_orderkey"], "o_orderdate",
+        partition_expr="cast(year(o_orderdate) as string)",
+        table_type=TableType.MERGE_ON_READ)
+    tbl.bulk_insert(orders)
+    for i in range(3):
+        tbl.upsert(orders.filter(F.col("o_orderkey") % 3 == i)
+                   .withColumn("o_orderstatus", F.lit(f"S{i}")))
+    before = _chk(tbl.snapshot())
+    assert tbl.logcompact(min_log_files=3) is not None
+    originals = [lf.path for sl in tbl.view().latest_slices()
+                 for lf in sl.log_files if lf.compacted_at is not None]
+    assert originals
+    # push the retention horizon past the logcompaction (the P-upserts
+    # carry the ORIGINAL status for their keys, legitimately winning)
+    touched = {r.o_orderkey for r in orders.limit(5).collect()}
+    for i in range(3):
+        tbl.upsert(orders.limit(5)
+                   .withColumn("o_orderpriority", F.lit(f"P{i}")))
+    assert tbl.clean(retained=2) is not None
+    for p in originals:
+        assert not os.path.exists(os.path.join(tbl.base_path, p)), p
+    got = {r.o_orderkey: r.o_orderstatus for r in tbl.snapshot().collect()}
+    exp = {k: s for k, s, _p in before}
+    # keys not touched by the later P-upserts keep their S-status, served
+    # from the merged delta alone
+    assert all(got[k] == exp[k] for k in got if k not in touched)
+    assert len(got) == len(exp)
