@@ -36,11 +36,13 @@ class AsyncTableServices:
     def __init__(self, table, compact_every: int | None = None,
                  clean_every: int | None = None,
                  cluster_every: int | None = None,
-                 cluster_plan_strategy: str | None = None):
+                 cluster_plan_strategy: str | None = None,
+                 logcompact_every: int | None = None):
         self.table = table
         self.compact_every = compact_every
         self.clean_every = clean_every
         self.cluster_every = cluster_every
+        self.logcompact_every = logcompact_every
         # streaming ingest clusters with the recency plan by default: only
         # the newest partitions accumulate small files, and planning over
         # the full history every N commits defeats the point at scale
@@ -93,6 +95,12 @@ class AsyncTableServices:
             if n_delta and n_delta % self.compact_every == 0:
                 with self.write_lock:
                     self.table.compact()
+        if self.logcompact_every and \
+                self.table.config.table_type == TableType.MERGE_ON_READ:
+            n_delta = len(tl_.completed(("deltacommit",)))
+            if n_delta and n_delta % self.logcompact_every == 0:
+                with self.write_lock:
+                    self.table.logcompact()
         if self.cluster_every:
             n_data = len(tl_.completed(("commit", "deltacommit")))
             if n_data and n_data % self.cluster_every == 0:

@@ -510,3 +510,29 @@ def test_ingest_initial_checkpoint(spark, events, tmp_table_path):
     os.utime(new, (cutoff + 5, cutoff + 5))
     assert ing.sync_once() is not None
     assert tbl.snapshot().count() == 50  # old file never ingested
+
+
+def test_async_logcompaction(spark, tmp_table_path):
+    """logcompact_every wiring: background log compaction merges delta
+    files while ingestion continues; snapshot stays exact."""
+    from pyspark.sql import functions as F
+
+    from hoodie_spark import HoodieTable, TableType
+    from hoodie_spark.streaming import AsyncTableServices, foreach_batch_writer
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    tbl = HoodieTable.create(spark, tmp_table_path, "alc", ["o_orderkey"],
+                             "o_orderdate", table_type=TableType.MERGE_ON_READ)
+    tbl.bulk_insert(orders)
+    services = AsyncTableServices(tbl, logcompact_every=3)
+    fn = foreach_batch_writer(tbl, services=services)
+    for i in range(4):
+        fn(orders.filter(F.col("o_orderkey") % 4 == i)
+           .withColumn("o_orderstatus", F.lit(f"L{i}")), i)
+    services.stop()
+    assert any(c["operation"] == "logcompact" for c in tbl.commits())
+    snap = tbl.snapshot()
+    assert snap.count() == orders.count()
+    for i in range(4):
+        assert snap.filter(f"o_orderstatus = 'L{i}'").count() == \
+            orders.filter(F.col("o_orderkey") % 4 == i).count()
