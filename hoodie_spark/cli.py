@@ -40,10 +40,21 @@ def _build_parser() -> argparse.ArgumentParser:
     f.add_argument("--partition", default=None)
     sub.add_parser("stats")
     sub.add_parser("compact")
+    lc = sub.add_parser("logcompact")
+    lc.add_argument("--min-log-files", type=int, default=3)
     c = sub.add_parser("clean")
     c.add_argument("--retained", type=int, default=None)
     cl = sub.add_parser("cluster")
     cl.add_argument("--sort-cols", default=None)
+    cl.add_argument("--layout", default="linear",
+                    choices=["linear", "zorder", "hilbert"])
+    ci = sub.add_parser("create-index")
+    ci.add_argument("column")
+    di = sub.add_parser("drop-index")
+    di.add_argument("column")
+    tt = sub.add_parser("ttl")
+    tt.add_argument("--keep-latest", type=int, default=None)
+    tt.add_argument("--older-than", default=None)
     r = sub.add_parser("rollback")
     r.add_argument("instant")
     s = sub.add_parser("savepoint")
@@ -82,11 +93,29 @@ def main(argv: list[str] | None = None, spark=None) -> dict:
     elif args.cmd == "compact":
         inst = tbl.compact()
         out = {"compaction_instant": inst}
+    elif args.cmd == "logcompact":
+        out = {"logcompaction_instant":
+               tbl.logcompact(min_log_files=args.min_log_files)}
+    elif args.cmd == "create-index":
+        tbl.create_secondary_index(args.column)
+        out = {"index_created": args.column}
+    elif args.cmd == "drop-index":
+        tbl.drop_secondary_index(args.column)
+        out = {"index_dropped": args.column}
+    elif args.cmd == "ttl":
+        kw = {}
+        if args.keep_latest is not None:
+            kw["keep_latest"] = args.keep_latest
+        if args.older_than is not None:
+            kw["older_than"] = args.older_than
+        res = tbl.apply_ttl(**kw)
+        out = {"ttl_instant": getattr(res, "instant", res)}
     elif args.cmd == "clean":
         out = {"cleaned": tbl.clean(retained=args.retained)}
     elif args.cmd == "cluster":
         cols = args.sort_cols.split(",") if args.sort_cols else None
-        out = {"clustering_instant": tbl.cluster(sort_cols=cols)}
+        out = {"clustering_instant": tbl.cluster(sort_cols=cols,
+                                                 layout=args.layout)}
     elif args.cmd == "rollback":
         tbl.rollback(args.instant)
         out = {"rolled_back": args.instant}

@@ -223,6 +223,15 @@ def test_cli_commands(spark, orders, tmp_table_path):
     assert out["version"] == 1
     out = cli.main([tmp_table_path, "upgrade"], spark=spark)
     assert out["version"] == 2
+    out = cli.main([tmp_table_path, "create-index", "o_custkey"], spark=spark)
+    assert out["index_created"] == "o_custkey"
+    from hoodie_spark import secondary_index as si
+    tbl2 = HoodieTable.load(spark, tmp_table_path)
+    assert si.exists(tbl2, "o_custkey")
+    out = cli.main([tmp_table_path, "drop-index", "o_custkey"], spark=spark)
+    assert not si.exists(tbl2, "o_custkey")
+    out = cli.main([tmp_table_path, "logcompact"], spark=spark)
+    assert out["logcompaction_instant"] is None  # COW: nothing to merge
     import shutil
     shutil.rmtree(exp, ignore_errors=True)
 
