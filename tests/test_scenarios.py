@@ -27,6 +27,7 @@ _OPS = st.lists(
         st.tuples(st.just("delete_partition"), st.integers(0, 6)),
         st.tuples(st.just("rollback"), st.just(0)),
         st.tuples(st.just("compact"), st.just(0)),
+        st.tuples(st.just("logcompact"), st.just(0)),
         st.tuples(st.just("cluster"), st.just(0)),
     ),
     min_size=3, max_size=6)
@@ -105,6 +106,8 @@ def test_random_operation_dag(spark, tmp_path_factory, base_rows,
             model = dict(history[-1][0])
         elif kind == "compact" and table_type == TableType.MERGE_ON_READ:
             tbl.compact()
+        elif kind == "logcompact" and table_type == TableType.MERGE_ON_READ:
+            tbl.logcompact(min_log_files=2)
         elif kind == "cluster":
             tbl.cluster()
 
