@@ -309,16 +309,21 @@ class ReadClient:
         return self._assemble(view, slices, as_of).join(
             F.broadcast(keyed), RECORD_KEY, "left_semi")
 
-    def read_by_column(self, column: str, values: list) -> DataFrame:
+    def read_by_column(self, column: str, values: list,
+                       as_of: str | None = None) -> DataFrame:
         """Point/in-list lookup on a NON-key column. With a secondary index
         (:mod:`hoodie_spark.secondary_index`) the scan prunes to exactly
         the file groups that ever contained a requested value; otherwise it
         falls back to the column-stats-pruned snapshot. Either way the real
         predicate is re-applied, so index staleness can only cost I/O,
-        never correctness."""
+        never correctness. Time-travel (``as_of``) always takes the
+        snapshot fallback: the index only maps LIVE file groups."""
         from . import secondary_index
 
         vals = list(values)
+        if as_of is not None:
+            return self.snapshot(as_of=as_of).filter(
+                F.col(column).isin(vals))
         view = self.table.view()
         values_df = self.spark.createDataFrame([(v,) for v in vals],
                                                ["value"])

@@ -598,6 +598,22 @@ def _exec_call(spark, sql: str, tables: dict):
         return tbl.archive(max_active=args.get("max_active"))
     if proc == "run_upgrade":
         return tbl.upgrade(to_version=args.get("to_version"))
+    if proc == "show_savepoints":
+        from ..timeline import SAVEPOINT
+        sps = tbl.timeline.completed((SAVEPOINT,))
+        rows = [(tbl.timeline.metadata(i)["savepointed_at"], i.timestamp)
+                for i in sps]
+        return spark.createDataFrame(
+            rows, "savepoint_time string, created_at string")
+    if proc == "show_fsview_all":
+        rows = [(sl.partition, sl.file_id, sl.base_instant,
+                 sl.base_file.file_name if sl.base_file else None,
+                 sl.base_file.size if sl.base_file else 0,
+                 len(sl.log_files_as_of(None)))
+                for sl in tbl.view().latest_slices()]
+        return spark.createDataFrame(
+            rows, "partition string, file_id string, base_instant string, "
+                  "base_file string, base_size long, num_active_logs int")
     if proc == "show_commits":
         insts = tbl.timeline.completed()
         limit = int(args.get("limit", 10))

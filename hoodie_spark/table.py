@@ -324,8 +324,9 @@ class HoodieTable:
         from . import secondary_index
         secondary_index.drop_index(self, column)
 
-    def read_by_column(self, column: str, values: list) -> DataFrame:
-        return self._reader.read_by_column(column, values)
+    def read_by_column(self, column: str, values: list,
+                       as_of: str | None = None) -> DataFrame:
+        return self._reader.read_by_column(column, values, as_of=as_of)
 
     def read_keys(self, keys_df: DataFrame, as_of: str | None = None) -> DataFrame:
         return self._reader.read_keys(keys_df, as_of=as_of)

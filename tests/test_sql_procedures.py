@@ -110,3 +110,35 @@ def test_spark_sql_native_call_and_index(spark, orders, tmp_table_path):
         assert spark.sql("SELECT 1 AS x").first().x == 1
     finally:
         disable(spark)
+
+
+def test_show_fsview_and_savepoints(spark, orders, tmp_table_path):
+    tbl = HoodieTable.create(
+        spark, tmp_table_path, "orders_fv", ["o_orderkey"], "o_orderdate",
+        partition_expr="cast(year(o_orderdate) as string)")
+    c1 = tbl.bulk_insert(orders).instant
+    tbl.savepoint(c1)
+    tables = {"orders_fv": tbl}
+    fv = run_sql(spark, "CALL show_fsview_all(table => 'orders_fv')", tables)
+    assert fv.count() == len(tbl.view().latest_slices())
+    assert set(fv.columns) == {"partition", "file_id", "base_instant",
+                               "base_file", "base_size", "num_active_logs"}
+    sp = run_sql(spark, "CALL show_savepoints(table => 'orders_fv')", tables)
+    assert [r.savepoint_time for r in sp.collect()] == [c1]
+    assert "created_at" in sp.columns
+
+
+def test_read_by_column_as_of(spark, orders, tmp_table_path):
+    tbl = HoodieTable.create(
+        spark, tmp_table_path, "orders_rbc", ["o_orderkey"], "o_orderdate",
+        partition_expr="cast(year(o_orderdate) as string)")
+    c1 = tbl.bulk_insert(orders).instant
+    tbl.create_secondary_index("o_custkey")
+    key = orders.first().o_custkey
+    n_before = orders.filter(F.col("o_custkey") == key).count()
+    # move every row with that custkey to a new custkey
+    tbl.upsert(orders.filter(F.col("o_custkey") == key)
+               .withColumn("o_custkey", F.lit(111222333).cast("long")))
+    assert tbl.read_by_column("o_custkey", [key]).count() == 0
+    # as-of the first commit the old value is still there
+    assert tbl.read_by_column("o_custkey", [key], as_of=c1).count() == n_before
