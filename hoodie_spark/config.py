@@ -189,6 +189,14 @@ class WriteConfig:
     # table lock at commit and aborts on overlapping file-group writes
     concurrency_mode: str = WriteConcurrencyMode.SINGLE_WRITER
     lock_timeout_s: float = 60.0
+    # failed-write cleaning (HoodieFailedWritesCleaningPolicy): "eager"
+    # rolls back dead writers' pending instants at the start of every write;
+    # "lazy" defers to clean() and only reclaims instants whose heartbeat
+    # (.hoodie/.heartbeat/<instant>) has expired — required for
+    # multi-writer/OCC, where a pending instant may belong to a LIVE
+    # concurrent writer; "never" disables automatic reclamation
+    failed_writes_policy: str = "lazy"
+    heartbeat_expiry_s: float = 120.0
     # data skipping: harvest per-file min/max for these columns into the
     # commit manifest (column-stats-index equivalent); reads can then prune
     # files via snapshot(skip_filters=...) before Spark ever lists them

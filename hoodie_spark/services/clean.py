@@ -25,6 +25,12 @@ class CleaningPolicy:
 def clean(table, policy: str = CleaningPolicy.KEEP_LATEST_COMMITS,
           retained: int | None = None):
     """Returns the clean instant, or None if nothing to do."""
+    if table.write_config.failed_writes_policy == "lazy":
+        # HoodieFailedWritesCleaningPolicy.LAZY: dead writers' pending
+        # instants are reclaimed here, heartbeat-gated so a live concurrent
+        # writer's in-flight instant is never touched
+        from .rollback import rollback_failed_writes
+        rollback_failed_writes(table)
     timeline = table.timeline
     view = table.view()
     pinned = savepointed_files(table)

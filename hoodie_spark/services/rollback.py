@@ -37,6 +37,48 @@ def _delete_instant_files(table, ts: str) -> list[str]:
     return deleted
 
 
+def _listing_rollback_files(table, instant_ts: str) -> list[str]:
+    """ListingBasedRollbackHelper.java:252 equivalent for PENDING instants:
+    a writer that died before publishing left no commit metadata, but every
+    file it wrote embeds its instant time in the name (FSUtils.java:131
+    ``fileId_token_instant.parquet`` / delta naming), so a directory walk
+    finds exactly its output. This is the rare crash-recovery path — normal
+    rollback of a completed instant stays manifest-driven and never lists."""
+    suffixes = (f"_{instant_ts}.parquet", f"_{instant_ts}.delta.parquet")
+    deleted = []
+    for root, dirs, files in os.walk(table.base_path):
+        dirs[:] = [d for d in dirs if d != ".hoodie"]
+        for fn in files:
+            if fn.endswith(suffixes):
+                p = os.path.join(root, fn)
+                table.storage.remove(p)
+                deleted.append(os.path.relpath(p, table.base_path))
+    return deleted
+
+
+def rollback_failed_writes(table) -> list[str]:
+    """Reclaim pending data instants whose writer died — heartbeat expired
+    or never written (BaseHoodieWriteClient.rollbackFailedWrites +
+    HoodieHeartbeatClient.java). Pending instants with a LIVE heartbeat are
+    a concurrent writer's in-flight work and are left untouched, which is
+    what makes the "lazy" policy safe under multi-writer OCC."""
+    cfg = table.write_config
+    if cfg.failed_writes_policy == "never":
+        return []
+    hb = tl.Heartbeat(table.base_path)
+    seen: list[str] = []
+    for inst in table.timeline.pending():
+        ts = inst.timestamp
+        if inst.action not in tl.DATA_ACTIONS or ts in seen:
+            continue
+        if not hb.is_expired(ts, cfg.heartbeat_expiry_s):
+            continue
+        rollback(table, ts)
+        hb.stop(ts)
+        seen.append(ts)
+    return seen
+
+
 def rollback(table, instant_ts: str):
     """Undo the LATEST completed data instant (or a pending one). Hudi
     equally restricts rollback of non-latest commits unless cascading —
@@ -60,6 +102,9 @@ def rollback(table, instant_ts: str):
         raise ValueError(f"no instant {instant_ts} to roll back")
 
     deleted = _delete_instant_files(table, instant_ts)
+    if pending and not completed:
+        # crashed writer: no manifest to consult — sweep by filename
+        deleted += _listing_rollback_files(table, instant_ts)
     for inst in pending:
         timeline.delete_instant(inst)
     t = timeline.new_instant_time()

@@ -184,6 +184,48 @@ class Timeline:
         return moved
 
 
+class Heartbeat:
+    """Failed-writer detection (client/heartbeat/HoodieHeartbeatClient.java,
+    HeartbeatUtils.java; dir layout HoodieTableMetaClient.java:81
+    ``.hoodie/.heartbeat``).
+
+    A writer touches ``.hoodie/.heartbeat/<instant>`` while its write is in
+    flight and deletes it on publish/abort. A PENDING instant whose heartbeat
+    file is missing or older than the expiry therefore belongs to a writer
+    that died mid-write; its partial files can be rolled back safely. Pure
+    driver-side mtime checks — no Spark involvement."""
+
+    def __init__(self, base_path: str):
+        self.dir = os.path.join(base_path, ".hoodie", ".heartbeat")
+
+    def _path(self, instant_ts: str) -> str:
+        return os.path.join(self.dir, instant_ts)
+
+    def refresh(self, instant_ts: str) -> None:
+        """Start or re-arm the heartbeat for an in-flight instant."""
+        os.makedirs(self.dir, exist_ok=True)
+        p = self._path(instant_ts)
+        with open(p, "a"):
+            pass
+        os.utime(p, None)
+
+    def stop(self, instant_ts: str) -> None:
+        try:
+            os.remove(self._path(instant_ts))
+        except FileNotFoundError:
+            pass
+
+    def is_expired(self, instant_ts: str, expiry_s: float) -> bool:
+        """Missing heartbeat counts as expired: a pending instant that never
+        wrote one predates heartbeating or lost its writer before the first
+        beat — either way no live writer owns it."""
+        try:
+            mtime = os.path.getmtime(self._path(instant_ts))
+        except FileNotFoundError:
+            return True
+        return (time.time() - mtime) > expiry_s
+
+
 class LockProvider:
     """File-based create-if-absent lock (common/lock/LockProvider.java;
     stands in for ZookeeperBasedLockProvider for single-host OCC)."""

@@ -250,11 +250,17 @@ class WriteClient:
         completes after planning starts must sort above it (the reference's
         TransactionManager begins the transaction before the write is
         planned for the same reason)."""
+        if self.table.write_config.failed_writes_policy == "eager":
+            from .services.rollback import rollback_failed_writes
+            rollback_failed_writes(self.table)
         instant = self.table.timeline.new_instant_time()
         last = self.table.timeline.last_completed()
         self._txn_baseline[instant] = last.timestamp if last else ""
         self.table.timeline.create_requested(action, instant)
         self.table.timeline.transition_inflight(action, instant)
+        # heartbeat marks this writer alive; a pending instant whose beat
+        # expires is reclaimable by rollback_failed_writes
+        tl.Heartbeat(self.table.base_path).refresh(instant)
         return instant
 
     def _ensure_index_ready(self) -> None:
@@ -303,6 +309,10 @@ class WriteClient:
     def _commit(self, instant: str, action: str, operation: str, stats: list[dict],
                 replaced: dict[str, list[str]] | None = None,
                 extra: dict | None = None, index_fn=None) -> WriteResult:
+        # re-arm before the commit critical section: the Spark jobs between
+        # _begin and here can outlast the expiry on a loaded cluster, and a
+        # stale beat would make this LIVE write look reclaimable
+        tl.Heartbeat(self.table.base_path).refresh(instant)
         if self.table.write_config.concurrency_mode == WriteConcurrencyMode.OPTIMISTIC:
             from .timeline import LockProvider
 
@@ -373,6 +383,7 @@ class WriteClient:
             for act in tl.DATA_ACTIONS:
                 self.table.timeline.delete_instant(
                     tl.Instant(instant, act, state))
+        tl.Heartbeat(self.table.base_path).stop(instant)
 
     def _do_commit(self, instant: str, action: str, operation: str,
                    stats: list[dict],
@@ -407,6 +418,7 @@ class WriteClient:
                 self._abort_write(instant, stats)
                 raise
         self.table.timeline.complete(action, instant, meta)
+        tl.Heartbeat(self.table.base_path).stop(instant)
         self.table.save_properties()
         if total_recs:
             self.table.write_config.record_size_estimate = max(

@@ -302,3 +302,74 @@ def test_partition_ttl_expires_old_partitions(spark, orders, tmp_table_path):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         expired_partitions(tbl, keep_latest=1, older_than="x")
+
+
+# ----------------------------------------------- failed-write reclamation
+def _simulate_crashed_writer(tbl, heartbeat_age_s=None):
+    """Leave behind exactly what a writer that died mid-write leaves: a
+    requested+inflight instant, an orphan data file named with that instant,
+    and (optionally) a heartbeat file aged ``heartbeat_age_s`` seconds."""
+    import time as _time
+
+    from hoodie_spark import timeline as tl
+
+    ts = tbl.timeline.new_instant_time()
+    tbl.timeline.create_requested(tl.COMMIT, ts)
+    tbl.timeline.transition_inflight(tl.COMMIT, ts)
+    part = sorted(tbl.view().partitions())[0]
+    orphan = os.path.join(tbl.base_path, part, f"deadbeef_0-0-0_{ts}.parquet")
+    with open(orphan, "wb") as f:
+        f.write(b"partial")
+    if heartbeat_age_s is not None:
+        hb = tl.Heartbeat(tbl.base_path)
+        hb.refresh(ts)
+        old = _time.time() - heartbeat_age_s
+        os.utime(hb._path(ts), (old, old))
+    return ts, orphan
+
+
+def test_lazy_failed_write_cleaning(spark, orders, tmp_table_path):
+    from hoodie_spark.services import clean, rollback_failed_writes
+
+    tbl = make_orders(spark, tmp_table_path,
+                      write_config=WriteConfig(heartbeat_expiry_s=60.0))
+    tbl.bulk_insert(orders)
+    n = tbl.snapshot().count()
+
+    dead_ts, orphan = _simulate_crashed_writer(tbl, heartbeat_age_s=3600)
+    live_ts, live_orphan = _simulate_crashed_writer(tbl, heartbeat_age_s=0)
+
+    reclaimed = rollback_failed_writes(tbl)
+    assert reclaimed == [dead_ts]
+    assert not os.path.exists(orphan)
+    assert os.path.exists(live_orphan)  # live writer untouched
+    assert {i.timestamp for i in tbl.timeline.pending()} == {live_ts}
+    assert tbl.timeline.completed()[-1].action == "rollback"
+    assert tbl.snapshot().count() == n
+
+    # clean() under the default lazy policy reclaims once the beat expires
+    from hoodie_spark import timeline as tl
+    hb = tl.Heartbeat(tbl.base_path)
+    old = __import__("time").time() - 3600
+    os.utime(hb._path(live_ts), (old, old))
+    clean(tbl)
+    assert tbl.timeline.pending() == []
+    assert not os.path.exists(live_orphan)
+
+
+def test_eager_failed_write_cleaning(spark, orders, tmp_table_path):
+    tbl = make_orders(spark, tmp_table_path,
+                      write_config=WriteConfig(failed_writes_policy="eager",
+                                               heartbeat_expiry_s=60.0))
+    tbl.bulk_insert(orders)
+    dead_ts, orphan = _simulate_crashed_writer(tbl, heartbeat_age_s=3600)
+    # missing heartbeat entirely also counts as dead
+    dead2_ts, orphan2 = _simulate_crashed_writer(tbl)
+
+    tbl.upsert(orders.limit(10).withColumn("o_orderstatus", F.lit("X")))
+    assert not os.path.exists(orphan)
+    assert not os.path.exists(orphan2)
+    assert tbl.timeline.pending() == []
+    # the write itself published and left no heartbeat behind
+    hb_dir = os.path.join(tbl.base_path, ".hoodie", ".heartbeat")
+    assert not os.path.exists(hb_dir) or os.listdir(hb_dir) == []
