@@ -18,6 +18,8 @@ Usage::
     python -m hoodie_spark.cli <base_path> savepoint [<instant>]
     python -m hoodie_spark.cli <base_path> restore <instant>
     python -m hoodie_spark.cli <base_path> export <target> [--format parquet]
+    python -m hoodie_spark.cli <base_path> repair-dedup <partition> [--dry-run]
+    python -m hoodie_spark.cli <base_path> reclaim
     python -m hoodie_spark.cli <base_path> upgrade|downgrade
 
 Output is one JSON document on stdout (machine-readable, like the
@@ -64,6 +66,10 @@ def _build_parser() -> argparse.ArgumentParser:
     e = sub.add_parser("export")
     e.add_argument("target")
     e.add_argument("--format", default="parquet")
+    rd = sub.add_parser("repair-dedup")
+    rd.add_argument("partition")
+    rd.add_argument("--dry-run", action="store_true")
+    sub.add_parser("reclaim")
     sub.add_parser("upgrade")
     sub.add_parser("downgrade")
     return p
@@ -129,6 +135,16 @@ def main(argv: list[str] | None = None, spark=None) -> dict:
 
         latest = export_snapshot(tbl, args.target, args.format)
         out = {"exported": args.target, "as_of": latest}
+    elif args.cmd == "repair-dedup":
+        from .services.repair import repair_deduplicate
+
+        res = repair_deduplicate(tbl, args.partition, dry_run=args.dry_run)
+        out = {"duplicate_keys": res} if args.dry_run else \
+            {"repair_instant": res}
+    elif args.cmd == "reclaim":
+        from .services.rollback import rollback_failed_writes
+
+        out = {"reclaimed": rollback_failed_writes(tbl)}
     elif args.cmd == "upgrade":
         out = {"stats_touched": tbl.upgrade(),
                "version": tbl.config.version}

@@ -3,11 +3,13 @@ from .cluster import cluster
 from .compact import compact, logcompact, schedule_compaction
 from .rollback import restore, rollback, rollback_failed_writes, savepoint
 from .archive import archive
+from .repair import find_duplicates, repair_deduplicate
 from .ttl import apply_ttl, expired_partitions
 from .upgrade import CURRENT_VERSION, downgrade, upgrade
 
 __all__ = ["clean", "CleaningPolicy", "cluster", "compact", "logcompact",
            "schedule_compaction", "rollback", "rollback_failed_writes",
            "restore", "savepoint",
-           "archive", "upgrade", "downgrade", "CURRENT_VERSION",
+           "archive", "find_duplicates", "repair_deduplicate",
+           "upgrade", "downgrade", "CURRENT_VERSION",
            "apply_ttl", "expired_partitions"]

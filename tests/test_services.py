@@ -373,3 +373,39 @@ def test_eager_failed_write_cleaning(spark, orders, tmp_table_path):
     # the write itself published and left no heartbeat behind
     hb_dir = os.path.join(tbl.base_path, ".hoodie", ".heartbeat")
     assert not os.path.exists(hb_dir) or os.listdir(hb_dir) == []
+
+
+def test_repair_deduplicate(spark, orders, tmp_table_path):
+    from hoodie_spark.services import find_duplicates, repair_deduplicate
+
+    tbl = make_orders(spark, tmp_table_path)
+    tbl.bulk_insert(orders)
+    parts = sorted(tbl.view().partitions())
+    bad = parts[1]
+    dupes = (orders.filter(F.date_format("o_orderdate", "yyyy") == bad)
+             .limit(100).withColumn("o_orderstatus", F.lit("D")))
+    n_dup = dupes.count()
+    assert n_dup > 0
+    # bulk_insert bypasses the index by design -> duplicate keys appear
+    tbl.bulk_insert(dupes)
+    assert tbl.snapshot().count() == orders.count() + n_dup
+    assert find_duplicates(tbl, bad).count() == n_dup
+
+    # dry run reports, mutates nothing
+    assert repair_deduplicate(tbl, bad, dry_run=True) == n_dup
+    assert tbl.snapshot().count() == orders.count() + n_dup
+
+    inst = repair_deduplicate(tbl, bad)
+    assert inst is not None
+    snap = tbl.snapshot()
+    assert snap.count() == orders.count()
+    assert find_duplicates(tbl, bad).count() == 0
+    # winner is the later commit's row (same precombine, higher commit time)
+    assert snap.filter("o_orderstatus='D'").count() == n_dup
+    # untouched partitions keep their original files; the repair is an
+    # atomic replacecommit, so it rolls back like any other write
+    assert tbl.timeline.completed()[-1].action == "replacecommit"
+    tbl.rollback(inst)
+    assert tbl.snapshot().count() == orders.count() + n_dup
+    # clean partition: no-op
+    assert repair_deduplicate(tbl, parts[0]) is None
