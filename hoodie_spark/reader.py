@@ -74,12 +74,38 @@ class ReadClient:
         self.table = table
         self.spark = table.spark
 
+    def _check_readable(self, as_of: str | None) -> None:
+        """Fail LOUDLY when a time-travel point predates the cleaner's
+        retention horizon: the file versions serving that snapshot were
+        physically deleted, so silently returning whatever is left (often 0
+        rows) would be a wrong result, not an answer. Savepointed instants
+        stay readable — their files are pinned against cleaning (the same
+        carve-out CleanPlanner.java:68 makes). Driver-only, O(cleans)."""
+        if as_of is None:
+            return
+        horizon = None
+        for i in self.table.timeline.completed((tl.CLEAN,)):
+            er = self.table.timeline.metadata(i).get("earliest_retained")
+            if er and (horizon is None or er > horizon):
+                horizon = er
+        if horizon is None or as_of >= horizon:
+            return
+        from .services.rollback import savepointed_instants
+        if as_of in savepointed_instants(self.table):
+            return
+        raise ValueError(
+            f"snapshot as of {as_of} is not readable: the cleaner retained "
+            f"file versions only back to {horizon} "
+            f"(cleaner_commits_retained). Savepoint instants you need to "
+            f"time-travel to, or raise the retention.")
+
     # ------------------------------------------------------------- snapshot
     def snapshot(self, as_of: str | None = None,
                  partitions: list[str] | None = None,
                  skip_filters: list[tuple] | None = None) -> DataFrame:
         """Latest committed state (optionally time-travelled / partition-
         pruned / stats-pruned — see :func:`prune_by_stats`)."""
+        self._check_readable(as_of)
         view = self.table.view()
         slices = view.latest_slices(as_of=as_of, partitions=partitions)
         is_mor = self.table.config.table_type == TableType.MERGE_ON_READ
@@ -97,6 +123,7 @@ class ReadClient:
                        skip_filters: list[tuple] | None = None) -> DataFrame:
         """MOR read-optimized view — base files only (DefaultSource.scala:
         119-124); identical to snapshot for COW."""
+        self._check_readable(as_of)
         view = self.table.view()
         slices = view.latest_slices(as_of=as_of, partitions=partitions)
         if skip_filters:
@@ -158,6 +185,11 @@ class ReadClient:
         if not instants:
             return self.table.empty_df()
         end_ts = instants[-1].timestamp
+        if end is not None:
+            # a bounded incremental reads slices as-of end_ts; past the
+            # cleaner horizon those versions are gone (unbounded reads the
+            # live latest slices, always retained)
+            self._check_readable(end_ts)
         touched: set[tuple[str, str]] = set()
         for inst in instants:
             md = self.table.timeline.metadata(inst)
