@@ -409,3 +409,32 @@ def test_repair_deduplicate(spark, orders, tmp_table_path):
     assert tbl.snapshot().count() == orders.count() + n_dup
     # clean partition: no-op
     assert repair_deduplicate(tbl, parts[0]) is None
+
+
+def test_time_travel_past_clean_horizon_raises(spark, orders, tmp_table_path):
+    """A cleaned-away snapshot must fail loudly, not return 0 rows; a
+    savepointed instant stays readable because its files are pinned."""
+    import pytest
+
+    from hoodie_spark.services import clean
+
+    tbl = make_orders(spark, tmp_table_path,
+                      write_config=WriteConfig(cleaner_commits_retained=2))
+    small = orders.limit(300)
+    r1 = tbl.bulk_insert(small)
+    sp = tbl.upsert(small.withColumn("o_orderstatus", F.lit("SP")))
+    tbl.savepoint(sp.instant)
+    for i in range(3):
+        tbl.upsert(small.withColumn("o_orderstatus", F.lit(f"S{i}")))
+    assert clean(tbl) is not None
+
+    with pytest.raises(ValueError, match="not readable"):
+        tbl.snapshot(as_of=r1.instant)
+    with pytest.raises(ValueError, match="not readable"):
+        tbl.incremental(end=r1.instant)
+    # savepointed instant before the horizon still reads exactly
+    snap = tbl.snapshot(as_of=sp.instant)
+    assert snap.count() == 300
+    assert snap.filter("o_orderstatus='SP'").count() == 300
+    # unbounded reads unaffected
+    assert tbl.snapshot().filter("o_orderstatus='S2'").count() == 300
