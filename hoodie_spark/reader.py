@@ -226,6 +226,16 @@ class ReadClient:
         all_insts = timeline.completed(tl.DATA_ACTIONS)
         insts = [i for i in all_insts
                  if i.timestamp > begin and (end is None or i.timestamp <= end)]
+        if insts:
+            # the oldest pre-image this read diffs against is the slice
+            # state just before the first in-range commit; if the cleaner
+            # removed those versions the diff would silently mislabel every
+            # carried-over row as an insert — same loud-failure contract as
+            # time travel
+            oldest_pre = max((i.timestamp for i in all_insts
+                              if i.timestamp < insts[0].timestamp),
+                             default=None)
+            self._check_readable(oldest_pre)
         data_cols = [c for c in self.table.empty_df().columns
                      if not c.startswith("_hoodie")]
         key_cols = [PARTITION_PATH, RECORD_KEY]
