@@ -344,6 +344,7 @@ class ReadClient:
         carries the natural key columns. The scan is pruned to candidate
         files via the record index / key ranges / bloom sketches (see
         :meth:`_key_candidate_slices`) before the semi join."""
+        self._check_readable(as_of)
         keyed = keys_df.select(
             record_key_expr(self.table.config).alias(RECORD_KEY)).distinct()
         view = self.table.view()
