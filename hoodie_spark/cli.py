@@ -18,6 +18,7 @@ Usage::
     python -m hoodie_spark.cli <base_path> savepoint [<instant>]
     python -m hoodie_spark.cli <base_path> restore <instant>
     python -m hoodie_spark.cli <base_path> export <target> [--format parquet]
+    python -m hoodie_spark.cli <base_path> rescale-buckets <count>
     python -m hoodie_spark.cli <base_path> repair-dedup <partition> [--dry-run]
     python -m hoodie_spark.cli <base_path> reclaim
     python -m hoodie_spark.cli <base_path> upgrade|downgrade
@@ -66,6 +67,8 @@ def _build_parser() -> argparse.ArgumentParser:
     e = sub.add_parser("export")
     e.add_argument("target")
     e.add_argument("--format", default="parquet")
+    rb = sub.add_parser("rescale-buckets")
+    rb.add_argument("count", type=int)
     rd = sub.add_parser("repair-dedup")
     rd.add_argument("partition")
     rd.add_argument("--dry-run", action="store_true")
@@ -135,6 +138,11 @@ def main(argv: list[str] | None = None, spark=None) -> dict:
 
         latest = export_snapshot(tbl, args.target, args.format)
         out = {"exported": args.target, "as_of": latest}
+    elif args.cmd == "rescale-buckets":
+        from .services import rescale_buckets
+
+        out = {"rescale_instant": rescale_buckets(tbl, args.count),
+               "num_buckets": args.count}
     elif args.cmd == "repair-dedup":
         from .services.repair import repair_deduplicate
 

@@ -133,6 +133,13 @@ class TableConfig:
     # per-file record-key ranges. New tables are created at the current
     # version; v1 tables are migrated by services.upgrade.upgrade().
     version: int = 2
+    # STRUCTURAL index config, persisted because the data layout depends on
+    # it: for a BUCKET-index table the key→file-group hash IS the index, so
+    # a session that reloads the table with a different bucket count (or a
+    # non-bucket index) would route inserts off-layout and silently
+    # duplicate keys. None for tables whose index is a per-session choice
+    # (SIMPLE/BLOOM/record-index are lookup strategies, not layout).
+    bucket_index_num_buckets: int | None = None
 
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self), indent=2)

@@ -86,7 +86,21 @@ class FileGroup:
     partition: str
     file_id: str
     slices: dict[str, FileSlice] = field(default_factory=dict)  # base_instant -> slice
-    replaced_at: str | None = None
+    # every replacecommit that superseded this group, ascending. A group can
+    # be RE-CREATED after replacement — stable fids make this routine for
+    # bucket-index tables (delete_partition then re-insert, bucket rescale)
+    # — so replacement hides only slices written at-or-before the replace
+    # instant, never future ones.
+    replaced_ats: list[str] = field(default_factory=list)
+
+    def replaced_before(self, as_of: str | None) -> str | None:
+        """Latest replacement visible at ``as_of`` (None = now)."""
+        cands = [r for r in self.replaced_ats if as_of is None or r <= as_of]
+        return max(cands) if cands else None
+
+    @property
+    def replaced_at(self) -> str | None:
+        return self.replaced_ats[0] if self.replaced_ats else None
 
     def latest_slice(self, as_of: str | None = None) -> FileSlice | None:
         cands = [s for t, s in self.slices.items() if as_of is None or t <= as_of]
@@ -95,9 +109,13 @@ class FileGroup:
         return max(cands, key=lambda s: s.base_instant)
 
     def is_live(self, as_of: str | None = None) -> bool:
-        if self.replaced_at is None:
+        r = self.replaced_before(as_of)
+        if r is None:
             return True
-        return as_of is not None and self.replaced_at > as_of
+        # a slice AT the replace instant is the replacement's own output
+        # (bucket overwrites reuse the fid they supersede), hence >=
+        return any((as_of is None or t <= as_of) and t >= r
+                   for t in self.slices)
 
 
 class FileSystemView:
@@ -174,8 +192,9 @@ class FileSystemView:
         for pp, fids in md.get("replaced", {}).items():
             for fid in fids:
                 grp = self.groups.get((pp, fid))
-                if grp is not None and grp.replaced_at is None:
-                    grp.replaced_at = ts
+                if grp is not None and ts not in grp.replaced_ats:
+                    grp.replaced_ats.append(ts)
+                    grp.replaced_ats.sort()
 
     def apply_pending(self, ts: str, md: dict) -> None:
         """Overlay a not-yet-published commit's metadata on the fold —

@@ -51,7 +51,9 @@ def clean(table, policy: str = CleaningPolicy.KEEP_LATEST_COMMITS,
         if policy == CleaningPolicy.KEEP_LATEST_FILE_VERSIONS:
             obsolete = slices[retained:]
         else:
-            if grp.replaced_at is not None and grp.replaced_at <= earliest_retained:
+            last_replaced = grp.replaced_before(None)
+            if not grp.is_live(None) and last_replaced is not None \
+                    and last_replaced <= earliest_retained:
                 # replaced before the retention window: whole group obsolete
                 obsolete = slices
             else:

@@ -134,3 +134,42 @@ def cluster(table, sort_cols: list[str] | None = None, partitions=None,
         replaced.setdefault(sl.partition, []).append(sl.file_id)
     return writer._commit(instant, tl.REPLACECOMMIT, "cluster", stats,
                           replaced=replaced).instant
+
+
+def rescale_buckets(table, new_num_buckets: int):
+    """Re-bucket a hash-bucket-index table to ``new_num_buckets`` file
+    groups per partition (public consistent-hashing bucket-resize design,
+    executed — like Hudi's — as a clustering-style full rewrite publishing
+    one replacecommit).
+
+    Scale shape: one snapshot read → one shuffle keyed by the NEW bucket id
+    → one file per (partition, bucket). With modulo hashing a power-of-two
+    resize is structurally local — doubling sends each old bucket's rows to
+    exactly the two children ``b`` and ``b + old_count``, halving merges
+    fixed pairs — so the shuffle never fans a row outside its parent
+    bucket's hash family. Readers are unaffected mid-flight: they keep the
+    old layout until the replacecommit publishes, and the persisted bucket
+    count flips in the same instant's properties save."""
+    from ..config import IndexType
+
+    wcfg = table.write_config
+    if wcfg.index_type != IndexType.BUCKET:
+        raise ValueError("rescale_buckets requires a bucket-index table")
+    if new_num_buckets < 1:
+        raise ValueError("bucket count must be >= 1")
+    old = wcfg.bucket_index_num_buckets
+    if new_num_buckets == old:
+        return None
+    from ..config import META_COLUMNS
+
+    snap = table.snapshot().drop(*META_COLUMNS)
+    table.config.bucket_index_num_buckets = new_num_buckets
+    wcfg.bucket_index_num_buckets = new_num_buckets
+    try:
+        res = table.insert_overwrite_table(snap)
+    except BaseException:
+        table.config.bucket_index_num_buckets = old
+        wcfg.bucket_index_num_buckets = old
+        table.save_properties()
+        raise
+    return res.instant

@@ -61,6 +61,25 @@ class HoodieTable:
         self.base_path = base_path
         self.config = config
         self.write_config = write_config or WriteConfig()
+        # reconcile STRUCTURAL index config with the session: a bucket-index
+        # table's key→file-group hash is baked into its layout, so the
+        # persisted bucket count always wins — a session reloading with
+        # defaults would otherwise route inserts off-layout and silently
+        # duplicate keys (Hudi equally forbids changing the bucket count)
+        from .config import IndexType
+        wc = self.write_config
+        if config.bucket_index_num_buckets is not None:
+            if wc.index_type == IndexType.BUCKET and \
+                    wc.bucket_index_num_buckets != config.bucket_index_num_buckets:
+                raise ValueError(
+                    f"table was laid out with "
+                    f"{config.bucket_index_num_buckets} hash buckets; the "
+                    f"session asked for {wc.bucket_index_num_buckets}. The "
+                    f"bucket count cannot change after the first write.")
+            wc.index_type = IndexType.BUCKET
+            wc.bucket_index_num_buckets = config.bucket_index_num_buckets
+        elif wc.index_type == IndexType.BUCKET:
+            config.bucket_index_num_buckets = wc.bucket_index_num_buckets
         from .storage import LOCAL
         self.storage = storage or LOCAL
         self.timeline = Timeline(base_path)

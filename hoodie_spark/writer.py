@@ -826,13 +826,24 @@ class WriteClient:
             stats: list[dict] = []
             touched: list[str] = []
             if n > 0:
-                rpf = self.table.write_config.records_per_file()
-                num_files = max(1, math.ceil(n / rpf))
-                prefix = uuid.uuid4().hex[:13]
-                arranged = (prepared
-                            .repartitionByRange(num_files, F.col(PARTITION_PATH), F.col(RECORD_KEY))
-                            .withColumn(BUCKET, F.concat(F.lit(prefix + "-"),
-                                                         F.spark_partition_id().cast("string"))))
+                if self.table.write_config.index_type == IndexType.BUCKET:
+                    # overwrites must stay on the bucket layout: the key→
+                    # file-group hash IS the index, so replacement groups
+                    # carry bucket fids, never planner uuids
+                    from .index import bucket_fid_expr
+                    fid = bucket_fid_expr(
+                        self.table.write_config.bucket_index_num_buckets)
+                    arranged = (prepared
+                                .repartition(F.col(PARTITION_PATH), fid)
+                                .withColumn(BUCKET, fid))
+                else:
+                    rpf = self.table.write_config.records_per_file()
+                    num_files = max(1, math.ceil(n / rpf))
+                    prefix = uuid.uuid4().hex[:13]
+                    arranged = (prepared
+                                .repartitionByRange(num_files, F.col(PARTITION_PATH), F.col(RECORD_KEY))
+                                .withColumn(BUCKET, F.concat(F.lit(prefix + "-"),
+                                                             F.spark_partition_id().cast("string"))))
                 write_df = self._stamp_meta(arranged, instant).withColumn(KIND, F.lit("base"))
                 stats = self._write_files(write_df, instant, already_partitioned=True,
                                           sort_cols=[RECORD_KEY])

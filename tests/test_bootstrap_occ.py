@@ -136,3 +136,82 @@ def test_occ_disjoint_writes_both_commit(spark, tmp_table_path):
     snap = tbl.snapshot()
     assert snap.filter("o_orderstatus = 'A'").count() == a.count()
     assert snap.filter("o_orderstatus = 'B'").count() == b.count()
+
+
+_OCC_WORKER = """
+import sys
+from pyspark.sql import SparkSession, functions as F
+from hoodie_spark import HoodieTable, WriteConfig, WriteConflictError
+from hoodie_spark.config import WriteConcurrencyMode
+
+path, marker, modulus, rounds = sys.argv[1], sys.argv[2], int(sys.argv[3]), int(sys.argv[4])
+spark = (SparkSession.builder.master("local[4]")
+         .config("spark.sql.shuffle.partitions", "4")
+         .config("spark.ui.enabled", "false")
+         .config("spark.sql.session.timeZone", "UTC").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+mine = orders.filter(F.col("o_orderkey") % 2 == modulus)
+cfg = WriteConfig(concurrency_mode=WriteConcurrencyMode.OPTIMISTIC,
+                  lock_timeout_s=120.0)
+tbl = HoodieTable.load(spark, path, write_config=cfg)
+committed = conflicts = 0
+for r in range(rounds):
+    batch = mine.withColumn("o_orderstatus", F.lit(f"{marker}{r}"))
+    for attempt in range(25):
+        try:
+            tbl.upsert(batch)
+            committed += 1
+            break
+        except WriteConflictError:
+            conflicts += 1
+    else:
+        print("GAVE_UP"); sys.exit(2)
+print(f"RESULT committed={committed} conflicts={conflicts}")
+"""
+
+
+def test_occ_two_process_stress(spark, tmp_table_path):
+    """REAL multi-writer: two separate driver JVMs upserting the same table
+    concurrently under OCC. Both key ranges hit the same file groups, so
+    writers genuinely contend; retry-on-conflict must converge with every
+    round's winner durable and zero duplicate keys."""
+    import subprocess
+    import sys
+    import tempfile
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    cfg = WriteConfig(concurrency_mode=WriteConcurrencyMode.OPTIMISTIC)
+    tbl = HoodieTable.create(
+        spark, tmp_table_path, "occ_stress", ["o_orderkey"], "o_orderdate",
+        partition_expr="cast(year(o_orderdate) as string)", write_config=cfg)
+    tbl.bulk_insert(orders)
+    n = orders.count()
+
+    script = tempfile.NamedTemporaryFile("w", suffix=".py", delete=False)
+    script.write(_OCC_WORKER)
+    script.close()
+    rounds = 2
+    import os
+    env = dict(os.environ,
+               PYTHONPATH=os.path.dirname(os.path.dirname(
+                   os.path.abspath(__file__))))
+    procs = [subprocess.Popen(
+        [sys.executable, script.name, tmp_table_path, m, str(mod), str(rounds)],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True, env=env)
+        for m, mod in (("A", 0), ("B", 1))]
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    assert all(p.returncode == 0 for p in procs), outs
+    assert all("RESULT committed=2" in o for o in outs), outs
+
+    tbl = HoodieTable.load(spark, tmp_table_path)
+    snap = tbl.snapshot().cache()
+    assert snap.count() == n  # upserts never duplicated a key
+    assert snap.groupBy("o_orderkey").count().filter("count > 1").count() == 0
+    # each writer's final round is durable on its own key range
+    assert snap.filter((F.col("o_orderkey") % 2 == 0) &
+                       (F.col("o_orderstatus") == f"A{rounds-1}")).count() > 0
+    assert snap.filter((F.col("o_orderkey") % 2 == 1) &
+                       (F.col("o_orderstatus") == f"B{rounds-1}")).count() > 0
+    assert tbl.timeline.pending() == []
+    snap.unpersist()

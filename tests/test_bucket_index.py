@@ -98,3 +98,103 @@ def test_bucket_mor_delta_appends(spark, orders, tmp_table_path):
     tbl.compact()
     assert tbl.read_optimized().filter(
         "o_orderstatus = 'M'").count() == upd.count()
+
+
+def test_bucket_count_persisted_across_sessions(spark, orders, tmp_table_path):
+    """The bucket count is table layout, not a session knob: a reload with
+    plain defaults must adopt it (or the next upsert would route new rows
+    into planner-uuid groups and duplicate keys); a conflicting explicit
+    count must be rejected."""
+    import pytest
+
+    tbl = _table(spark, tmp_table_path)
+    tbl.bulk_insert(orders)
+    n = orders.count()
+
+    plain = HoodieTable.load(spark, tmp_table_path)  # no write_config at all
+    assert plain.write_config.index_type == IndexType.BUCKET
+    assert plain.write_config.bucket_index_num_buckets == 4
+    plain.upsert(orders.withColumn("o_orderstatus", F.lit("R")))
+    snap = plain.snapshot()
+    assert snap.count() == n  # upsert, not duplicate-insert
+    assert snap.filter("o_orderstatus='R'").count() == n
+    fids = {fid for (_pp, fid) in plain.view().groups}
+    assert all(f.startswith("bucket") for f in fids)
+
+    with pytest.raises(ValueError, match="bucket"):
+        HoodieTable.load(spark, tmp_table_path,
+                         WriteConfig(index_type=IndexType.BUCKET,
+                                     bucket_index_num_buckets=16))
+
+
+def test_bucket_rescale(spark, orders, tmp_table_path):
+    """Power-of-two re-bucketing: data identical, layout moves to the new
+    bucket count, the count persists, and post-rescale upserts still route
+    by hash (no duplicates)."""
+    from hoodie_spark.services import rescale_buckets
+
+    tbl = _table(spark, tmp_table_path)
+    tbl.bulk_insert(orders)
+    tbl.upsert(orders.limit(50).withColumn("o_orderstatus", F.lit("U")))
+    n = orders.count()
+    before = tbl.snapshot().select("o_orderkey", "o_totalprice",
+                                   "o_orderstatus").orderBy("o_orderkey")
+    rows_before = [tuple(r) for r in before.collect()]
+
+    inst = rescale_buckets(tbl, 8)
+    assert inst is not None
+    assert tbl.config.bucket_index_num_buckets == 8
+    snap = tbl.snapshot()
+    assert snap.count() == n
+    after = snap.select("o_orderkey", "o_totalprice",
+                        "o_orderstatus").orderBy("o_orderkey")
+    assert [tuple(r) for r in after.collect()] == rows_before
+    # layout: live groups all bucket-named, <= 8 per partition
+    view = tbl.view()
+    live = [(pp, fid) for (pp, fid), g in view.groups.items()
+            if g.is_live(None)]
+    assert all(fid.startswith("bucket") for _pp, fid in live)
+    per_part = {}
+    for pp, fid in live:
+        per_part.setdefault(pp, set()).add(fid)
+    assert all(len(fids) <= 8 for fids in per_part.values())
+    assert any(len(fids) > 4 for fids in per_part.values())
+
+    # fresh session adopts the new count and upserts without duplicating
+    tbl2 = HoodieTable.load(spark, tmp_table_path)
+    assert tbl2.write_config.bucket_index_num_buckets == 8
+    tbl2.upsert(orders.withColumn("o_orderstatus", F.lit("V")))
+    assert tbl2.snapshot().count() == n
+    assert tbl2.snapshot().filter("o_orderstatus='V'").count() == n
+
+    # no-op and validation arms
+    assert rescale_buckets(tbl2, 8) is None
+    import pytest
+    with pytest.raises(ValueError):
+        rescale_buckets(tbl2, 0)
+
+
+def test_bucket_insert_overwrite_partition_keeps_layout(
+        spark, orders, tmp_table_path):
+    """Partition-scoped overwrite on a bucket table must reuse bucket fids
+    (revived groups), never planner uuids, so later tag-free upserts still
+    find every key."""
+    tbl = _table(spark, tmp_table_path)
+    tbl.bulk_insert(orders)
+    n = orders.count()
+    years = sorted(tbl.view().partitions())
+    repl = (orders.filter(F.date_format("o_orderdate", "yyyy") == years[0])
+            .withColumn("o_orderstatus", F.lit("OW")))
+    n_repl = repl.count()
+    tbl.insert_overwrite(repl)
+    snap = tbl.snapshot()
+    assert snap.count() == n
+    assert snap.filter("o_orderstatus='OW'").count() == n_repl
+    live = [(pp, fid) for (pp, fid), g in tbl.view().groups.items()
+            if g.is_live(None)]
+    assert all(fid.startswith("bucket") for _pp, fid in live)
+    # upsert into the overwritten partition: updates, no duplicates
+    tbl.upsert(repl.withColumn("o_orderstatus", F.lit("OW2")))
+    snap = tbl.snapshot()
+    assert snap.count() == n
+    assert snap.filter("o_orderstatus='OW2'").count() == n_repl
