@@ -1196,6 +1196,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "vec_id", *[F.round(p, 6).alias(f"p{i}") for i, p in enumerate(
                 HF.random_projection(F.col("embedding"), 4, 64))])
 
+    def _q_decontaminate(s, d):
+        # benchmark decontamination: the hash-held-out eval split
+        # contaminates the corpus wherever a word 4-gram leaks
+        docs = load_table(s, d, "documents")
+        test = docs.filter(F.col("doc_id") % 20 == 0)
+        corpus = docs.filter(F.col("doc_id") % 20 != 0)
+        return HF.decontaminate(corpus, test, n=4).select("doc_id")
+    q["decontaminate"] = _q_decontaminate
+
     # ---- SQL-on-snapshot (TPC-H style). Deliberately LAST: the driver
     # records only the first 50 queries, and every unique operator must land
     # inside that window — TPC-H rows are parity evidence for one §2.6 row,
@@ -1369,6 +1378,26 @@ WHERE ({_lang_id_sql()}) IN ('en', 'und')
   AND len({_TOKENS.format(t='text')}) >= 30
   AND pp.h <= 0
 """)
+
+    # decontamination: word 4-gram overlap between the hash-held-out eval
+    # split and the rest of the corpus; exact string membership — no floats
+    o["decontaminate"] = """
+WITH tok AS (
+  SELECT doc_id,
+         string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, array_to_string(t[i:i+3], ' ') AS g
+  FROM tok, LATERAL (SELECT unnest(generate_series(1, greatest(len(t)-3, 0))) AS i)
+),
+test_grams AS (SELECT DISTINCT g FROM grams WHERE doc_id % 20 = 0)
+SELECT doc_id FROM documents
+WHERE doc_id % 20 != 0
+  AND doc_id NOT IN (
+    SELECT DISTINCT doc_id FROM grams
+    WHERE doc_id % 20 != 0 AND g IN (SELECT g FROM test_grams))
+"""
 
     # JL projection: the exact +-1 plane matrix is deterministic (md5-derived
     # in Python), so the oracle embeds it as literals; the sum is written

@@ -62,7 +62,7 @@ from .ranges import range_join
 from .sessions import sessionize
 from .pipeline import (
     redact_pii, pii_hits, deterministic_sample, sample_hash, pack_shards,
-    top_ngrams, filter_corpus,
+    top_ngrams, filter_corpus, word_ngrams, contaminated_ids, decontaminate,
 )
 
 __all__ = [
@@ -81,5 +81,6 @@ __all__ = [
     "range_join",
     "redact_pii", "pii_hits", "deterministic_sample", "sample_hash",
     "pack_shards", "top_ngrams", "filter_corpus",
+    "word_ngrams", "contaminated_ids", "decontaminate",
     "normalize", "random_projection",
 ]

@@ -27,7 +27,8 @@ from pyspark.sql import functions as F
 from .text import char_ngrams
 
 __all__ = ["redact_pii", "pii_hits", "deterministic_sample", "sample_hash",
-           "pack_shards", "top_ngrams", "filter_corpus"]
+           "pack_shards", "top_ngrams", "filter_corpus", "word_ngrams",
+           "contaminated_ids", "decontaminate"]
 
 
 # Plain character-class regexes only, so Java regex and DuckDB's RE2 agree.
@@ -180,3 +181,49 @@ def top_ngrams(df: DataFrame, text_col: str, n: int = 5, k: int = 20,
     return (df.select(F.explode(char_ngrams(text_col, n)).alias("ngram"))
             .groupBy("ngram").agg(F.count(F.lit(1)).alias("df"))
             .orderBy(F.desc("df"), F.asc("ngram")).limit(k))
+
+
+def word_ngrams(text_col, n: int) -> Column:
+    """All word-level n-grams of a text column after whitespace
+    normalization + lowercasing, as an array of space-joined strings. Pure
+    Column expr (codegen'd, map-only)."""
+    toks = F.split(F.lower(F.trim(F.regexp_replace(F.col(text_col),
+                                                   r"\s+", " "))), " ")
+    count = F.size(toks) - F.lit(n - 1)
+    # sequence(1, 0) DESCENDS in Spark, so docs shorter than n need an
+    # explicit empty-array arm
+    return F.when(count >= 1, F.transform(
+        F.sequence(F.lit(1), count),
+        lambda i: F.array_join(F.slice(toks, i, n), " "))
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def contaminated_ids(corpus: DataFrame, test_set: DataFrame,
+                     text_col: str = "text", id_col: str = "doc_id",
+                     n: int = 13) -> DataFrame:
+    """Benchmark decontamination: corpus documents sharing any word
+    ``n``-gram with the evaluation set (the standard n-gram-overlap
+    definition used for public LM training corpora; n=13 is the customary
+    window for natural text).
+
+    Scale shape: the TEST side is the small one — its distinct grams are
+    broadcast — so the 100 TB corpus side is a map-only explode feeding a
+    broadcast semi join: no corpus shuffle, and the explode never
+    materializes (codegen pipelines it into the join probe). Returns the
+    distinct contaminated ``id_col`` values."""
+    test_grams = (test_set
+                  .select(F.explode(word_ngrams(text_col, n)).alias("__g"))
+                  .distinct())
+    corpus_grams = corpus.select(
+        F.col(id_col), F.explode(word_ngrams(text_col, n)).alias("__g"))
+    return (corpus_grams
+            .join(F.broadcast(test_grams), "__g", "left_semi")
+            .select(id_col).distinct())
+
+
+def decontaminate(corpus: DataFrame, test_set: DataFrame,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  n: int = 13) -> DataFrame:
+    """Corpus minus every document contaminated by the test set."""
+    bad = contaminated_ids(corpus, test_set, text_col, id_col, n)
+    return corpus.join(bad, id_col, "left_anti")

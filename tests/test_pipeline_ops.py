@@ -158,3 +158,25 @@ def test_top_ngrams_deterministic_topk(docs):
     assert [(r.ngram, r.df) for r in a] == [(r.ngram, r.df) for r in b]
     dfs = [r.df for r in a]
     assert dfs == sorted(dfs, reverse=True) and len(a) == 10
+
+
+# ----------------------------------------------------------- decontamination
+def test_decontaminate(spark):
+    corpus = spark.createDataFrame([
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "THE  Quick\tBrown FOX is here"),   # normalization must catch it
+        (3, "completely unrelated words only here today"),
+        (4, "tiny doc"),                         # shorter than n -> no grams
+    ], ["doc_id", "text"])
+    test_set = spark.createDataFrame(
+        [(100, "we saw the quick brown fox yesterday")], ["doc_id", "text"])
+
+    bad = {r.doc_id for r in
+           HF.contaminated_ids(corpus, test_set, n=4).collect()}
+    assert bad == {1, 2}  # 'the quick brown fox' leaks, case/ws-insensitive
+    clean = HF.decontaminate(corpus, test_set, n=4)
+    assert {r.doc_id for r in clean.collect()} == {3, 4}
+    # n larger than every doc: nothing contaminated, nothing dropped
+    assert HF.decontaminate(corpus, test_set, n=50).count() == 4
+    # empty test set: corpus passes through
+    assert HF.decontaminate(corpus, test_set.limit(0), n=4).count() == 4
