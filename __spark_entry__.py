@@ -1204,6 +1204,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         corpus = docs.filter(F.col("doc_id") % 20 != 0)
         return HF.decontaminate(corpus, test, n=4).select("doc_id")
     q["decontaminate"] = _q_decontaminate
+    q["stratified_sample"] = lambda s, d: HF.stratified_sample(
+        load_table(s, d, "documents"), "lang", "doc_id", 30
+    ).select("doc_id", "lang")
 
     # ---- SQL-on-snapshot (TPC-H style). Deliberately LAST: the driver
     # records only the first 50 queries, and every unique operator must land
@@ -1397,6 +1400,17 @@ WHERE doc_id % 20 != 0
   AND doc_id NOT IN (
     SELECT DISTINCT doc_id FROM grams
     WHERE doc_id % 20 != 0 AND g IN (SELECT g FROM test_grams))
+"""
+
+    # stratified sampling: per-stratum quota by md5-of-key order — pure
+    # string comparison, engine-identical
+    o["stratified_sample"] = """
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents)
+WHERE rn <= 30
 """
 
     # JL projection: the exact +-1 plane matrix is deterministic (md5-derived

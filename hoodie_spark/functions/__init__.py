@@ -63,6 +63,7 @@ from .sessions import sessionize
 from .pipeline import (
     redact_pii, pii_hits, deterministic_sample, sample_hash, pack_shards,
     top_ngrams, filter_corpus, word_ngrams, contaminated_ids, decontaminate,
+    stratified_sample,
 )
 
 __all__ = [
@@ -81,6 +82,6 @@ __all__ = [
     "range_join",
     "redact_pii", "pii_hits", "deterministic_sample", "sample_hash",
     "pack_shards", "top_ngrams", "filter_corpus",
-    "word_ngrams", "contaminated_ids", "decontaminate",
+    "word_ngrams", "contaminated_ids", "decontaminate", "stratified_sample",
     "normalize", "random_projection",
 ]

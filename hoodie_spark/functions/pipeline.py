@@ -28,7 +28,7 @@ from .text import char_ngrams
 
 __all__ = ["redact_pii", "pii_hits", "deterministic_sample", "sample_hash",
            "pack_shards", "top_ngrams", "filter_corpus", "word_ngrams",
-           "contaminated_ids", "decontaminate"]
+           "contaminated_ids", "decontaminate", "stratified_sample"]
 
 
 # Plain character-class regexes only, so Java regex and DuckDB's RE2 agree.
@@ -227,3 +227,17 @@ def decontaminate(corpus: DataFrame, test_set: DataFrame,
     """Corpus minus every document contaminated by the test set."""
     bad = contaminated_ids(corpus, test_set, text_col, id_col, n)
     return corpus.join(bad, id_col, "left_anti")
+
+
+def stratified_sample(df: DataFrame, group_col: str, key_col: str,
+                      per_group: int) -> DataFrame:
+    """Exact per-stratum quota sampling (training-data mixing): keep at most
+    ``per_group`` rows from each ``group_col`` value, selected by md5-hash
+    order of ``key_col`` — deterministic, engine-reproducible, and unbiased
+    for synthetic-id keys. One shuffle keyed by the stratum; Spark's
+    WindowGroupLimit pushes the rank cutoff map-side, so each partition
+    forwards at most ``per_group`` rows per stratum into the shuffle."""
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col(key_col).cast("string")), F.col(key_col))
+    return (df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= per_group).drop("__rn"))

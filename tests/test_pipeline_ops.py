@@ -180,3 +180,20 @@ def test_decontaminate(spark):
     assert HF.decontaminate(corpus, test_set, n=50).count() == 4
     # empty test set: corpus passes through
     assert HF.decontaminate(corpus, test_set.limit(0), n=4).count() == 4
+
+
+def test_stratified_sample(docs, spark):
+    out = HF.stratified_sample(docs, "lang", "doc_id", 10)
+    counts = {r.lang: r["count"] for r in
+              out.groupBy("lang").count().collect()}
+    assert all(c == 10 for c in counts.values())
+    # deterministic across partitionings
+    a = sorted(r.doc_id for r in out.select("doc_id").collect())
+    b = sorted(r.doc_id for r in HF.stratified_sample(
+        docs.repartition(7), "lang", "doc_id", 10).select("doc_id").collect())
+    assert a == b
+    # quota above stratum size returns the whole stratum
+    n_by_lang = {r.lang: r["count"] for r in
+                 docs.groupBy("lang").count().collect()}
+    full = HF.stratified_sample(docs, "lang", "doc_id", 10 ** 6)
+    assert full.count() == sum(n_by_lang.values())
