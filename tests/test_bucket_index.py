@@ -198,3 +198,25 @@ def test_bucket_insert_overwrite_partition_keeps_layout(
     snap = tbl.snapshot()
     assert snap.count() == n
     assert snap.filter("o_orderstatus='OW2'").count() == n_repl
+
+
+def test_bucket_rescale_mor_folds_deltas(spark, orders, tmp_table_path):
+    """Rescaling a MOR bucket table folds outstanding deltas into the new
+    base files (the rewrite reads the merged snapshot), and post-rescale
+    upserts keep routing by the new hash."""
+    from hoodie_spark.services import rescale_buckets
+
+    tbl = _table(spark, tmp_table_path, table_type=TableType.MERGE_ON_READ)
+    tbl.bulk_insert(orders)
+    tbl.upsert(orders.limit(80).withColumn("o_orderstatus", F.lit("U")))
+    n = orders.count()
+    assert any(sl.log_files for sl in tbl.view().latest_slices())
+
+    assert rescale_buckets(tbl, 8) is not None
+    snap = tbl.snapshot()
+    assert snap.count() == n
+    assert snap.filter("o_orderstatus='U'").count() == 80
+    assert all(not sl.log_files for sl in tbl.view().latest_slices())
+    tbl.upsert(orders.limit(40).withColumn("o_orderstatus", F.lit("V")))
+    assert tbl.snapshot().count() == n
+    assert tbl.snapshot().filter("o_orderstatus='V'").count() == 40
