@@ -73,8 +73,7 @@ def rollback_failed_writes(table) -> list[str]:
             continue
         if not hb.is_expired(ts, cfg.heartbeat_expiry_s):
             continue
-        rollback(table, ts)
-        hb.stop(ts)
+        rollback(table, ts)  # also stops the heartbeat
         seen.append(ts)
     return seen
 
@@ -107,6 +106,7 @@ def rollback(table, instant_ts: str):
         deleted += _listing_rollback_files(table, instant_ts)
     for inst in pending:
         timeline.delete_instant(inst)
+    tl.Heartbeat(table.base_path).stop(instant_ts)
     t = timeline.new_instant_time()
     timeline.create_requested(tl.ROLLBACK, t)
     timeline.complete(tl.ROLLBACK, t, {

@@ -256,11 +256,12 @@ class WriteClient:
         instant = self.table.timeline.new_instant_time()
         last = self.table.timeline.last_completed()
         self._txn_baseline[instant] = last.timestamp if last else ""
+        # heartbeat FIRST: a pending instant must never be visible without
+        # a live beat, or a concurrent eager reclaimer in the gap would
+        # treat this brand-new write as a dead one and roll it back
+        tl.Heartbeat(self.table.base_path).refresh(instant)
         self.table.timeline.create_requested(action, instant)
         self.table.timeline.transition_inflight(action, instant)
-        # heartbeat marks this writer alive; a pending instant whose beat
-        # expires is reclaimable by rollback_failed_writes
-        tl.Heartbeat(self.table.base_path).refresh(instant)
         return instant
 
     def _ensure_index_ready(self) -> None:
