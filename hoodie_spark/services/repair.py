@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from ..config import COMMIT_TIME, META_COLUMNS, RECORD_KEY
+from ..config import COMMIT_SEQNO, COMMIT_TIME, META_COLUMNS, RECORD_KEY
 
 
 def find_duplicates(table, partition: str):
@@ -40,7 +40,9 @@ def repair_deduplicate(table, partition: str, dry_run: bool = False):
     if dry_run or n_dups == 0:
         return n_dups if dry_run else None
     snap = table.snapshot(partitions=[partition])
-    order = [F.col(COMMIT_TIME).desc()]
+    # seqno last: a unique per-row tiebreak so equal (precombine, commit)
+    # duplicates repair identically on every run
+    order = [F.col(COMMIT_TIME).desc(), F.col(COMMIT_SEQNO).desc()]
     pre = table.config.precombine_field
     if pre:
         order.insert(0, F.col(pre).desc())
