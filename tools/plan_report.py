@@ -256,7 +256,14 @@ BENCH_R5 = [
     "39.1 s** @ sf0.1 local[32], 2-run minima — bulk_insert_warehouse "
     "7.6, upsert 3.35, delete 2.77, simhash 1.07, ann_ivf 0.91. Confirms "
     "the r4 write-path regression is gone under load, not just on a "
-    "quiet host.", ""]
+    "quiet host.",
+    "",
+    "End-of-round verification sweep (everything below run back-to-back "
+    "on the final tree): tools/check_oracle.py **84/84 hash-matched** at "
+    "sf0.01; pytest **197/197 passed**; bench @ sf0.1 local[32] 2-run "
+    "minima **headline 40.4 s** (bulk_insert_warehouse 8.06, upsert 4.27, "
+    "delete 2.50) — three consistent quiet-ish datapoints this round "
+    "(41.3 / 39.1 / 40.4 s) vs r2's 64.7 s with a larger query suite.", ""]
 
 
 def fold_benchmark():
