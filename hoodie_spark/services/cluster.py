@@ -165,6 +165,10 @@ def rescale_buckets(table, new_num_buckets: int):
     snap = table.snapshot().drop(*META_COLUMNS)
     table.config.bucket_index_num_buckets = new_num_buckets
     wcfg.bucket_index_num_buckets = new_num_buckets
+    # recorded in the commit metadata so rollback/restore can restore the
+    # persisted count along with the data (services/rollback.py)
+    table._writer.commit_extra["bucket_rescale"] = {
+        "from": old, "to": new_num_buckets}
     try:
         res = table.insert_overwrite_table(snap)
     except BaseException:

@@ -78,6 +78,24 @@ def rollback_failed_writes(table) -> list[str]:
     return seen
 
 
+def _undo_structural_config(table, instant_ts: str) -> None:
+    """A bucket rescale flips the PERSISTED bucket count in the same commit
+    that rewrites the layout; undoing that commit must undo the count too,
+    or config and data disagree and the next upsert routes off-layout
+    (duplicate keys). The flip is recorded in the commit's metadata extra
+    (services/cluster.py::rescale_buckets)."""
+    for action in tl.DATA_ACTIONS:
+        try:
+            md = table.timeline.metadata(tl.Instant(instant_ts, action))
+        except FileNotFoundError:
+            continue
+        rs = md.get("extra", {}).get("bucket_rescale")
+        if rs:
+            table.config.bucket_index_num_buckets = rs["from"]
+            table.write_config.bucket_index_num_buckets = rs["from"]
+            table.save_properties()
+
+
 def rollback(table, instant_ts: str):
     """Undo the LATEST completed data instant (or a pending one). Hudi
     equally restricts rollback of non-latest commits unless cascading —
@@ -100,6 +118,8 @@ def rollback(table, instant_ts: str):
     elif not pending:
         raise ValueError(f"no instant {instant_ts} to roll back")
 
+    if completed:
+        _undo_structural_config(table, instant_ts)
     deleted = _delete_instant_files(table, instant_ts)
     if pending and not completed:
         # crashed writer: no manifest to consult — sweep by filename
@@ -154,6 +174,7 @@ def restore(table, instant_ts: str):
                if i.timestamp > instant_ts]
     deleted: list[str] = []
     for inst in reversed(targets):
+        _undo_structural_config(table, inst.timestamp)
         deleted += _delete_instant_files(table, inst.timestamp)
     for inst in timeline.pending():
         timeline.delete_instant(inst)

@@ -220,3 +220,25 @@ def test_bucket_rescale_mor_folds_deltas(spark, orders, tmp_table_path):
     tbl.upsert(orders.limit(40).withColumn("o_orderstatus", F.lit("V")))
     assert tbl.snapshot().count() == n
     assert tbl.snapshot().filter("o_orderstatus='V'").count() == 40
+
+
+def test_bucket_rescale_rollback_restores_count(spark, orders, tmp_table_path):
+    """Undoing a rescale must undo the persisted bucket count too —
+    otherwise the config says 8 while the surviving layout is 4-bucket and
+    the next upsert routes off-layout, duplicating keys."""
+    from hoodie_spark.services import rescale_buckets
+
+    tbl = _table(spark, tmp_table_path)
+    tbl.bulk_insert(orders)
+    n = orders.count()
+    inst = rescale_buckets(tbl, 8)
+    assert tbl.config.bucket_index_num_buckets == 8
+
+    tbl.rollback(inst)
+    assert tbl.config.bucket_index_num_buckets == 4
+    # fresh session sees the restored count
+    t2 = HoodieTable.load(spark, tmp_table_path)
+    assert t2.write_config.bucket_index_num_buckets == 4
+    t2.upsert(orders.withColumn("o_orderstatus", F.lit("R")))
+    assert t2.snapshot().count() == n
+    assert t2.snapshot().filter("o_orderstatus='R'").count() == n
