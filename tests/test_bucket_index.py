@@ -242,3 +242,26 @@ def test_bucket_rescale_rollback_restores_count(spark, orders, tmp_table_path):
     t2.upsert(orders.withColumn("o_orderstatus", F.lit("R")))
     assert t2.snapshot().count() == n
     assert t2.snapshot().filter("o_orderstatus='R'").count() == n
+
+
+def test_bucket_truncate_and_delete_partition_then_reinsert(
+        spark, orders, tmp_table_path):
+    """Stable-fid layouts recreate the same file-group ids after TRUNCATE or
+    delete_partition; the revived groups must be fully readable and
+    upsertable (regression for replaced-group revival semantics)."""
+    tbl = _table(spark, tmp_table_path)
+    tbl.bulk_insert(orders)
+    n = orders.count()
+    tbl.truncate()
+    assert tbl.snapshot().count() == 0
+    tbl.bulk_insert(orders)
+    assert tbl.snapshot().count() == n
+    parts = sorted(tbl.view().partitions())
+    tbl.delete_partitions([parts[0]])
+    back = orders.filter(F.date_format("o_orderdate", "yyyy") == parts[0])
+    nb = back.count()
+    assert tbl.snapshot().count() == n - nb
+    tbl.upsert(back.withColumn("o_orderstatus", F.lit("B")))
+    snap = tbl.snapshot()
+    assert snap.count() == n
+    assert snap.filter("o_orderstatus='B'").count() == nb
