@@ -126,3 +126,31 @@ def test_mor_snapshot_resolves_only_dirty_slices(spark, events, tmp_table_path):
     missed = {p for p in dirty_bases
               if not any(r.endswith("/" + p) for r in resolved)}
     assert not missed, f"dirty base files missing from resolve: {missed}"
+
+
+def test_mor_schema_evolution_across_base_and_delta(spark, orders,
+                                                    tmp_table_path):
+    """ADD COLUMN then delta upsert: old base files (no column) and new
+    delta files (with it) must merge into one evolved snapshot, and
+    compaction must fold the evolved deltas cleanly."""
+    from hoodie_spark import HoodieTable, TableType
+
+    tbl = HoodieTable.create(
+        spark, tmp_table_path, "o", ["o_orderkey"], "o_orderdate",
+        partition_expr="date_format(o_orderdate,'yyyy')",
+        table_type=TableType.MERGE_ON_READ)
+    tbl.bulk_insert(orders)
+    n = orders.count()
+    tbl.add_columns({"loyalty": "int"})
+    tbl.upsert(orders.limit(60).withColumn("loyalty", F.lit(7)))
+
+    snap = tbl.snapshot()
+    assert snap.count() == n
+    assert snap.filter("loyalty = 7").count() == 60
+    assert snap.filter("loyalty is null").count() == n - 60
+    assert "loyalty" in tbl.read_optimized().columns
+
+    tbl.compact()
+    snap2 = tbl.snapshot()
+    assert snap2.count() == n
+    assert snap2.filter("loyalty = 7").count() == 60
