@@ -598,6 +598,16 @@ def _exec_call(spark, sql: str, tables: dict):
         return tbl.archive(max_active=args.get("max_active"))
     if proc == "run_upgrade":
         return tbl.upgrade(to_version=args.get("to_version"))
+    if proc == "rollback_failed_writes":
+        from ..services.rollback import rollback_failed_writes
+        return rollback_failed_writes(tbl)
+    if proc == "run_rescale":
+        from ..services import rescale_buckets
+        return rescale_buckets(tbl, int(args["num_buckets"]))
+    if proc == "repair_deduplicate":
+        from ..services.repair import repair_deduplicate
+        return repair_deduplicate(tbl, str(args["partition"]),
+                                  dry_run=bool(args.get("dry_run", False)))
     if proc == "show_savepoints":
         from ..timeline import SAVEPOINT
         sps = tbl.timeline.completed((SAVEPOINT,))

@@ -142,3 +142,35 @@ def test_read_by_column_as_of(spark, orders, tmp_table_path):
     assert tbl.read_by_column("o_custkey", [key]).count() == 0
     # as-of the first commit the old value is still there
     assert tbl.read_by_column("o_custkey", [key], as_of=c1).count() == n_before
+
+
+def test_maintenance_procedures(spark, orders, tmp_table_path):
+    """CALL surface for the round-5 services: failed-write reclamation,
+    bucket rescale, partition repair."""
+    from hoodie_spark.config import IndexType, WriteConfig
+    from hoodie_spark.sql.parser import run_sql
+
+    tbl = HoodieTable.create(
+        spark, tmp_table_path, "orders_mx", ["o_orderkey"], "o_orderdate",
+        partition_expr="cast(year(o_orderdate) as string)",
+        write_config=WriteConfig(index_type=IndexType.BUCKET,
+                                 bucket_index_num_buckets=4))
+    tbl.bulk_insert(orders)
+    n = orders.count()
+    tables = {"orders_mx": tbl}
+
+    assert run_sql(spark,
+                   "CALL rollback_failed_writes(table => 'orders_mx')",
+                   tables) == []
+    inst = run_sql(spark,
+                   "CALL run_rescale(table => 'orders_mx', num_buckets => 8)",
+                   tables)
+    assert inst is not None
+    assert tbl.config.bucket_index_num_buckets == 8
+    assert tbl.snapshot().count() == n
+
+    part = sorted(tbl.view().partitions())[0]
+    assert run_sql(
+        spark,
+        f"CALL repair_deduplicate(table => 'orders_mx', "
+        f"partition => '{part}', dry_run => true)", tables) == 0
