@@ -118,14 +118,32 @@ def cluster(table, sort_cols: list[str] | None = None, partitions=None,
         order_cols = ["__curve"]
     else:
         order_cols = list(sort_cols)
-    arranged = (df.repartitionByRange(num_files, F.col(PARTITION_PATH),
-                                      *[F.col(c) for c in order_cols])
-                .sortWithinPartitions(PARTITION_PATH, *order_cols)
-                .drop("__curve")
-                .withColumn(BUCKET, F.concat(F.lit(prefix + "-"),
-                                             F.spark_partition_id().cast("string")))
-                .withColumn(FILE_NAME, base_file_name(F.col(BUCKET), instant))
-                .withColumn(KIND, F.lit("base")))
+    from ..config import IndexType
+    if table.write_config.index_type == IndexType.BUCKET:
+        # "sort within buckets": a bucket table's key→file-group hash IS the
+        # index, so clustering must never merge groups or mint planner
+        # uuids (that would strand every key outside its hash bucket and
+        # the next upsert would duplicate it — same rule as Hudi's
+        # bucket-index clustering). Each planned group rewrites 1:1 onto
+        # its own fid, sorted; the win is layout + delta folding, not
+        # small-file merging.
+        from ..index import bucket_fid_expr
+        fid = bucket_fid_expr(table.write_config.bucket_index_num_buckets)
+        arranged = (df.repartition(F.col(PARTITION_PATH), fid)
+                    .sortWithinPartitions(PARTITION_PATH, *order_cols)
+                    .drop("__curve")
+                    .withColumn(BUCKET, fid)
+                    .withColumn(FILE_NAME, base_file_name(F.col(BUCKET), instant))
+                    .withColumn(KIND, F.lit("base")))
+    else:
+        arranged = (df.repartitionByRange(num_files, F.col(PARTITION_PATH),
+                                          *[F.col(c) for c in order_cols])
+                    .sortWithinPartitions(PARTITION_PATH, *order_cols)
+                    .drop("__curve")
+                    .withColumn(BUCKET, F.concat(F.lit(prefix + "-"),
+                                                 F.spark_partition_id().cast("string")))
+                    .withColumn(FILE_NAME, base_file_name(F.col(BUCKET), instant))
+                    .withColumn(KIND, F.lit("base")))
     write_df = writer._finalize_cols(arranged)
     stats = writer._write_files(write_df, instant, already_partitioned=True)
     writer._index_written(stats, instant)  # keys moved to new file groups

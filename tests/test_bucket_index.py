@@ -265,3 +265,22 @@ def test_bucket_truncate_and_delete_partition_then_reinsert(
     snap = tbl.snapshot()
     assert snap.count() == n
     assert snap.filter("o_orderstatus='B'").count() == nb
+
+
+def test_bucket_clustering_sorts_within_buckets(spark, orders,
+                                                tmp_table_path):
+    """Clustering a bucket table must rewrite each group onto its own fid
+    (sorted), never merge groups or mint planner uuids — the regression
+    here was every key duplicating on the next upsert."""
+    tbl = _table(spark, tmp_table_path)
+    tbl.bulk_insert(orders)
+    n = orders.count()
+    inst = tbl.cluster(sort_cols=["o_totalprice"])
+    assert inst is not None
+    live = [(pp, fid) for (pp, fid), g in tbl.view().groups.items()
+            if g.is_live(None)]
+    assert all(fid.startswith("bucket") for _pp, fid in live)
+    tbl.upsert(orders.withColumn("o_orderstatus", F.lit("C")))
+    snap = tbl.snapshot()
+    assert snap.count() == n  # no duplicates
+    assert snap.filter("o_orderstatus='C'").count() == n

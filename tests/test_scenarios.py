@@ -44,20 +44,27 @@ def base_rows(spark):
 
 @given(table_type=st.sampled_from([TableType.COPY_ON_WRITE,
                                    TableType.MERGE_ON_READ]),
+       index_type=st.sampled_from(["simple", "bucket"]),
        ops=_OPS)
 @settings(max_examples=4, deadline=None,
           suppress_health_check=list(HealthCheck))
 def test_random_operation_dag(spark, tmp_path_factory, base_rows,
-                              table_type, ops):
+                              table_type, index_type, ops):
     import uuid
+
+    from hoodie_spark.config import IndexType
 
     path = str(tmp_path_factory.mktemp("dag")) + "/" + uuid.uuid4().hex[:8]
     tbl = HoodieTable.create(
         spark, path, "dag", ["o_orderkey"], None,
         partition_expr="cast(year(o_orderdate) as string)",
         table_type=table_type,
-        write_config=WriteConfig(parquet_max_file_size=64 * 1024,
-                                 record_size_estimate=256))
+        write_config=WriteConfig(
+            parquet_max_file_size=64 * 1024,
+            record_size_estimate=256,
+            index_type=(IndexType.BUCKET if index_type == "bucket"
+                        else IndexType.SIMPLE),
+            bucket_index_num_buckets=3))
     schema = "o_orderkey long, o_orderstatus string, o_totalprice double, " \
              "o_orderdate timestamp"
 
