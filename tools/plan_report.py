@@ -260,7 +260,7 @@ BENCH_R5 = [
     "",
     "End-of-round verification sweep (everything below run back-to-back "
     "on the final tree): tools/check_oracle.py **84/84 hash-matched** at "
-    "sf0.01; pytest **197/197 passed**; bench @ sf0.1 local[32] 2-run "
+    "sf0.01; pytest **202/202 passed** (re-run on the final tree after the bucket-clustering and rescale-rollback fixes; oracle re-run 84/84); bench @ sf0.1 local[32] 2-run "
     "minima **headline 40.4 s** (bulk_insert_warehouse 8.06, upsert 4.27, "
     "delete 2.50) — three consistent quiet-ish datapoints this round "
     "(41.3 / 39.1 / 40.4 s) vs r2's 64.7 s with a larger query suite.", ""]
