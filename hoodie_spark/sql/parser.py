@@ -382,8 +382,8 @@ def _exec_alter(spark, sql: str, tables: dict) -> None:
     / ...RenameCommand)."""
     mask = _mask(sql)
     m = re.match(r"\s*alter\s+table\b", mask)
-    mm = re.search(r"\b(add\s+columns?|change(?:\s+column)?|rename\s+to)\b",
-                   mask)
+    mm = re.search(r"\b(add\s+columns?|change(?:\s+column)?|rename\s+to"
+                   r"|drop\s+partition)\b", mask)
     if not mm:
         raise ValueError(f"unsupported ALTER TABLE statement: {sql!r}")
     tname = sql[m.end():mm.start()].strip()
@@ -407,6 +407,21 @@ def _exec_alter(spark, sql: str, tables: dict) -> None:
             raise ValueError(
                 "Can not support change column name for hoodie table")
         tbl.change_column(old, new_type)
+    elif verb == "drop":
+        # ALTER TABLE t DROP PARTITION (col='v'[, ...]) — Spark partition
+        # spec; the path is the '/'-joined values, matching the key
+        # generator's partition-path layout (AlterTableDropPartition parity:
+        # a delete_partition replacecommit, no data IO)
+        if not rest.startswith("("):
+            raise ValueError(f"expected partition spec in {sql!r}")
+        spec = rest[1:rest.rindex(")")]
+        vals = []
+        for part in _split_top(spec):
+            eq = _mask(part).find("=")
+            if eq < 0:
+                raise ValueError(f"bad partition spec {part!r}")
+            vals.append(part[eq + 1:].strip().strip("'\""))
+        tbl.delete_partitions(["/".join(vals)])
     else:
         tbl.rename_table(rest.strip("`"))
 

@@ -6,6 +6,8 @@ TruncateHoodieTableCommand.scala)."""
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from hoodie_spark import HoodieTable
 from hoodie_spark.sql import parse_merge, run_sql
 
@@ -387,3 +389,20 @@ def test_merge_ambiguous_unqualified_column_raises(spark, h1):
             ts = s.ts
     """, {"h1": h1})
     assert _rows(h1) == [(1, "a", 6.0, 1001)]
+
+
+def test_alter_drop_partition_text(spark, orders, tmp_table_path):
+    tbl = HoodieTable.create(
+        spark, tmp_table_path, "hdp", ["o_orderkey"], "o_orderdate",
+        partition_expr="cast(year(o_orderdate) as string)")
+    tbl.bulk_insert(orders)
+    n = orders.count()
+    parts = sorted(tbl.view().partitions())
+    gone = orders.filter(F.year("o_orderdate") == int(parts[0])).count()
+    run_sql(spark,
+            f"ALTER TABLE hdp DROP PARTITION (yr = '{parts[0]}')",
+            {"hdp": tbl})
+    assert tbl.snapshot().count() == n - gone
+    assert parts[0] not in tbl.view().partitions()
+    # it is a replacecommit on the timeline (no data IO)
+    assert tbl.timeline.completed()[-1].action == "replacecommit"
