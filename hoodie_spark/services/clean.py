@@ -45,11 +45,20 @@ def clean(table, policy: str = CleaningPolicy.KEEP_LATEST_COMMITS,
         earliest_retained = commits[-retained].timestamp
 
     deleted_slices, deleted_logs, deleted_paths = [], [], []
+    # FILE_VERSIONS keeps N versions per group, not a commit-time window, so
+    # its readability horizon is data-dependent: a group is complete only at
+    # or after its oldest RETAINED version. The max of that over touched
+    # groups is the sound time-travel cutoff recorded for _check_readable.
+    fv_horizon = None
     for grp in table.view().groups.values():
         slices = sorted(grp.slices.values(), key=lambda s: s.base_instant,
                         reverse=True)
         if policy == CleaningPolicy.KEEP_LATEST_FILE_VERSIONS:
             obsolete = slices[retained:]
+            if obsolete and retained >= 1:
+                succ = slices[retained - 1].base_instant
+                if fv_horizon is None or succ > fv_horizon:
+                    fv_horizon = succ
         else:
             last_replaced = grp.replaced_before(None)
             if not grp.is_live(None) and last_replaced is not None \
@@ -101,7 +110,7 @@ def clean(table, policy: str = CleaningPolicy.KEEP_LATEST_COMMITS,
     timeline.create_requested(tl.CLEAN, t)
     timeline.complete(tl.CLEAN, t, {
         "policy": policy, "retained": retained,
-        "earliest_retained": earliest_retained,
+        "earliest_retained": earliest_retained or fv_horizon,
         "deleted_slices": deleted_slices,
         "deleted_log_files": deleted_logs,
         "num_files_deleted": len(deleted_paths)})

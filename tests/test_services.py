@@ -438,3 +438,26 @@ def test_time_travel_past_clean_horizon_raises(spark, orders, tmp_table_path):
     assert snap.filter("o_orderstatus='SP'").count() == 300
     # unbounded reads unaffected
     assert tbl.snapshot().filter("o_orderstatus='S2'").count() == 300
+
+
+def test_file_versions_clean_sets_readability_horizon(spark, orders,
+                                                      tmp_table_path):
+    """KEEP_LATEST_FILE_VERSIONS deletes by version count, so its horizon is
+    data-dependent: time travel older than a group's oldest retained
+    version must fail loudly rather than silently drop that group's rows."""
+    import pytest
+
+    from hoodie_spark.services import clean
+
+    tbl = make_orders(spark, tmp_table_path)
+    small = orders.limit(300)
+    r1 = tbl.bulk_insert(small)
+    tbl.upsert(small.withColumn("o_orderstatus", F.lit("A")))
+    r3 = tbl.upsert(small.withColumn("o_orderstatus", F.lit("B")))
+    assert clean(tbl, policy=CleaningPolicy.KEEP_LATEST_FILE_VERSIONS,
+                 retained=1) is not None
+    with pytest.raises(ValueError, match="not readable"):
+        tbl.snapshot(as_of=r1.instant)
+    # the latest version is complete and readable
+    assert tbl.snapshot(as_of=r3.instant).count() == 300
+    assert tbl.snapshot().filter("o_orderstatus='B'").count() == 300
