@@ -263,7 +263,9 @@ BENCH_R5 = [
     "sf0.01; pytest **202/202 passed** (re-run on the final tree after the bucket-clustering and rescale-rollback fixes; oracle re-run 84/84); bench @ sf0.1 local[32] 2-run "
     "minima **headline 40.4 s** (bulk_insert_warehouse 8.06, upsert 4.27, "
     "delete 2.50) — three consistent quiet-ish datapoints this round "
-    "(41.3 / 39.1 / 40.4 s) vs r2's 64.7 s with a larger query suite.", ""]
+    "(41.3 / 39.1 / 40.4 / 34.9 s; the last on a fully quiet host after "
+    "all fixes, final suite 204/204) vs r2's 64.7 s with a larger query "
+    "suite.", ""]
 
 
 def fold_benchmark():
