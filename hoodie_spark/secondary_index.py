@@ -61,12 +61,22 @@ def indexed_columns(table) -> list[str]:
 
 def _harvest(table, slices, column: str) -> DataFrame | None:
     """Distinct (value, partition, file_id) from the given slices' base
-    files — a column-pruned scan of exactly those files."""
-    paths = [table.view().abs(sl.base_file.path) for sl in slices
-             if sl.base_file is not None]
+    AND log files — a column-pruned scan of exactly those files. Log files
+    must be included: on a MOR table a value may exist only in un-compacted
+    deltas at index-creation time, and omitting it would make lookup_groups
+    return a false negative (contract: false negatives never)."""
+    view = table.view()
+    paths = []
+    for sl in slices:
+        if sl.base_file is not None:
+            paths.append(view.abs(sl.base_file.path))
+        paths += [view.abs(lf.path) for lf in sl.log_files]
     if not paths:
         return None
-    df = table.spark.read.parquet(*paths)
+    # mergeSchema: base and delta files can differ (schema evolution lands
+    # in deltas first on MOR) — the one-shot backfill can afford the
+    # footer merge, and an evolved column must not vanish from the index
+    df = table.spark.read.option("mergeSchema", "true").parquet(*paths)
     if column not in df.columns:
         return None
     return (df.select(F.col(column).alias("value"),

@@ -87,16 +87,18 @@ def clean(table, policy: str = CleaningPolicy.KEEP_LATEST_COMMITS,
     # is already forfeited by this policy, same as for deleted slices)
     if earliest_retained is not None:
         for grp in view.groups.values():
-            sl = grp.latest_slice(None)
-            if sl is None:
-                continue
-            for lf in sl.log_files:
-                if lf.compacted_at is not None \
-                        and lf.compacted_at <= earliest_retained \
-                        and lf.path not in pinned \
-                        and lf.path not in deleted_logs:
-                    deleted_logs.append(lf.path)
-                    deleted_paths.append(lf.path)
+            # ALL retained slices, not just the latest: a logcompaction
+            # followed by a full compaction leaves the compacted originals
+            # in a superseded slice, which would otherwise leak storage
+            # until the whole slice ages out
+            for sl in grp.slices.values():
+                for lf in sl.log_files:
+                    if lf.compacted_at is not None \
+                            and lf.compacted_at <= earliest_retained \
+                            and lf.path not in pinned \
+                            and lf.path not in deleted_logs:
+                        deleted_logs.append(lf.path)
+                        deleted_paths.append(lf.path)
     if not deleted_paths:
         return None
     fs = table.storage

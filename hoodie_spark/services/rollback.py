@@ -73,8 +73,19 @@ def rollback_failed_writes(table) -> list[str]:
             continue
         if not hb.is_expired(ts, cfg.heartbeat_expiry_s):
             continue
-        rollback(table, ts)  # also stops the heartbeat
-        seen.append(ts)
+        # re-check under the table lock: between the expiry probe above and
+        # the rollback, the owning writer may have beaten again (its
+        # background refresher fires every expiry/4) or published — without
+        # this, the TOCTOU window deletes a live writer's files mid-flight
+        try:
+            with tl.LockProvider(table.base_path, cfg.lock_timeout_s):
+                if hb.is_expired(ts, cfg.heartbeat_expiry_s) \
+                        and any(i.timestamp == ts
+                                for i in table.timeline.pending()):
+                    rollback(table, ts)  # also stops the heartbeat
+                    seen.append(ts)
+        except TimeoutError:
+            continue  # table busy — reclamation can wait for the next run
     return seen
 
 

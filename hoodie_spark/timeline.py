@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import time
 import uuid
 from dataclasses import dataclass
@@ -214,6 +215,33 @@ class Heartbeat:
             os.remove(self._path(instant_ts))
         except FileNotFoundError:
             pass
+
+    def auto_refresh(self, instant_ts: str, interval_s: float):
+        """Background refresher for the duration of a write (Hudi's
+        HoodieHeartbeatClient runs the same timer-driven beat): without it,
+        a live write whose Spark jobs outlast the expiry looks dead and a
+        lazy clean / eager concurrent writer would roll it back mid-flight.
+        Returns a zero-arg cancel callable; the daemon thread dies with the
+        process, so a crashed writer stops beating — exactly the signal
+        reclamation needs."""
+        ev = threading.Event()
+
+        def _beat():
+            while not ev.wait(interval_s):
+                try:
+                    self.refresh(instant_ts)
+                except OSError:
+                    return  # table dir removed under us — nothing to own
+        t = threading.Thread(target=_beat, daemon=True,
+                             name=f"hoodie-heartbeat-{instant_ts}")
+        t.start()
+
+        def _cancel():
+            # join before returning so no in-flight refresh() can land
+            # AFTER the caller's stop() removes the beat file
+            ev.set()
+            t.join(timeout=5)
+        return _cancel
 
     def is_expired(self, instant_ts: str, expiry_s: float) -> bool:
         """Missing heartbeat counts as expired: a pending instant that never

@@ -103,6 +103,8 @@ class WriteClient:
         self.commit_extra: dict = {}
         # OCC: instant -> latest completed data instant when the txn began
         self._txn_baseline: dict[str, str] = {}
+        # instant -> cancel callable for its background heartbeat refresher
+        self._hb_cancel: dict = {}
 
     # ------------------------------------------------------------ public ops
     def bulk_insert(self, df: DataFrame, sort_mode: str = SortMode.GLOBAL_SORT) -> WriteResult:
@@ -127,7 +129,28 @@ class WriteClient:
             if wcfg.index_type == IndexType.BUCKET:
                 # bucket-index tables are bucketed from the FIRST write:
                 # later tag-free upserts rely on every key living in its
-                # hash bucket's file group
+                # hash bucket's file group.
+                #
+                # Initial-load-only guard (Hudi restricts bucket bulk_insert
+                # the same way): bucket fids are deterministic, so a second
+                # bulk_insert into a partition with live groups would write
+                # a NEWER base slice at the same fid containing only the new
+                # batch — latest_slice() would then shadow the earlier
+                # slice and previously committed rows silently vanish.
+                target_pps = [r[0] for r in
+                              prepared.select(PARTITION_PATH)
+                              .distinct().collect()]
+                live = self.table.view().live_group_ids(
+                    partitions=target_pps)
+                occupied = sorted(pp for pp, fids in live.items() if fids)
+                if occupied:
+                    self._abort_write(instant, [])
+                    raise ValueError(
+                        "bucket-index bulk_insert is an initial-load "
+                        f"operation; partitions {occupied[:5]} already "
+                        "have live file groups that deterministic bucket "
+                        "fids would shadow — use upsert()/insert() for "
+                        "follow-on batches")
                 from .index import bucket_fid_expr
                 fid = bucket_fid_expr(wcfg.bucket_index_num_buckets)
                 arranged = (prepared
@@ -258,11 +281,28 @@ class WriteClient:
         self._txn_baseline[instant] = last.timestamp if last else ""
         # heartbeat FIRST: a pending instant must never be visible without
         # a live beat, or a concurrent eager reclaimer in the gap would
-        # treat this brand-new write as a dead one and roll it back
-        tl.Heartbeat(self.table.base_path).refresh(instant)
+        # treat this brand-new write as a dead one and roll it back. A
+        # background refresher then keeps it live for the write's whole
+        # duration — Spark jobs routinely outlast the expiry on a loaded
+        # cluster, and a stale beat mid-write is a reclaimable-looking
+        # LIVE write (HoodieHeartbeatClient does the same)
+        hb = tl.Heartbeat(self.table.base_path)
+        hb.refresh(instant)
+        expiry = self.table.write_config.heartbeat_expiry_s
+        self._hb_cancel[instant] = hb.auto_refresh(
+            instant, max(0.05, expiry / 4))
         self.table.timeline.create_requested(action, instant)
         self.table.timeline.transition_inflight(action, instant)
         return instant
+
+    def _stop_heartbeat(self, instant: str) -> None:
+        """Cancel the background refresher, THEN remove the beat file —
+        the other order lets a late beat resurrect a published/aborted
+        instant's heartbeat and block reclamation forever."""
+        cancel = self._hb_cancel.pop(instant, None)
+        if cancel is not None:
+            cancel()
+        tl.Heartbeat(self.table.base_path).stop(instant)
 
     def _ensure_index_ready(self) -> None:
         """Init/backfill the record index BEFORE any table lock is taken
@@ -384,7 +424,7 @@ class WriteClient:
             for act in tl.DATA_ACTIONS:
                 self.table.timeline.delete_instant(
                     tl.Instant(instant, act, state))
-        tl.Heartbeat(self.table.base_path).stop(instant)
+        self._stop_heartbeat(instant)
 
     def _do_commit(self, instant: str, action: str, operation: str,
                    stats: list[dict],
@@ -419,7 +459,7 @@ class WriteClient:
                 self._abort_write(instant, stats)
                 raise
         self.table.timeline.complete(action, instant, meta)
-        tl.Heartbeat(self.table.base_path).stop(instant)
+        self._stop_heartbeat(instant)
         self.table.save_properties()
         if total_recs:
             self.table.write_config.record_size_estimate = max(
@@ -971,10 +1011,23 @@ class WriteClient:
         for alias, expr in exprs.items():
             aggs += [F.min(F.expr(expr)).alias(f"mn_{alias}"),
                      F.max(F.expr(expr)).alias(f"mx_{alias}")]
-        by_name = {os.path.basename(r["__f"]): r
+        # key by the partition-qualified relative path, NOT the basename:
+        # bucket-index tables write identically named base files
+        # (fid_token_instant.parquet) in several partitions within one
+        # commit, and a basename key would record one partition's min/max
+        # as every same-named file's col_stats (skip_filters could then
+        # prune a file that does contain matching rows)
+        from urllib.parse import unquote, urlparse
+        base = os.path.abspath(self.table.base_path)
+
+        def _rel(uri: str) -> str:
+            p = unquote(urlparse(uri).path) if "://" in uri else uri
+            return os.path.relpath(os.path.abspath(p), base)
+
+        by_path = {_rel(r["__f"]): r
                    for r in df.groupBy("__f").agg(*aggs).collect()}
         for s in stats:
-            r = by_name.get(s["file_name"])
+            r = by_path.get(s["path"])
             if r is None:
                 continue
             cs = s.setdefault("col_stats", {})
