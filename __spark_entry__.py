@@ -1208,6 +1208,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         load_table(s, d, "documents"), "lang", "doc_id", 30
     ).select("doc_id", "lang")
 
+    def _q_gopher(s, d):
+        # Gopher-style shape/repetition quality gate: per-doc metrics +
+        # keep flag (functions/quality.py; thresholds = GOPHER_DEFAULTS)
+        docs = load_table(s, d, "documents")
+        m = HF.gopher_metrics("text")
+        return HF.gopher_filter(docs, "text", keep_col="keep").select(
+            "doc_id",
+            m.n_words.cast("long").alias("n_words"),
+            F.round(m.mean_word_len, 6).alias("mean_word_len"),
+            F.round(m.alpha_word_frac, 6).alias("alpha_word_frac"),
+            m.stopword_hits.cast("long").alias("stopword_hits"),
+            F.round(m.dup_span_frac, 6).alias("dup_span_frac"),
+            F.round(m.top_bigram_frac, 6).alias("top_bigram_frac"),
+            "keep")
+    q["gopher_quality"] = _q_gopher
+    q["dedup_spans"] = lambda s, d: HF.dedup_spans(
+        load_table(s, d, "documents"), "doc_id", "text",
+        span_width=4, min_docs=2)
+
+    def _q_ann_pq(s, d):
+        # product-quantization ANN: deterministic codebooks from the first
+        # 16 corpus rows, asymmetric-distance scoring, rank-only output
+        emb = load_table(s, d, "embeddings")
+        return HF.pq_topk(emb, emb.filter("vec_id < 10"),
+                          "vec_id", "embedding", k=10, m=8, n_codes=16)
+    q["ann_pq"] = _q_ann_pq
+
     # ---- SQL-on-snapshot (TPC-H style). Deliberately LAST: the driver
     # records only the first 50 queries, and every unique operator must land
     # inside that window — TPC-H rows are parity evidence for one §2.6 row,
@@ -1411,6 +1438,136 @@ SELECT doc_id, lang FROM (
                             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
   FROM documents)
 WHERE rn <= 30
+"""
+
+    # Gopher gate / span dedup share the Spark-side tokenization verbatim:
+    # split(lower(trim(regexp_replace(text,'\s+',' '))), ' ') with NO empty
+    # filter, 4-word spans via inclusive list slices (clamped tails on both
+    # engines), fractions of exact integer counts (bit-identical doubles),
+    # round(x, 6) on every surfaced/thresholded double.
+    _TOK_CTE = r"""
+tok AS (
+  SELECT doc_id,
+         string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
+  FROM documents
+)"""
+    _SPANS4 = ("list_transform(range(1, greatest(CAST(ceil(len(t)/4.0) AS "
+               "BIGINT), 1) + 1), i -> array_to_string(t[(i-1)*4+1:i*4], ' '))")
+    o["gopher_quality"] = f"""
+WITH {_TOK_CTE},
+base AS (
+  SELECT doc_id, t,
+         {_SPANS4} AS sp,
+         CASE WHEN len(t) - 1 >= 1
+              THEN list_transform(range(1, CAST(len(t) AS BIGINT)),
+                                  i -> array_to_string(t[i:i+1], ' '))
+              ELSE CAST([] AS VARCHAR[]) END AS bg
+  FROM tok
+),
+m AS (
+  SELECT doc_id,
+    len(t) AS n_words,
+    round(list_sum(list_transform(t, w -> CAST(length(w) AS DOUBLE)))
+          / greatest(CAST(len(t) AS DOUBLE), 1.0), 6) AS mean_word_len,
+    round(CAST(len(list_filter(t, w -> regexp_matches(w, '[a-z]'))) AS DOUBLE)
+          / greatest(CAST(len(t) AS DOUBLE), 1.0), 6) AS alpha_word_frac,
+    len(list_filter(list_distinct(t),
+        x -> list_contains(['the','a','and','of','to','in','is','that',
+                            'for','with'], x))) AS stopword_hits,
+    round(1.0 - CAST(len(list_distinct(sp)) AS DOUBLE)
+          / greatest(CAST(len(sp) AS DOUBLE), 1.0), 6) AS dup_span_frac,
+    round(CASE WHEN len(bg) >= 1
+               THEN CAST(list_max(list_transform(list_distinct(bg),
+                      b -> len(list_filter(bg, x -> x = b)))) AS DOUBLE)
+                    / CAST(len(bg) AS DOUBLE)
+               ELSE 0.0 END, 6) AS top_bigram_frac
+  FROM base
+)
+SELECT doc_id, n_words, mean_word_len, alpha_word_frac, stopword_hits,
+       dup_span_frac, top_bigram_frac,
+       (n_words >= 20 AND n_words <= 100000
+        AND mean_word_len >= 2.0 AND mean_word_len <= 12.0
+        AND alpha_word_frac >= 0.8 AND stopword_hits >= 2
+        AND dup_span_frac <= 0.4 AND top_bigram_frac <= 0.2) AS keep
+FROM m
+"""
+    o["dedup_spans"] = f"""
+WITH {_TOK_CTE},
+spans AS (
+  SELECT doc_id, i AS idx, array_to_string(t[(i-1)*4+1:i*4], ' ') AS span
+  FROM tok, LATERAL unnest(range(1, greatest(CAST(ceil(len(t)/4.0) AS BIGINT),
+                                             1) + 1)) AS u(i)
+),
+kill AS (
+  SELECT span FROM (
+    SELECT span, count(DISTINCT doc_id) AS df FROM spans GROUP BY span)
+  WHERE df >= 2
+),
+kept AS (SELECT * FROM spans WHERE span NOT IN (SELECT span FROM kill)),
+tot AS (SELECT doc_id, count(*) AS n_spans_total FROM spans GROUP BY doc_id)
+SELECT k.doc_id,
+       string_agg(k.span, ' ' ORDER BY k.idx) AS text,
+       count(*) AS n_spans_kept,
+       any_value(t.n_spans_total) AS n_spans_total
+FROM kept k JOIN tot t ON k.doc_id = t.doc_id
+GROUP BY k.doc_id
+"""
+
+    # PQ ANN: codebooks = sub-vectors of the first 16 rows (same
+    # deterministic convention as ann_ivf's centroids); codes by L2 argmin
+    # with (dist, code) tie-break = Spark's first-index array_position;
+    # scoring dots the raw query against the flattened reconstruction in
+    # one left-to-right 64-element fold — rank-only output, like ann_ivf.
+    o["ann_pq"] = """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, ve, sqrt(list_sum(list_transform(ve, x -> x * x))) AS nrm
+  FROM v
+),
+cb AS (SELECT vec_id AS code, ve FROM v WHERE vec_id < 16),
+dists AS (
+  SELECT a.vec_id, j.j, c.code,
+         list_sum(list_transform(range(1, 9),
+           i -> (a.ve[CAST(j.j*8+i AS INT)] - c.ve[CAST(j.j*8+i AS INT)])
+              * (a.ve[CAST(j.j*8+i AS INT)] - c.ve[CAST(j.j*8+i AS INT)])))
+         AS d
+  FROM v a CROSS JOIN (SELECT unnest(range(0, 8)) AS j) j CROSS JOIN cb c
+),
+codes AS (
+  SELECT vec_id, j, code FROM (
+    SELECT vec_id, j, code,
+           row_number() OVER (PARTITION BY vec_id, j ORDER BY d, code) AS rn
+    FROM dists) WHERE rn = 1
+),
+recon AS (
+  SELECT vec_id, flatten(list(sub ORDER BY j)) AS re FROM (
+    SELECT cd.vec_id, cd.j,
+           cb.ve[CAST(cd.j*8+1 AS BIGINT):CAST(cd.j*8+8 AS BIGINT)] AS sub
+    FROM codes cd JOIN cb ON cb.code = cd.code)
+  GROUP BY vec_id
+),
+rn2 AS (
+  SELECT vec_id, re,
+         sqrt(list_sum(list_transform(re, x -> x * x))) AS rnrm
+  FROM recon
+),
+q AS (SELECT vec_id, ve, nrm FROM n WHERE vec_id < 10),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_sum(list_transform(range(1, 65),
+           i -> q.ve[CAST(i AS INT)] * c.re[CAST(i AS INT)]))
+         / (q.nrm * c.rnrm) AS cos
+  FROM rn2 c CROSS JOIN q WHERE c.vec_id <> q.vec_id
+)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 10
 """
 
     # JL projection: the exact +-1 plane matrix is deterministic (md5-derived

@@ -15,6 +15,12 @@ small-key joins (band-hash self-join, centroid top-k), whose shuffle width
 is a few dozen bytes per row regardless of document size.
 """
 
+from .quality import (
+    GOPHER_DEFAULTS,
+    gopher_filter,
+    gopher_metrics,
+    word_spans,
+)
 from .text import (
     tokens,
     token_count,
@@ -35,6 +41,7 @@ from .dedup import (
     simhash_sigs,
     simhash_dup_pairs,
     embedding_near_dup_pairs,
+    dedup_spans,
 )
 from .similarity import (
     dot,
@@ -45,6 +52,10 @@ from .similarity import (
     brute_force_topk,
     lsh_bucket_topk,
     ivf_topk,
+    pq_codebooks,
+    pq_encode,
+    pq_topk,
+    write_pq_index,
     kmeans_centroids,
     write_ivf_index,
     ivf_topk_from_index,
@@ -71,9 +82,10 @@ __all__ = [
     "LANG_PROFILES", "quality_score", "fingerprint", "kmin_fingerprint",
     "exact_dedup", "with_minhash", "minhash_candidate_pairs",
     "jaccard_dedup_pairs", "with_simhash", "simhash_sigs",
-    "simhash_dup_pairs", "embedding_near_dup_pairs",
+    "simhash_dup_pairs", "embedding_near_dup_pairs", "dedup_spans",
     "dot", "l2_norm", "cosine", "brute_force_topk", "lsh_bucket_topk",
-    "ivf_topk",
+    "ivf_topk", "pq_codebooks", "pq_encode", "pq_topk", "write_pq_index",
+    "gopher_metrics", "gopher_filter", "word_spans", "GOPHER_DEFAULTS",
     "MEDIA_META_SCHEMA", "attach_media", "decode_media_meta", "sample_frames",
     "register_codec",
     "sessionize",

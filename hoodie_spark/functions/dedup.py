@@ -344,3 +344,44 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
         .filter(F.col("cos") >= threshold)
         .distinct()
     )
+
+
+def dedup_spans(df: DataFrame, id_col: str, text_col: str,
+                span_width: int = 4, min_docs: int = 2) -> DataFrame:
+    """Corpus-global span (line) deduplication, CCNet/Dolma-style: drop
+    every ``span_width``-word span that appears in ``min_docs`` or more
+    DISTINCT documents, and reassemble each document from its surviving
+    spans in original order. Documents whose every span is boilerplate
+    disappear entirely.
+
+    Returns (id_col, text_col, n_spans_kept, n_spans_total).
+
+    Scale design: spans explode map-side off the scan; the document
+    frequency is a groupBy(span) with a map-side partial count, so the
+    shuffle carries (span, partial_df) not rows. The kill set and the span
+    stream are both hashed by span, so the anti-join co-partitions with the
+    count — one shuffle, reused. Reassembly shuffles (id, span) pairs once
+    more; at 100 TB each shuffle is O(total spans), the minimum any global
+    line-dedup must pay. No UDFs, no driver-side state.
+    """
+    from .quality import word_spans
+
+    spans = (df.select(
+        F.col(id_col),
+        F.posexplode(word_spans(F.col(text_col), span_width))
+        .alias("__idx", "__span")))
+    kill = (spans.groupBy("__span")
+            .agg(F.count_distinct(F.col(id_col)).alias("__df"))
+            .filter(F.col("__df") >= min_docs)
+            .select("__span"))
+    kept = spans.join(kill, "__span", "left_anti")
+    totals = (spans.groupBy(id_col)
+              .agg(F.count(F.lit(1)).alias("n_spans_total")))
+    return (kept.groupBy(id_col)
+            .agg(F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(
+                        F.struct(F.col("__idx"), F.col("__span")))),
+                    lambda s: s["__span"]), " ").alias(text_col),
+                F.count(F.lit(1)).alias("n_spans_kept"))
+            .join(totals, id_col))

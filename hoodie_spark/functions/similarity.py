@@ -350,3 +350,108 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos")
     )
+
+
+# --------------------------------------------------------------------- PQ
+def pq_codebooks(corpus: DataFrame, id_col: str, vec_col: str,
+                 m: int = 8, k: int = 16) -> list[list[list[float]]]:
+    """Deterministic product-quantization codebooks: subspace ``j``'s codes
+    are the ``j``-th sub-vectors of the first ``k`` corpus rows (same
+    no-training reproducible convention as ivf_topk's centroid init —
+    swap in per-subspace kmeans_centroids sub-vectors for trained books).
+    Returns ``books[j][c] = list[ds floats]`` with ``ds = dim // m``.
+    Driver data is k rows — bounded."""
+    rows = (corpus.select(F.col(id_col).alias("i"),
+                          F.col(vec_col).cast("array<double>").alias("v"))
+            .orderBy("i").limit(k).collect())
+    dim = len(rows[0]["v"])
+    ds = dim // m
+    return [[[float(x) for x in r["v"][j * ds:(j + 1) * ds]] for r in rows]
+            for j in range(m)]
+
+
+def pq_encode(vec, books: list[list[list[float]]]) -> Column:
+    """``array<int>`` of ``m`` code ids: per subspace, the L2-nearest code
+    (first index wins exact ties — matches the oracle's (dist, code)
+    ordering). Pure Column expr: m*k small folds, map-only, codegen'd."""
+    m = len(books)
+    ds = len(books[0][0])
+
+    def l2sq(sub, code):
+        lit = F.array(*[F.lit(x) for x in code])
+        return F.aggregate(F.zip_with(sub, lit, lambda a, b: (a - b) * (a - b)),
+                           F.lit(0.0), lambda acc, x: acc + x)
+
+    codes = []
+    for j in range(m):
+        sub = F.slice(vec, j * ds + 1, ds)
+        dists = F.array(*[l2sq(sub, c) for c in books[j]])
+        codes.append((F.array_position(dists, F.array_min(dists)) - 1)
+                     .cast("int"))
+    return F.array(*codes)
+
+
+def pq_reconstruct(codes, books: list[list[list[float]]]) -> Column:
+    """Concatenation of each subspace's chosen code — the quantized vector
+    the asymmetric-distance scoring dots the raw query against."""
+    m = len(books)
+    parts = []
+    for j in range(m):
+        book = F.array(*[F.array(*[F.lit(x) for x in c]) for c in books[j]])
+        parts.append(F.element_at(book, F.element_at(codes, j + 1) + 1))
+    return F.flatten(F.array(*parts))
+
+
+def write_pq_index(corpus: DataFrame, books, id_col: str, vec_col: str,
+                   path: str) -> None:
+    """Persist (id, codes) — the 100 TB shape: with m=8 subspaces the
+    stored index is 8 small ints per vector (~32 B vs 256 B for a float64
+    x64 vector; 4 bits/code with k=16 after parquet dictionary+RLE), so
+    the whole searchable index fits in a fraction of the corpus footprint
+    and scoring scans never touch the raw embedding column."""
+    (corpus.select(F.col(id_col),
+                   pq_encode(F.col(vec_col).cast("array<double>"), books)
+                   .alias("codes"))
+     .write.mode("overwrite").parquet(path))
+
+
+def pq_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
+            vec_col: str, k: int = 10, m: int = 8, n_codes: int = 16,
+            books=None, codes_df: DataFrame | None = None) -> DataFrame:
+    """Approximate top-k by product quantization with asymmetric distance:
+    corpus vectors are replaced by their PQ reconstruction, queries stay
+    raw, score = cos(query, reconstruction). Pass ``codes_df`` (from
+    :func:`write_pq_index`) to score a PRE-ENCODED index — then the scan
+    reads only the code column and the raw corpus is never touched.
+
+    Scale: encoding is one map pass (or amortized into the index);
+    scoring joins the broadcast query set against codes and runs one
+    64-float fold per (query, vector) on the reconstruction — the shuffle
+    after scoring carries only (query, id, score) and WindowGroupLimit
+    keeps per-partition top-k before the exchange. Compose with the IVF
+    partitionBy(centroid) layout for IVF-PQ: partition pruning picks the
+    lists, codes make each list 8-32x smaller to scan.
+
+    Returns (query_id, neighbor_id, rank) — rank 1..k per query.
+    """
+    if books is None:
+        books = pq_codebooks(corpus, id_col, vec_col, m=m, k=n_codes)
+    if codes_df is None:
+        codes_df = corpus.select(
+            F.col(id_col).alias("c_id"),
+            pq_encode(F.col(vec_col).cast("array<double>"), books)
+            .alias("codes"))
+    else:
+        codes_df = codes_df.select(F.col(id_col).alias("c_id"),
+                                   "codes")
+    q = _prep(queries, id_col, vec_col, "q")
+    recon = pq_reconstruct(F.col("codes"), books)
+    scored = (codes_df.join(F.broadcast(q), F.col("c_id") != F.col("q_id"))
+              .select("q_id", "c_id",
+                      (dot(F.col("q_v"), recon)
+                       / (F.col("q_n") * l2_norm(recon))).alias("cos")))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("c_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(F.col("q_id").alias("query_id"),
+                    F.col("c_id").alias("neighbor_id"), "rank"))

@@ -1,0 +1,125 @@
+"""Round-6 training-data operators: Gopher quality gate, global span
+dedup, product-quantization ANN."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hoodie_spark import functions as HF
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+def test_gopher_metrics_hand_checked(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat sat on the mat with a hat that fit"),
+         (2, "spam spam spam spam spam spam spam spam"),
+         (3, "x")], ["id", "text"])
+    m = (df.select("id", HF.gopher_metrics("text").alias("m"))
+         .select("id", "m.*").orderBy("id").collect())
+    r1, r2, r3 = m
+    assert r1.n_words == 11
+    assert abs(r1.mean_word_len - 32 / 11) < 1e-9
+    assert r1.alpha_word_frac == 1.0
+    assert r1.stopword_hits >= 3  # the, a, with, that, on->no
+    assert r1.dup_span_frac == 0.0
+    # doc 2: one word repeated -> every bigram identical
+    assert r2.top_bigram_frac == 1.0
+    assert r2.dup_span_frac == 0.5  # spans: 2 total, 1 distinct
+    assert r3.n_words == 1 and r3.top_bigram_frac == 0.0
+
+
+def test_gopher_filter_drops_repetitive(spark, docs):
+    flagged = HF.gopher_filter(docs, "text", keep_col="keep")
+    kept = flagged.filter("keep").count()
+    assert 0 < kept < docs.count()
+    # the filter form matches the flag form
+    assert HF.gopher_filter(docs, "text").count() == kept
+    # repetitive synthetic doc always dies
+    bad = spark.createDataFrame(
+        [(99, "dup " * 40)], ["doc_id", "text"])
+    assert HF.gopher_filter(bad, "text").count() == 0
+
+
+def test_dedup_spans_model(spark):
+    """Model check on a constructed corpus: the shared 4-word span is
+    removed from every doc, unique spans survive in order."""
+    shared = "alpha beta gamma delta"
+    df = spark.createDataFrame(
+        [(1, f"{shared} one two three four"),
+         (2, f"{shared} five six seven eight"),
+         (3, "nine ten eleven twelve")], ["doc_id", "text"])
+    out = {r.doc_id: r for r in
+           HF.dedup_spans(df, "doc_id", "text", span_width=4,
+                          min_docs=2).collect()}
+    assert out[1].text == "one two three four"
+    assert out[2].text == "five six seven eight"
+    assert out[3].text == "nine ten eleven twelve"
+    assert out[1].n_spans_total == 2 and out[1].n_spans_kept == 1
+    assert out[3].n_spans_kept == 1
+
+
+def test_dedup_spans_corpus_and_plan(spark, docs):
+    out = HF.dedup_spans(docs, "doc_id", "text").cache()
+    n_in, n_out = docs.count(), out.count()
+    assert n_out <= n_in
+    removed = out.agg(
+        F.sum(F.col("n_spans_total") - F.col("n_spans_kept"))).first()[0]
+    assert removed and removed > 0
+    # no span that survived appears in >=2 docs
+    spans = out.select("doc_id", F.explode(
+        HF.word_spans(F.col("text"), 4)).alias("s"))
+    dup = (spans.groupBy("s").agg(F.count_distinct("doc_id").alias("d"))
+           .filter("d >= 2").count())
+    assert dup == 0
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoop" not in plan
+    out.unpersist()
+
+
+def test_pq_topk_recall_and_index(spark, emb, tmp_table_path):
+    qs = emb.filter("vec_id < 10")
+    bf = {(r[0], r[1]) for r in HF.brute_force_topk(
+        emb, qs, "vec_id", "embedding", k=10)
+        .select("query_id", "neighbor_id").collect()}
+    out = HF.pq_topk(emb, qs, "vec_id", "embedding", k=10)
+    got = {(r[0], r[1]) for r in
+           out.select("query_id", "neighbor_id").collect()}
+    # 10x better than random chance (10/500 = 2%) even untrained
+    recall = len(bf & got) / len(bf)
+    assert recall >= 0.2, recall
+    # rank column is dense 1..10 per query
+    per_q = out.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n"), F.max("rank").alias("mx")).collect()
+    assert all(r.n == 10 and r.mx == 10 for r in per_q)
+
+    # pre-encoded index path returns the identical ranking
+    books = HF.pq_codebooks(emb, "vec_id", "embedding", m=8, k=16)
+    HF.write_pq_index(emb, books, "vec_id", "embedding", tmp_table_path)
+    codes = spark.read.parquet(tmp_table_path)
+    got2 = {(r[0], r[1], r[2]) for r in HF.pq_topk(
+        emb, qs, "vec_id", "embedding", k=10, books=books,
+        codes_df=codes).collect()}
+    got1 = {(r[0], r[1], r[2]) for r in out.collect()}
+    assert got1 == got2
+    # the index never stores the raw embedding column
+    assert set(codes.columns) == {"vec_id", "codes"}
+
+
+def test_pq_codes_shape(spark, emb):
+    books = HF.pq_codebooks(emb, "vec_id", "embedding", m=8, k=16)
+    assert len(books) == 8 and len(books[0]) == 16 and len(books[0][0]) == 8
+    codes = emb.select(HF.pq_encode(
+        F.col("embedding").cast("array<double>"), books).alias("c"))
+    r = codes.agg(F.max(F.array_max("c")), F.min(F.array_min("c")),
+                  F.max(F.size("c"))).first()
+    assert r[0] <= 15 and r[1] >= 0 and r[2] == 8
