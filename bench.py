@@ -110,6 +110,12 @@ def run_suite(spark, sf_dir: str) -> dict[str, float]:
     timed("ann_ivf")(lambda: HF.ivf_topk(
         emb, queries_df, "vec_id", "embedding", k=10,
         n_centroids=16, n_probe=4).count())
+    timed("ann_pq")(lambda: HF.pq_topk(
+        emb, queries_df, "vec_id", "embedding", k=10).count())
+    timed("gopher_quality")(lambda: HF.gopher_filter(
+        docs, "text", keep_col="keep").groupBy("keep").count().collect())
+    timed("dedup_spans")(lambda: HF.dedup_spans(
+        docs, "doc_id", "text").count())
     timed("events_window")(lambda: events.groupBy(
         F.window("ts", "300 seconds"), "event_type")
         .agg(F.count("*"), F.sum("value")).count())

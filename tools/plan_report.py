@@ -158,6 +158,26 @@ def main():
          "into the one shuffle, so shuffle volume is O(strata x quota) "
          "per partition, not O(rows).",
          HF.stratified_sample(docs, "lang", "doc_id", 30)),
+        ("Gopher quality gate: the whole gate is one map stage",
+         "No Exchange anywhere: every metric (word stats, span/bigram "
+         "repetition) is a Column expression over the row's own text, so "
+         "the gate fuses into the scan under WholeStageCodegen and the "
+         "kept-row projection prunes at the reader.",
+         HF.gopher_filter(docs, "text")),
+        ("Global span dedup: span-hash shuffles only, no broadcast blowup",
+         "`HashAggregate partial_count` sits below the span Exchange (the "
+         "shuffle carries (span, partial_df), not rows); the kill set "
+         "anti-joins on the same span hash; reassembly is one more "
+         "(doc_id) shuffle. Must NOT contain BroadcastNestedLoopJoin.",
+         HF.dedup_spans(docs, "doc_id", "text")),
+        ("PQ ANN: codes map-side, queries broadcast, top-k pre-shuffle",
+         "pq_encode folds are map-side off the scan; the query set is a "
+         "BroadcastExchange; `WindowGroupLimit ... Partial` caps each "
+         "partition at k rows per query BEFORE the final Exchange — the "
+         "scored stream never materializes O(corpus x queries) post-"
+         "shuffle.",
+         HF.pq_topk(emb, emb.filter("vec_id < 3"), "vec_id", "embedding",
+                    k=5)),
     ]
 
     # IVF persisted layout: partition pruning on the probed inverted lists
