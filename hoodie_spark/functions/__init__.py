@@ -53,9 +53,13 @@ from .similarity import (
     lsh_bucket_topk,
     ivf_topk,
     pq_codebooks,
+    pq_codebooks_trained,
     pq_encode,
+    pq_reconstruct,
     pq_topk,
     write_pq_index,
+    write_ivfpq_index,
+    ivfpq_topk_from_index,
     kmeans_centroids,
     write_ivf_index,
     ivf_topk_from_index,
@@ -84,7 +88,9 @@ __all__ = [
     "jaccard_dedup_pairs", "with_simhash", "simhash_sigs",
     "simhash_dup_pairs", "embedding_near_dup_pairs", "dedup_spans",
     "dot", "l2_norm", "cosine", "brute_force_topk", "lsh_bucket_topk",
-    "ivf_topk", "pq_codebooks", "pq_encode", "pq_topk", "write_pq_index",
+    "ivf_topk", "pq_codebooks", "pq_codebooks_trained", "pq_encode",
+    "pq_reconstruct", "pq_topk", "write_pq_index", "write_ivfpq_index",
+    "ivfpq_topk_from_index",
     "gopher_metrics", "gopher_filter", "word_spans", "GOPHER_DEFAULTS",
     "MEDIA_META_SCHEMA", "attach_media", "decode_media_meta", "sample_frames",
     "register_codec",

@@ -33,6 +33,9 @@ __all__ = [
     "sign_lsh_key",
     "brute_force_topk", "lsh_bucket_topk", "ivf_topk",
     "kmeans_centroids", "write_ivf_index", "ivf_topk_from_index",
+    "pq_codebooks", "pq_codebooks_trained", "pq_encode", "pq_reconstruct",
+    "pq_topk", "write_pq_index", "write_ivfpq_index",
+    "ivfpq_topk_from_index",
 ]
 
 
@@ -455,3 +458,103 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
             .filter(F.col("rank") <= k)
             .select(F.col("q_id").alias("query_id"),
                     F.col("c_id").alias("neighbor_id"), "rank"))
+
+
+def pq_codebooks_trained(corpus: DataFrame, id_col: str, vec_col: str,
+                         m: int = 8, k: int = 16, iters: int = 3,
+                         sample_fraction: float | None = None,
+                         seed: int = 42) -> list[list[list[float]]]:
+    """Per-subspace Lloyd's k-means PQ codebooks (the trained counterpart
+    of :func:`pq_codebooks`, same return shape). Each iteration is ONE map
+    pass: encode with the current books (m argmin folds in-row), explode
+    to (subspace, code, pos, x) partial sums, collect the m*k*ds codebook
+    cells — driver data is bounded by the codebook, not the corpus. Train
+    on a sample at scale (``sample_fraction``), exactly like
+    kmeans_centroids. Deterministic: seeded sample + first-k init, empty
+    cells keep their previous code."""
+    c = corpus.select(F.col(vec_col).cast("array<double>").alias("v"))
+    if sample_fraction is not None:
+        c = c.sample(False, sample_fraction, seed=seed)
+    c = c.persist()
+    try:
+        books = pq_codebooks(corpus, id_col, vec_col, m=m, k=k)
+        ds = len(books[0][0])
+        for _ in range(max(0, iters)):
+            codes = pq_encode(F.col("v"), books)
+            exp = c.select(F.posexplode(
+                F.transform(codes, lambda cd, j: F.struct(
+                    cd.alias("code"),
+                    F.slice(F.col("v"), j * ds + 1, ds).alias("sub"))))
+                .alias("j", "s"))
+            stats = (exp.select("j", F.col("s.code").alias("code"),
+                                F.posexplode(F.col("s.sub"))
+                                .alias("pos", "x"))
+                     .groupBy("j", "code", "pos")
+                     .agg(F.sum("x").alias("sx"),
+                          F.count(F.lit(1)).alias("n"))
+                     .collect())
+            cells: dict = {}
+            for r in stats:
+                cells.setdefault((int(r["j"]), int(r["code"])), {})[
+                    int(r["pos"])] = r["sx"] / r["n"]
+            books = [[
+                [by_pos[p] for p in sorted(by_pos)]
+                if (by_pos := cells.get((j, cd))) else books[j][cd]
+                for cd in range(k)] for j in range(m)]
+    finally:
+        c.unpersist()
+    return books
+
+
+def write_ivfpq_index(corpus: DataFrame, centroids: DataFrame, books,
+                      id_col: str, vec_col: str, path: str) -> None:
+    """IVF-PQ index: the :func:`write_ivf_index` partitionBy(centroid)
+    layout, but each row stores the PQ CODES instead of the raw vector —
+    the production 100 TB ANN shape: partition pruning picks n_probe
+    inverted lists, and each list is ~8 small ints per vector (32-64x
+    smaller scan than raw float64x64), so a probe's IO is
+    (n_probe/n_centroids) x (1/32) of the corpus."""
+    c = _prep(corpus, id_col, vec_col, "c")
+    cent = _prep(centroids, id_col, vec_col, "k")
+    (_assign_centroids(c, cent)
+     .select(F.col("c_id").alias(id_col),
+             pq_encode(F.col("c_v"), books).alias("codes"), "centroid")
+     .write.partitionBy("centroid").mode("overwrite").parquet(path))
+
+
+def ivfpq_topk_from_index(spark, index_path: str, centroids: DataFrame,
+                          books, queries: DataFrame, id_col: str,
+                          vec_col: str, k: int = 10,
+                          n_probe: int = 4) -> DataFrame:
+    """Probe a persisted :func:`write_ivfpq_index` layout: centroid
+    partition pruning + asymmetric-distance PQ scoring on the code
+    column. Returns (query_id, neighbor_id, rank)."""
+    cent = _prep(centroids, id_col, vec_col, "k")
+    q = _prep(queries, id_col, vec_col, "q")
+    probe_w = Window.partitionBy("q_id").orderBy(F.desc("aff"), F.asc("k_id"))
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .select("q_id", "q_v", "q_n", F.col("k_id"),
+                (dot("q_v", "k_v") / (F.col("q_n") * F.col("k_n")))
+                .alias("aff"))
+        .withColumn("rnk", F.row_number().over(probe_w))
+        .filter(F.col("rnk") <= n_probe)
+        .select("q_id", "q_v", "q_n", F.col("k_id").alias("centroid")))
+    wanted = [r[0] for r in probes.select("centroid").distinct().collect()]
+    index = (spark.read.parquet(index_path)
+             .filter(F.col("centroid").isin(wanted))
+             .select(F.col(id_col).alias("c_id"), "codes", "centroid"))
+    recon = pq_reconstruct(F.col("codes"), books)
+    scored = (
+        index.join(F.broadcast(probes), "centroid")
+        .filter(F.col("c_id") != F.col("q_id"))
+        .select(F.col("q_id").alias("query_id"),
+                F.col("c_id").alias("neighbor_id"),
+                (dot(F.col("q_v"), recon)
+                 / (F.col("q_n") * l2_norm(recon))).alias("cos"))
+        .distinct())
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"),
+                                               F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank"))

@@ -123,3 +123,48 @@ def test_pq_codes_shape(spark, emb):
     r = codes.agg(F.max(F.array_max("c")), F.min(F.array_min("c")),
                   F.max(F.size("c"))).first()
     assert r[0] <= 15 and r[1] >= 0 and r[2] == 8
+
+
+def test_pq_trained_reduces_distortion(spark, emb):
+    books0 = HF.pq_codebooks(emb, "vec_id", "embedding")
+    booksT = HF.pq_codebooks_trained(emb, "vec_id", "embedding", iters=2)
+    v = F.col("embedding").cast("array<double>")
+
+    def distortion(bk):
+        recon = HF.pq_reconstruct(HF.pq_encode(v, bk), bk)
+        d = F.aggregate(F.zip_with(v, recon, lambda a, b: (a - b) * (a - b)),
+                        F.lit(0.0), lambda acc, x: acc + x)
+        return emb.select(F.avg(d)).first()[0]
+
+    d0, dt = distortion(books0), distortion(booksT)
+    assert dt < d0, (dt, d0)
+    # codebook shape preserved by training
+    assert len(booksT) == 8 and len(booksT[0]) == 16 \
+        and len(booksT[0][0]) == 8
+
+
+def test_ivfpq_index_probe(spark, emb, tmp_table_path):
+    """The persisted IVF-PQ layout: centroid partition pruning on the scan
+    AND no raw embedding column in the index."""
+    books = HF.pq_codebooks(emb, "vec_id", "embedding")
+    cents = HF.kmeans_centroids(emb, "vec_id", "embedding",
+                                n_centroids=8, iters=1)
+    HF.write_ivfpq_index(emb, cents, books, "vec_id", "embedding",
+                         tmp_table_path)
+    idx = spark.read.parquet(tmp_table_path)
+    assert set(idx.columns) == {"vec_id", "codes", "centroid"}
+    qs = emb.filter("vec_id < 10")
+    out = HF.ivfpq_topk_from_index(spark, tmp_table_path, cents, books,
+                                   qs, "vec_id", "embedding",
+                                   k=10, n_probe=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [centroid" in plan
+    rows = out.collect()
+    assert len(rows) == 100  # 10 queries x k=10
+    # sanity: probing more lists can only help; results within the probed
+    # lists agree with brute force restricted to those lists
+    bf = {(r[0], r[1]) for r in HF.brute_force_topk(
+        emb, qs, "vec_id", "embedding", k=10)
+        .select("query_id", "neighbor_id").collect()}
+    got = {(r[0], r[1]) for r in rows}
+    assert len(bf & got) / len(bf) >= 0.1  # well above random (2%)
