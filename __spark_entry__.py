@@ -1227,6 +1227,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         load_table(s, d, "documents"), "doc_id", "text",
         span_width=4, min_docs=2)
 
+    q["text_tfidf"] = lambda s, d: HF.tfidf_terms(
+        load_table(s, d, "documents"), "doc_id", "text", vocab_size=32)
+
     def _q_ann_pq(s, d):
         # product-quantization ANN: deterministic codebooks from the first
         # 16 corpus rows, asymmetric-distance scoring, rank-only output
@@ -1511,6 +1514,25 @@ SELECT k.doc_id,
        any_value(t.n_spans_total) AS n_spans_total
 FROM kept k JOIN tot t ON k.doc_id = t.doc_id
 GROUP BY k.doc_id
+"""
+
+    # TF-IDF: vocab = top-32 document-frequency terms (df desc, term asc),
+    # smooth idf ln((N+1)/(df+1))+1; weights rounded to 6 (ln's last ulp
+    # can differ across libm implementations)
+    o["text_tfidf"] = f"""
+WITH {_TOK_CTE},
+ex AS (SELECT doc_id, len(t) AS l, unnest(t) AS term FROM tok),
+vocab AS (
+  SELECT term, df,
+         ln((SELECT count(*) + 1.0 FROM documents) / (df + 1.0)) + 1.0 AS idf
+  FROM (SELECT term, count(*) AS df
+        FROM (SELECT DISTINCT doc_id, term FROM ex) GROUP BY term
+        ORDER BY df DESC, term LIMIT 32)
+),
+tc AS (SELECT doc_id, l, term, count(*) AS c FROM ex GROUP BY doc_id, l, term)
+SELECT tc.doc_id, tc.term,
+       round((CAST(c AS DOUBLE) / l) * idf, 6) AS tfidf
+FROM tc JOIN vocab USING (term)
 """
 
     # PQ ANN: codebooks = sub-vectors of the first 16 rows (same

@@ -78,7 +78,7 @@ from .sessions import sessionize
 from .pipeline import (
     redact_pii, pii_hits, deterministic_sample, sample_hash, pack_shards,
     top_ngrams, filter_corpus, word_ngrams, contaminated_ids, decontaminate,
-    stratified_sample,
+    stratified_sample, tfidf_terms, tfidf_vectors,
 )
 
 __all__ = [
@@ -101,5 +101,6 @@ __all__ = [
     "redact_pii", "pii_hits", "deterministic_sample", "sample_hash",
     "pack_shards", "top_ngrams", "filter_corpus",
     "word_ngrams", "contaminated_ids", "decontaminate", "stratified_sample",
+    "tfidf_terms", "tfidf_vectors",
     "normalize", "random_projection",
 ]

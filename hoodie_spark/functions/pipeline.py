@@ -241,3 +241,70 @@ def stratified_sample(df: DataFrame, group_col: str, key_col: str,
         F.md5(F.col(key_col).cast("string")), F.col(key_col))
     return (df.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") <= per_group).drop("__rn"))
+
+
+def tfidf_terms(df: DataFrame, id_col: str, text_col: str,
+                vocab_size: int = 32) -> DataFrame:
+    """Corpus TF-IDF in exploded relational form: one row per
+    (document, vocab term) with a non-zero weight.
+
+    Vocabulary = the ``vocab_size`` highest-document-frequency tokens
+    (ties break lexicographically); ``idf = ln((N+1)/(df+1)) + 1`` (smooth,
+    sklearn-style); ``tf`` = term occurrences / document length. Weights
+    are rounded to 6 decimals (ln differs in the last ulp across engines).
+
+    Scale: the vocabulary pass is one map-side-partial groupBy over
+    distinct (doc, token) pairs; the bounded vocab (rows = vocab_size) is
+    collected and folded back as a broadcast join, so the weighting pass
+    is the explode + one broadcast hash join — no corpus-sized shuffle.
+    """
+    toks = F.split(F.lower(F.trim(F.regexp_replace(
+        F.col(text_col), r"\s+", " "))), " ")
+    n_docs = df.count()
+    ex = df.select(F.col(id_col), F.size(toks).alias("__len"),
+                   F.explode(toks).alias("term"))
+    vocab = (ex.select(id_col, "term").distinct()
+             .groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+             .orderBy(F.desc("df"), F.asc("term")).limit(vocab_size)
+             .withColumn("idf", F.log((F.lit(float(n_docs + 1)))
+                                      / (F.col("df") + F.lit(1.0)))
+                         + F.lit(1.0)))
+    return (ex.groupBy(id_col, "__len", "term")
+            .agg(F.count(F.lit(1)).alias("__tc"))
+            .join(F.broadcast(vocab), "term")
+            .select(F.col(id_col), F.col("term"),
+                    F.round((F.col("__tc") / F.col("__len"))
+                            * F.col("idf"), 6).alias("tfidf")))
+
+
+def tfidf_vectors(df: DataFrame, id_col: str, text_col: str,
+                  vocab_size: int = 32) -> DataFrame:
+    """Dense TF-IDF vectors (``array<double>`` in vocabulary order) —
+    feeds the similarity operators (brute_force_topk / pq_topk /
+    embedding_near_dup_pairs) so text similarity rides the same ANN
+    machinery as embeddings. The vocab (with idf) is collected — bounded
+    by vocab_size — and unrolled into per-term Column expressions: the
+    whole vectorization is then ONE map stage over the corpus."""
+    toks = F.split(F.lower(F.trim(F.regexp_replace(
+        F.col(text_col), r"\s+", " "))), " ")
+    n_docs = df.count()
+    ex = df.select(F.col(id_col), F.explode(toks).alias("term"))
+    vocab = (ex.distinct()
+             .groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+             .orderBy(F.desc("df"), F.asc("term")).limit(vocab_size)
+             .collect())
+    import math
+    terms = [(r["term"], math.log((n_docs + 1) / (r["df"] + 1)) + 1.0)
+             for r in vocab]
+    safe_len = F.greatest(F.size(toks).cast("double"), F.lit(1.0))
+    def _count_of(term):
+        # single-arg lambda (a default arg would make PySpark pass the
+        # element INDEX as the second parameter)
+        return F.size(F.filter(toks, lambda x: x == F.lit(term)))
+
+    comps = [
+        (_count_of(t).cast("double") / safe_len * F.lit(idf)).alias(f"c{i}")
+        for i, (t, idf) in enumerate(terms)]
+    return df.select(F.col(id_col),
+                     F.array(*[F.round(c, 6) for c in comps])
+                     .alias("tfidf"))

@@ -168,3 +168,34 @@ def test_ivfpq_index_probe(spark, emb, tmp_table_path):
         .select("query_id", "neighbor_id").collect()}
     got = {(r[0], r[1]) for r in rows}
     assert len(bf & got) / len(bf) >= 0.1  # well above random (2%)
+
+
+def test_tfidf_hand_checked(spark):
+    """3-doc model: idf separates the shared term from the rare one."""
+    import math
+    df = spark.createDataFrame(
+        [(1, "apple banana apple"), (2, "apple cherry"), (3, "apple")],
+        ["doc_id", "text"])
+    t = {(r.doc_id, r.term): r.tfidf
+         for r in HF.tfidf_terms(df, "doc_id", "text").collect()}
+    idf_apple = math.log(4 / 4) + 1.0       # df=3, N=3
+    idf_banana = math.log(4 / 2) + 1.0      # df=1
+    assert t[(1, "apple")] == round(2 / 3 * idf_apple, 6)
+    assert t[(1, "banana")] == round(1 / 3 * idf_banana, 6)
+    assert t[(3, "apple")] == round(1.0 * idf_apple, 6)
+    assert (2, "banana") not in t  # zero entries are absent
+
+
+def test_tfidf_vectors_feed_similarity(spark, docs):
+    """The dense form rides the same ANN machinery as embeddings."""
+    v = HF.tfidf_vectors(docs, "doc_id", "text").cache()
+    dim = len(v.first()["tfidf"])
+    assert dim >= 16
+    qs = v.filter("doc_id < 5")
+    top = HF.brute_force_topk(v, qs, "doc_id", "tfidf", k=5)
+    rows = top.collect()
+    assert len(rows) == 25
+    assert all(r["cos"] <= 1.0 + 1e-9 for r in rows)
+    # near-dup docs (the synthetic corpus plants them) rank close
+    assert any(r["cos"] > 0.9 for r in rows)
+    v.unpersist()
