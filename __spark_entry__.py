@@ -1230,6 +1230,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_tfidf"] = lambda s, d: HF.tfidf_terms(
         load_table(s, d, "documents"), "doc_id", "text", vocab_size=32)
 
+    def _q_bpe(s, d):
+        # BPE tokenizer: iterative merge training is not SQL-expressible,
+        # so this row is rows-only (no oracle_sql entry) by design; the
+        # pytest suite hand-checks the merge sequence and round-trip
+        docs = load_table(s, d, "documents")
+        merges = HF.bpe_train(docs, "text", num_merges=48)
+        return docs.select(
+            "doc_id", HF.bpe_token_count("text", merges).alias("n_tokens"))
+    q["bpe_tokenize"] = _q_bpe
+
     def _q_ann_pq(s, d):
         # product-quantization ANN: deterministic codebooks from the first
         # 16 corpus rows, asymmetric-distance scoring, rank-only output

@@ -80,6 +80,7 @@ from .pipeline import (
     top_ngrams, filter_corpus, word_ngrams, contaminated_ids, decontaminate,
     stratified_sample, tfidf_terms, tfidf_vectors,
 )
+from .bpe import bpe_train, bpe_encode, bpe_token_count
 
 __all__ = [
     "tokens", "token_count", "regex_token_count", "char_ngrams", "lang_id",
@@ -102,5 +103,6 @@ __all__ = [
     "pack_shards", "top_ngrams", "filter_corpus",
     "word_ngrams", "contaminated_ids", "decontaminate", "stratified_sample",
     "tfidf_terms", "tfidf_vectors",
+    "bpe_train", "bpe_encode", "bpe_token_count",
     "normalize", "random_projection",
 ]

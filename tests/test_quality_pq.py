@@ -199,3 +199,41 @@ def test_tfidf_vectors_feed_similarity(spark, docs):
     # near-dup docs (the synthetic corpus plants them) rank close
     assert any(r["cos"] > 0.9 for r in rows)
     v.unpersist()
+
+
+def test_bpe_train_hand_checked(spark):
+    """Textbook corpus: the most frequent adjacent pair merges first,
+    ties break lexicographically, merges chain into longer units."""
+    df = spark.createDataFrame(
+        [(1, "low low low lower lower")], ["id", "text"])
+    merges = HF.bpe_train(df, "text", num_merges=4)
+    # 'l o' and 'o w' both appear 5x; 'l o' is lexicographically first
+    assert merges[0] == ("l", "o")
+    assert merges[1] == ("lo", "w")  # chained: now 'lo w' appears 5x
+    assert ("low", "</w>") in merges  # the full word closes
+
+
+def test_bpe_encode_matches_training_state(spark):
+    """Encoding a training word with the learned merges reproduces the
+    trainer's final symbol sequence (greedy lowest-rank-first)."""
+    df = spark.createDataFrame(
+        [(1, "banana banana bandana")], ["id", "text"])
+    merges = HF.bpe_train(df, "text", num_merges=6)
+    out = df.select(HF.bpe_encode("text", merges).alias("t")).first()["t"]
+    # round-trip: concatenating tokens (stripping the end marker) gives
+    # back the normalized text
+    joined = "".join(out).replace("</w>", " ").strip()
+    assert joined == "banana banana bandana"
+    # token count column agrees with the encode array
+    n = df.select(HF.bpe_token_count("text", merges).alias("n")).first()["n"]
+    assert n == len(out)
+
+
+def test_bpe_corpus_compresses(spark, docs):
+    """More merges -> fewer tokens; the vocabulary actually compresses."""
+    m16 = HF.bpe_train(docs, "text", num_merges=16)
+    m64 = HF.bpe_train(docs, "text", num_merges=64)
+    assert m16 == m64[:16]  # training is deterministic and prefix-stable
+    n16 = docs.select(F.sum(HF.bpe_token_count("text", m16))).first()[0]
+    n64 = docs.select(F.sum(HF.bpe_token_count("text", m64))).first()[0]
+    assert n64 < n16
