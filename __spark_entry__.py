@@ -526,6 +526,24 @@ def _fx_orders_exprskip(spark, sf_dir, path):
     return {"tbl": tbl}
 
 
+def _fx_orders_analyze(spark, sf_dir, path):
+    """ANALYZE backfill (services/stats.py): table written with NO stats
+    config; column/expression stats are harvested afterwards into the
+    .hoodie/col_stats sidecar and overlay the manifest, so skip_filters
+    prune identically to write-time stats."""
+    from pyspark.sql.window import Window
+
+    tbl = HoodieTable.create(
+        spark, path, "orders_analyze", ["rk"], "o_orderdate",
+        write_config=WriteConfig(parquet_max_file_size=256 * 1024))
+    keyed = _orders(spark, sf_dir).withColumn(
+        "rk", F.lpad(F.row_number().over(Window.orderBy(
+            "o_orderdate", "o_orderkey")).cast("string"), 8, "0"))
+    tbl.bulk_insert(keyed)
+    assert tbl.analyze(exprs={"yr": "year(o_orderdate)"}) > 0
+    return {"tbl": tbl}
+
+
 def _fx_orders_zorder(spark, sf_dir, path):
     """Many small files, then z-order cluster on (custkey, totalprice) —
     contents must be byte-identical; the layout only moves rows."""
@@ -580,6 +598,7 @@ _BUILDERS = {
     "orders_si": _fx_orders_si,
     "orders_zorder": _fx_orders_zorder,
     "orders_exprskip": _fx_orders_exprskip,
+    "orders_analyze": _fx_orders_analyze,
     "orders_logcompact": _fx_orders_logcompact,
 }
 
@@ -1227,6 +1246,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         load_table(s, d, "documents"), "doc_id", "text",
         span_width=4, min_docs=2)
 
+    q["analyze_skipping"] = lambda s, d: _data(
+        _fixture(s, d, "orders_analyze")["tbl"]
+        .snapshot(skip_filters=[("yr", "=", 1996)])
+        .filter("year(o_orderdate) = 1996")).select(*_ORDER_COLS)
     q["text_tfidf"] = lambda s, d: HF.tfidf_terms(
         load_table(s, d, "documents"), "doc_id", "text", vocab_size=32)
 
@@ -1659,6 +1682,9 @@ SELECT {sel_orders} FROM orders WHERE o_orderkey % 2 = 0
     o["zorder_clustering"] = f"SELECT {sel_orders} FROM orders"
     o["expr_data_skipping"] = f"""
 SELECT {sel_orders} FROM orders WHERE year(o_orderdate) = 1997
+"""
+    o["analyze_skipping"] = f"""
+SELECT {sel_orders} FROM orders WHERE year(o_orderdate) = 1996
 """
     o["mor_logcompaction"] = """
 SELECT o_orderkey, o_custkey,

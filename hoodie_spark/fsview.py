@@ -158,6 +158,23 @@ class FileSystemView:
         for grp in self.groups.values():
             grp.slices = {t: s for t, s in grp.slices.items()
                           if s.base_file is not None or s.log_files}
+        # ANALYZE sidecar overlay (services/stats.py): backfilled column
+        # stats merge under the write-time manifest stats, so data
+        # skipping works for tables written before stats were configured.
+        # One isdir check when no backfill exists.
+        from .services.stats import _load_sidecars
+        sidecar = _load_sidecars(self.base_path)
+        if sidecar:
+            for grp in self.groups.values():
+                for sl in grp.slices.values():
+                    bf = sl.base_file
+                    if bf is None:
+                        continue
+                    extra = sidecar.get(bf.path)
+                    if extra:
+                        merged = dict(extra)
+                        merged.update(bf.col_stats or {})
+                        bf.col_stats = merged
 
     def _apply_data(self, ts: str, md: dict,
                     deleted_slices: set[tuple[str, str, str]] = frozenset(),

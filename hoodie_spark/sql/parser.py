@@ -607,6 +607,12 @@ def _exec_call(spark, sql: str, tables: dict):
                              if "instant_time" in args else None)
     if proc == "restore_to_savepoint":
         return tbl.restore(str(args["instant_time"]))
+    if proc == "run_analyze":
+        from ..services.stats import analyze
+        cols = [c.strip() for c in str(args.get("columns", "")).split(",")
+                if c.strip()]
+        return analyze(tbl, columns=cols or None,
+                       force=bool(args.get("force", False)))
     if proc == "run_ttl":
         return tbl.apply_ttl(**args)
     if proc == "run_archival":

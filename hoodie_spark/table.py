@@ -433,6 +433,15 @@ class HoodieTable:
         return logcompact(self, min_log_files=min_log_files,
                           partitions=partitions)
 
+    def analyze(self, columns: list[str] | None = None,
+                exprs: dict[str, str] | None = None,
+                force: bool = False) -> int:
+        """Backfill per-file column/expression stats for data skipping
+        (services/stats.py — ANALYZE for tables written before
+        ``stats_columns``/``stats_exprs`` were configured)."""
+        from .services.stats import analyze
+        return analyze(self, columns=columns, exprs=exprs, force=force)
+
     def apply_ttl(self, **kw):
         from .services import apply_ttl
         return apply_ttl(self, **kw)

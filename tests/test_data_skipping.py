@@ -107,3 +107,63 @@ def test_expression_stats_prune_and_match(spark, tmp_table_path):
     got2 = tbl.snapshot(skip_filters=[("yr", "=", 1997)]) \
         .filter("year(o_orderdate) = 1997").count()
     assert got2 == exp
+
+
+def test_analyze_backfills_stats_for_existing_table(spark, tmp_table_path):
+    """ANALYZE on a table written WITHOUT stats config: skip_filters prune
+    files afterwards, results stay exact, and the sidecar survives
+    compaction of dead entries."""
+    from pyspark.sql.window import Window
+
+    from hoodie_spark.reader import prune_by_stats
+    from hoodie_spark.services.stats import compact_sidecars
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    tbl = HoodieTable.create(
+        spark, tmp_table_path, "skipbf", ["rk"], "o_orderdate",
+        write_config=WriteConfig(parquet_max_file_size=64 * 1024))
+    keyed = orders.withColumn(
+        "rk", F.lpad(F.row_number().over(Window.orderBy("o_orderdate"))
+                     .cast("string"), 6, "0"))
+    tbl.bulk_insert(keyed)
+    # no stats configured -> nothing to prune on
+    slices = tbl.view().latest_slices()
+    assert all(not (sl.base_file.col_stats or {}).get("o_totalprice")
+               for sl in slices)
+
+    n = tbl.analyze(columns=["o_totalprice"],
+                    exprs={"yr": "year(o_orderdate)"})
+    assert n == len(slices)
+    assert tbl.analyze(columns=["o_totalprice"]) == 0  # idempotent
+
+    slices = tbl.view().latest_slices()
+    assert all("o_totalprice" in sl.base_file.col_stats
+               and "yr" in sl.base_file.col_stats for sl in slices)
+    pruned = prune_by_stats(slices, [("yr", "=", 1997)], mor=False)
+    assert 0 < len(pruned) < len(slices)
+    exp = orders.filter("year(o_orderdate) = 1997").count()
+    got = tbl.snapshot(skip_filters=[("yr", "=", 1997)]) \
+        .filter("year(o_orderdate) = 1997").count()
+    assert got == exp
+
+    # rewrite some files; stale sidecar entries are dropped by compaction
+    tbl.upsert(keyed.limit(30).withColumn("o_orderpriority", F.lit("X")))
+    kept = compact_sidecars(tbl)
+    live = {sl.base_file.path for sl in tbl.view().latest_slices()}
+    assert 0 < kept <= len(live)
+    got2 = tbl.snapshot(skip_filters=[("yr", "=", 1997)]) \
+        .filter("year(o_orderdate) = 1997").count()
+    assert got2 == exp
+
+
+def test_analyze_via_call_procedure(spark, tmp_table_path):
+    from hoodie_spark.sql.parser import run_sql
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    tbl = HoodieTable.create(
+        spark, tmp_table_path, "skipcall", ["o_orderkey"], "o_orderdate",
+        write_config=WriteConfig(parquet_max_file_size=64 * 1024))
+    tbl.bulk_insert(orders)
+    n = run_sql(spark, "CALL run_analyze(table => 'skipcall', "
+                       "columns => 'o_totalprice')", {"skipcall": tbl})
+    assert n == len(tbl.view().latest_slices())
