@@ -51,6 +51,9 @@ def _build_parser() -> argparse.ArgumentParser:
     cl.add_argument("--sort-cols", default=None)
     cl.add_argument("--layout", default="linear",
                     choices=["linear", "zorder", "hilbert"])
+    an = sub.add_parser("analyze")
+    an.add_argument("columns", help="comma-separated column list")
+    an.add_argument("--force", action="store_true")
     ci = sub.add_parser("create-index")
     ci.add_argument("column")
     di = sub.add_parser("drop-index")
@@ -105,6 +108,10 @@ def main(argv: list[str] | None = None, spark=None) -> dict:
     elif args.cmd == "logcompact":
         out = {"logcompaction_instant":
                tbl.logcompact(min_log_files=args.min_log_files)}
+    elif args.cmd == "analyze":
+        n = tbl.analyze(columns=[c.strip() for c in args.columns.split(",")
+                                 if c.strip()], force=args.force)
+        out = {"files_analyzed": n}
     elif args.cmd == "create-index":
         tbl.create_secondary_index(args.column)
         out = {"index_created": args.column}

@@ -11,8 +11,8 @@ from .sink import foreach_batch_writer, write_stream
 from .stateful import stateful_dedup, stateful_session_counts
 from .source import incremental_batches, latest_offset
 from .transform import (AWSDmsTransformer, ChainedTransformer,
-                        FlatteningTransformer, SqlQueryTransformer,
-                        Transformer)
+                        FlatteningTransformer, QualityGateTransformer,
+                        SqlQueryTransformer, Transformer)
 
 __all__ = ["foreach_batch_writer", "write_stream", "incremental_batches",
            "latest_offset", "Ingestor", "ParquetDFSSource", "JsonDFSSource",
@@ -22,6 +22,6 @@ __all__ = ["foreach_batch_writer", "write_stream", "incremental_batches",
            "StaticSchemaProvider", "FileBasedSchemaProvider",
            "SchemaRegistryProvider", "RowBasedSchemaProvider",
            "Transformer", "SqlQueryTransformer", "FlatteningTransformer",
-           "ChainedTransformer", "AWSDmsTransformer",
+           "ChainedTransformer", "AWSDmsTransformer", "QualityGateTransformer",
            "continuous_aggregate", "create_rollup_table",
            "windowed_rollup_frame"]

@@ -86,3 +86,29 @@ def _as_callable(t):
     if isinstance(t, Transformer):
         return t
     raise TypeError(f"not a transformer: {t!r}")
+
+
+class QualityGateTransformer(Transformer):
+    """Curation-on-ingest: apply the training-data quality gates
+    (functions/pipeline.filter_corpus bands and/or the Gopher
+    repetition/shape rules) to every incoming batch BEFORE it is written —
+    the shape a 100 TB ingestion actually wants, since a dropped row never
+    costs an upsert, an index entry, or downstream dedup work. Pure
+    Column predicates: the gate fuses into the batch's plan, adding no
+    stage."""
+
+    def __init__(self, text_col: str, gopher: bool = True,
+                 gopher_overrides: dict | None = None, **corpus_kw):
+        self.text_col = text_col
+        self.gopher = gopher
+        self.gopher_overrides = gopher_overrides or {}
+        self.corpus_kw = corpus_kw
+
+    def apply(self, spark, df: DataFrame) -> DataFrame:
+        if self.corpus_kw:
+            from ..functions.pipeline import filter_corpus
+            df = filter_corpus(df, self.text_col, **self.corpus_kw)
+        if self.gopher:
+            from ..functions.quality import gopher_filter
+            df = gopher_filter(df, self.text_col, **self.gopher_overrides)
+        return df

@@ -536,3 +536,24 @@ def test_async_logcompaction(spark, tmp_table_path):
     for i in range(4):
         assert snap.filter(f"o_orderstatus = 'L{i}'").count() == \
             orders.filter(F.col("o_orderkey") % 4 == i).count()
+
+
+def test_quality_gate_transformer_on_ingest(spark, tmp_table_path):
+    """Curation-on-ingest: the quality gate drops failing docs inside the
+    ingest pipeline, before any write/index work happens."""
+    from hoodie_spark.streaming import QualityGateTransformer
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet")
+    gate = QualityGateTransformer("text", min_tokens=30)
+    gated = gate(spark, docs)
+    from hoodie_spark.functions import gopher_filter
+    from hoodie_spark.functions.pipeline import filter_corpus
+    exp = gopher_filter(
+        filter_corpus(docs, "text", min_tokens=30), "text").count()
+    assert gated.count() == exp and 0 < exp < docs.count()
+
+    tbl = HoodieTable.create(
+        spark, tmp_table_path, "gated_docs", ["doc_id"], "doc_id")
+    tbl.bulk_insert(gated)
+    assert tbl.snapshot().count() == exp
