@@ -368,6 +368,11 @@ def pq_codebooks(corpus: DataFrame, id_col: str, vec_col: str,
                           F.col(vec_col).cast("array<double>").alias("v"))
             .orderBy("i").limit(k).collect())
     dim = len(rows[0]["v"])
+    if dim % m:
+        # a silent dim//m would drop the trailing dims from every code —
+        # scores would quietly ignore part of the vector
+        raise ValueError(f"embedding dim {dim} not divisible by m={m} "
+                         "subspaces")
     ds = dim // m
     return [[[float(x) for x in r["v"][j * ds:(j + 1) * ds]] for r in rows]
             for j in range(m)]

@@ -237,3 +237,23 @@ def test_bpe_corpus_compresses(spark, docs):
     n16 = docs.select(F.sum(HF.bpe_token_count("text", m16))).first()[0]
     n64 = docs.select(F.sum(HF.bpe_token_count("text", m64))).first()[0]
     assert n64 < n16
+
+
+def test_pq_rejects_indivisible_subspaces(spark, emb):
+    with pytest.raises(ValueError, match="not divisible"):
+        HF.pq_codebooks(emb, "vec_id", "embedding", m=7)
+
+
+def test_quality_ops_edge_inputs(spark):
+    """Empty/whitespace/unicode text must not crash or divide by zero."""
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "héllo wörld msg msg msg msg"),
+         (4, None)], ["doc_id", "text"])
+    m = df.filter("text is not null").select(
+        "doc_id", HF.gopher_metrics("text").alias("m")).select(
+        "doc_id", "m.*").collect()
+    assert all(r.mean_word_len is not None for r in m)
+    out = HF.dedup_spans(df.filter("text is not null"), "doc_id", "text")
+    assert out.count() >= 1  # unicode doc survives with its spans
+    t = HF.tfidf_terms(df.filter("text is not null"), "doc_id", "text")
+    assert t.filter("term = 'wörld'").count() == 1
