@@ -653,6 +653,53 @@ def _exec_call(spark, sql: str, tables: dict):
                                 reverse=True)[:limit]]
         return spark.createDataFrame(
             rows, "commit_time string, action string, state string")
+    if proc == "show_rollbacks":
+        from .. import timeline as tl2
+        rows = [(i.timestamp,
+                 ",".join(tbl.timeline.metadata(i).get("targets", [])))
+                for i in tbl.timeline.completed((tl2.ROLLBACK, tl2.RESTORE))]
+        return spark.createDataFrame(
+            rows or [], "rollback_time string, rolled_back_instants string")
+    if proc == "show_cleans":
+        from .. import timeline as tl2
+        rows = [(i.timestamp,
+                 tbl.timeline.metadata(i).get("policy", ""),
+                 len(tbl.timeline.metadata(i).get("deleted_slices", [])))
+                for i in tbl.timeline.completed((tl2.CLEAN,))]
+        return spark.createDataFrame(
+            rows or [], "clean_time string, policy string, "
+                        "deleted_slices int")
+    if proc in ("show_clustering", "show_compaction"):
+        # both publish as ordinary data instants; filter on the recorded
+        # operation (cluster -> replacecommit op 'cluster', compaction ->
+        # commit op 'compact' / logcompaction action)
+        from .. import timeline as tl2
+        ops = ({"cluster"} if proc == "show_clustering"
+               else {"compact", "logcompact"})
+        rows = []
+        for i in tbl.timeline.completed(tl2.DATA_ACTIONS):
+            try:
+                md = tbl.timeline.metadata(i)
+            except FileNotFoundError:
+                continue
+            if md.get("operation") in ops or \
+                    (proc == "show_compaction"
+                     and i.action == tl2.LOGCOMPACTION):
+                rows.append((i.timestamp, md.get("operation", i.action),
+                             len(md.get("write_stats", []))))
+        return spark.createDataFrame(
+            rows or [], "instant string, operation string, files_written int")
+    if proc == "show_archived_timeline":
+        import json as _json
+        import os as _os
+        rows = []
+        if _os.path.exists(tbl.timeline.archive_path):
+            with open(tbl.timeline.archive_path) as f:
+                for line in f:
+                    rec = _json.loads(line)
+                    rows.append((rec["timestamp"], rec["action"]))
+        return spark.createDataFrame(
+            rows or [], "commit_time string, action string")
     raise ValueError(f"unknown procedure {proc!r}")
 
 

@@ -174,3 +174,34 @@ def test_maintenance_procedures(spark, orders, tmp_table_path):
         spark,
         f"CALL repair_deduplicate(table => 'orders_mx', "
         f"partition => '{part}', dry_run => true)", tables) == 0
+
+
+def test_show_procedures_round6(spark, tmp_table_path):
+    """show_rollbacks / show_cleans / show_compaction / show_clustering /
+    show_archived_timeline return inspectable DataFrames."""
+    from pyspark.sql import functions as F
+
+    from hoodie_spark import HoodieTable, TableType
+    from hoodie_spark.sql.parser import run_sql
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    tbl = HoodieTable.create(
+        spark, tmp_table_path, "showp", ["o_orderkey"], "o_orderdate",
+        partition_expr="cast(year(o_orderdate) as string)",
+        table_type=TableType.MERGE_ON_READ)
+    tbl.bulk_insert(orders)
+    tbl.upsert(orders.limit(20).withColumn("o_orderstatus", F.lit("X")))
+    tbl.compact()
+    up = tbl.upsert(orders.limit(5).withColumn("o_orderstatus", F.lit("Y")))
+    tbl.rollback(up.instant)
+    tbl.upsert(orders.limit(3).withColumn("o_orderstatus", F.lit("Z")))
+    tbl.clean(retained=1)
+    t = {"showp": tbl}
+    rb = run_sql(spark, "CALL show_rollbacks(table => 'showp')", t)
+    assert rb.count() == 1 and up.instant in rb.first()[1]
+    cl = run_sql(spark, "CALL show_cleans(table => 'showp')", t)
+    assert cl.count() == 1 and cl.first()["policy"]
+    cp = run_sql(spark, "CALL show_compaction(table => 'showp')", t)
+    assert cp.count() == 1 and cp.first()["operation"] == "compact"
+    arch = run_sql(spark, "CALL show_archived_timeline(table => 'showp')", t)
+    assert arch.count() == 0  # nothing archived yet
