@@ -112,3 +112,36 @@ class QualityGateTransformer(Transformer):
             from ..functions.quality import gopher_filter
             df = gopher_filter(df, self.text_col, **self.gopher_overrides)
         return df
+
+
+class DebeziumTransformer(Transformer):
+    """Debezium envelope → upsert-able rows (public Hudi
+    DebeziumSource/Payload design: hudi-utilities
+    debezium/DebeziumSource.java + PostgresDebeziumAvroPayload): each
+    record carries ``op`` ('c'/'r'/'u'/'d'), ``before``/``after`` row
+    structs and a ``source``/``ts_ms`` position. Emits the after-image
+    (before-image for deletes, so the key columns survive), an ``Op``
+    column the CDC payload path consumes ('d' rows soft-delete), and
+    ``_event_ts`` (source position when present, else envelope ts_ms) to
+    use as the preCombine field — late-arriving older images then lose
+    the merge, Debezium-correctly. Pure Column ops, one projection."""
+
+    def apply(self, spark, df: DataFrame) -> DataFrame:
+        cols = set(df.columns)
+        if not {"op", "after"} <= cols:
+            raise ValueError("DebeziumTransformer expects Debezium "
+                             "envelope columns op/after[/before]")
+        image = F.col("after")
+        if "before" in cols:
+            image = F.when(F.col("op") == "d",
+                           F.col("before")).otherwise(F.col("after"))
+        ts = F.col("ts_ms") if "ts_ms" in cols else F.lit(0).cast("long")
+        if "source" in cols:
+            src_fields = {f.name for f in df.schema["source"].dataType.fields}
+            for cand in ("lsn", "pos", "ts_ms"):
+                if cand in src_fields:
+                    ts = F.coalesce(F.col(f"source.{cand}").cast("long"), ts)
+                    break
+        out = df.select(image.alias("__row"), F.col("op").alias("Op"),
+                        ts.alias("_event_ts"))
+        return out.select("__row.*", "Op", "_event_ts")

@@ -557,3 +557,38 @@ def test_quality_gate_transformer_on_ingest(spark, tmp_table_path):
         spark, tmp_table_path, "gated_docs", ["doc_id"], "doc_id")
     tbl.bulk_insert(gated)
     assert tbl.snapshot().count() == exp
+
+
+def test_debezium_transformer_cdc_to_table(spark, tmp_table_path):
+    """Debezium envelopes (c/u/d with before/after images) land as exactly
+    one upsert batch: updates win by source position, deletes remove."""
+    from hoodie_spark.cdc import apply_cdc
+    from hoodie_spark.streaming import DebeziumTransformer
+
+    rows = [
+        {"op": "c", "before": None,
+         "after": {"id": 1, "v": "a"}, "ts_ms": 10,
+         "source": {"lsn": 100}},
+        {"op": "c", "before": None,
+         "after": {"id": 2, "v": "b"}, "ts_ms": 11,
+         "source": {"lsn": 101}},
+        {"op": "u", "before": {"id": 1, "v": "a"},
+         "after": {"id": 1, "v": "a2"}, "ts_ms": 12,
+         "source": {"lsn": 102}},
+        {"op": "d", "before": {"id": 2, "v": "b"},
+         "after": None, "ts_ms": 13, "source": {"lsn": 103}},
+    ]
+    df = spark.createDataFrame(
+        rows, "op string, before struct<id:long,v:string>, "
+              "after struct<id:long,v:string>, ts_ms long, "
+              "source struct<lsn:long>")
+    flat = DebeziumTransformer()(spark, df)
+    assert {"id", "v", "Op", "_event_ts"} <= set(flat.columns)
+    # source.lsn wins as the event position
+    assert {r["_event_ts"] for r in flat.collect()} == {100, 101, 102, 103}
+
+    tbl = HoodieTable.create(
+        spark, tmp_table_path, "dbz", ["id"], "_event_ts")
+    tbl.upsert(apply_cdc(flat, op_col="Op", delete_values=("d", "D")))
+    snap = {r["id"]: r["v"] for r in tbl.snapshot().collect()}
+    assert snap == {1: "a2"}  # update applied, delete removed id=2
