@@ -45,7 +45,9 @@ import os
 from dataclasses import dataclass
 
 from pyspark.sql.datasource import (DataSource, DataSourceReader,
-                                    DataSourceStreamReader, InputPartition)
+                                    DataSourceStreamReader,
+                                    DataSourceStreamWriter, DataSourceWriter,
+                                    InputPartition, WriterCommitMessage)
 from pyspark.sql.types import StructType
 
 from ..config import COMMIT_TIME, OPERATION, RECORD_KEY
@@ -338,3 +340,139 @@ class HoodieDataSource(DataSource):
         return _HoodieStreamReader(
             self._path(), {k.lower(): v for k, v in self.options.items()},
             schema, cfg.get("precombine_field"))
+
+    def writer(self, schema: StructType, overwrite: bool):
+        opts = {k.lower(): v for k, v in self.options.items()}
+        if overwrite and "operation" not in opts:
+            opts["operation"] = "insert_overwrite"
+        return _HoodieWriter(self._path(), opts, schema)
+
+    def streamWriter(self, schema: StructType, overwrite: bool):
+        return _HoodieStreamWriter(
+            self._path(), {k.lower(): v for k, v in self.options.items()},
+            schema)
+
+
+
+# ---------------------------------------------------------------- writers
+class _StageCommit(WriterCommitMessage):
+    def __init__(self, files):
+        self.files = files
+
+
+def _stage_rows(table_path: str, schema_json: str, iterator) -> _StageCommit:
+    """Executor side: stage this task's rows as one parquet under
+    ``<table>/.hoodie/.staging/`` — parallel, nothing moves to the
+    driver. Returns the staged file list as the commit message."""
+    import uuid as _uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    rows = [r.asDict(recursive=True) for r in iterator]
+    if not rows:
+        return _StageCommit([])
+    arrow_schema = to_arrow_schema(StructType.fromJson(
+        json.loads(schema_json)))
+    d = os.path.join(table_path, ".hoodie", ".staging")
+    os.makedirs(d, exist_ok=True)
+    f = os.path.join(d, f"part-{_uuid.uuid4().hex[:16]}.parquet")
+    pq.write_table(pa.Table.from_pylist(rows, schema=arrow_schema), f)
+    return _StageCommit([f])
+
+
+def _apply_staged(path: str, options: dict, schema_json: str,
+                  files, batch_id=None) -> None:
+    """Driver side: run the REAL write path (tagging, small-file packing,
+    indexes, timeline) over the staged files, then drop them. Streaming
+    replays are skipped via the same streaming_batch_id commit metadata
+    as the foreachBatch sink."""
+    from pyspark.sql import SparkSession
+
+    # commit() runs on the driver but in a worker thread with no active
+    # session bound; getOrCreate() returns the existing driver session
+    spark = SparkSession.getActiveSession() or \
+        SparkSession.builder.getOrCreate()
+    try:
+        if not files:
+            return
+        from ..table import HoodieTable
+        tbl = HoodieTable.load(spark, path)
+        if batch_id is not None:
+            from ..streaming.sink import _last_batch_id
+            if batch_id <= _last_batch_id(tbl):
+                return  # replayed micro-batch after restart
+            tbl._writer.commit_extra["streaming_batch_id"] = int(batch_id)
+        df = spark.read.schema(StructType.fromJson(
+            json.loads(schema_json))).parquet(*files)
+        op = str(options.get("operation", "upsert")).lower()
+        dispatch = {"bulk_insert": tbl.bulk_insert, "insert": tbl.insert,
+                    "delete": tbl.delete,
+                    "insert_overwrite": tbl.insert_overwrite,
+                    "upsert": tbl.upsert}
+        if op not in dispatch:
+            raise ValueError(f"unknown write operation {op!r}")
+        dispatch[op](df)
+    finally:
+        for f in files:
+            try:
+                os.remove(f)
+            except OSError:
+                pass
+
+
+class _HoodieWriter(DataSourceWriter):
+    """``df.write.format("hoodie_spark")`` — the convenience seam of the
+    reference's DefaultSource write path (hudi-spark DefaultSource.scala /
+    DataSourceUtils.doWriteOperation). Heavy batch loads should call
+    ``table.bulk_insert`` directly (that path never moves rows through
+    Python); this seam gives tooling and micro-batches full
+    ``df.write`` API parity."""
+
+    def __init__(self, path: str, options: dict, schema: StructType):
+        self.path = path
+        self.options = dict(options)
+        self.schema_json = schema.json()
+
+    def write(self, iterator):
+        return _stage_rows(self.path, self.schema_json, iterator)
+
+    def commit(self, messages):
+        files = [f for m in messages if m is not None for f in m.files]
+        _apply_staged(self.path, self.options, self.schema_json, files)
+
+    def abort(self, messages):
+        for m in messages or []:
+            for f in (m.files if m is not None else []):
+                try:
+                    os.remove(f)
+                except OSError:
+                    pass
+
+
+class _HoodieStreamWriter(DataSourceStreamWriter):
+    """``df.writeStream.format("hoodie_spark")`` — exactly-once via the
+    same streaming_batch_id commit metadata as the foreachBatch sink
+    (HoodieStreamingSink.scala:41-97 parity)."""
+
+    def __init__(self, path: str, options: dict, schema: StructType):
+        self.path = path
+        self.options = dict(options)
+        self.schema_json = schema.json()
+
+    def write(self, iterator):
+        return _stage_rows(self.path, self.schema_json, iterator)
+
+    def commit(self, messages, batchId):  # noqa: N803 (API name)
+        files = [f for m in messages if m is not None for f in m.files]
+        _apply_staged(self.path, self.options, self.schema_json, files,
+                      batch_id=batchId)
+
+    def abort(self, messages, batchId):  # noqa: N803
+        for m in messages or []:
+            for f in (m.files if m is not None else []):
+                try:
+                    os.remove(f)
+                except OSError:
+                    pass

@@ -145,3 +145,60 @@ def test_readstream_start_offset_latest(spark, orders, tmp_table_path):
          .trigger(availableNow=True).start())
     q.awaitTermination(300)
     assert rows == []  # nothing after the start offset yet
+
+
+def test_write_format_upsert_and_overwrite(spark, orders, tmp_table_path,
+                                           _register):
+    """df.write.format("hoodie_spark"): rows stage in parallel, the real
+    write path (tagging, packing, timeline) runs at commit."""
+    tbl = HoodieTable.create(
+        spark, tmp_table_path, "dswrite", ["o_orderkey"], "o_orderdate",
+        partition_expr="cast(year(o_orderdate) as string)")
+    tbl.bulk_insert(orders.limit(300))
+    upd = orders.limit(60).withColumn("o_orderstatus", F.lit("W"))
+    (upd.write.format("hoodie_spark").mode("append")
+     .option("operation", "upsert").save(tmp_table_path))
+    tbl = HoodieTable.load(spark, tmp_table_path)
+    snap = tbl.snapshot()
+    assert snap.count() == 300  # upsert, not append-duplicates
+    assert snap.filter("o_orderstatus = 'W'").count() == 60
+    # staging fully cleaned
+    stage = os.path.join(tmp_table_path, ".hoodie", ".staging")
+    assert not os.path.isdir(stage) or os.listdir(stage) == []
+    # the timeline carries a real commit (not a parquet append)
+    assert tbl.timeline.completed()[-1].action in ("commit", "deltacommit")
+
+
+def test_writestream_format_exactly_once(spark, orders, tmp_table_path,
+                                         _register):
+    """df.writeStream.format("hoodie_spark"): micro-batches commit with
+    streaming_batch_id metadata; a checkpoint replay is skipped."""
+    src_dir = os.path.join(tmp_table_path, "src")
+    tpath = os.path.join(tmp_table_path, "tbl")
+    ckpt = os.path.join(tmp_table_path, "ckpt")
+    orders.limit(120).write.parquet(src_dir)
+    tbl = HoodieTable.create(
+        spark, tpath, "dsstream", ["o_orderkey"], "o_orderdate")
+    tbl.bulk_insert(orders.limit(40).withColumn(
+        "o_orderstatus", F.lit("OLD")))
+
+    def run():
+        q = (spark.readStream.schema(orders.schema).parquet(src_dir)
+             .writeStream.format("hoodie_spark")
+             .option("operation", "upsert")
+             .option("checkpointLocation", ckpt)
+             .option("path", tpath)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(300)
+
+    run()
+    tbl = HoodieTable.load(spark, tpath)
+    n1 = tbl.snapshot().count()
+    assert n1 == 120  # the 40 OLD keys were upserted, 80 new inserted
+    commits1 = len(tbl.timeline.completed())
+    md = tbl.timeline.metadata(tbl.timeline.completed()[-1])
+    assert md.get("extra", {}).get("streaming_batch_id") is not None
+    run()  # restart with the same checkpoint: availableNow replays nothing
+    tbl = HoodieTable.load(spark, tpath)
+    assert tbl.snapshot().count() == n1
+    assert len(tbl.timeline.completed()) == commits1
