@@ -30,9 +30,8 @@ _EOW = "</w>"
 
 def _word_histogram(df: DataFrame, text_col: str,
                     max_words: int) -> list[tuple[str, int]]:
-    toks = F.split(F.lower(F.trim(F.regexp_replace(
-        F.col(text_col), r"\s+", " "))), " ")
-    rows = (df.select(F.explode(toks).alias("w"))
+    from .quality import words
+    rows = (df.select(F.explode(words(text_col)).alias("w"))
             .filter(F.col("w") != "")
             .groupBy("w").agg(F.count(F.lit(1)).alias("n"))
             .orderBy(F.desc("n"), F.asc("w")).limit(max_words)
@@ -107,13 +106,19 @@ def bpe_encode(text_col: str | Column,
     @pandas_udf("array<string>")
     def _enc(s: pd.Series) -> pd.Series:
         import re
+
+        # ASCII whitespace class, NOT \s: training's histogram tokenizes
+        # with Spark/Java regexp_replace where \s is ASCII-only, while
+        # Python's \s also matches U+00A0 etc. — the two sides must agree
+        # on word boundaries or learned merges silently never apply
+        ws = re.compile(r"[ \t\n\r\f\v]+")
         out = []
         for text in s:
             if text is None:
                 out.append(None)
                 continue
             toks = []
-            for w in re.sub(r"\s+", " ", text.lower().strip()).split(" "):
+            for w in ws.sub(" ", text.lower()).strip(" ").split(" "):
                 if w:
                     toks.extend(_encode_word(w, ranks))
             out.append(toks)

@@ -373,15 +373,20 @@ def dedup_spans(df: DataFrame, id_col: str, text_col: str,
     kill = (spans.groupBy("__span")
             .agg(F.count_distinct(F.col(id_col)).alias("__df"))
             .filter(F.col("__df") >= min_docs)
-            .select("__span"))
-    kept = spans.join(kill, "__span", "left_anti")
-    totals = (spans.groupBy(id_col)
-              .agg(F.count(F.lit(1)).alias("n_spans_total")))
-    return (kept.groupBy(id_col)
-            .agg(F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(
-                        F.struct(F.col("__idx"), F.col("__span")))),
-                    lambda s: s["__span"]), " ").alias(text_col),
-                F.count(F.lit(1)).alias("n_spans_kept"))
-            .join(totals, id_col))
+            .select("__span").withColumn("__dup", F.lit(True)))
+    # LEFT join (not anti) so kept/total both come out of ONE groupBy —
+    # the explode is evaluated twice (kill aggregate + this probe), which
+    # is the minimum without caching; a third totals-only pass would be a
+    # full extra corpus scan at scale
+    marked = spans.join(kill, "__span", "left")
+    kept_structs = F.filter(
+        F.array_sort(F.collect_list(
+            F.struct(F.col("__idx"), F.col("__span"), F.col("__dup")))),
+        lambda s: s["__dup"].isNull())
+    return (marked.groupBy(id_col)
+            .agg(F.array_join(F.transform(kept_structs,
+                                          lambda s: s["__span"]), " ")
+                 .alias(text_col),
+                 F.size(kept_structs).cast("long").alias("n_spans_kept"),
+                 F.count(F.lit(1)).alias("n_spans_total"))
+            .filter(F.col("n_spans_kept") > 0))

@@ -187,8 +187,8 @@ def word_ngrams(text_col, n: int) -> Column:
     """All word-level n-grams of a text column after whitespace
     normalization + lowercasing, as an array of space-joined strings. Pure
     Column expr (codegen'd, map-only)."""
-    toks = F.split(F.lower(F.trim(F.regexp_replace(F.col(text_col),
-                                                   r"\s+", " "))), " ")
+    from .quality import words
+    toks = words(text_col)
     count = F.size(toks) - F.lit(n - 1)
     # sequence(1, 0) DESCENDS in Spark, so docs shorter than n need an
     # explicit empty-array arm
@@ -258,8 +258,8 @@ def tfidf_terms(df: DataFrame, id_col: str, text_col: str,
     collected and folded back as a broadcast join, so the weighting pass
     is the explode + one broadcast hash join — no corpus-sized shuffle.
     """
-    toks = F.split(F.lower(F.trim(F.regexp_replace(
-        F.col(text_col), r"\s+", " "))), " ")
+    from .quality import words
+    toks = words(text_col)
     n_docs = df.count()
     ex = df.select(F.col(id_col), F.size(toks).alias("__len"),
                    F.explode(toks).alias("term"))
@@ -285,8 +285,8 @@ def tfidf_vectors(df: DataFrame, id_col: str, text_col: str,
     machinery as embeddings. The vocab (with idf) is collected — bounded
     by vocab_size — and unrolled into per-term Column expressions: the
     whole vectorization is then ONE map stage over the corpus."""
-    toks = F.split(F.lower(F.trim(F.regexp_replace(
-        F.col(text_col), r"\s+", " "))), " ")
+    from .quality import words
+    toks = words(text_col)
     n_docs = df.count()
     ex = df.select(F.col(id_col), F.explode(toks).alias("term"))
     vocab = (ex.distinct()

@@ -81,7 +81,7 @@ def gopher_metrics(col, span_width: int = 4) -> Column:
         "double") / F.greatest(F.size(spans).cast("double"), F.lit(1.0))
     # in-row bigram mode: count each DISTINCT bigram's occurrences, take max
     from .pipeline import word_ngrams
-    bg = word_ngrams(col if isinstance(col, str) else col, 2)
+    bg = word_ngrams(col, 2)
     n_bg = F.size(bg).cast("double")
     top_bg = F.when(n_bg >= 1, F.array_max(F.transform(
         F.array_distinct(bg),

@@ -111,49 +111,53 @@ def cluster(table, sort_cols: list[str] | None = None, partitions=None,
     num_files = max(1, math.ceil(total_bytes / target))
     prefix = uuid.uuid4().hex[:13]
     instant = writer._begin(tl.REPLACECOMMIT)
-    from ..writer import BUCKET, KIND, base_file_name
-    if layout != "linear":
-        from .layout import with_curve_key
-        df = with_curve_key(df, sort_cols, layout, bits=curve_bits)
-        order_cols = ["__curve"]
-    else:
-        order_cols = list(sort_cols)
-    from ..config import IndexType
-    if table.write_config.index_type == IndexType.BUCKET:
-        # "sort within buckets": a bucket table's key→file-group hash IS the
-        # index, so clustering must never merge groups or mint planner
-        # uuids (that would strand every key outside its hash bucket and
-        # the next upsert would duplicate it — same rule as Hudi's
-        # bucket-index clustering). Each planned group rewrites 1:1 onto
-        # its own fid, sorted; the win is layout + delta folding, not
-        # small-file merging.
-        from ..index import bucket_fid_expr
-        fid = bucket_fid_expr(table.write_config.bucket_index_num_buckets)
-        arranged = (df.repartition(F.col(PARTITION_PATH), fid)
-                    .sortWithinPartitions(PARTITION_PATH, *order_cols)
-                    .drop("__curve")
-                    .withColumn(BUCKET, fid)
-                    .withColumn(FILE_NAME, base_file_name(F.col(BUCKET), instant))
-                    .withColumn(KIND, F.lit("base")))
-    else:
-        arranged = (df.repartitionByRange(num_files, F.col(PARTITION_PATH),
-                                          *[F.col(c) for c in order_cols])
-                    .sortWithinPartitions(PARTITION_PATH, *order_cols)
-                    .drop("__curve")
-                    .withColumn(BUCKET, F.concat(F.lit(prefix + "-"),
-                                                 F.spark_partition_id().cast("string")))
-                    .withColumn(FILE_NAME, base_file_name(F.col(BUCKET), instant))
-                    .withColumn(KIND, F.lit("base")))
-    write_df = writer._finalize_cols(arranged)
-    stats = writer._write_files(write_df, instant, already_partitioned=True)
-    writer._index_written(stats, instant)  # keys moved to new file groups
-    replaced: dict[str, list[str]] = {}
-    for sl in plan:
-        replaced.setdefault(sl.partition, []).append(sl.file_id)
-    return writer._commit(instant, tl.REPLACECOMMIT, "cluster", stats,
-                          replaced=replaced).instant
+    try:
+        from ..writer import BUCKET, KIND, base_file_name
+        if layout != "linear":
+            from .layout import with_curve_key
+            df = with_curve_key(df, sort_cols, layout, bits=curve_bits)
+            order_cols = ["__curve"]
+        else:
+            order_cols = list(sort_cols)
+        from ..config import IndexType
+        if table.write_config.index_type == IndexType.BUCKET:
+            # "sort within buckets": a bucket table's key→file-group hash IS the
+            # index, so clustering must never merge groups or mint planner
+            # uuids (that would strand every key outside its hash bucket and
+            # the next upsert would duplicate it — same rule as Hudi's
+            # bucket-index clustering). Each planned group rewrites 1:1 onto
+            # its own fid, sorted; the win is layout + delta folding, not
+            # small-file merging.
+            from ..index import bucket_fid_expr
+            fid = bucket_fid_expr(table.write_config.bucket_index_num_buckets)
+            arranged = (df.repartition(F.col(PARTITION_PATH), fid)
+                        .sortWithinPartitions(PARTITION_PATH, *order_cols)
+                        .drop("__curve")
+                        .withColumn(BUCKET, fid)
+                        .withColumn(FILE_NAME, base_file_name(F.col(BUCKET), instant))
+                        .withColumn(KIND, F.lit("base")))
+        else:
+            arranged = (df.repartitionByRange(num_files, F.col(PARTITION_PATH),
+                                              *[F.col(c) for c in order_cols])
+                        .sortWithinPartitions(PARTITION_PATH, *order_cols)
+                        .drop("__curve")
+                        .withColumn(BUCKET, F.concat(F.lit(prefix + "-"),
+                                                     F.spark_partition_id().cast("string")))
+                        .withColumn(FILE_NAME, base_file_name(F.col(BUCKET), instant))
+                        .withColumn(KIND, F.lit("base")))
+        write_df = writer._finalize_cols(arranged)
+        stats = writer._write_files(write_df, instant, already_partitioned=True)
+        writer._index_written(stats, instant)  # keys moved to new file groups
+        replaced: dict[str, list[str]] = {}
+        for sl in plan:
+            replaced.setdefault(sl.partition, []).append(sl.file_id)
+        return writer._commit(instant, tl.REPLACECOMMIT, "cluster", stats,
+                              replaced=replaced).instant
 
 
+    except BaseException:
+        writer._hb_abandon(instant)
+        raise
 def rescale_buckets(table, new_num_buckets: int):
     """Re-bucket a hash-bucket-index table to ``new_num_buckets`` file
     groups per partition (public consistent-hashing bucket-resize design,

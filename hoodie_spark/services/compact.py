@@ -93,25 +93,29 @@ def compact(table, strategy=None, **kw):
         table.read_delta_files(delta_paths))).drop(OPERATION)
 
     instant = writer._begin(tl.COMMIT)
-    from ..writer import BUCKET, KIND, base_file_name
-    write_df = (merged
-                .withColumn(BUCKET, F.split(F.col(FILE_NAME), "_").getItem(0))
-                .withColumn(FILE_NAME, base_file_name(
-                    F.split(F.col(FILE_NAME), "_").getItem(0), instant))
-                .withColumn(KIND, F.lit("base")))
-    write_df = writer._finalize_cols(write_df)
-    stats = writer._write_files(write_df, instant, sort_cols=None)
-    # a slice whose deltas deleted every row compacts to nothing — mark the
-    # group replaced or the old (pre-delete) base would stay latest
-    written = {(s["partition"], s["file_id"]) for s in stats}
-    emptied: dict[str, list[str]] = {}
-    for sl in plan:
-        if (sl.partition, sl.file_id) not in written:
-            emptied.setdefault(sl.partition, []).append(sl.file_id)
-    return writer._commit(instant, tl.COMMIT, "compact", stats,
-                          replaced=emptied or None).instant
+    try:
+        from ..writer import BUCKET, KIND, base_file_name
+        write_df = (merged
+                    .withColumn(BUCKET, F.split(F.col(FILE_NAME), "_").getItem(0))
+                    .withColumn(FILE_NAME, base_file_name(
+                        F.split(F.col(FILE_NAME), "_").getItem(0), instant))
+                    .withColumn(KIND, F.lit("base")))
+        write_df = writer._finalize_cols(write_df)
+        stats = writer._write_files(write_df, instant, sort_cols=None)
+        # a slice whose deltas deleted every row compacts to nothing — mark the
+        # group replaced or the old (pre-delete) base would stay latest
+        written = {(s["partition"], s["file_id"]) for s in stats}
+        emptied: dict[str, list[str]] = {}
+        for sl in plan:
+            if (sl.partition, sl.file_id) not in written:
+                emptied.setdefault(sl.partition, []).append(sl.file_id)
+        return writer._commit(instant, tl.COMMIT, "compact", stats,
+                              replaced=emptied or None).instant
 
 
+    except BaseException:
+        writer._hb_abandon(instant)
+        raise
 def logcompact(table, min_log_files: int = 3, partitions=None):
     """Minor (log) compaction — public Hudi-1.0 design; this reference
     snapshot ships only full compaction. Consolidates a slice's many small
@@ -140,20 +144,24 @@ def logcompact(table, min_log_files: int = 3, partitions=None):
     deltas = table.read_delta_files(delta_paths)
 
     instant = writer._begin(tl.LOGCOMPACTION)
-    from ..writer import BUCKET, KIND
-    fid_col = F.split(F.col(FILE_NAME), "_").getItem(0)
-    write_df = (deltas
-                .withColumn(BUCKET, fid_col)
-                .withColumn(FILE_NAME,
-                            F.concat(fid_col,
-                                     F.lit(f"_{instant}.delta.parquet")))
-                .withColumn(KIND, F.lit("delta")))
-    write_df = writer._finalize_cols(write_df)
-    stats = writer._write_files(write_df, instant, sort_cols=None)
-    for s in stats:
-        sl = targets.get((s["partition"], s["file_id"]))
-        s["base_instant"] = sl.base_instant if sl else instant
-    compacted = [lf.path for sl in plan for lf in sl.log_files_as_of(None)]
-    return writer._commit(
-        instant, tl.LOGCOMPACTION, "logcompact", stats,
-        extra={"compacted_log_files": compacted}).instant
+    try:
+        from ..writer import BUCKET, KIND
+        fid_col = F.split(F.col(FILE_NAME), "_").getItem(0)
+        write_df = (deltas
+                    .withColumn(BUCKET, fid_col)
+                    .withColumn(FILE_NAME,
+                                F.concat(fid_col,
+                                         F.lit(f"_{instant}.delta.parquet")))
+                    .withColumn(KIND, F.lit("delta")))
+        write_df = writer._finalize_cols(write_df)
+        stats = writer._write_files(write_df, instant, sort_cols=None)
+        for s in stats:
+            sl = targets.get((s["partition"], s["file_id"]))
+            s["base_instant"] = sl.base_instant if sl else instant
+        compacted = [lf.path for sl in plan for lf in sl.log_files_as_of(None)]
+        return writer._commit(
+            instant, tl.LOGCOMPACTION, "logcompact", stats,
+            extra={"compacted_log_files": compacted}).instant
+    except BaseException:
+        writer._hb_abandon(instant)
+        raise

@@ -20,8 +20,6 @@ from __future__ import annotations
 import json
 import os
 import uuid
-from urllib.parse import unquote, urlparse
-
 from pyspark.sql import functions as F
 
 
@@ -76,12 +74,8 @@ def analyze(table, columns: list[str] | None = None,
     for alias, expr in want.items():
         aggs += [F.min(F.expr(expr)).alias(f"mn_{alias}"),
                  F.max(F.expr(expr)).alias(f"mx_{alias}")]
-    base = os.path.abspath(table.base_path)
-
-    def _rel(uri: str) -> str:
-        p = unquote(urlparse(uri).path) if "://" in uri else uri
-        return os.path.relpath(os.path.abspath(p), base)
-
+    from ..storage import relpath_from_uri
+    base = table.base_path
     out: dict[str, dict] = {}
     for r in df.groupBy("__f").agg(*aggs).collect():
         cs = {}
@@ -92,7 +86,7 @@ def analyze(table, columns: list[str] | None = None,
                 continue
             cs[alias] = [mn, mx]
         if cs:
-            out[_rel(r["__f"])] = cs
+            out[relpath_from_uri(r["__f"], base)] = cs
     if not out:
         return 0
     d = _dir(table)
@@ -116,12 +110,16 @@ def compact_sidecars(table) -> int:
     d = _dir(table)
     if not os.path.isdir(d):
         return 0
-    for fn in os.listdir(d):
-        if fn.endswith(".json"):
-            os.remove(os.path.join(d, fn))
+    # write the merged file FIRST, then delete the inputs — a crash in
+    # between leaves duplicates (harmless: the overlay merges), never a
+    # window where all backfilled stats are lost
+    before = [fn for fn in os.listdir(d) if fn.endswith(".json")]
     if kept:
         tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex[:8]}")
         with open(tmp, "w") as f:
             json.dump(kept, f)
         os.replace(tmp, os.path.join(d, "compacted.json"))
+    for fn in before:
+        if fn != "compacted.json" or not kept:
+            os.remove(os.path.join(d, fn))
     return len(kept)

@@ -344,7 +344,10 @@ class HoodieDataSource(DataSource):
     def writer(self, schema: StructType, overwrite: bool):
         opts = {k.lower(): v for k, v in self.options.items()}
         if overwrite and "operation" not in opts:
-            opts["operation"] = "insert_overwrite"
+            # SaveMode.Overwrite replaces the WHOLE table (Hudi's
+            # DefaultSource maps it to INSERT_OVERWRITE_TABLE); partition-
+            # scoped overwrite is opt-in via operation=insert_overwrite
+            opts["operation"] = "insert_overwrite_table"
         return _HoodieWriter(self._path(), opts, schema)
 
     def streamWriter(self, schema: StructType, overwrite: bool):
@@ -410,6 +413,7 @@ def _apply_staged(path: str, options: dict, schema_json: str,
         dispatch = {"bulk_insert": tbl.bulk_insert, "insert": tbl.insert,
                     "delete": tbl.delete,
                     "insert_overwrite": tbl.insert_overwrite,
+                    "insert_overwrite_table": tbl.insert_overwrite_table,
                     "upsert": tbl.upsert}
         if op not in dispatch:
             raise ValueError(f"unknown write operation {op!r}")

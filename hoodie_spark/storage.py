@@ -72,3 +72,17 @@ class LocalStorage(Storage):
 
 
 LOCAL = LocalStorage()
+
+
+def relpath_from_uri(uri: str, base: str) -> str:
+    """Partition-qualified relative path from an ``input_file_name()`` URI.
+
+    The single normalizer for every keyspace derived from
+    ``F.input_file_name`` (write-time expression stats, ANALYZE sidecars):
+    both sides must produce identical keys or the fsview stats overlay
+    silently stops matching. Never key by basename — bucket-index tables
+    write identically named base files in several partitions per commit."""
+    from urllib.parse import unquote, urlparse
+
+    p = unquote(urlparse(uri).path) if "://" in uri else uri
+    return os.path.relpath(os.path.abspath(p), os.path.abspath(base))

@@ -118,71 +118,75 @@ class WriteClient:
         wcfg = self.table.write_config
         self._ensure_index_ready()
         instant = self._begin(tl.COMMIT)
-        prepared = self._prepare(df)
-        if wcfg.combine_before_insert:
-            prepared = self._dedup(prepared)
-        prepared = prepared.persist()
         try:
-            n = prepared.count()
-            if n == 0:
-                return self._commit(instant, tl.COMMIT, WriteOperation.BULK_INSERT, [])
-            if wcfg.index_type == IndexType.BUCKET:
-                # bucket-index tables are bucketed from the FIRST write:
-                # later tag-free upserts rely on every key living in its
-                # hash bucket's file group.
-                #
-                # Initial-load-only guard (Hudi restricts bucket bulk_insert
-                # the same way): bucket fids are deterministic, so a second
-                # bulk_insert into a partition with live groups would write
-                # a NEWER base slice at the same fid containing only the new
-                # batch — latest_slice() would then shadow the earlier
-                # slice and previously committed rows silently vanish.
-                target_pps = [r[0] for r in
-                              prepared.select(PARTITION_PATH)
-                              .distinct().collect()]
-                live = self.table.view().live_group_ids(
-                    partitions=target_pps)
-                occupied = sorted(pp for pp, fids in live.items() if fids)
-                if occupied:
-                    self._abort_write(instant, [])
-                    raise ValueError(
-                        "bucket-index bulk_insert is an initial-load "
-                        f"operation; partitions {occupied[:5]} already "
-                        "have live file groups that deterministic bucket "
-                        "fids would shadow — use upsert()/insert() for "
-                        "follow-on batches")
-                from .index import bucket_fid_expr
-                fid = bucket_fid_expr(wcfg.bucket_index_num_buckets)
-                arranged = (prepared
-                            .repartition(F.col(PARTITION_PATH), fid)
-                            .withColumn(BUCKET, fid))
-                write_df = self._stamp_meta(arranged, instant) \
-                               .withColumn(KIND, F.lit("base"))
-                stats = self._write_files(write_df, instant,
-                                          already_partitioned=True,
-                                          sort_cols=[RECORD_KEY])
-                return self._commit(instant, tl.COMMIT,
-                                    WriteOperation.BULK_INSERT, stats,
-                                    index_fn=self._index_fn(stats, instant))
-            rpf = wcfg.records_per_file()
-            num_files = max(1, math.ceil(n / rpf))
-            prefix = uuid.uuid4().hex[:13]
-            if sort_mode == SortMode.GLOBAL_SORT:
-                arranged = prepared.repartitionByRange(num_files, F.col(PARTITION_PATH), F.col(RECORD_KEY))
-            elif sort_mode == SortMode.PARTITION_SORT:
-                arranged = prepared.repartition(num_files, F.col(PARTITION_PATH))
-            else:
-                arranged = prepared.repartition(num_files)
-            arranged = arranged.withColumn(
-                BUCKET, F.concat(F.lit(prefix + "-"), F.spark_partition_id().cast("string")))
-            write_df = self._stamp_meta(arranged, instant).withColumn(KIND, F.lit("base"))
-            sort_cols = [RECORD_KEY] if sort_mode != SortMode.NONE else None
-            stats = self._write_files(write_df, instant, already_partitioned=True, sort_cols=sort_cols)
-            return self._commit(instant, tl.COMMIT, WriteOperation.BULK_INSERT,
-                                stats, index_fn=self._index_fn(stats, instant))
-        finally:
-            prepared.unpersist()
+            prepared = self._prepare(df)
+            if wcfg.combine_before_insert:
+                prepared = self._dedup(prepared)
+            prepared = prepared.persist()
+            try:
+                n = prepared.count()
+                if n == 0:
+                    return self._commit(instant, tl.COMMIT, WriteOperation.BULK_INSERT, [])
+                if wcfg.index_type == IndexType.BUCKET:
+                    # bucket-index tables are bucketed from the FIRST write:
+                    # later tag-free upserts rely on every key living in its
+                    # hash bucket's file group.
+                    #
+                    # Initial-load-only guard (Hudi restricts bucket bulk_insert
+                    # the same way): bucket fids are deterministic, so a second
+                    # bulk_insert into a partition with live groups would write
+                    # a NEWER base slice at the same fid containing only the new
+                    # batch — latest_slice() would then shadow the earlier
+                    # slice and previously committed rows silently vanish.
+                    target_pps = [r[0] for r in
+                                  prepared.select(PARTITION_PATH)
+                                  .distinct().collect()]
+                    live = self.table.view().live_group_ids(
+                        partitions=target_pps)
+                    occupied = sorted(pp for pp, fids in live.items() if fids)
+                    if occupied:
+                        self._abort_write(instant, [])
+                        raise ValueError(
+                            "bucket-index bulk_insert is an initial-load "
+                            f"operation; partitions {occupied[:5]} already "
+                            "have live file groups that deterministic bucket "
+                            "fids would shadow — use upsert()/insert() for "
+                            "follow-on batches")
+                    from .index import bucket_fid_expr
+                    fid = bucket_fid_expr(wcfg.bucket_index_num_buckets)
+                    arranged = (prepared
+                                .repartition(F.col(PARTITION_PATH), fid)
+                                .withColumn(BUCKET, fid))
+                    write_df = self._stamp_meta(arranged, instant) \
+                                   .withColumn(KIND, F.lit("base"))
+                    stats = self._write_files(write_df, instant,
+                                              already_partitioned=True,
+                                              sort_cols=[RECORD_KEY])
+                    return self._commit(instant, tl.COMMIT,
+                                        WriteOperation.BULK_INSERT, stats,
+                                        index_fn=self._index_fn(stats, instant))
+                rpf = wcfg.records_per_file()
+                num_files = max(1, math.ceil(n / rpf))
+                prefix = uuid.uuid4().hex[:13]
+                if sort_mode == SortMode.GLOBAL_SORT:
+                    arranged = prepared.repartitionByRange(num_files, F.col(PARTITION_PATH), F.col(RECORD_KEY))
+                elif sort_mode == SortMode.PARTITION_SORT:
+                    arranged = prepared.repartition(num_files, F.col(PARTITION_PATH))
+                else:
+                    arranged = prepared.repartition(num_files)
+                arranged = arranged.withColumn(
+                    BUCKET, F.concat(F.lit(prefix + "-"), F.spark_partition_id().cast("string")))
+                write_df = self._stamp_meta(arranged, instant).withColumn(KIND, F.lit("base"))
+                sort_cols = [RECORD_KEY] if sort_mode != SortMode.NONE else None
+                stats = self._write_files(write_df, instant, already_partitioned=True, sort_cols=sort_cols)
+                return self._commit(instant, tl.COMMIT, WriteOperation.BULK_INSERT,
+                                    stats, index_fn=self._index_fn(stats, instant))
+            finally:
+                prepared.unpersist()
 
+        except BaseException:
+            self._hb_abandon(instant)
+            raise
     def insert(self, df: DataFrame) -> WriteResult:
         """SparkRDDWriteClient.java:172 — insert with small-file packing, no
         index lookup."""
@@ -207,11 +211,15 @@ class WriteClient:
     def delete_partitions(self, partitions: list[str]) -> WriteResult:
         """SparkRDDWriteClient.java:255 — replacecommit, metadata-only."""
         instant = self._begin(tl.REPLACECOMMIT)
-        view = self.table.view()
-        replaced = view.live_group_ids(partitions=partitions)
-        return self._commit(instant, tl.REPLACECOMMIT, WriteOperation.DELETE_PARTITION,
-                            [], replaced=replaced)
+        try:
+            view = self.table.view()
+            replaced = view.live_group_ids(partitions=partitions)
+            return self._commit(instant, tl.REPLACECOMMIT, WriteOperation.DELETE_PARTITION,
+                                [], replaced=replaced)
 
+        except BaseException:
+            self._hb_abandon(instant)
+            raise
     def insert_overwrite(self, df: DataFrame) -> WriteResult:
         """SparkRDDWriteClient.java:198 — replace file groups in the
         partitions touched by ``df`` (HoodieReplaceCommitMetadata)."""
@@ -244,27 +252,31 @@ class WriteClient:
             return res
 
         instant = self._begin(tl.COMMIT)
-        stats: list[dict] = []
-        for root, _dirs, files in os.walk(source_dir):
-            for fn in sorted(files):
-                if not fn.endswith(".parquet"):
-                    continue
-                ap = os.path.abspath(os.path.join(root, fn))
-                pp = os.path.relpath(root, source_dir)
-                pp = "" if pp == "." else pp
-                st = _footer_stats(ap)
-                stats.append({
-                    "partition": pp, "file_id": uuid.uuid4().hex[:13] + "-0",
-                    "file_name": fn, "path": ap, "instant": instant,
-                    "size": os.path.getsize(ap),
-                    "num_records": st["num_records"],
-                    "min_key": None, "max_key": None,
-                    "is_delta": False, "bootstrap": True,
-                })
-        return self._commit(instant, tl.COMMIT, WriteOperation.BOOTSTRAP, stats,
-                            extra={"bootstrap_mode": mode,
-                                   "source_dir": os.path.abspath(source_dir)})
+        try:
+            stats: list[dict] = []
+            for root, _dirs, files in os.walk(source_dir):
+                for fn in sorted(files):
+                    if not fn.endswith(".parquet"):
+                        continue
+                    ap = os.path.abspath(os.path.join(root, fn))
+                    pp = os.path.relpath(root, source_dir)
+                    pp = "" if pp == "." else pp
+                    st = _footer_stats(ap)
+                    stats.append({
+                        "partition": pp, "file_id": uuid.uuid4().hex[:13] + "-0",
+                        "file_name": fn, "path": ap, "instant": instant,
+                        "size": os.path.getsize(ap),
+                        "num_records": st["num_records"],
+                        "min_key": None, "max_key": None,
+                        "is_delta": False, "bootstrap": True,
+                    })
+            return self._commit(instant, tl.COMMIT, WriteOperation.BOOTSTRAP, stats,
+                                extra={"bootstrap_mode": mode,
+                                       "source_dir": os.path.abspath(source_dir)})
 
+        except BaseException:
+            self._hb_abandon(instant)
+            raise
     # ------------------------------------------------------------- internals
     def _begin(self, action: str) -> str:
         """Start the transaction. MUST run before the file-system view
@@ -294,6 +306,17 @@ class WriteClient:
         self.table.timeline.create_requested(action, instant)
         self.table.timeline.transition_inflight(action, instant)
         return instant
+
+    def _hb_abandon(self, instant: str) -> None:
+        """A write died between _begin and publish: cancel the background
+        refresher but LEAVE the beat file — it goes stale after
+        heartbeat_expiry_s and reclamation (lazy or eager) then rolls the
+        pending instant back. Without the cancel, the daemon thread keeps
+        the zombie looking live for the driver's lifetime and its partial
+        files are never reclaimed."""
+        cancel = self._hb_cancel.pop(instant, None)
+        if cancel is not None:
+            cancel()
 
     def _stop_heartbeat(self, instant: str) -> None:
         """Cancel the background refresher, THEN remove the beat file —
@@ -588,102 +611,106 @@ class WriteClient:
         # commit landing during planning must be above the OCC baseline
         action = tl.DELTACOMMIT if is_mor else tl.COMMIT
         instant = self._begin(action)
-        prepared = self._prepare(df).withColumn(ORD, self._ord_col(df))
-        if operation == WriteOperation.DELETE:
-            prepared = prepared.withColumn(OP, F.lit("D")).withColumn(HARD, F.lit(1))
-        elif IS_DELETED in df.columns:
-            prepared = prepared.withColumn(
-                OP, F.when(F.col(IS_DELETED) == True, F.lit("D")).otherwise(F.lit("U")))  # noqa: E712
-            prepared = prepared.withColumn(HARD, F.lit(0))
-        else:
-            prepared = prepared.withColumn(OP, F.lit("U")).withColumn(HARD, F.lit(0))
-        if wcfg.combine_before_upsert and operation != WriteOperation.INSERT:
-            prepared = self._dedup_keep_op(prepared)
-
-        view = self.table.view()
-        use_bucket = wcfg.index_type == IndexType.BUCKET
-        if operation == WriteOperation.INSERT and not use_bucket:
-            tagged = prepared.withColumn("_target_file_id", F.lit(None).cast("string")) \
-                             .withColumn("_target_pp", F.lit(None).cast("string")) \
-                             .withColumn("_target_base_instant", F.lit(None).cast("string"))
-        else:
-            # bucket index tags INSERTs too: rows for an existing bucket
-            # group must merge into it (the group IS the index)
-            tagged = tag_location(self.spark, prepared, self.table, view=view,
-                                  force_global=force_global)
-        # global index: update the record in its existing partition
-        tagged = tagged.withColumn(
-            PARTITION_PATH, F.coalesce(F.col("_target_pp"), F.col(PARTITION_PATH)))
-        tagged = tagged.persist()
         try:
-            updates = tagged.filter(F.col("_target_file_id").isNotNull()) \
-                            .withColumn(BUCKET, F.col("_target_file_id"))
-            inserts = tagged.filter(F.col("_target_file_id").isNull()) \
-                            .filter(F.col(OP) != "D")  # deletes of absent keys are no-ops
+            prepared = self._prepare(df).withColumn(ORD, self._ord_col(df))
+            if operation == WriteOperation.DELETE:
+                prepared = prepared.withColumn(OP, F.lit("D")).withColumn(HARD, F.lit(1))
+            elif IS_DELETED in df.columns:
+                prepared = prepared.withColumn(
+                    OP, F.when(F.col(IS_DELETED) == True, F.lit("D")).otherwise(F.lit("U")))  # noqa: E712
+                prepared = prepared.withColumn(HARD, F.lit(0))
+            else:
+                prepared = prepared.withColumn(OP, F.lit("U")).withColumn(HARD, F.lit(0))
+            if wcfg.combine_before_upsert and operation != WriteOperation.INSERT:
+                prepared = self._dedup_keep_op(prepared)
 
-            # ---- ONE profiling action (workload profile,
-            # BaseSparkCommitActionExecutor.java:135): per-(partition,
-            # target-file, is-delete) counts give the insert counts, the
-            # affected update groups, AND the per-file update stats without
-            # three separate collects over the tagged batch
-            profile = tagged.groupBy(
-                PARTITION_PATH, "_target_file_id",
-                (F.col(OP) == "D").alias("__isdel")).count().collect()
-            insert_counts: dict[str, int] = {}
-            affected_updates: dict[tuple[str, str], int] = {}
-            for pp, fid, isdel, n in profile:
-                if fid is None:
-                    if not isdel:  # deletes of absent keys are no-ops
-                        insert_counts[pp] = insert_counts.get(pp, 0) + n
+            view = self.table.view()
+            use_bucket = wcfg.index_type == IndexType.BUCKET
+            if operation == WriteOperation.INSERT and not use_bucket:
+                tagged = prepared.withColumn("_target_file_id", F.lit(None).cast("string")) \
+                                 .withColumn("_target_pp", F.lit(None).cast("string")) \
+                                 .withColumn("_target_base_instant", F.lit(None).cast("string"))
+            else:
+                # bucket index tags INSERTs too: rows for an existing bucket
+                # group must merge into it (the group IS the index)
+                tagged = tag_location(self.spark, prepared, self.table, view=view,
+                                      force_global=force_global)
+            # global index: update the record in its existing partition
+            tagged = tagged.withColumn(
+                PARTITION_PATH, F.coalesce(F.col("_target_pp"), F.col(PARTITION_PATH)))
+            tagged = tagged.persist()
+            try:
+                updates = tagged.filter(F.col("_target_file_id").isNotNull()) \
+                                .withColumn(BUCKET, F.col("_target_file_id"))
+                inserts = tagged.filter(F.col("_target_file_id").isNull()) \
+                                .filter(F.col(OP) != "D")  # deletes of absent keys are no-ops
+
+                # ---- ONE profiling action (workload profile,
+                # BaseSparkCommitActionExecutor.java:135): per-(partition,
+                # target-file, is-delete) counts give the insert counts, the
+                # affected update groups, AND the per-file update stats without
+                # three separate collects over the tagged batch
+                profile = tagged.groupBy(
+                    PARTITION_PATH, "_target_file_id",
+                    (F.col(OP) == "D").alias("__isdel")).count().collect()
+                insert_counts: dict[str, int] = {}
+                affected_updates: dict[tuple[str, str], int] = {}
+                for pp, fid, isdel, n in profile:
+                    if fid is None:
+                        if not isdel:  # deletes of absent keys are no-ops
+                            insert_counts[pp] = insert_counts.get(pp, 0) + n
+                    else:
+                        key = (pp, fid)
+                        affected_updates[key] = affected_updates.get(key, 0) + n
+                pack_small = not is_mor
+                if use_bucket and "__bucket_fid" in tagged.columns:
+                    # fixed routing: each insert creates (or joins) its bucket's
+                    # file group; no small-file packing, no planner
+                    plan = None
+                    inserts = inserts.withColumn(BUCKET, F.col("__bucket_fid")) \
+                                     .withColumn("__is_new", F.lit(True))
                 else:
-                    key = (pp, fid)
-                    affected_updates[key] = affected_updates.get(key, 0) + n
-            pack_small = not is_mor
-            if use_bucket and "__bucket_fid" in tagged.columns:
-                # fixed routing: each insert creates (or joins) its bucket's
-                # file group; no small-file packing, no planner
-                plan = None
-                inserts = inserts.withColumn(BUCKET, F.col("__bucket_fid")) \
-                                 .withColumn("__is_new", F.lit(True))
-            else:
-                plan, _n_new = self._plan_insert_buckets(
-                    view, insert_counts, pack_small)
-            if plan is None:
-                pass  # bucket routing already assigned
-            elif plan:
-                plan_df = F.broadcast(self.spark.createDataFrame(
-                    plan, "pp string, lo double, hi double, file_id string, is_new boolean"))
-                u = (F.pmod(F.xxhash64(F.col(RECORD_KEY)), F.lit(1_000_000)) / 1_000_000.0)
-                inserts = (inserts.withColumn("__u", u)
-                           .join(plan_df, (F.col(PARTITION_PATH) == F.col("pp")) &
-                                 (F.col("__u") >= F.col("lo")) & (F.col("__u") < F.col("hi")),
-                                 "left")
-                           .withColumn(BUCKET, F.col("file_id"))
-                           .withColumn("__is_new", F.coalesce(F.col("is_new"), F.lit(True)))
-                           .drop("pp", "lo", "hi", "file_id", "is_new", "__u"))
-            else:
-                inserts = inserts.withColumn(BUCKET, F.lit(None).cast("string")) \
-                                 .withColumn("__is_new", F.lit(True))
+                    plan, _n_new = self._plan_insert_buckets(
+                        view, insert_counts, pack_small)
+                if plan is None:
+                    pass  # bucket routing already assigned
+                elif plan:
+                    plan_df = F.broadcast(self.spark.createDataFrame(
+                        plan, "pp string, lo double, hi double, file_id string, is_new boolean"))
+                    u = (F.pmod(F.xxhash64(F.col(RECORD_KEY)), F.lit(1_000_000)) / 1_000_000.0)
+                    inserts = (inserts.withColumn("__u", u)
+                               .join(plan_df, (F.col(PARTITION_PATH) == F.col("pp")) &
+                                     (F.col("__u") >= F.col("lo")) & (F.col("__u") < F.col("hi")),
+                                     "left")
+                               .withColumn(BUCKET, F.col("file_id"))
+                               .withColumn("__is_new", F.coalesce(F.col("is_new"), F.lit(True)))
+                               .drop("pp", "lo", "hi", "file_id", "is_new", "__u"))
+                else:
+                    inserts = inserts.withColumn(BUCKET, F.lit(None).cast("string")) \
+                                     .withColumn("__is_new", F.lit(True))
 
-            emptied: dict[str, list[str]] = {}
-            if is_mor:
-                stats = self._write_mor(updates, inserts, view, instant)
-            else:
-                stats, emptied = self._write_cow(updates, inserts, view,
-                                                 instant, affected_updates)
-            dels = None
-            if wcfg.record_index:
-                dels = tagged.filter((F.col(OP) == "D") &
-                                     F.col("_target_file_id").isNotNull()) \
-                             .select(RECORD_KEY, PARTITION_PATH)
-            n_upd = sum(s.get("num_updates", 0) for s in stats)
-            return self._commit(instant, action, operation, stats,
-                                replaced=emptied or None,
-                                extra={"num_updates": n_upd},
-                                index_fn=self._index_fn(stats, instant, dels))
-        finally:
-            tagged.unpersist()
+                emptied: dict[str, list[str]] = {}
+                if is_mor:
+                    stats = self._write_mor(updates, inserts, view, instant)
+                else:
+                    stats, emptied = self._write_cow(updates, inserts, view,
+                                                     instant, affected_updates)
+                dels = None
+                if wcfg.record_index:
+                    dels = tagged.filter((F.col(OP) == "D") &
+                                         F.col("_target_file_id").isNotNull()) \
+                                 .select(RECORD_KEY, PARTITION_PATH)
+                n_upd = sum(s.get("num_updates", 0) for s in stats)
+                return self._commit(instant, action, operation, stats,
+                                    replaced=emptied or None,
+                                    extra={"num_updates": n_upd},
+                                    index_fn=self._index_fn(stats, instant, dels))
+            finally:
+                tagged.unpersist()
 
+        except BaseException:
+            self._hb_abandon(instant)
+            raise
     def _dedup_keep_op(self, df: DataFrame) -> DataFrame:
         keys = [RECORD_KEY] if self.table.global_index else [PARTITION_PATH, RECORD_KEY]
         w = Window.partitionBy(*keys).orderBy(F.desc_nulls_last(ORD), F.desc("__mono"))
@@ -856,49 +883,53 @@ class WriteClient:
     def _overwrite(self, df: DataFrame, operation: str) -> WriteResult:
         self._ensure_index_ready()
         instant = self._begin(tl.REPLACECOMMIT)
-        prepared = self._prepare(df)
-        if self.table.write_config.combine_before_insert:
-            prepared = self._dedup(prepared)
-        # cached across the sizing count and the write — one input pass
-        prepared = prepared.persist()
         try:
-            n = prepared.count()
-            view = self.table.view()
-            stats: list[dict] = []
-            touched: list[str] = []
-            if n > 0:
-                if self.table.write_config.index_type == IndexType.BUCKET:
-                    # overwrites must stay on the bucket layout: the key→
-                    # file-group hash IS the index, so replacement groups
-                    # carry bucket fids, never planner uuids
-                    from .index import bucket_fid_expr
-                    fid = bucket_fid_expr(
-                        self.table.write_config.bucket_index_num_buckets)
-                    arranged = (prepared
-                                .repartition(F.col(PARTITION_PATH), fid)
-                                .withColumn(BUCKET, fid))
+            prepared = self._prepare(df)
+            if self.table.write_config.combine_before_insert:
+                prepared = self._dedup(prepared)
+            # cached across the sizing count and the write — one input pass
+            prepared = prepared.persist()
+            try:
+                n = prepared.count()
+                view = self.table.view()
+                stats: list[dict] = []
+                touched: list[str] = []
+                if n > 0:
+                    if self.table.write_config.index_type == IndexType.BUCKET:
+                        # overwrites must stay on the bucket layout: the key→
+                        # file-group hash IS the index, so replacement groups
+                        # carry bucket fids, never planner uuids
+                        from .index import bucket_fid_expr
+                        fid = bucket_fid_expr(
+                            self.table.write_config.bucket_index_num_buckets)
+                        arranged = (prepared
+                                    .repartition(F.col(PARTITION_PATH), fid)
+                                    .withColumn(BUCKET, fid))
+                    else:
+                        rpf = self.table.write_config.records_per_file()
+                        num_files = max(1, math.ceil(n / rpf))
+                        prefix = uuid.uuid4().hex[:13]
+                        arranged = (prepared
+                                    .repartitionByRange(num_files, F.col(PARTITION_PATH), F.col(RECORD_KEY))
+                                    .withColumn(BUCKET, F.concat(F.lit(prefix + "-"),
+                                                                 F.spark_partition_id().cast("string"))))
+                    write_df = self._stamp_meta(arranged, instant).withColumn(KIND, F.lit("base"))
+                    stats = self._write_files(write_df, instant, already_partitioned=True,
+                                              sort_cols=[RECORD_KEY])
+                    touched = sorted({s["partition"] for s in stats})
+                if operation == WriteOperation.INSERT_OVERWRITE_TABLE:
+                    replaced = view.live_group_ids()
                 else:
-                    rpf = self.table.write_config.records_per_file()
-                    num_files = max(1, math.ceil(n / rpf))
-                    prefix = uuid.uuid4().hex[:13]
-                    arranged = (prepared
-                                .repartitionByRange(num_files, F.col(PARTITION_PATH), F.col(RECORD_KEY))
-                                .withColumn(BUCKET, F.concat(F.lit(prefix + "-"),
-                                                             F.spark_partition_id().cast("string"))))
-                write_df = self._stamp_meta(arranged, instant).withColumn(KIND, F.lit("base"))
-                stats = self._write_files(write_df, instant, already_partitioned=True,
-                                          sort_cols=[RECORD_KEY])
-                touched = sorted({s["partition"] for s in stats})
-            if operation == WriteOperation.INSERT_OVERWRITE_TABLE:
-                replaced = view.live_group_ids()
-            else:
-                replaced = view.live_group_ids(partitions=touched)
-            return self._commit(instant, tl.REPLACECOMMIT, operation, stats,
-                                replaced=replaced,
-                                index_fn=self._index_fn(stats, instant))
-        finally:
-            prepared.unpersist()
+                    replaced = view.live_group_ids(partitions=touched)
+                return self._commit(instant, tl.REPLACECOMMIT, operation, stats,
+                                    replaced=replaced,
+                                    index_fn=self._index_fn(stats, instant))
+            finally:
+                prepared.unpersist()
 
+        except BaseException:
+            self._hb_abandon(instant)
+            raise
     # ------------------------------------------------------- record index
     def _index_written(self, stats: list[dict], instant: str) -> None:
         """Maintain the record-level index from the just-written base files
@@ -1017,14 +1048,9 @@ class WriteClient:
         # commit, and a basename key would record one partition's min/max
         # as every same-named file's col_stats (skip_filters could then
         # prune a file that does contain matching rows)
-        from urllib.parse import unquote, urlparse
-        base = os.path.abspath(self.table.base_path)
-
-        def _rel(uri: str) -> str:
-            p = unquote(urlparse(uri).path) if "://" in uri else uri
-            return os.path.relpath(os.path.abspath(p), base)
-
-        by_path = {_rel(r["__f"]): r
+        from .storage import relpath_from_uri
+        base = self.table.base_path
+        by_path = {relpath_from_uri(r["__f"], base): r
                    for r in df.groupBy("__f").agg(*aggs).collect()}
         for s in stats:
             r = by_path.get(s["path"])
