@@ -423,6 +423,16 @@ def write_pq_index(corpus: DataFrame, books, id_col: str, vec_col: str,
      .write.mode("overwrite").parquet(path))
 
 
+def _pq_cos(q_v, q_n, recon):
+    """cos(query, reconstruction) with the reconstruction bound ONCE as a
+    lambda variable — HOFs run interpreted (no CSE), so referencing the
+    recon expression from both the dot and the norm would rebuild the
+    64-float array twice per scored pair."""
+    return F.aggregate(
+        F.array(recon), F.lit(0.0),
+        lambda _acc, r: dot(q_v, r) / (q_n * l2_norm(r)))
+
+
 def pq_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
             vec_col: str, k: int = 10, m: int = 8, n_codes: int = 16,
             books=None, codes_df: DataFrame | None = None) -> DataFrame:
@@ -456,8 +466,8 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
     recon = pq_reconstruct(F.col("codes"), books)
     scored = (codes_df.join(F.broadcast(q), F.col("c_id") != F.col("q_id"))
               .select("q_id", "c_id",
-                      (dot(F.col("q_v"), recon)
-                       / (F.col("q_n") * l2_norm(recon))).alias("cos")))
+                      _pq_cos(F.col("q_v"), F.col("q_n"), recon)
+                      .alias("cos")))
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("c_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
@@ -555,8 +565,7 @@ def ivfpq_topk_from_index(spark, index_path: str, centroids: DataFrame,
         .filter(F.col("c_id") != F.col("q_id"))
         .select(F.col("q_id").alias("query_id"),
                 F.col("c_id").alias("neighbor_id"),
-                (dot(F.col("q_v"), recon)
-                 / (F.col("q_n") * l2_norm(recon))).alias("cos"))
+                _pq_cos(F.col("q_v"), F.col("q_n"), recon).alias("cos"))
         .distinct())
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"),
                                                F.asc("neighbor_id"))
