@@ -32,7 +32,13 @@ def _load_sidecars(base_path: str) -> dict[str, dict]:
     if not os.path.isdir(d):
         return {}
     merged: dict[str, dict] = {}
-    for fn in sorted(os.listdir(d)):
+    # compacted.json holds the OLDEST entries but sorts after the
+    # timestamp-named sidecars (digits < 'c'); load it first so a
+    # sidecar written after compaction (re-ANALYZE, redefined expr
+    # alias) wins the per-alias update below
+    names = sorted(os.listdir(d),
+                   key=lambda fn: (fn != "compacted.json", fn))
+    for fn in names:
         if not fn.endswith(".json"):
             continue
         try:

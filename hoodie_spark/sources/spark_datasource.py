@@ -44,10 +44,11 @@ import json
 import os
 from dataclasses import dataclass
 
-from pyspark.sql.datasource import (DataSource, DataSourceReader,
-                                    DataSourceStreamReader,
-                                    DataSourceStreamWriter, DataSourceWriter,
-                                    InputPartition, WriterCommitMessage)
+from pyspark.sql.datasource import (DataSource, DataSourceArrowWriter,
+                                    DataSourceReader,
+                                    DataSourceStreamArrowWriter,
+                                    DataSourceStreamReader, InputPartition,
+                                    WriterCommitMessage)
 from pyspark.sql.types import StructType
 
 from ..config import COMMIT_TIME, OPERATION, RECORD_KEY
@@ -363,26 +364,59 @@ class _StageCommit(WriterCommitMessage):
         self.files = files
 
 
-def _stage_rows(table_path: str, schema_json: str, iterator) -> _StageCommit:
-    """Executor side: stage this task's rows as one parquet under
-    ``<table>/.hoodie/.staging/`` — parallel, nothing moves to the
-    driver. Returns the staged file list as the commit message."""
+def _stage_batches(table_path: str, schema_json: str,
+                   iterator) -> _StageCommit:
+    """Executor side: stream this task's ARROW record batches into one
+    staged parquet under ``<table>/.hoodie/.staging/`` — vectorized end to
+    end (DataSourceArrowWriter hands us ``pa.RecordBatch``es straight off
+    the JVM Arrow transfer; no row ever materializes as a Python object),
+    parallel, nothing moves to the driver. Returns the staged file list as
+    the commit message."""
     import uuid as _uuid
 
     import pyarrow as pa
     import pyarrow.parquet as pq
     from pyspark.sql.pandas.types import to_arrow_schema
 
-    rows = [r.asDict(recursive=True) for r in iterator]
-    if not rows:
-        return _StageCommit([])
-    arrow_schema = to_arrow_schema(StructType.fromJson(
-        json.loads(schema_json)))
+    target = to_arrow_schema(StructType.fromJson(json.loads(schema_json)))
     d = os.path.join(table_path, ".hoodie", ".staging")
     os.makedirs(d, exist_ok=True)
     f = os.path.join(d, f"part-{_uuid.uuid4().hex[:16]}.parquet")
-    pq.write_table(pa.Table.from_pylist(rows, schema=arrow_schema), f)
-    return _StageCommit([f])
+    writer = None
+    try:
+        for batch in iterator:
+            t = pa.Table.from_batches([batch])
+            if t.schema != target:  # tz / nullability conventions differ
+                t = t.cast(target)
+            if writer is None:
+                writer = pq.ParquetWriter(f, target)
+            writer.write_table(t)
+    finally:
+        if writer is not None:
+            writer.close()
+    return _StageCommit([f] if writer is not None else [])
+
+
+def _sweep_staging(table_path: str, keep, max_age_sec: float = 3600) -> None:
+    """Drop .staging leftovers from FAILED or speculative task attempts —
+    their files never appear in any commit message, so commit()/abort()
+    would otherwise leak them forever. Only files older than
+    ``max_age_sec`` go (a concurrent writer's in-flight task files are
+    always younger), and only ones outside ``keep``."""
+    import time
+
+    d = os.path.join(table_path, ".hoodie", ".staging")
+    if not os.path.isdir(d):
+        return
+    keep = {os.path.abspath(f) for f in keep}
+    cutoff = time.time() - max_age_sec
+    for name in os.listdir(d):
+        f = os.path.join(d, name)
+        try:
+            if os.path.abspath(f) not in keep and os.path.getmtime(f) < cutoff:
+                os.remove(f)
+        except OSError:
+            pass  # raced with a concurrent sweep/commit
 
 
 def _apply_staged(path: str, options: dict, schema_json: str,
@@ -426,13 +460,14 @@ def _apply_staged(path: str, options: dict, schema_json: str,
                 pass
 
 
-class _HoodieWriter(DataSourceWriter):
+class _HoodieWriter(DataSourceArrowWriter):
     """``df.write.format("hoodie_spark")`` — the convenience seam of the
     reference's DefaultSource write path (hudi-spark DefaultSource.scala /
-    DataSourceUtils.doWriteOperation). Heavy batch loads should call
-    ``table.bulk_insert`` directly (that path never moves rows through
-    Python); this seam gives tooling and micro-batches full
-    ``df.write`` API parity."""
+    DataSourceUtils.doWriteOperation). Rows travel JVM → executor Python
+    as Arrow record batches and are staged vectorized (never per-row);
+    the real write path (tagging, packing, indexes, timeline) then runs
+    JVM-side over the staged parquet. ``table.bulk_insert`` remains the
+    fastest bulk path (no Python hop at all)."""
 
     def __init__(self, path: str, options: dict, schema: StructType):
         self.path = path
@@ -440,11 +475,12 @@ class _HoodieWriter(DataSourceWriter):
         self.schema_json = schema.json()
 
     def write(self, iterator):
-        return _stage_rows(self.path, self.schema_json, iterator)
+        return _stage_batches(self.path, self.schema_json, iterator)
 
     def commit(self, messages):
         files = [f for m in messages if m is not None for f in m.files]
         _apply_staged(self.path, self.options, self.schema_json, files)
+        _sweep_staging(self.path, [])
 
     def abort(self, messages):
         for m in messages or []:
@@ -453,12 +489,14 @@ class _HoodieWriter(DataSourceWriter):
                     os.remove(f)
                 except OSError:
                     pass
+        _sweep_staging(self.path, [])
 
 
-class _HoodieStreamWriter(DataSourceStreamWriter):
+class _HoodieStreamWriter(DataSourceStreamArrowWriter):
     """``df.writeStream.format("hoodie_spark")`` — exactly-once via the
     same streaming_batch_id commit metadata as the foreachBatch sink
-    (HoodieStreamingSink.scala:41-97 parity)."""
+    (HoodieStreamingSink.scala:41-97 parity); Arrow-batched like the
+    batch writer."""
 
     def __init__(self, path: str, options: dict, schema: StructType):
         self.path = path
@@ -466,12 +504,13 @@ class _HoodieStreamWriter(DataSourceStreamWriter):
         self.schema_json = schema.json()
 
     def write(self, iterator):
-        return _stage_rows(self.path, self.schema_json, iterator)
+        return _stage_batches(self.path, self.schema_json, iterator)
 
     def commit(self, messages, batchId):  # noqa: N803 (API name)
         files = [f for m in messages if m is not None for f in m.files]
         _apply_staged(self.path, self.options, self.schema_json, files,
                       batch_id=batchId)
+        _sweep_staging(self.path, [])
 
     def abort(self, messages, batchId):  # noqa: N803
         for m in messages or []:
@@ -480,3 +519,4 @@ class _HoodieStreamWriter(DataSourceStreamWriter):
                     os.remove(f)
                 except OSError:
                     pass
+        _sweep_staging(self.path, [])

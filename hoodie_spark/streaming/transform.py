@@ -144,4 +144,10 @@ class DebeziumTransformer(Transformer):
                     break
         out = df.select(image.alias("__row"), F.col("op").alias("Op"),
                         ts.alias("_event_ts"))
-        return out.select("__row.*", "Op", "_event_ts")
+        # Kafka-tombstone-style 'd' events can carry before=null AND
+        # after=null (REPLICA IDENTITY NOTHING, or the post-delete null
+        # marker) — emitting them would push all-null record keys into
+        # the downstream upsert; the real delete already arrived as the
+        # 'd' row WITH a before image, so these carry no information
+        return (out.filter(F.col("__row").isNotNull())
+                .select("__row.*", "Op", "_event_ts"))

@@ -303,8 +303,16 @@ class WriteClient:
         expiry = self.table.write_config.heartbeat_expiry_s
         self._hb_cancel[instant] = hb.auto_refresh(
             instant, max(0.05, expiry / 4))
-        self.table.timeline.create_requested(action, instant)
-        self.table.timeline.transition_inflight(action, instant)
+        try:
+            self.table.timeline.create_requested(action, instant)
+            self.table.timeline.transition_inflight(action, instant)
+        except BaseException:
+            # the instant never escapes _begin, so no caller's except
+            # block will _hb_abandon it — without this, the refresher
+            # keeps a possibly-created pending instant heartbeat-live
+            # (unreclaimable) for the driver's lifetime
+            self._hb_abandon(instant)
+            raise
         return instant
 
     def _hb_abandon(self, instant: str) -> None:

@@ -111,8 +111,9 @@ def test_pq_topk_recall_and_index(spark, emb, tmp_table_path):
         codes_df=codes).collect()}
     got1 = {(r[0], r[1], r[2]) for r in out.collect()}
     assert got1 == got2
-    # the index never stores the raw embedding column
-    assert set(codes.columns) == {"vec_id", "codes"}
+    # the index stores codes + the encode-time reconstruction norm —
+    # never the raw embedding column
+    assert set(codes.columns) == {"vec_id", "codes", "__rnorm"}
 
 
 def test_pq_codes_shape(spark, emb):
@@ -152,7 +153,7 @@ def test_ivfpq_index_probe(spark, emb, tmp_table_path):
     HF.write_ivfpq_index(emb, cents, books, "vec_id", "embedding",
                          tmp_table_path)
     idx = spark.read.parquet(tmp_table_path)
-    assert set(idx.columns) == {"vec_id", "codes", "centroid"}
+    assert set(idx.columns) == {"vec_id", "codes", "centroid", "__rnorm"}
     qs = emb.filter("vec_id < 10")
     out = HF.ivfpq_topk_from_index(spark, tmp_table_path, cents, books,
                                    qs, "vec_id", "embedding",
