@@ -1271,6 +1271,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           "vec_id", "embedding", k=10, m=8, n_codes=16)
     q["ann_pq"] = _q_ann_pq
 
+    def _q_corpus_pipeline(s, d):
+        # the end-to-end training-data recipe as ONE composition: Gopher
+        # gate -> exact dedup -> decontaminate vs the hash-held-out eval
+        # split -> per-language quota -> token-budget shard packing
+        # (functions/pipeline.corpus_pipeline); each piece is verified
+        # solo, this row proves the chained semantics
+        docs = load_table(s, d, "documents")
+        test = docs.filter(F.col("doc_id") % 20 == 0)
+        corpus = docs.filter(F.col("doc_id") % 20 != 0)
+        return HF.corpus_pipeline(corpus, test)
+    q["corpus_pipeline"] = _q_corpus_pipeline
+
     # ---- SQL-on-snapshot (TPC-H style). Deliberately LAST: the driver
     # records only the first 50 queries, and every unique operator must land
     # inside that window — TPC-H rows are parity evidence for one §2.6 row,
@@ -1286,7 +1298,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # oracle-verified via tools/check_oracle.py like everything past 50.
     promote = {"gopher_quality": "insert_overwrite_table",
                "dedup_spans": "merge_into_sql",
-               "ann_pq": "cdc_incremental"}
+               "ann_pq": "cdc_incremental",
+               # continuous_rollup shares events_window's oracle verbatim
+               # (o["continuous_rollup"] = o["events_window"]) — the
+               # closest-variant row in the window this round
+               "corpus_pipeline": "continuous_rollup"}
     keys = list(q)
     for new, old in promote.items():
         i, j = keys.index(old), keys.index(new)
@@ -1560,6 +1576,91 @@ SELECT k.doc_id,
        any_value(t.n_spans_total) AS n_spans_total
 FROM kept k JOIN tot t ON k.doc_id = t.doc_id
 GROUP BY k.doc_id
+"""
+
+    # end-to-end corpus pipeline: the gopher gate, exact dedup,
+    # 4-gram decontamination, per-lang quota and shard packing CTEs are
+    # the SAME proven fragments as their solo oracle rows, chained —
+    # decontamination grams come from ALL docs (a per-doc overlap decision
+    # is independent of which other corpus docs survive earlier stages)
+    o["corpus_pipeline"] = f"""
+WITH tokall AS (
+  SELECT doc_id,
+         string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS t
+  FROM documents
+),
+tok AS (SELECT * FROM tokall WHERE doc_id % 20 != 0),
+base AS (
+  SELECT doc_id, t,
+         {_SPANS4} AS sp,
+         CASE WHEN len(t) - 1 >= 1
+              THEN list_transform(range(1, CAST(len(t) AS BIGINT)),
+                                  i -> array_to_string(t[i:i+1], ' '))
+              ELSE CAST([] AS VARCHAR[]) END AS bg
+  FROM tok
+),
+m AS (
+  SELECT doc_id,
+    len(t) AS n_words,
+    round(list_sum(list_transform(t, w -> CAST(length(w) AS DOUBLE)))
+          / greatest(CAST(len(t) AS DOUBLE), 1.0), 6) AS mean_word_len,
+    round(CAST(len(list_filter(t, w -> regexp_matches(w, '[a-z]'))) AS DOUBLE)
+          / greatest(CAST(len(t) AS DOUBLE), 1.0), 6) AS alpha_word_frac,
+    len(list_filter(list_distinct(t),
+        x -> list_contains(['the','a','and','of','to','in','is','that',
+                            'for','with'], x))) AS stopword_hits,
+    round(1.0 - CAST(len(list_distinct(sp)) AS DOUBLE)
+          / greatest(CAST(len(sp) AS DOUBLE), 1.0), 6) AS dup_span_frac,
+    round(CASE WHEN len(bg) >= 1
+               THEN CAST(list_max(list_transform(list_distinct(bg),
+                      b -> len(list_filter(bg, x -> x = b)))) AS DOUBLE)
+                    / CAST(len(bg) AS DOUBLE)
+               ELSE 0.0 END, 6) AS top_bigram_frac
+  FROM base
+),
+gk AS (
+  SELECT doc_id FROM m
+  WHERE n_words >= 20 AND n_words <= 100000
+    AND mean_word_len >= 2.0 AND mean_word_len <= 12.0
+    AND alpha_word_frac >= 0.8 AND stopword_hits >= 2
+    AND dup_span_frac <= 0.4 AND top_bigram_frac <= 0.2
+),
+dd AS (
+  SELECT doc_id FROM (
+    SELECT g.doc_id,
+           row_number() OVER (PARTITION BY md5(d.text)
+                              ORDER BY g.doc_id) AS rn
+    FROM gk g JOIN documents d ON d.doc_id = g.doc_id) WHERE rn = 1
+),
+grams AS (
+  SELECT doc_id, array_to_string(t[i:i+3], ' ') AS g
+  FROM tokall, LATERAL (SELECT unnest(generate_series(1, greatest(len(t)-3, 0))) AS i)
+),
+test_grams AS (SELECT DISTINCT g FROM grams WHERE doc_id % 20 = 0),
+bad AS (
+  SELECT DISTINCT doc_id FROM grams
+  WHERE doc_id % 20 != 0 AND g IN (SELECT g FROM test_grams)
+),
+clean AS (SELECT doc_id FROM dd WHERE doc_id NOT IN (SELECT doc_id FROM bad)),
+strat AS (
+  SELECT doc_id, lang FROM (
+    SELECT d.doc_id, d.lang,
+           row_number() OVER (PARTITION BY d.lang
+                              ORDER BY md5(CAST(d.doc_id AS VARCHAR)),
+                                       d.doc_id) AS rn
+    FROM clean c JOIN documents d ON d.doc_id = c.doc_id) WHERE rn <= 25
+),
+w AS (
+  SELECT s.doc_id, s.lang,
+         CAST(len({_TOKENS.format(t='d.text')}) AS DOUBLE) AS w
+  FROM strat s JOIN documents d ON d.doc_id = s.doc_id
+)
+SELECT doc_id, lang, CAST(w AS BIGINT) AS n_tokens,
+       CAST(floor((sum(w) OVER (ORDER BY doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) - w) / 2000.0) AS BIGINT)
+         AS shard_id
+FROM w
 """
 
     # TF-IDF: vocab = top-32 document-frequency terms (df desc, term asc),

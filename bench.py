@@ -112,6 +112,21 @@ def run_suite(spark, sf_dir: str) -> dict[str, float]:
         n_centroids=16, n_probe=4).count())
     timed("ann_pq")(lambda: HF.pq_topk(
         emb, queries_df, "vec_id", "embedding", k=10).count())
+
+    # the production ANN shape: IVF-PQ index build is amortized
+    # (ann_ivfpq_build), serving cost is the probe — centroid partition
+    # pruning picks n_probe/n_centroids of the lists, ADC scores codes
+    def build_ivfpq():
+        books = HF.pq_codebooks(emb, "vec_id", "embedding", m=8, k=16)
+        cents = HF.kmeans_centroids(emb, "vec_id", "embedding",
+                                    n_centroids=16, iters=2)
+        idxp = os.path.join(work, "ivfpq_idx")
+        HF.write_ivfpq_index(emb, cents, books, "vec_id", "embedding", idxp)
+        return books, cents, idxp
+    _books, _cents, _idxp = timed("ann_ivfpq_build")(build_ivfpq)
+    timed("ann_ivfpq_probe")(lambda: HF.ivfpq_topk_from_index(
+        spark, _idxp, _cents, _books, queries_df, "vec_id", "embedding",
+        k=10, n_probe=4).count())
     timed("gopher_quality")(lambda: HF.gopher_filter(
         docs, "text", keep_col="keep").groupBy("keep").count().collect())
     timed("dedup_spans")(lambda: HF.dedup_spans(

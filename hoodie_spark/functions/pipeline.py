@@ -28,7 +28,8 @@ from .text import char_ngrams
 
 __all__ = ["redact_pii", "pii_hits", "deterministic_sample", "sample_hash",
            "pack_shards", "top_ngrams", "filter_corpus", "word_ngrams",
-           "contaminated_ids", "decontaminate", "stratified_sample"]
+           "contaminated_ids", "decontaminate", "stratified_sample",
+           "corpus_pipeline"]
 
 
 # Plain character-class regexes only, so Java regex and DuckDB's RE2 agree.
@@ -241,6 +242,47 @@ def stratified_sample(df: DataFrame, group_col: str, key_col: str,
         F.md5(F.col(key_col).cast("string")), F.col(key_col))
     return (df.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") <= per_group).drop("__rn"))
+
+
+def corpus_pipeline(corpus: DataFrame, test_set: DataFrame,
+                    id_col: str = "doc_id", text_col: str = "text",
+                    group_col: str = "lang", per_group: int = 25,
+                    decontaminate_n: int = 4,
+                    shard_budget: float = 2000.0,
+                    gopher_overrides: dict | None = None) -> DataFrame:
+    """The end-to-end training-data recipe, as ONE composition of the
+    individually-verified operators — what a real corpus user runs:
+
+    1. Gopher shape/repetition quality gate (:func:`quality.gopher_filter`)
+    2. exact content dedup, smallest id wins (:func:`dedup.exact_dedup`)
+    3. benchmark decontamination against the held-out eval set
+       (:func:`decontaminate`, word ``decontaminate_n``-gram overlap)
+    4. per-``group_col`` quota mixing (:func:`stratified_sample`)
+    5. token-budget shard packing (:func:`pack_shards`)
+
+    Returns ``(id_col, group_col, n_tokens, shard_id)``. Every stage keeps
+    its solo operator's 100 TB shape: the gate and token counting are
+    map-only Column exprs, dedup is one content-hash shuffle, the test-set
+    grams broadcast, the quota uses WindowGroupLimit map-side cutoffs, and
+    shard packing is the distributed two-pass prefix sum — the composition
+    adds no new shuffle beyond its parts. Also available on the ingest
+    path as ``streaming.transform.CorpusPipelineTransformer``."""
+    from .dedup import exact_dedup
+    from .quality import gopher_filter
+    from .text import token_count
+
+    kept = gopher_filter(corpus, text_col, **(gopher_overrides or {}))
+    kept = exact_dedup(kept, [text_col], id_col)
+    kept = decontaminate(kept, test_set, text_col, id_col,
+                         n=decontaminate_n)
+    kept = stratified_sample(kept, group_col, id_col, per_group)
+    w = kept.select(F.col(id_col), F.col(group_col),
+                    token_count(text_col).cast("double").alias("n_tokens"))
+    packed = pack_shards(w, "n_tokens", shard_budget, [id_col],
+                         num_buckets=8)
+    return packed.select(F.col(id_col), F.col(group_col),
+                         F.col("n_tokens").cast("long").alias("n_tokens"),
+                         "shard_id")
 
 
 def tfidf_terms(df: DataFrame, id_col: str, text_col: str,

@@ -74,6 +74,74 @@ class LocalStorage(Storage):
 LOCAL = LocalStorage()
 
 
+class AtomicStorage:
+    """The atomicity contract a cluster deployment must honor.
+
+    Everything else in this engine is crash-safe WITHOUT storage-level
+    atomicity: data/log parquet is invisible until a commit publishes
+    (manifest-based visibility, module docstring above), heartbeats are
+    advisory mtimes, and sidecar overlays tolerate torn re-writes because
+    each whole file is re-written. Exactly TWO sites genuinely depend on
+    an atomic primitive, and both route through this interface:
+
+    * **commit publish** (``Timeline._atomic_write``, reference parity
+      ``HoodieActiveTimeline.java:149``) needs :meth:`put_atomic` —
+      full-object all-or-nothing visibility. POSIX: temp + rename. Object
+      stores: a single PUT is already atomic (readers see the old object,
+      the new object, or 404 — never a torn body), so copy-style rename
+      is safe here.
+    * **multi-writer lock acquire** (``timeline.LockProvider``) needs
+      :meth:`put_if_absent` — a CONDITIONAL create that fails when the
+      key exists. POSIX: ``O_CREAT|O_EXCL``. S3: ``If-None-Match: *``;
+      GCS: ``x-goog-if-generation-match: 0``; both are real conditional
+      puts, so cross-HOST OCC works without a Zookeeper dependency
+      (the reference ships ``ZookeeperBasedLockProvider.java`` for this;
+      conditional-put is the object-store-native equivalent).
+
+    Swap the module-level :data:`ATOMIC` for an object-store adapter and
+    nothing above this seam changes — ``tests/test_storage_atomicity.py``
+    proves these two call sites are the only atomicity dependencies by
+    recording every call through a mock adapter across a full
+    multi-writer table lifecycle.
+    """
+
+    def put_atomic(self, path: str, payload: bytes) -> None:
+        """Publish ``payload`` at ``path`` all-or-nothing (overwrite ok)."""
+        raise NotImplementedError
+
+    def put_if_absent(self, path: str, payload: bytes) -> bool:
+        """Create ``path`` only if it does not exist; False if it does.
+        Must be a true conditional create — exists()-then-put races."""
+        raise NotImplementedError
+
+
+class LocalAtomicStorage(AtomicStorage):
+    """POSIX backend: rename publish + O_EXCL conditional create."""
+
+    def put_atomic(self, path: str, payload: bytes) -> None:
+        d = os.path.dirname(path)
+        tmp = os.path.join(d, f".{os.urandom(8).hex()}.tmp")
+        with open(tmp, "wb") as f:
+            f.write(payload)
+        os.replace(tmp, path)
+
+    def put_if_absent(self, path: str, payload: bytes) -> bool:
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return False
+        try:
+            os.write(fd, payload)
+        finally:
+            os.close(fd)
+        return True
+
+
+#: the active adapter — swap for an object-store implementation in a
+#: cluster deployment (see AtomicStorage docstring for the contract)
+ATOMIC: AtomicStorage = LocalAtomicStorage()
+
+
 def relpath_from_uri(uri: str, base: str) -> str:
     """Partition-qualified relative path from an ``input_file_name()`` URI.
 

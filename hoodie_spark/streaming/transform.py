@@ -114,6 +114,32 @@ class QualityGateTransformer(Transformer):
         return df
 
 
+class CorpusPipelineTransformer(Transformer):
+    """The full training-data recipe on the ingest path: Gopher gate →
+    exact dedup → decontaminate vs a held-out eval set → per-group quota →
+    token-budget shard packing (functions/pipeline.corpus_pipeline). The
+    eval set is loaded once per batch from ``test_path`` (parquet) — the
+    decontamination grams broadcast, so the batch side stays the solo
+    operators' shuffle shape. Emits (id, group, n_tokens, shard_id)."""
+
+    def __init__(self, test_path: str, id_col: str = "doc_id",
+                 text_col: str = "text", group_col: str = "lang",
+                 **pipeline_kw):
+        self.test_path = test_path
+        self.id_col = id_col
+        self.text_col = text_col
+        self.group_col = group_col
+        self.pipeline_kw = pipeline_kw
+
+    def apply(self, spark, df: DataFrame) -> DataFrame:
+        from ..functions.pipeline import corpus_pipeline
+        test = spark.read.parquet(self.test_path)
+        return corpus_pipeline(df, test, id_col=self.id_col,
+                               text_col=self.text_col,
+                               group_col=self.group_col,
+                               **self.pipeline_kw)
+
+
 class DebeziumTransformer(Transformer):
     """Debezium envelope → upsert-able rows (public Hudi
     DebeziumSource/Payload design: hudi-utilities

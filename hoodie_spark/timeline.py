@@ -21,7 +21,6 @@ import json
 import os
 import threading
 import time
-import uuid
 from dataclasses import dataclass
 
 # Actions (HoodieTimeline.java:46-57)
@@ -110,10 +109,10 @@ class Timeline:
         return inst
 
     def _atomic_write(self, path: str, payload: dict) -> None:
-        tmp = os.path.join(self.temp_dir, f".{uuid.uuid4().hex}.tmp")
-        with open(tmp, "w") as f:
-            json.dump(payload, f)
-        os.replace(tmp, path)
+        # one of the two storage-atomicity dependencies in the engine
+        # (storage.AtomicStorage contract): publish must be all-or-nothing
+        from . import storage
+        storage.ATOMIC.put_atomic(path, json.dumps(payload).encode())
 
     def delete_instant(self, instant: Instant) -> None:
         p = self._path(instant)
@@ -263,16 +262,17 @@ class LockProvider:
         self.timeout_s = timeout_s
 
     def __enter__(self):
+        # the other storage-atomicity dependency (storage.AtomicStorage):
+        # acquire must be a true conditional create, never exists-then-put
+        from . import storage
+
         deadline = time.time() + self.timeout_s
         while True:
-            try:
-                fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.close(fd)
+            if storage.ATOMIC.put_if_absent(self.path, b""):
                 return self
-            except FileExistsError:
-                if time.time() > deadline:
-                    raise TimeoutError(f"could not acquire table lock {self.path}")
-                time.sleep(0.05)
+            if time.time() > deadline:
+                raise TimeoutError(f"could not acquire table lock {self.path}")
+            time.sleep(0.05)
 
     def __exit__(self, *exc):
         if os.path.exists(self.path):

@@ -197,3 +197,40 @@ def test_stratified_sample(docs, spark):
                  docs.groupBy("lang").count().collect()}
     full = HF.stratified_sample(docs, "lang", "doc_id", 10 ** 6)
     assert full.count() == sum(n_by_lang.values())
+
+
+def test_corpus_pipeline_composition(spark, docs, tmp_path):
+    """The end-to-end recipe: every output doc passed the gate, survived
+    dedup + decontamination, respects the per-lang quota, and shard ids
+    are the sequential prefix-sum model over the survivors."""
+    test = docs.filter(F.col("doc_id") % 20 == 0)
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    out = HF.corpus_pipeline(corpus, test).cache()
+    rows = out.orderBy("doc_id").collect()
+    assert len(rows) > 0
+    # per-lang quota respected
+    per_lang = out.groupBy("lang").count().collect()
+    assert all(r["count"] <= 25 for r in per_lang)
+    # no output doc shares a word 4-gram with the eval split
+    bad = HF.contaminated_ids(
+        corpus.join(out.select("doc_id"), "doc_id", "left_semi"),
+        test, n=4)
+    assert bad.count() == 0
+    # no two output docs share identical text
+    texts = (docs.join(out.select("doc_id"), "doc_id", "left_semi")
+             .groupBy("text").count().filter("count >= 2").count())
+    assert texts == 0
+    # shard ids match the sequential prefix-sum model in doc_id order
+    acc = 0.0
+    for r in rows:
+        assert r["shard_id"] == int(acc // 2000.0), r
+        acc += float(r["n_tokens"])
+    out.unpersist()
+
+    # the same recipe runs as an ingest transformer
+    from hoodie_spark.streaming.transform import CorpusPipelineTransformer
+    tp = str(tmp_path / "eval")
+    test.write.parquet(tp)
+    t_out = CorpusPipelineTransformer(tp).apply(spark, corpus)
+    assert {(r[0], r[3]) for r in t_out.collect()} == \
+        {(r["doc_id"], r["shard_id"]) for r in rows}
