@@ -273,11 +273,22 @@ def corpus_pipeline(corpus: DataFrame, test_set: DataFrame,
 
     kept = gopher_filter(corpus, text_col, **(gopher_overrides or {}))
     kept = exact_dedup(kept, [text_col], id_col)
-    kept = decontaminate(kept, test_set, text_col, id_col,
-                         n=decontaminate_n)
+    # contamination is a PER-DOC decision (does this doc share a gram with
+    # the eval set?) — independent of which other docs survive earlier
+    # stages — so the gram explode runs off the RAW corpus scan instead of
+    # re-evaluating the gate+dedup chain a second time (the Gopher HOF
+    # metrics are the expensive part of this plan; measured 2x at sf0.1)
+    bad = contaminated_ids(corpus, test_set, text_col, id_col,
+                           n=decontaminate_n)
+    kept = kept.join(bad, id_col, "left_anti")
     kept = stratified_sample(kept, group_col, id_col, per_group)
+    # pack_shards makes three passes over its input (range bounds, bucket
+    # totals, final window); persist the post-quota frame so the full
+    # gate/dedup/decontaminate chain evaluates ONCE — bounded memory:
+    # per_group x n_groups rows, whatever the corpus size
     w = kept.select(F.col(id_col), F.col(group_col),
-                    token_count(text_col).cast("double").alias("n_tokens"))
+                    token_count(text_col).cast("double").alias("n_tokens")
+                    ).persist()
     packed = pack_shards(w, "n_tokens", shard_budget, [id_col],
                          num_buckets=8)
     return packed.select(F.col(id_col), F.col(group_col),

@@ -637,26 +637,52 @@ def ivfpq_topk_from_index(spark, index_path: str, centroids: DataFrame,
                           n_probe: int = 4) -> DataFrame:
     """Probe a persisted :func:`write_ivfpq_index` layout: centroid
     partition pruning + ADC scoring on the code column (per-query LUTs +
-    the encode-time ``__rnorm`` — no reconstruction anywhere). Returns
-    (query_id, neighbor_id, rank)."""
-    cent = _prep(centroids, id_col, vec_col, "k")
-    q = _prep(queries, id_col, vec_col, "q")
-    probe_w = Window.partitionBy("q_id").orderBy(F.desc("aff"), F.asc("k_id"))
-    probes = (
-        q.crossJoin(F.broadcast(cent))
-        .select("q_id", "q_n", F.col("k_id"),
-                (dot("q_v", "k_v") / (F.col("q_n") * F.col("k_n")))
-                .alias("aff"))
-        .withColumn("rnk", F.row_number().over(probe_w))
-        .filter(F.col("rnk") <= n_probe)
-        .select("q_id", F.col("k_id").alias("p_centroid")))
-    wanted = [r[0] for r in probes.select("p_centroid").distinct().collect()]
+    the encode-time ``__rnorm`` — no reconstruction anywhere).
+
+    The probe plan itself is DRIVER-side Python: the centroid table is
+    bounded (it was collected to train the codebook in the first place)
+    and the query set is broadcast-small, so nearest-centroid assignment
+    is a k×Q loop — doing it as a Spark crossJoin+window would cost two
+    jobs to plan a scan that then reads n_probe/n_centroids of the data.
+    The only cluster work is the pruned index scan + ADC scoring.
+    Returns (query_id, neighbor_id, rank)."""
+    cents = {r["i"]: [float(x) for x in r["v"]] for r in
+             centroids.select(F.col(id_col).alias("i"),
+                              F.col(vec_col).cast("array<double>")
+                              .alias("v")).collect()}
+
+    def _norm(v):
+        n2 = 0.0
+        for x in v:
+            n2 = n2 + x * x
+        return n2 ** 0.5
+
+    cent_n = {i: _norm(v) for i, v in cents.items()}
+    lut_df = _pq_luts(queries, id_col, vec_col, books)
+    qrows = (queries.select(F.col(id_col).alias("i"),
+                            F.col(vec_col).cast("array<double>").alias("v"))
+             .collect())
+    probe_rows, wanted = [], set()
+    for r in qrows:
+        qv = [float(x) for x in r["v"]]
+        qn = _norm(qv)
+        affs = []
+        for ki, kv in cents.items():
+            d = 0.0
+            for a, b in zip(qv, kv):
+                d = d + a * b
+            affs.append((-(d / (qn * cent_n[ki])), ki))
+        for _, ki in sorted(affs)[:n_probe]:  # aff desc, centroid id asc
+            probe_rows.append((r["i"], ki))
+            wanted.add(ki)
+    probes = spark.createDataFrame(probe_rows, "q_id long, p_centroid int") \
+        .withColumn("q_id", F.col("q_id").cast(
+            queries.schema[id_col].dataType))
     index = (spark.read.parquet(index_path)
-             .filter(F.col("centroid").isin(wanted))
+             .filter(F.col("centroid").isin(sorted(wanted)))
              .select(F.col(id_col).alias("c_id"), "codes", "centroid",
                      F.col("__rnorm").alias("c_rn")))
-    lut_df = (_pq_luts(queries, id_col, vec_col, books)
-              .join(probes, "q_id")
+    lut_df = (lut_df.join(probes, "q_id")
               .select("q_id", "q_n", "lut", "p_centroid"))
     return _pq_score_topk(
         index, lut_df, books, k,

@@ -11,7 +11,7 @@ from .sink import foreach_batch_writer, write_stream
 from .stateful import stateful_dedup, stateful_session_counts
 from .source import incremental_batches, latest_offset
 from .transform import (AWSDmsTransformer, ChainedTransformer,
-                        DebeziumTransformer,
+                        CorpusPipelineTransformer, DebeziumTransformer,
                         FlatteningTransformer, QualityGateTransformer,
                         SqlQueryTransformer, Transformer)
 
@@ -24,6 +24,6 @@ __all__ = ["foreach_batch_writer", "write_stream", "incremental_batches",
            "SchemaRegistryProvider", "RowBasedSchemaProvider",
            "Transformer", "SqlQueryTransformer", "FlatteningTransformer",
            "ChainedTransformer", "AWSDmsTransformer", "QualityGateTransformer",
-           "DebeziumTransformer",
+           "DebeziumTransformer", "CorpusPipelineTransformer",
            "continuous_aggregate", "create_rollup_table",
            "windowed_rollup_frame"]

@@ -592,3 +592,38 @@ def test_debezium_transformer_cdc_to_table(spark, tmp_table_path):
     tbl.upsert(apply_cdc(flat, op_col="Op", delete_values=("d", "D")))
     snap = {r["id"]: r["v"] for r in tbl.snapshot().collect()}
     assert snap == {1: "a2"}  # update applied, delete removed id=2
+
+
+def test_corpus_pipeline_transformer_on_ingest(spark, tmp_table_path):
+    """The full corpus recipe as an Ingestor transformer: source batch ->
+    gate/dedup/decontaminate/quota/shard-pack -> real table write. The
+    landed table matches the library composition exactly."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hoodie_spark import HoodieTable
+    from hoodie_spark.functions import corpus_pipeline
+    from hoodie_spark.streaming import (CorpusPipelineTransformer, Ingestor,
+                                        ParquetDFSSource)
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    test_split = docs.filter(F.col("doc_id") % 20 == 0)
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    src = os.path.join(tmp_table_path, "src")
+    evalp = os.path.join(tmp_table_path, "eval")
+    corpus.write.parquet(src)
+    test_split.write.parquet(evalp)
+
+    tbl = HoodieTable.create(
+        spark, os.path.join(tmp_table_path, "t"), "corpus_sharded",
+        ["doc_id"], "doc_id")
+    ing = Ingestor(tbl, ParquetDFSSource(src),
+                   transformers=[CorpusPipelineTransformer(evalp)])
+    assert ing.sync_once() is not None
+
+    got = {(r["doc_id"], r["lang"], r["n_tokens"], r["shard_id"])
+           for r in tbl.snapshot().collect()}
+    exp = {(r["doc_id"], r["lang"], r["n_tokens"], r["shard_id"])
+           for r in corpus_pipeline(corpus, test_split).collect()}
+    assert got == exp and len(got) > 0
