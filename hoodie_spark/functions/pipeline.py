@@ -291,9 +291,14 @@ def corpus_pipeline(corpus: DataFrame, test_set: DataFrame,
                     ).persist()
     packed = pack_shards(w, "n_tokens", shard_budget, [id_col],
                          num_buckets=8)
-    return packed.select(F.col(id_col), F.col(group_col),
-                         F.col("n_tokens").cast("long").alias("n_tokens"),
-                         "shard_id")
+    out = packed.select(F.col(id_col), F.col(group_col),
+                        F.col("n_tokens").cast("long").alias("n_tokens"),
+                        "shard_id")
+    # expose the cached stage boundary so repeated callers (the streaming
+    # transformer runs once per micro-batch) can release it after their
+    # action instead of accumulating one cached frame per invocation
+    out._corpus_pipeline_cache = w
+    return out
 
 
 def tfidf_terms(df: DataFrame, id_col: str, text_col: str,

@@ -394,23 +394,33 @@ def pq_encode(vec, books: list[list[list[float]]]) -> Column:
     m×k 8-float L2 distances per row, and a Column-expression version is
     either a ~3000-node tree (seconds of plan compilation) or interpreted
     HOF folds (~200 ops/row with per-fold allocation) — both measured
-    slower than the vectorized batch kernel by >4x at sf0.1. Parity with
-    the SQL oracle is preserved exactly: squared diffs accumulate in
+    slower than the vectorized batch kernel by >4x at sf0.1. Encoding
+    parity with the SQL oracle is exact: squared diffs accumulate in
     EXPLICIT left-to-right index order (numpy's pairwise summation is
     deliberately avoided), so distances are bit-identical to the fold the
     oracle computes, and ``argmin`` takes the first index on exact ties —
-    the oracle's (dist, code) ordering."""
+    the oracle's (dist, code) ordering. Null vectors and vectors of the
+    wrong length encode to null (the dirty-corpus behavior of the Column
+    expression this replaced), never a task failure."""
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
     bks = [np.asarray(b, dtype=np.float64) for b in books]  # m × (k, ds)
     m, ds = len(bks), bks[0].shape[1]
+    dim = m * ds
 
     @pandas_udf("array<int>")
     def _enc(s: pd.Series) -> pd.Series:
+        out = [None] * len(s)
         if not len(s):
-            return pd.Series([], dtype=object)
-        v = np.asarray([np.asarray(x, dtype=np.float64) for x in s])
+            return pd.Series(out, dtype=object)
+        vals = [None if x is None else np.asarray(x, dtype=np.float64)
+                for x in s]
+        good = [i for i, x in enumerate(vals)
+                if x is not None and x.shape == (dim,)]
+        if not good:
+            return pd.Series(out, dtype=object)
+        v = np.stack([vals[i] for i in good])
         codes = np.empty((len(v), m), dtype=np.int32)
         for j in range(m):
             sub = v[:, j * ds:(j + 1) * ds]               # (n, ds)
@@ -419,7 +429,9 @@ def pq_encode(vec, books: list[list[list[float]]]) -> Column:
             for i in range(1, ds):  # sequential adds == the oracle's fold
                 d = d + sq[:, :, i]
             codes[:, j] = d.argmin(axis=1)  # first index wins exact ties
-        return pd.Series(list(codes))
+        for row, i in enumerate(good):
+            out[i] = codes[row]
+        return pd.Series(out, dtype=object)
 
     vec = F.col(vec) if isinstance(vec, str) else vec
     return _enc(vec.cast("array<double>"))
@@ -468,26 +480,38 @@ def _pq_code_norm(books) -> Column:
         F.lit(0.0), lambda acc, x: acc + x))
 
 
-def _pq_luts(queries: DataFrame, id_col: str, vec_col: str, books):
-    """ADC lookup tables: collect the query set (broadcast-small by
-    definition) and precompute ``lut[j][c] = dot(q_sub_j, book[j][c])`` in
-    Python — m×k doubles per query. Returns a small DataFrame
-    ``(q_id, q_n, lut: array<double> flattened j-major)`` ready to
-    broadcast; scoring then needs only ``m`` element_at adds per pair
-    instead of reconstructing the m·ds-float corpus vector per
-    (query, corpus) pair in interpreted HOFs."""
-    m, k, ds = len(books), len(books[0]), len(books[0][0])
+def _pq_query_rows(queries: DataFrame, id_col: str, vec_col: str):
+    """ONE collect of the query set (broadcast-small by definition):
+    ``[(id, vec, norm)]`` with the norm computed as a left-to-right fold —
+    identical IEEE-double op order to Spark's F.aggregate, so it matches
+    _prep's l2_norm bit-for-bit. Shared by the LUT build and the IVF
+    probe loop so the serving path pays a single driver job."""
     rows = (queries.select(F.col(id_col).alias("i"),
                            F.col(vec_col).cast("array<double>").alias("v"))
             .collect())
     out = []
     for r in rows:
         v = [float(x) for x in r["v"]]
-        # left-to-right folds: identical IEEE-double op order to Spark's
-        # F.aggregate, so q_n matches _prep's l2_norm bit-for-bit
         n2 = 0.0
         for x in v:
             n2 = n2 + x * x
+        out.append((r["i"], v, n2 ** 0.5))
+    return out
+
+
+def _pq_luts(queries: DataFrame, id_col: str, vec_col: str, books,
+             qrows=None):
+    """ADC lookup tables: precompute ``lut[j][c] = dot(q_sub_j,
+    book[j][c])`` in Python — m×k doubles per query. Returns a small
+    DataFrame ``(q_id, q_n, lut: array<double> flattened j-major)`` ready
+    to broadcast; scoring then needs only ``m`` element_at adds per pair
+    instead of reconstructing the m·ds-float corpus vector per
+    (query, corpus) pair in interpreted HOFs."""
+    m, k, ds = len(books), len(books[0]), len(books[0][0])
+    if qrows is None:
+        qrows = _pq_query_rows(queries, id_col, vec_col)
+    out = []
+    for i, v, n in qrows:
         lut = []
         for j in range(m):
             sub = v[j * ds:(j + 1) * ds]
@@ -496,7 +520,7 @@ def _pq_luts(queries: DataFrame, id_col: str, vec_col: str, books):
                 for a, b in zip(sub, books[j][c]):
                     d = d + a * b
                 lut.append(d)
-        out.append((r["i"], n2 ** 0.5, lut))
+        out.append((i, n, lut))
     from pyspark.sql.types import (ArrayType, DoubleType, StructField,
                                    StructType)
     id_type = queries.schema[id_col].dataType  # keep the caller's id dtype
@@ -646,42 +670,33 @@ def ivfpq_topk_from_index(spark, index_path: str, centroids: DataFrame,
     jobs to plan a scan that then reads n_probe/n_centroids of the data.
     The only cluster work is the pruned index scan + ADC scoring.
     Returns (query_id, neighbor_id, rank)."""
-    cents = {r["i"]: [float(x) for x in r["v"]] for r in
-             centroids.select(F.col(id_col).alias("i"),
-                              F.col(vec_col).cast("array<double>")
-                              .alias("v")).collect()}
-
-    def _norm(v):
-        n2 = 0.0
-        for x in v:
-            n2 = n2 + x * x
-        return n2 ** 0.5
-
-    cent_n = {i: _norm(v) for i, v in cents.items()}
-    lut_df = _pq_luts(queries, id_col, vec_col, books)
-    qrows = (queries.select(F.col(id_col).alias("i"),
-                            F.col(vec_col).cast("array<double>").alias("v"))
-             .collect())
+    crows = _pq_query_rows(centroids, id_col, vec_col)
+    qrows = _pq_query_rows(queries, id_col, vec_col)  # the ONE query job
+    lut_df = _pq_luts(queries, id_col, vec_col, books, qrows=qrows)
     probe_rows, wanted = [], set()
-    for r in qrows:
-        qv = [float(x) for x in r["v"]]
-        qn = _norm(qv)
+    for qi, qv, qn in qrows:
         affs = []
-        for ki, kv in cents.items():
+        for ki, kv, kn in crows:
             d = 0.0
             for a, b in zip(qv, kv):
                 d = d + a * b
-            affs.append((-(d / (qn * cent_n[ki])), ki))
+            affs.append((-(d / (qn * kn)), ki))
         for _, ki in sorted(affs)[:n_probe]:  # aff desc, centroid id asc
-            probe_rows.append((r["i"], ki))
+            probe_rows.append((qi, ki))
             wanted.add(ki)
-    probes = spark.createDataFrame(probe_rows, "q_id long, p_centroid int") \
-        .withColumn("q_id", F.col("q_id").cast(
-            queries.schema[id_col].dataType))
-    index = (spark.read.parquet(index_path)
-             .filter(F.col("centroid").isin(sorted(wanted)))
-             .select(F.col(id_col).alias("c_id"), "codes", "centroid",
-                     F.col("__rnorm").alias("c_rn")))
+    from pyspark.sql.types import StructField, StructType
+    probes = spark.createDataFrame(probe_rows, StructType([
+        StructField("q_id", queries.schema[id_col].dataType),
+        StructField("p_centroid", centroids.schema[id_col].dataType)]))
+    index = spark.read.parquet(index_path) \
+        .filter(F.col("centroid").isin(sorted(wanted)))
+    if "__rnorm" in index.columns:
+        index = index.select(F.col(id_col).alias("c_id"), "codes",
+                             "centroid", F.col("__rnorm").alias("c_rn"))
+    else:  # legacy index without the encode-time norm column
+        index = (index.select(F.col(id_col).alias("c_id"), "codes",
+                              "centroid")
+                 .withColumn("c_rn", _pq_code_norm(books)))
     lut_df = (lut_df.join(probes, "q_id")
               .select("q_id", "q_n", "lut", "p_centroid"))
     return _pq_score_topk(

@@ -65,6 +65,7 @@ def rollback_failed_writes(table) -> list[str]:
     cfg = table.write_config
     if cfg.failed_writes_policy == "never":
         return []
+    _sweep_publish_orphans(table)
     hb = tl.Heartbeat(table.base_path)
     seen: list[str] = []
     for inst in table.timeline.pending():
@@ -87,6 +88,30 @@ def rollback_failed_writes(table) -> list[str]:
         except TimeoutError:
             continue  # table busy — reclamation can wait for the next run
     return seen
+
+
+def _sweep_publish_orphans(table, max_age_s: float = 3600) -> None:
+    """A driver killed mid-``put_atomic`` leaves a ``.<hex>.tmp`` in the
+    timeline dir (storage.LocalAtomicStorage writes the temp next to its
+    destination — rename is only atomic within one filesystem). Reads
+    filter on ``.json`` so orphans are invisible, but nothing else would
+    ever delete them; reclamation is the natural janitor. Age-guarded so
+    a concurrent writer's in-flight temp (a sub-second window) survives."""
+    import time
+
+    d = table.timeline.dir
+    if not os.path.isdir(d):
+        return
+    cutoff = time.time() - max_age_s
+    for name in os.listdir(d):
+        if not (name.startswith(".") and name.endswith(".tmp")):
+            continue
+        p = os.path.join(d, name)
+        try:
+            if os.path.getmtime(p) < cutoff:
+                os.remove(p)
+        except OSError:
+            pass  # raced with a concurrent sweep
 
 
 def _undo_structural_config(table, instant_ts: str) -> None:

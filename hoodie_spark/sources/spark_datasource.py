@@ -397,12 +397,17 @@ def _stage_batches(table_path: str, schema_json: str,
     return _StageCommit([f] if writer is not None else [])
 
 
-def _sweep_staging(table_path: str, keep, max_age_sec: float = 3600) -> None:
+def _sweep_staging(table_path: str, keep,
+                   max_age_sec: float = 86400) -> None:
     """Drop .staging leftovers from FAILED or speculative task attempts —
     their files never appear in any commit message, so commit()/abort()
     would otherwise leak them forever. Only files older than
-    ``max_age_sec`` go (a concurrent writer's in-flight task files are
-    always younger), and only ones outside ``keep``."""
+    ``max_age_sec`` go (default 24 h), and only ones outside ``keep``.
+    The age guard is what protects a CONCURRENT writer's in-flight task
+    files; a single df.write whose stage-to-commit gap exceeds the TTL
+    would lose staged data, so writers expected to run longer must raise
+    it via ``.option("stagingTTL", seconds)`` — and bulk loads of that
+    size should be using ``table.bulk_insert`` anyway."""
     import time
 
     d = os.path.join(table_path, ".hoodie", ".staging")
@@ -417,6 +422,10 @@ def _sweep_staging(table_path: str, keep, max_age_sec: float = 3600) -> None:
                 os.remove(f)
         except OSError:
             pass  # raced with a concurrent sweep/commit
+
+
+def _staging_ttl(options: dict) -> float:
+    return float(options.get("stagingttl", 86400))
 
 
 def _apply_staged(path: str, options: dict, schema_json: str,
@@ -480,7 +489,7 @@ class _HoodieWriter(DataSourceArrowWriter):
     def commit(self, messages):
         files = [f for m in messages if m is not None for f in m.files]
         _apply_staged(self.path, self.options, self.schema_json, files)
-        _sweep_staging(self.path, [])
+        _sweep_staging(self.path, [], _staging_ttl(self.options))
 
     def abort(self, messages):
         for m in messages or []:
@@ -489,7 +498,7 @@ class _HoodieWriter(DataSourceArrowWriter):
                     os.remove(f)
                 except OSError:
                     pass
-        _sweep_staging(self.path, [])
+        _sweep_staging(self.path, [], _staging_ttl(self.options))
 
 
 class _HoodieStreamWriter(DataSourceStreamArrowWriter):
@@ -510,7 +519,7 @@ class _HoodieStreamWriter(DataSourceStreamArrowWriter):
         files = [f for m in messages if m is not None for f in m.files]
         _apply_staged(self.path, self.options, self.schema_json, files,
                       batch_id=batchId)
-        _sweep_staging(self.path, [])
+        _sweep_staging(self.path, [], _staging_ttl(self.options))
 
     def abort(self, messages, batchId):  # noqa: N803
         for m in messages or []:
@@ -519,4 +528,4 @@ class _HoodieStreamWriter(DataSourceStreamArrowWriter):
                     os.remove(f)
                 except OSError:
                     pass
-        _sweep_staging(self.path, [])
+        _sweep_staging(self.path, [], _staging_ttl(self.options))

@@ -119,11 +119,22 @@ class LocalAtomicStorage(AtomicStorage):
     """POSIX backend: rename publish + O_EXCL conditional create."""
 
     def put_atomic(self, path: str, payload: bytes) -> None:
+        # temp lives in the DESTINATION dir: rename is only atomic within
+        # one filesystem. Timeline listings filter on .json so a
+        # crash-orphaned .tmp is invisible to reads; reclamation sweeps
+        # aged ones (services/rollback.py)
         d = os.path.dirname(path)
         tmp = os.path.join(d, f".{os.urandom(8).hex()}.tmp")
-        with open(tmp, "wb") as f:
-            f.write(payload)
-        os.replace(tmp, path)
+        try:
+            with open(tmp, "wb") as f:
+                f.write(payload)
+            os.replace(tmp, path)
+        except BaseException:
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
+            raise
 
     def put_if_absent(self, path: str, payload: bytes) -> bool:
         try:

@@ -90,7 +90,9 @@ def test_datasource_commit_sweeps_stale_staging(spark, orders,
 
     upd = orders.limit(20).withColumn("o_orderstatus", F.lit("S"))
     (upd.write.format("hoodie_spark").mode("append")
-     .option("operation", "upsert").save(tmp_table_path))
+     .option("operation", "upsert")
+     .option("stagingTTL", "3600")  # default is 24h; route via the option
+     .save(tmp_table_path))
 
     assert not os.path.exists(stale), "aged orphan staging file leaked"
     assert os.path.exists(fresh), "fresh (possibly in-flight) file removed"
@@ -125,3 +127,88 @@ def test_debezium_tombstone_delete_dropped(spark):
     assert len(out) == 2
     assert all(r["id"] is not None for r in out)
     assert {(r["id"], r["Op"]) for r in out} == {(1, "c"), (1, "d")}
+
+
+def test_pq_encode_null_and_ragged_vectors(spark):
+    """Dirty corpora must encode to null codes, not crash the task (the
+    Column expression this UDF replaced tolerated them)."""
+    from hoodie_spark.functions.similarity import pq_codebooks, pq_encode
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    books = pq_codebooks(emb, "vec_id", "embedding", m=8, k=16)
+    dirty = spark.createDataFrame(
+        [(1, None), (2, [0.5] * 64), (3, [1.0] * 10)],
+        "vec_id int, embedding array<double>")
+    rows = {r["vec_id"]: r["codes"] for r in dirty.select(
+        "vec_id", pq_encode(F.col("embedding"), books).alias("codes"))
+        .collect()}
+    assert rows[1] is None and rows[3] is None
+    assert rows[2] is not None and len(rows[2]) == 8
+
+
+def test_ivfpq_probe_legacy_index_without_rnorm(spark, tmp_table_path):
+    """Indexes persisted before the encode-time __rnorm column must still
+    probe (norm recomputed from codes), like pq_topk's legacy branch."""
+    from hoodie_spark.functions import similarity as S
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    books = S.pq_codebooks(emb, "vec_id", "embedding")
+    cents = S.kmeans_centroids(emb, "vec_id", "embedding",
+                               n_centroids=4, iters=1)
+    S.write_ivfpq_index(emb, cents, books, "vec_id", "embedding",
+                        tmp_table_path)
+    legacy_path = tmp_table_path + "_legacy"
+    (spark.read.parquet(tmp_table_path).drop("__rnorm")
+     .write.partitionBy("centroid").parquet(legacy_path))
+    qs = emb.filter("vec_id < 5")
+    new = {(r[0], r[1], r[2]) for r in S.ivfpq_topk_from_index(
+        spark, tmp_table_path, cents, books, qs, "vec_id", "embedding",
+        k=5, n_probe=2).collect()}
+    old = {(r[0], r[1], r[2]) for r in S.ivfpq_topk_from_index(
+        spark, legacy_path, cents, books, qs, "vec_id", "embedding",
+        k=5, n_probe=2).collect()}
+    assert new == old and len(new) == 25
+
+
+def test_publish_orphan_tmp_swept_by_reclamation(spark, orders,
+                                                 tmp_table_path):
+    """A crash mid-put_atomic leaves .<hex>.tmp in the timeline dir;
+    failed-write reclamation sweeps aged ones, keeps fresh ones."""
+    from hoodie_spark.services.rollback import rollback_failed_writes
+
+    tbl = HoodieTable.create(
+        spark, tmp_table_path, "orphans", ["o_orderkey"], "o_orderdate")
+    tbl.bulk_insert(orders.limit(50))
+    d = tbl.timeline.dir
+    stale = os.path.join(d, ".deadbeef.tmp")
+    fresh = os.path.join(d, ".cafebabe.tmp")
+    for f in (stale, fresh):
+        with open(f, "wb") as fh:
+            fh.write(b"x")
+    old = time.time() - 7200
+    os.utime(stale, (old, old))
+    rollback_failed_writes(tbl)
+    assert not os.path.exists(stale)
+    assert os.path.exists(fresh)
+    assert tbl.snapshot().count() == 50  # listing still clean
+
+
+def test_corpus_transformer_releases_previous_cache(spark, tmp_table_path):
+    """A long-running ingest must hold at most ONE cached stage-boundary
+    frame, not one per micro-batch."""
+    from hoodie_spark.streaming.transform import CorpusPipelineTransformer
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    test = docs.filter("doc_id % 20 = 0")
+    corpus = docs.filter("doc_id % 20 != 0")
+    tp = os.path.join(tmp_table_path, "eval")
+    test.write.parquet(tp)
+    t = CorpusPipelineTransformer(tp)
+    out1 = t.apply(spark, corpus)
+    out1.count()  # the batch action materializes the cache
+    c1 = t._prev_cache
+    assert c1 is not None and c1.is_cached
+    out2 = t.apply(spark, corpus)
+    out2.count()
+    assert not c1.is_cached  # previous batch's frame released
+    assert t._prev_cache is not None and t._prev_cache is not c1
