@@ -1271,6 +1271,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           "vec_id", "embedding", k=10, m=8, n_codes=16)
     q["ann_pq"] = _q_ann_pq
 
+    q["chunk_documents"] = lambda s, d: HF.chunk_documents(
+        load_table(s, d, "documents"), "doc_id", "text",
+        chunk_tokens=64, overlap=8)
+    q["unigram_logprob"] = lambda s, d: HF.unigram_logprob(
+        load_table(s, d, "documents"), "doc_id", "text", vocab_size=64)
+
     def _q_corpus_pipeline(s, d):
         # the end-to-end training-data recipe as ONE composition: Gopher
         # gate -> exact dedup -> decontaminate vs the hash-held-out eval
@@ -1578,6 +1584,47 @@ FROM kept k JOIN tot t ON k.doc_id = t.doc_id
 GROUP BY k.doc_id
 """
 
+    # sliding-window chunking: both engines clamp list slices at the end
+    # and ceil the same exact double ratio; no floats surface
+    o["chunk_documents"] = f"""
+WITH {_TOK_CTE},
+ch AS (
+  SELECT doc_id, t, len(t) AS n,
+         greatest(CAST(ceil((len(t) - 8) / 56.0) AS BIGINT), 1) AS nc
+  FROM tok
+)
+SELECT doc_id, i - 1 AS chunk_id,
+       array_to_string(t[(i-1)*56+1 : (i-1)*56+64], ' ') AS chunk_text,
+       least(64, n - (i-1)*56) AS n_tokens
+FROM ch, LATERAL unnest(range(1, nc + 1)) AS u(i)
+"""
+
+    # unigram LM logprob: per-token lp rounded to 6 at the VOCAB (V
+    # values); per-doc sum in DECIMAL(18,6) — exact and order-free, so
+    # Spark partial aggregation and this grouped SUM cannot drift
+    o["unigram_logprob"] = f"""
+WITH {_TOK_CTE},
+ex AS (SELECT doc_id, unnest(t) AS term FROM tok),
+tot AS (SELECT count(*) AS n FROM ex),
+vc AS (
+  SELECT term, count(*) AS c FROM ex GROUP BY term
+  ORDER BY c DESC, term LIMIT 64
+),
+vocab AS (
+  SELECT term, round(ln((c + 1.0) / (tot.n + 64.0)), 6) AS lp
+  FROM vc, tot
+),
+scored AS (
+  SELECT e.doc_id,
+         coalesce(v.lp,
+                  (SELECT round(ln(1.0 / (n + 64.0)), 6) FROM tot)) AS lp
+  FROM ex e LEFT JOIN vocab v USING (term)
+)
+SELECT doc_id, count(*) AS n_tokens,
+       CAST(SUM(CAST(lp AS DECIMAL(18,6))) AS DOUBLE) AS logprob
+FROM scored GROUP BY doc_id
+"""
+
     # end-to-end corpus pipeline: the gopher gate, exact dedup,
     # 4-gram decontamination, per-lang quota and shard packing CTEs are
     # the SAME proven fragments as their solo oracle rows, chained —
@@ -1719,15 +1766,17 @@ recon AS (
   GROUP BY vec_id
 ),
 rn2 AS (
+  -- per-subspace squared-norm chains summed left-assoc: the exact ADC
+  -- grouping the engine uses (_pq_code_norm), not a flat 64-fold
   SELECT vec_id, re,
-         sqrt(list_sum(list_transform(re, x -> x * x))) AS rnrm
+         sqrt((re[1]*re[1] + re[2]*re[2] + re[3]*re[3] + re[4]*re[4] + re[5]*re[5] + re[6]*re[6] + re[7]*re[7] + re[8]*re[8]) + (re[9]*re[9] + re[10]*re[10] + re[11]*re[11] + re[12]*re[12] + re[13]*re[13] + re[14]*re[14] + re[15]*re[15] + re[16]*re[16]) + (re[17]*re[17] + re[18]*re[18] + re[19]*re[19] + re[20]*re[20] + re[21]*re[21] + re[22]*re[22] + re[23]*re[23] + re[24]*re[24]) + (re[25]*re[25] + re[26]*re[26] + re[27]*re[27] + re[28]*re[28] + re[29]*re[29] + re[30]*re[30] + re[31]*re[31] + re[32]*re[32]) + (re[33]*re[33] + re[34]*re[34] + re[35]*re[35] + re[36]*re[36] + re[37]*re[37] + re[38]*re[38] + re[39]*re[39] + re[40]*re[40]) + (re[41]*re[41] + re[42]*re[42] + re[43]*re[43] + re[44]*re[44] + re[45]*re[45] + re[46]*re[46] + re[47]*re[47] + re[48]*re[48]) + (re[49]*re[49] + re[50]*re[50] + re[51]*re[51] + re[52]*re[52] + re[53]*re[53] + re[54]*re[54] + re[55]*re[55] + re[56]*re[56]) + (re[57]*re[57] + re[58]*re[58] + re[59]*re[59] + re[60]*re[60] + re[61]*re[61] + re[62]*re[62] + re[63]*re[63] + re[64]*re[64])) AS rnrm
   FROM recon
 ),
 q AS (SELECT vec_id, ve, nrm FROM n WHERE vec_id < 10),
 scored AS (
+  -- dot = Σ_j (per-subspace 8-term chain): matches _pq_luts bit-for-bit
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         list_sum(list_transform(range(1, 65),
-           i -> q.ve[CAST(i AS INT)] * c.re[CAST(i AS INT)]))
+         ((q.ve[1]*c.re[1] + q.ve[2]*c.re[2] + q.ve[3]*c.re[3] + q.ve[4]*c.re[4] + q.ve[5]*c.re[5] + q.ve[6]*c.re[6] + q.ve[7]*c.re[7] + q.ve[8]*c.re[8]) + (q.ve[9]*c.re[9] + q.ve[10]*c.re[10] + q.ve[11]*c.re[11] + q.ve[12]*c.re[12] + q.ve[13]*c.re[13] + q.ve[14]*c.re[14] + q.ve[15]*c.re[15] + q.ve[16]*c.re[16]) + (q.ve[17]*c.re[17] + q.ve[18]*c.re[18] + q.ve[19]*c.re[19] + q.ve[20]*c.re[20] + q.ve[21]*c.re[21] + q.ve[22]*c.re[22] + q.ve[23]*c.re[23] + q.ve[24]*c.re[24]) + (q.ve[25]*c.re[25] + q.ve[26]*c.re[26] + q.ve[27]*c.re[27] + q.ve[28]*c.re[28] + q.ve[29]*c.re[29] + q.ve[30]*c.re[30] + q.ve[31]*c.re[31] + q.ve[32]*c.re[32]) + (q.ve[33]*c.re[33] + q.ve[34]*c.re[34] + q.ve[35]*c.re[35] + q.ve[36]*c.re[36] + q.ve[37]*c.re[37] + q.ve[38]*c.re[38] + q.ve[39]*c.re[39] + q.ve[40]*c.re[40]) + (q.ve[41]*c.re[41] + q.ve[42]*c.re[42] + q.ve[43]*c.re[43] + q.ve[44]*c.re[44] + q.ve[45]*c.re[45] + q.ve[46]*c.re[46] + q.ve[47]*c.re[47] + q.ve[48]*c.re[48]) + (q.ve[49]*c.re[49] + q.ve[50]*c.re[50] + q.ve[51]*c.re[51] + q.ve[52]*c.re[52] + q.ve[53]*c.re[53] + q.ve[54]*c.re[54] + q.ve[55]*c.re[55] + q.ve[56]*c.re[56]) + (q.ve[57]*c.re[57] + q.ve[58]*c.re[58] + q.ve[59]*c.re[59] + q.ve[60]*c.re[60] + q.ve[61]*c.re[61] + q.ve[62]*c.re[62] + q.ve[63]*c.re[63] + q.ve[64]*c.re[64]))
          / (q.nrm * c.rnrm) AS cos
   FROM rn2 c CROSS JOIN q WHERE c.vec_id <> q.vec_id
 )

@@ -79,6 +79,7 @@ from .pipeline import (
     redact_pii, pii_hits, deterministic_sample, sample_hash, pack_shards,
     top_ngrams, filter_corpus, word_ngrams, contaminated_ids, decontaminate,
     stratified_sample, tfidf_terms, tfidf_vectors, corpus_pipeline,
+    chunk_documents, unigram_logprob,
 )
 from .bpe import bpe_train, bpe_encode, bpe_token_count
 
@@ -102,7 +103,7 @@ __all__ = [
     "redact_pii", "pii_hits", "deterministic_sample", "sample_hash",
     "pack_shards", "top_ngrams", "filter_corpus",
     "word_ngrams", "contaminated_ids", "decontaminate", "stratified_sample",
-    "corpus_pipeline",
+    "corpus_pipeline", "chunk_documents", "unigram_logprob",
     "tfidf_terms", "tfidf_vectors",
     "bpe_train", "bpe_encode", "bpe_token_count",
     "normalize", "random_projection",

@@ -29,7 +29,7 @@ from .text import char_ngrams
 __all__ = ["redact_pii", "pii_hits", "deterministic_sample", "sample_hash",
            "pack_shards", "top_ngrams", "filter_corpus", "word_ngrams",
            "contaminated_ids", "decontaminate", "stratified_sample",
-           "corpus_pipeline"]
+           "corpus_pipeline", "chunk_documents", "unigram_logprob"]
 
 
 # Plain character-class regexes only, so Java regex and DuckDB's RE2 agree.
@@ -242,6 +242,80 @@ def stratified_sample(df: DataFrame, group_col: str, key_col: str,
         F.md5(F.col(key_col).cast("string")), F.col(key_col))
     return (df.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") <= per_group).drop("__rn"))
+
+
+def chunk_documents(df: DataFrame, id_col: str, text_col: str,
+                    chunk_tokens: int = 64, overlap: int = 8) -> DataFrame:
+    """Split documents into sliding windows of ``chunk_tokens`` words with
+    ``overlap`` words of context between consecutive chunks — the standard
+    training-prep step before packing sequences. Returns one row per chunk:
+    ``(id_col, chunk_id, chunk_text, n_tokens)``, chunk_id 0-based in
+    document order; a document shorter than one chunk yields one chunk.
+
+    Scale: pure Column exprs — the chunk list builds in-row off the scan
+    and posexplode pipelines into downstream operators with no shuffle;
+    output row count is O(tokens / stride), never quadratic."""
+    from .quality import words
+
+    stride = chunk_tokens - overlap
+    if stride <= 0:
+        raise ValueError("chunk_tokens must exceed overlap")
+    toks = words(text_col)
+    n = F.size(toks)
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(overlap)).cast("double") / F.lit(float(stride))),
+        F.lit(1).cast("bigint")).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            F.array_join(F.slice(toks, i * stride + 1, chunk_tokens), " ")
+            .alias("chunk_text"),
+            F.least(F.lit(chunk_tokens), n - i * stride).cast("long")
+            .alias("n_tokens")))
+    return (df.select(F.col(id_col),
+                      F.posexplode(chunks).alias("chunk_id", "__c"))
+            .select(F.col(id_col), "chunk_id", F.col("__c.chunk_text"),
+                    F.col("__c.n_tokens")))
+
+
+def unigram_logprob(df: DataFrame, id_col: str, text_col: str,
+                    vocab_size: int = 64) -> DataFrame:
+    """CCNet-style unigram language-model quality signal: per document,
+    the total add-one-smoothed log-probability of its tokens under the
+    corpus's own top-``vocab_size`` unigram distribution —
+    ``lp(tok) = ln((count+1)/(N+V))``, out-of-vocabulary tokens get
+    ``ln(1/(N+V))``. Boilerplate and common prose score high (less
+    negative per token); gibberish scores low. Returns
+    ``(id_col, n_tokens, logprob)``.
+
+    Engine-parity note: per-token lp is rounded to 6 decimals at the
+    vocabulary (V values, not per token) and the per-doc sum runs in
+    DECIMAL(18,6) — exact and order-independent, so Spark's partial
+    aggregation and the oracle's grouped SUM cannot drift.
+
+    Scale: one vocabulary pass (map-side partial counts, V-row result)
+    plus one (doc, lp) shuffle — the same shape as :func:`tfidf_terms`;
+    for a map-only variant unroll the collected vocab into Column
+    literals as :func:`tfidf_vectors` does."""
+    from .quality import words
+
+    toks = words(text_col)
+    ex = df.select(F.col(id_col), F.explode(toks).alias("term"))
+    total = ex.count()
+    denom = float(total + vocab_size)
+    vocab = (ex.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+             .orderBy(F.desc("c"), F.asc("term")).limit(vocab_size)
+             .select("term", F.round(
+                 F.log((F.col("c") + F.lit(1.0)) / F.lit(denom)), 6)
+                 .alias("__lp")))
+    oov = F.round(F.log(F.lit(1.0) / F.lit(denom)), 6)
+    return (ex.join(F.broadcast(vocab), "term", "left")
+            .select(F.col(id_col),
+                    F.coalesce(F.col("__lp"), oov).alias("__lp"))
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.sum(F.col("__lp").cast("decimal(18,6)"))
+                 .cast("double").alias("logprob")))
 
 
 def corpus_pipeline(corpus: DataFrame, test_set: DataFrame,

@@ -234,3 +234,42 @@ def test_corpus_pipeline_composition(spark, docs, tmp_path):
     t_out = CorpusPipelineTransformer(tp).apply(spark, corpus)
     assert {(r[0], r[3]) for r in t_out.collect()} == \
         {(r["doc_id"], r["shard_id"]) for r in rows}
+
+
+def test_chunk_documents_sliding_windows(spark):
+    """Hand-checked boundaries: 10 words, chunk 4, overlap 1 (stride 3)
+    -> starts 0,3,6 covering every token; short docs yield one chunk."""
+    df = spark.createDataFrame(
+        [(1, "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9"), (2, "a b")],
+        "doc_id int, text string")
+    out = {(r["doc_id"], r["chunk_id"]): (r["chunk_text"], r["n_tokens"])
+           for r in HF.chunk_documents(df, "doc_id", "text",
+                                       chunk_tokens=4, overlap=1).collect()}
+    assert out[(1, 0)] == ("w0 w1 w2 w3", 4)
+    assert out[(1, 1)] == ("w3 w4 w5 w6", 4)
+    assert out[(1, 2)] == ("w6 w7 w8 w9", 4)
+    assert out[(2, 0)] == ("a b", 2)
+    assert len(out) == 4
+    # consecutive chunks share exactly `overlap` words
+    assert out[(1, 0)][0].split()[-1] == out[(1, 1)][0].split()[0]
+    with pytest.raises(ValueError, match="exceed overlap"):
+        HF.chunk_documents(df, "doc_id", "text", chunk_tokens=4, overlap=4)
+
+
+def test_unigram_logprob_orders_quality(spark, docs):
+    """Common-word docs must outscore gibberish per token, totals are
+    finite, and n_tokens matches the tokenizer."""
+    df = spark.createDataFrame(
+        [(1, "the cat sat on the mat the end"),
+         (2, "zxqv jkwp qqzz xvbn mmlk zzpq wwee rrtt")],
+        "doc_id int, text string")
+    both = docs.select("doc_id", "text").union(
+        df.withColumn("doc_id", F.col("doc_id") + 1000000))
+    out = {r["doc_id"]: r for r in
+           HF.unigram_logprob(both, "doc_id", "text").collect()}
+    common, gibberish = out[1000001], out[1000002]
+    assert common["n_tokens"] == 8 and gibberish["n_tokens"] == 8
+    # per-token logprob: common English words beat OOV gibberish
+    assert common["logprob"] / common["n_tokens"] > \
+        gibberish["logprob"] / gibberish["n_tokens"]
+    assert all(r["logprob"] < 0 for r in out.values())
