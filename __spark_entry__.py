@@ -1274,6 +1274,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["chunk_documents"] = lambda s, d: HF.chunk_documents(
         load_table(s, d, "documents"), "doc_id", "text",
         chunk_tokens=64, overlap=8)
+    q["source_mix_sample"] = lambda s, d: HF.source_weighted_sample(
+        load_table(s, d, "documents"), "source", "doc_id",
+        rates={"src0": 0.25, "src1": 0.5, "src2": 0.0},
+        default_rate=0.75).select("doc_id", "source")
+    q["knn_classify"] = lambda s, d: HF.knn_classify(
+        load_table(s, d, "embeddings"),
+        load_table(s, d, "embeddings").filter("vec_id < 10"),
+        "vec_id", "embedding", "label", k=10)
+    q["events_json_agg"] = lambda s, d: (
+        load_table(s, d, "events")
+        .select("event_type",
+                F.get_json_object("props", "$.k").cast("long").alias("k"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("k").alias("sum_k"),
+             F.min("k").alias("min_k"), F.max("k").alias("max_k")))
     q["unigram_logprob"] = lambda s, d: HF.unigram_logprob(
         load_table(s, d, "documents"), "doc_id", "text", vocab_size=64)
 
@@ -1582,6 +1597,25 @@ SELECT k.doc_id,
        any_value(t.n_spans_total) AS n_spans_total
 FROM kept k JOIN tot t ON k.doc_id = t.doc_id
 GROUP BY k.doc_id
+"""
+
+    # per-source mixing: 16-bit md5 hash vs integer thresholds
+    # (floor(rate*65536) computed once in Python) — no float compares
+    o["source_mix_sample"] = f"""
+SELECT doc_id, source FROM documents
+WHERE ({_hex4("md5(CAST(doc_id AS VARCHAR))", 1)}) <
+      CASE source WHEN 'src0' THEN 16384 WHEN 'src1' THEN 32768
+                  WHEN 'src2' THEN 0 ELSE 49152 END
+"""
+
+    # JSON path extraction parity: Spark get_json_object('$.k') ==
+    # DuckDB props->>'k'; integer aggregates only
+    o["events_json_agg"] = """
+SELECT event_type, count(*) AS n,
+       CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+       min(CAST(props->>'k' AS BIGINT)) AS min_k,
+       max(CAST(props->>'k' AS BIGINT)) AS max_k
+FROM events GROUP BY event_type
 """
 
     # sliding-window chunking: both engines clamp list slices at the end
@@ -2211,6 +2245,36 @@ SELECT query_id, neighbor_id, rank FROM (
   FROM scored
 ) WHERE rank <= 10
 """
+    # k-NN majority vote: brute-force top-10 (the ann_brute_force CTE) +
+    # label votes; vote-count ties break toward the smaller label
+    o["knn_classify"] = f"""
+WITH {_vecs},
+q AS (SELECT * FROM n WHERE vec_id < 10),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_sum(list_transform(range(1, 65),
+           i -> c.ve[CAST(i AS INT)] * q.ve[CAST(i AS INT)])) / (c.nrm * q.nrm) AS cos
+  FROM n c CROSS JOIN q WHERE c.vec_id <> q.vec_id
+),
+topk AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, neighbor_id) AS rank
+    FROM scored) WHERE rank <= 10
+),
+votes AS (
+  SELECT t.query_id, e.label, count(*) AS votes
+  FROM topk t JOIN embeddings e ON e.vec_id = t.neighbor_id
+  GROUP BY t.query_id, e.label
+)
+SELECT query_id, label, votes FROM (
+  SELECT query_id, label, votes,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY votes DESC, label) AS rn
+  FROM votes) WHERE rn = 1
+"""
+
     o["ann_ivf"] = f"""
 WITH {_vecs},
 cent AS (SELECT * FROM n WHERE vec_id < 16),

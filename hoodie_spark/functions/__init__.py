@@ -60,6 +60,7 @@ from .similarity import (
     write_pq_index,
     write_ivfpq_index,
     ivfpq_topk_from_index,
+    knn_classify,
     kmeans_centroids,
     write_ivf_index,
     ivf_topk_from_index,
@@ -79,7 +80,7 @@ from .pipeline import (
     redact_pii, pii_hits, deterministic_sample, sample_hash, pack_shards,
     top_ngrams, filter_corpus, word_ngrams, contaminated_ids, decontaminate,
     stratified_sample, tfidf_terms, tfidf_vectors, corpus_pipeline,
-    chunk_documents, unigram_logprob,
+    chunk_documents, unigram_logprob, source_weighted_sample,
 )
 from .bpe import bpe_train, bpe_encode, bpe_token_count
 
@@ -92,7 +93,7 @@ __all__ = [
     "dot", "l2_norm", "cosine", "brute_force_topk", "lsh_bucket_topk",
     "ivf_topk", "pq_codebooks", "pq_codebooks_trained", "pq_encode",
     "pq_reconstruct", "pq_topk", "write_pq_index", "write_ivfpq_index",
-    "ivfpq_topk_from_index",
+    "ivfpq_topk_from_index", "knn_classify",
     "gopher_metrics", "gopher_filter", "word_spans", "GOPHER_DEFAULTS",
     "MEDIA_META_SCHEMA", "attach_media", "decode_media_meta", "sample_frames",
     "register_codec",
@@ -104,6 +105,7 @@ __all__ = [
     "pack_shards", "top_ngrams", "filter_corpus",
     "word_ngrams", "contaminated_ids", "decontaminate", "stratified_sample",
     "corpus_pipeline", "chunk_documents", "unigram_logprob",
+    "source_weighted_sample",
     "tfidf_terms", "tfidf_vectors",
     "bpe_train", "bpe_encode", "bpe_token_count",
     "normalize", "random_projection",

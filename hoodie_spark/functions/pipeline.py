@@ -29,7 +29,8 @@ from .text import char_ngrams
 __all__ = ["redact_pii", "pii_hits", "deterministic_sample", "sample_hash",
            "pack_shards", "top_ngrams", "filter_corpus", "word_ngrams",
            "contaminated_ids", "decontaminate", "stratified_sample",
-           "corpus_pipeline", "chunk_documents", "unigram_logprob"]
+           "corpus_pipeline", "chunk_documents", "unigram_logprob",
+           "source_weighted_sample"]
 
 
 # Plain character-class regexes only, so Java regex and DuckDB's RE2 agree.
@@ -242,6 +243,26 @@ def stratified_sample(df: DataFrame, group_col: str, key_col: str,
         F.md5(F.col(key_col).cast("string")), F.col(key_col))
     return (df.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") <= per_group).drop("__rn"))
+
+
+def source_weighted_sample(df: DataFrame, source_col: str, key_col: str,
+                           rates: dict[str, float],
+                           default_rate: float = 1.0,
+                           salt: str = "") -> DataFrame:
+    """Training-data mixing: keep a per-source fraction of documents
+    (e.g. downweight web crawl, keep all books), deterministically — the
+    same (salt, key) always decides the same way, so re-runs, retries and
+    repartitions select identical rows and mixture weights are exact in
+    expectation. Rates quantize to 1/65536 steps (floor), mirroring
+    :func:`deterministic_sample`'s 16-bit hash.
+
+    Map-only: the bounded rates dict unrolls into a when-chain, the
+    filter fuses into the scan."""
+    thr = F.lit(int(default_rate * 65536))
+    for s, r in sorted(rates.items()):
+        thr = F.when(F.col(source_col) == s,
+                     F.lit(int(r * 65536))).otherwise(thr)
+    return df.filter(sample_hash(F.col(key_col), salt) < thr)
 
 
 def chunk_documents(df: DataFrame, id_col: str, text_col: str,

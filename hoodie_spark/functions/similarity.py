@@ -36,7 +36,7 @@ __all__ = [
     "kmeans_centroids", "write_ivf_index", "ivf_topk_from_index",
     "pq_codebooks", "pq_codebooks_trained", "pq_encode", "pq_reconstruct",
     "pq_topk", "write_pq_index", "write_ivfpq_index",
-    "ivfpq_topk_from_index",
+    "ivfpq_topk_from_index", "knn_classify",
 ]
 
 
@@ -354,6 +354,30 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos")
     )
+
+
+def knn_classify(corpus: DataFrame, queries: DataFrame, id_col: str,
+                 vec_col: str, label_col: str, k: int = 10) -> DataFrame:
+    """k-NN majority-vote classification over the embedding column:
+    predict each query's label from its ``k`` exact-cosine nearest
+    neighbors (vote-count ties break toward the smaller label). Returns
+    ``(query_id, label, votes)``.
+
+    Scale: the top-k table is Q×k rows — broadcast INTO the corpus label
+    join, so labeling costs one map-side hash join over the corpus scan,
+    then a Q×k-row aggregation; swap :func:`brute_force_topk` for
+    :func:`ivfpq_topk_from_index` at serving scale."""
+    nb = brute_force_topk(corpus, queries, id_col, vec_col, k=k)
+    lab = corpus.select(F.col(id_col).alias("neighbor_id"),
+                        F.col(label_col).alias("label"))
+    votes = (lab.join(F.broadcast(nb), "neighbor_id")
+             .groupBy("query_id", "label")
+             .agg(F.count(F.lit(1)).alias("votes")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("votes"),
+                                               F.asc("label"))
+    return (votes.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("query_id", "label", "votes"))
 
 
 # --------------------------------------------------------------------- PQ

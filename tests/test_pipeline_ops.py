@@ -273,3 +273,52 @@ def test_unigram_logprob_orders_quality(spark, docs):
     assert common["logprob"] / common["n_tokens"] > \
         gibberish["logprob"] / gibberish["n_tokens"]
     assert all(r["logprob"] < 0 for r in out.values())
+
+
+def test_source_weighted_sample_rates_and_determinism(docs):
+    out = HF.source_weighted_sample(
+        docs, "source", "doc_id",
+        rates={"src0": 0.0, "src1": 1.0}, default_rate=0.5)
+    by_src = {r["source"]: r["count"] for r in
+              out.groupBy("source").count().collect()}
+    n1 = docs.filter("source = 'src1'").count()
+    assert "src0" not in by_src            # rate 0: all dropped
+    assert by_src["src1"] == n1            # rate 1: all kept
+    total_other = docs.filter("source NOT IN ('src0','src1')").count()
+    kept_other = sum(v for k, v in by_src.items() if k != "src1")
+    assert 0.3 < kept_other / total_other < 0.7   # ~default 0.5
+    # partition-layout invariance: same rows whatever the layout
+    again = HF.source_weighted_sample(
+        docs.repartition(13), "source", "doc_id",
+        rates={"src0": 0.0, "src1": 1.0}, default_rate=0.5)
+    assert {r["doc_id"] for r in out.select("doc_id").collect()} == \
+        {r["doc_id"] for r in again.select("doc_id").collect()}
+
+
+def test_knn_classify_majority_and_ties(spark):
+    """3 queries in a 2-cluster toy space: prediction follows the local
+    majority; vote ties break toward the smaller label."""
+    import math
+    rows = []
+    # cluster A (label 0) around (1,0,...), cluster B (label 1) around (0,1,...)
+    for i in range(6):
+        rows.append((i, [1.0, 0.01 * i] + [0.0] * 62, 0))
+    for i in range(6, 12):
+        rows.append((i, [0.01 * i, 1.0] + [0.0] * 62, 1))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int")
+    out = {r["query_id"]: (r["label"], r["votes"]) for r in
+           HF.knn_classify(df, df.filter("vec_id in (0, 7)"),
+                           "vec_id", "embedding", "label", k=5).collect()}
+    assert out[0][0] == 0 and out[0][1] == 5   # all 5 neighbors in cluster A
+    assert out[7][0] == 1 and out[7][1] == 5
+    # exact 1-1 vote tie: two perfectly symmetric neighbors around the
+    # query -> the smaller label must win
+    tiny = spark.createDataFrame(
+        [(0, [1.0, 0.0] + [0.0] * 62, 4),
+         (1, [0.0, 1.0] + [0.0] * 62, 2),
+         (100, [1.0, 1.0] + [0.0] * 62, 9)],
+        "vec_id long, embedding array<double>, label int")
+    out2 = HF.knn_classify(tiny, tiny.filter("vec_id = 100"),
+                           "vec_id", "embedding", "label", k=2).collect()
+    assert len(out2) == 1 and out2[0]["label"] == 2  # tie -> smaller label
