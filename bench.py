@@ -134,6 +134,10 @@ def run_suite(spark, sf_dir: str) -> dict[str, float]:
     timed("corpus_pipeline")(lambda: HF.corpus_pipeline(
         docs.filter(F.col("doc_id") % 20 != 0),
         docs.filter(F.col("doc_id") % 20 == 0)).count())
+    timed("chunk_documents")(lambda: HF.chunk_documents(
+        docs, "doc_id", "text", chunk_tokens=64, overlap=8).count())
+    timed("unigram_logprob")(lambda: HF.unigram_logprob(
+        docs, "doc_id", "text", vocab_size=64).count())
     timed("events_window")(lambda: events.groupBy(
         F.window("ts", "300 seconds"), "event_type")
         .agg(F.count("*"), F.sum("value")).count())

@@ -212,3 +212,26 @@ def test_corpus_transformer_releases_previous_cache(spark, tmp_table_path):
     out2.count()
     assert not c1.is_cached  # previous batch's frame released
     assert t._prev_cache is not None and t._prev_cache is not c1
+
+
+def test_ivfpq_probe_string_ids(spark, tmp_table_path):
+    """The probe builds its LUT/probe frames from the caller's id dtype —
+    string ids must work end to end (the old hardcoded 'q_id long'
+    schema raised TypeError)."""
+    from hoodie_spark.functions import similarity as S
+
+    emb = (spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+           .select(F.concat(F.lit("doc-"), F.lpad(
+               F.col("vec_id").cast("string"), 4, "0")).alias("vec_id"),
+               "embedding"))
+    books = S.pq_codebooks(emb, "vec_id", "embedding")
+    cents = emb.orderBy("vec_id").limit(4)
+    S.write_ivfpq_index(emb, cents, books, "vec_id", "embedding",
+                        tmp_table_path)
+    qs = emb.orderBy("vec_id").limit(3)
+    out = S.ivfpq_topk_from_index(spark, tmp_table_path, cents, books,
+                                  qs, "vec_id", "embedding",
+                                  k=5, n_probe=2).collect()
+    assert len(out) == 15
+    assert all(isinstance(r["query_id"], str) and
+               isinstance(r["neighbor_id"], str) for r in out)

@@ -208,6 +208,7 @@ def main():
     out += BENCH_ROOT_CAUSE
     out += BENCH_R5
     out += BENCH_R6
+    out += BENCH_R7
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(root, "PLANS.md"), "w") as f:
@@ -385,6 +386,100 @@ BENCH_R6 = [
     "End-of-round sweep on the final tree: tools/check_oracle.py 90/90 "
     "(89 hash-matched + bpe rows-only), pytest green (240+ tests incl. "
     "crash recovery and the advice regressions).",
+]
+
+
+BENCH_R7 = [
+    '',
+    '## Round 7: ADC PQ scoring, Arrow DataSource writer, corpus pipeline, storage seam',
+    '',
+    "**PQ ANN rebuilt as classic ADC (similarity.py)** — the round-6 verdict's #1:",
+    'scoring no longer reconstructs the corpus vector per (query, pair). Per query,',
+    'an m x k lookup table of sub-dot-products is precomputed driver-side',
+    "(`_pq_luts`, left-to-right Python folds = bit-identical to Spark's aggregate);",
+    'the reconstruction norm is query-independent and baked into the persisted',
+    'index at encode time (`__rnorm` column in write_pq_index / write_ivfpq_index);',
+    'per-pair cost is m=8 element_at adds. Encoding moved to an Arrow-batched',
+    'numpy pandas UDF (explicit sequential add order preserves oracle bit parity;',
+    "argmin first-index = the oracle's (dist, code) tie-break) after measuring the",
+    'alternatives at sf0.1: interpreted HOF folds 3.9 s, flat 3000-node Column tree',
+    '5.4 s (plan-compile bound), numpy kernel **0.42 s**. Full flat pq_topk at',
+    'sf0.1: **4.7 s -> 1.2 s warm** (2000-vector corpus, 10 queries); oracle',
+    'q:ann_pq still hash-matches; pq tests 15/15.',
+    '',
+    '**IVF-PQ indexed path now benched** (bench.py `ann_ivfpq_build` /',
+    '`ann_ivfpq_probe`): build = kmeans + encode, amortized; probe is the serving',
+    'cost. Plan evidence of centroid partition pruning on the probe scan:',
+    '`PartitionFilters: [centroid#537 INSET 0, 1, 10, ...]` — only the probed',
+    'inverted lists are read, and each list is codes+norm (no raw embedding column',
+    'in ReadSchema for the index scan). sf0.1: build 3.2 s, probe 2.8 s first-call',
+    '(several bounded driver collects; the scan itself is pruned).',
+    '',
+    '**DataSource write seam is Arrow end-to-end** (spark_datasource.py):',
+    'DataSourceArrowWriter/DataSourceStreamArrowWriter stream pa.RecordBatches into',
+    'the staged parquet — the per-row asDict loop is gone. Seam micro-bench at',
+    'sf0.1 orders (150k rows): table.bulk_insert 3.97 s cold; df.write seam 15.9 s',
+    'cold (one-time Python-worker spin-up) then **2.32 s warm** — within the ~2x',
+    'criterion (actually faster than cold bulk_insert). commit()/abort() now sweep',
+    'aged .staging orphans from failed/speculative task attempts (fresh files',
+    'survive; age guard 1 h).',
+    '',
+    '**corpus_pipeline** (functions/pipeline.py + CorpusPipelineTransformer):',
+    'gopher_filter -> exact_dedup -> decontaminate(4-gram, broadcast eval grams) ->',
+    'stratified_sample -> pack_shards as one composition; oracle row',
+    'q:corpus_pipeline hash-matched first run (125 rows at sf0.01) — the oracle',
+    'chains the same proven CTE fragments as the solo rows. Window discipline:',
+    "promoted over continuous_rollup (whose oracle is literally events_window's).",
+    '',
+    '**Storage atomicity contract** (storage.AtomicStorage / storage.ATOMIC):',
+    'commit publish (put_atomic) and lock acquire (put_if_absent) are the only two',
+    'storage-atomicity dependencies; both now route through the seam, and',
+    'tests/test_storage_atomicity.py proves it by running a full OCC multi-writer',
+    'lifecycle through a rename-free mock object store (single-PUT emulation) and',
+    'asserting every atomic call is a timeline instant or the lock file. On',
+    'S3/GCS the adapter is a plain PUT + conditional PUT (If-None-Match /',
+    'if-generation-match) — cross-host OCC without Zookeeper.',
+    '',
+    '**Round-6 ADVICE (5/5 fixed** with regression tests, test_round7_advice.py):',
+    'compacted.json loads before newer sidecars; _begin cancels the heartbeat',
+    'refresher if the timeline transition raises; staging sweep (above);',
+    'pq_codebooks raises on short corpus; Debezium all-null tombstones dropped.',
+    '',
+    '## Round 7: sf0.1 bench datapoints (verdict item 7)',
+    '',
+    'Full-suite run @ sf0.1 local[32], 2-run minima, post-ADC tree (43 queries —',
+    "r6's 40 + ann_ivfpq_build/probe + corpus_pipeline in the follow-up run):",
+    'headline 49.1 s. The two watched queries:',
+    '',
+    '- **ann_pq 0.96 s** (r6: 5.09 s — 5.3x; the ADC rewrite). Near the exact',
+    "  brute-force floor (0.50 s) at a corpus size where PQ's smaller scan",
+    '  cannot yet win; the remaining gap is fixed driver-job overhead',
+    '  (codebook collect + LUT build), constant in corpus size.',
+    '- **dedup_spans 2.53 s** (r6: 2.45 s) — stable across rounds; this is the',
+    '  real cost of the two span-hash shuffles, not noise.',
+    '',
+    'New rows: ann_ivfpq_build 2.78 s (kmeans + encode + partitioned write,',
+    'amortized in production), ann_ivfpq_probe 1.86 s (centroid-pruned scan +',
+    'ADC; several bounded driver collects dominate at this tiny scale).',
+    'Like-for-like vs r6 (subtracting the new rows): ~44.5 s vs 46.2 s.',
+    'Write path steady: bulk_insert 2.13, upsert 3.76, delete 2.76,',
+    'bulk_insert_warehouse 7.94, mor_upsert 2.25, compaction 1.61.',
+    '',
+    '## Round 7: end-of-round verification sweep',
+    '',
+    'Final tree, everything run back-to-back: tools/check_oracle.py '
+    '**96/96 matched** at sf0.01 (95 hash + bpe rows-only); pytest '
+    '**252 passed, 0 failed** (908 s); bench @ sf0.1 local[32] 2-run '
+    'minima **headline 49.7 s over 46 queries** (r6: 46.2 s over 40) — '
+    'the five queries added this round cost ~6.2 s '
+    '(ann_ivfpq_build 2.70 + probe 1.55 + corpus_pipeline 1.14 + '
+    'chunk_documents 0.38 + unigram_logprob 0.41), so like-for-like is '
+    '~43.5 s, faster than r6 despite the larger suite. Headline deltas: '
+    '**ann_pq 0.93 s (r6: 5.09 s — the ADC rewrite, 5.5x)**, '
+    'corpus_pipeline 11 s -> 1.14 s after the raw-scan decontamination '
+    'grams + post-quota persist. Write path steady: bulk_insert 1.98, '
+    'upsert 3.22, delete 2.78, bulk_insert_warehouse 7.71, mor_upsert '
+    '1.85, compaction 1.68.',
 ]
 
 if __name__ == "__main__":
