@@ -1323,7 +1323,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                # continuous_rollup shares events_window's oracle verbatim
                # (o["continuous_rollup"] = o["events_window"]) — the
                # closest-variant row in the window this round
-               "corpus_pipeline": "continuous_rollup"}
+               "corpus_pipeline": "continuous_rollup",
+               # dedup_jaccard is the verify stage of the in-window
+               # dedup_minhash_lsh row; ann_lsh is the third of four
+               # in-window ANN variants (brute force + IVF + PQ stay) —
+               # both displaced for this round's new unique operators.
+               # source_mix_sample / knn_classify / events_json_agg stay
+               # past the window: they are near-variants of hash_sample,
+               # ann_brute_force and events_window respectively.
+               "chunk_documents": "dedup_jaccard",
+               "unigram_logprob": "ann_lsh"}
     keys = list(q)
     for new, old in promote.items():
         i, j = keys.index(old), keys.index(new)

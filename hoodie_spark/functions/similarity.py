@@ -440,8 +440,12 @@ def pq_encode(vec, books: list[list[list[float]]]) -> Column:
             return pd.Series(out, dtype=object)
         vals = [None if x is None else np.asarray(x, dtype=np.float64)
                 for x in s]
+        # non-finite elements (null/NaN inside a right-length vector)
+        # must also yield null codes — NaN distances would make argmin
+        # pick an arbitrary code and poison the index silently
         good = [i for i, x in enumerate(vals)
-                if x is not None and x.shape == (dim,)]
+                if x is not None and x.shape == (dim,)
+                and np.isfinite(x).all()]
         if not good:
             return pd.Series(out, dtype=object)
         v = np.stack([vals[i] for i in good])
@@ -695,6 +699,9 @@ def ivfpq_topk_from_index(spark, index_path: str, centroids: DataFrame,
     The only cluster work is the pruned index scan + ADC scoring.
     Returns (query_id, neighbor_id, rank)."""
     crows = _pq_query_rows(centroids, id_col, vec_col)
+    seen_c = set()  # first entry wins a duplicated centroid id — a dup
+    crows = [r for r in crows  # would double-probe (and double-score) it
+             if r[0] not in seen_c and not seen_c.add(r[0])]
     qrows = _pq_query_rows(queries, id_col, vec_col)  # the ONE query job
     lut_df = _pq_luts(queries, id_col, vec_col, books, qrows=qrows)
     probe_rows, wanted = [], set()

@@ -130,25 +130,17 @@ class CorpusPipelineTransformer(Transformer):
         self.text_col = text_col
         self.group_col = group_col
         self.pipeline_kw = pipeline_kw
-        self._prev_cache = None
 
     def apply(self, spark, df: DataFrame) -> DataFrame:
+        # corpus_pipeline itself releases the previous invocation's cached
+        # stage boundary, so a long-running ingest holds at most ONE
+        # cached frame however many micro-batches run
         from ..functions.pipeline import corpus_pipeline
-
-        # the previous micro-batch's action has completed by the time the
-        # next batch arrives — release its cached stage boundary so a
-        # long-running ingest holds at most ONE cached frame, not one per
-        # batch
-        if self._prev_cache is not None:
-            self._prev_cache.unpersist()
-            self._prev_cache = None
         test = spark.read.parquet(self.test_path)
-        out = corpus_pipeline(df, test, id_col=self.id_col,
-                              text_col=self.text_col,
-                              group_col=self.group_col,
-                              **self.pipeline_kw)
-        self._prev_cache = getattr(out, "_corpus_pipeline_cache", None)
-        return out
+        return corpus_pipeline(df, test, id_col=self.id_col,
+                               text_col=self.text_col,
+                               group_col=self.group_col,
+                               **self.pipeline_kw)
 
 
 class DebeziumTransformer(Transformer):

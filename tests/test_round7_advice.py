@@ -193,9 +193,10 @@ def test_publish_orphan_tmp_swept_by_reclamation(spark, orders,
     assert tbl.snapshot().count() == 50  # listing still clean
 
 
-def test_corpus_transformer_releases_previous_cache(spark, tmp_table_path):
-    """A long-running ingest must hold at most ONE cached stage-boundary
-    frame, not one per micro-batch."""
+def test_corpus_pipeline_holds_one_cache(spark, tmp_table_path):
+    """Repeated corpus_pipeline invocations (micro-batches, bench loops)
+    must hold at most ONE cached stage-boundary frame."""
+    from hoodie_spark.functions import pipeline as P
     from hoodie_spark.streaming.transform import CorpusPipelineTransformer
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
@@ -204,14 +205,13 @@ def test_corpus_transformer_releases_previous_cache(spark, tmp_table_path):
     tp = os.path.join(tmp_table_path, "eval")
     test.write.parquet(tp)
     t = CorpusPipelineTransformer(tp)
-    out1 = t.apply(spark, corpus)
-    out1.count()  # the batch action materializes the cache
-    c1 = t._prev_cache
+    t.apply(spark, corpus).count()  # the batch action materializes it
+    c1 = P._last_pipeline_cache
     assert c1 is not None and c1.is_cached
-    out2 = t.apply(spark, corpus)
-    out2.count()
+    t.apply(spark, corpus).count()
     assert not c1.is_cached  # previous batch's frame released
-    assert t._prev_cache is not None and t._prev_cache is not c1
+    c2 = P._last_pipeline_cache
+    assert c2 is not None and c2 is not c1 and c2.is_cached
 
 
 def test_ivfpq_probe_string_ids(spark, tmp_table_path):

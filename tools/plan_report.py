@@ -422,7 +422,7 @@ BENCH_R7 = [
     'cold (one-time Python-worker spin-up) then **2.32 s warm** — within the ~2x',
     'criterion (actually faster than cold bulk_insert). commit()/abort() now sweep',
     'aged .staging orphans from failed/speculative task attempts (fresh files',
-    'survive; age guard 1 h).',
+    'survive; age-guarded, default TTL 24 h (stagingTTL option)).',
     '',
     '**corpus_pipeline** (functions/pipeline.py + CorpusPipelineTransformer):',
     'gopher_filter -> exact_dedup -> decontaminate(4-gram, broadcast eval grams) ->',
