@@ -52,3 +52,81 @@ def repair_deduplicate(table, partition: str, dry_run: bool = False):
              .drop("__rn", *META_COLUMNS))
     res = table.insert_overwrite(fixed)
     return res.instant
+
+
+def find_orphan_files(table, max_age_s: float = 3600) -> list[str]:
+    """Data files on disk that NO commit (active or archived) has ever
+    referenced — left by writers that died before their first commit
+    metadata existed, by partially-rolled-back instants, or by manual
+    copies. Reference parity: hudi-cli RepairsCommand ``repair
+    addpartitionmeta`` / cleaner orphan handling.
+
+    Safety: a file is only an orphan if (a) its relative path appears in
+    no timeline metadata, (b) its embedded instant suffix matches no
+    PENDING instant (an in-flight writer's output is invisible to the
+    timeline until commit), and (c) it is older than ``max_age_s`` —
+    covering the window where a writer has produced files but not yet the
+    requested instant. Readers never see orphans (manifest-based
+    visibility), so this is purely a storage-cost repair."""
+    import json
+    import os
+    import time
+
+    tl_ = table.timeline
+    referenced: set[str] = set()
+    # archived metadata in ONE pass (Timeline.metadata would rescan the
+    # archive file once per archived instant — quadratic)
+    if os.path.exists(tl_.archive_path):
+        with open(tl_.archive_path) as f:
+            for line in f:
+                rec = json.loads(line)
+                for st in rec.get("metadata", {}).get("write_stats", []):
+                    referenced.add(st["path"])
+    for inst in tl_.completed(include_archived=False):
+        try:
+            md = tl_.metadata(inst)
+        except FileNotFoundError:
+            continue
+        for st in md.get("write_stats", []):
+            referenced.add(st["path"])
+    pending_ts = {i.timestamp for i in tl_.pending()}
+    now = time.time()
+    orphans: list[str] = []
+    import os
+    for root, dirs, files in os.walk(table.base_path):
+        dirs[:] = [d for d in dirs if d != ".hoodie"]
+        for fn in files:
+            if not fn.endswith(".parquet"):
+                continue
+            p = os.path.join(root, fn)
+            rel = os.path.relpath(p, table.base_path)
+            if rel in referenced:
+                continue
+            # fileId_token_instant[.delta].parquet → instant timestamp
+            stem = fn.rsplit("_", 1)[-1].split(".", 1)[0]
+            if stem in pending_ts:
+                continue
+            try:
+                if now - os.path.getmtime(p) < max_age_s:
+                    continue
+            except OSError:
+                continue
+            orphans.append(rel)
+    return sorted(orphans)
+
+
+def repair_orphan_files(table, dry_run: bool = True,
+                        max_age_s: float = 3600) -> list[str]:
+    """Delete (or with ``dry_run``, just list) never-referenced data
+    files. Returns the affected relative paths."""
+    import os
+
+    orphans = find_orphan_files(table, max_age_s=max_age_s)
+    if dry_run:
+        return orphans
+    for rel in orphans:
+        try:
+            table.storage.remove(os.path.join(table.base_path, rel))
+        except OSError:
+            pass  # raced with a concurrent repair
+    return orphans

@@ -629,6 +629,11 @@ def _exec_call(spark, sql: str, tables: dict):
         from ..services.repair import repair_deduplicate
         return repair_deduplicate(tbl, str(args["partition"]),
                                   dry_run=bool(args.get("dry_run", False)))
+    if proc == "repair_orphans":
+        from ..services.repair import repair_orphan_files
+        return repair_orphan_files(
+            tbl, dry_run=bool(args.get("dry_run", True)),
+            max_age_s=float(args.get("max_age_s", 3600)))
     if proc == "show_savepoints":
         from ..timeline import SAVEPOINT
         sps = tbl.timeline.completed((SAVEPOINT,))
