@@ -322,3 +322,36 @@ def test_knn_classify_majority_and_ties(spark):
     out2 = HF.knn_classify(tiny, tiny.filter("vec_id = 100"),
                            "vec_id", "embedding", "label", k=2).collect()
     assert len(out2) == 1 and out2[0]["label"] == 2  # tie -> smaller label
+
+
+def test_chunk_documents_random_model(spark):
+    """200 random docs x random (chunk, overlap) configs vs a pure-Python
+    sliding-window model — one Spark job per config."""
+    import math
+    import random
+
+    rng = random.Random(7)
+    docs = [(i, " ".join(f"t{j}" for j in range(rng.randint(0, 40))))
+            for i in range(200)]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+
+    def model(text, chunk, overlap):
+        toks = text.lower().split(" ")  # words() keeps empty-string tokens
+        stride = chunk - overlap
+        n = len(toks)
+        nc = max(math.ceil((n - overlap) / stride), 1)
+        out = []
+        for i in range(nc):
+            sub = toks[i * stride:i * stride + chunk]
+            out.append((i, " ".join(sub), min(chunk, n - i * stride)))
+        return out
+
+    for chunk, overlap in ((4, 1), (7, 0), (5, 4), (64, 8)):
+        got = {(r["doc_id"], r["chunk_id"], r["chunk_text"], r["n_tokens"])
+               for r in HF.chunk_documents(df, "doc_id", "text",
+                                           chunk_tokens=chunk,
+                                           overlap=overlap).collect()}
+        exp = {(i, ci, txt, nt)
+               for i, text in docs
+               for ci, txt, nt in model(text, chunk, overlap)}
+        assert got == exp, (chunk, overlap)

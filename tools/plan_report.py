@@ -480,6 +480,17 @@ BENCH_R7 = [
     'grams + post-quota persist. Write path steady: bulk_insert 1.98, '
     'upsert 3.22, delete 2.78, bulk_insert_warehouse 7.71, mor_upsert '
     '1.85, compaction 1.68.',
+    '',
+    'Late-round additions after that bench: per-source weighted sampling '
+    '(q:source_mix_sample), k-NN label voting (q:knn_classify), JSON-path '
+    'parity (q:events_json_agg), orphan data-file repair (CALL '
+    'repair_orphans, pending-instant + age guards), a second self-review '
+    'pass (NaN-safe PQ encoding, two-pass unigram_logprob, duplicate-'
+    'centroid probe dedup, bounded corpus_pipeline cache, negative-'
+    'overlap guard), and window rotation: chunk_documents + '
+    'unigram_logprob displaced dedup_jaccard + ann_lsh, so the driver '
+    'records 3 new unique operators this round (with corpus_pipeline). '
+    'All 96 oracle rows re-matched after every change.',
 ]
 
 if __name__ == "__main__":
