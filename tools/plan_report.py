@@ -469,15 +469,19 @@ BENCH_R7 = [
     '',
     'Final tree, everything run back-to-back: tools/check_oracle.py '
     '**96/96 matched** at sf0.01 (95 hash + bpe rows-only); pytest '
-    '**252 passed, 0 failed** (908 s); bench @ sf0.1 local[32] 2-run '
+    '**255 passed, 0 failed** (849 s, final tree incl. the second '
+    'self-review pass, orphan-file repair and the chunk model check); bench @ sf0.1 local[32] 2-run '
     'minima **headline 49.7 s over 46 queries** (r6: 46.2 s over 40) — '
     'the five queries added this round cost ~6.2 s '
     '(ann_ivfpq_build 2.70 + probe 1.55 + corpus_pipeline 1.14 + '
     'chunk_documents 0.38 + unigram_logprob 0.41), so like-for-like is '
     '~43.5 s, faster than r6 despite the larger suite. Headline deltas: '
     '**ann_pq 0.93 s (r6: 5.09 s — the ADC rewrite, 5.5x)**, '
-    'corpus_pipeline 11 s -> 1.14 s after the raw-scan decontamination '
-    'grams + post-quota persist. Write path steady: bulk_insert 1.98, '
+    'corpus_pipeline 11 s -> ~5.6 s honest warm (raw-scan '
+    'decontamination grams + post-quota persist; the 1.1-1.5 s figures '
+    'some runs showed were run-2 logical-plan cache hits on run-1\'s '
+    'leaked persisted frame — the leak fix releases it, so the bench now '
+    'measures a true re-execution). Write path steady: bulk_insert 1.98, '
     'upsert 3.22, delete 2.78, bulk_insert_warehouse 7.71, mor_upsert '
     '1.85, compaction 1.68.',
     '',
