@@ -74,6 +74,19 @@ def find_orphan_files(table, max_age_s: float = 3600) -> list[str]:
 
     tl_ = table.timeline
     referenced: set[str] = set()
+    # Active completed instants FIRST, archive file SECOND. Archival moves
+    # an instant active-dir -> archive-file; with this order a concurrently
+    # migrating instant is visible in at least one of the two passes (it
+    # was still active when we listed, or already archived when we read the
+    # archive). The reverse order has a window where it appears in neither
+    # and its live data files would be misclassified as orphans.
+    for inst in tl_.completed(include_archived=False):
+        try:
+            md = tl_.metadata(inst)
+        except FileNotFoundError:
+            continue
+        for st in md.get("write_stats", []):
+            referenced.add(st["path"])
     # archived metadata in ONE pass (Timeline.metadata would rescan the
     # archive file once per archived instant — quadratic)
     if os.path.exists(tl_.archive_path):
@@ -82,13 +95,6 @@ def find_orphan_files(table, max_age_s: float = 3600) -> list[str]:
                 rec = json.loads(line)
                 for st in rec.get("metadata", {}).get("write_stats", []):
                     referenced.add(st["path"])
-    for inst in tl_.completed(include_archived=False):
-        try:
-            md = tl_.metadata(inst)
-        except FileNotFoundError:
-            continue
-        for st in md.get("write_stats", []):
-            referenced.add(st["path"])
     pending_ts = {i.timestamp for i in tl_.pending()}
     now = time.time()
     orphans: list[str] = []

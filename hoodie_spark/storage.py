@@ -97,12 +97,18 @@ class AtomicStorage:
       puts, so cross-HOST OCC works without a Zookeeper dependency
       (the reference ships ``ZookeeperBasedLockProvider.java`` for this;
       conditional-put is the object-store-native equivalent).
+    * **lock release** (``LockProvider.__exit__``) needs
+      :meth:`delete_if_exists` — a plain idempotent DELETE (no
+      atomicity requirement beyond the store's own delete; S3/GCS
+      DELETE is idempotent by contract). It lives on this interface so
+      the adapter that acquires the lock can also release it — an
+      object-store deployment must not fall back to ``os.remove``.
 
     Swap the module-level :data:`ATOMIC` for an object-store adapter and
     nothing above this seam changes — ``tests/test_storage_atomicity.py``
-    proves these two call sites are the only atomicity dependencies by
-    recording every call through a mock adapter across a full
-    multi-writer table lifecycle.
+    proves these three call sites are the only storage-primitive
+    dependencies by recording every call through a mock adapter across a
+    full multi-writer table lifecycle.
     """
 
     def put_atomic(self, path: str, payload: bytes) -> None:
@@ -112,6 +118,10 @@ class AtomicStorage:
     def put_if_absent(self, path: str, payload: bytes) -> bool:
         """Create ``path`` only if it does not exist; False if it does.
         Must be a true conditional create — exists()-then-put races."""
+        raise NotImplementedError
+
+    def delete_if_exists(self, path: str) -> bool:
+        """Idempotent delete; False when the key was already gone."""
         raise NotImplementedError
 
 
@@ -145,6 +155,13 @@ class LocalAtomicStorage(AtomicStorage):
             os.write(fd, payload)
         finally:
             os.close(fd)
+        return True
+
+    def delete_if_exists(self, path: str) -> bool:
+        try:
+            os.remove(path)
+        except FileNotFoundError:
+            return False
         return True
 
 

@@ -275,6 +275,9 @@ class LockProvider:
             time.sleep(0.05)
 
     def __exit__(self, *exc):
-        if os.path.exists(self.path):
-            os.remove(self.path)
+        # release through the same adapter that acquired: an object-store
+        # deployment deletes via the store API, never a local os.remove
+        from . import storage
+
+        storage.ATOMIC.delete_if_exists(self.path)
         return False

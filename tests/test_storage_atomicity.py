@@ -1,9 +1,10 @@
-"""The storage atomicity contract (storage.AtomicStorage): exactly two
-sites in the engine depend on an atomic storage primitive — commit publish
-(put_atomic) and multi-writer lock acquire (put_if_absent). A recording
-object-store-style adapter (single-PUT emulation, NO rename available)
-drives a full multi-writer table lifecycle to prove (a) nothing else
-routes around the seam and (b) rename-style atomicity is not required."""
+"""The storage atomicity contract (storage.AtomicStorage): exactly three
+sites in the engine depend on a storage primitive from the seam — commit
+publish (put_atomic), multi-writer lock acquire (put_if_absent), and lock
+release (delete_if_exists). A recording object-store-style adapter
+(single-PUT emulation, NO rename available) drives a full multi-writer
+table lifecycle to prove (a) nothing else routes around the seam and
+(b) rename-style atomicity is not required."""
 
 import os
 
@@ -26,6 +27,7 @@ class RecordingObjectStore(st.AtomicStorage):
     def __init__(self):
         self.atomic_puts: list[str] = []
         self.conditional_puts: list[str] = []
+        self.deletes: list[str] = []
 
     def put_atomic(self, path, payload):
         self.atomic_puts.append(path)
@@ -39,6 +41,14 @@ class RecordingObjectStore(st.AtomicStorage):
         except FileExistsError:
             return False
         os.close(fd)
+        return True
+
+    def delete_if_exists(self, path):
+        self.deletes.append(path)
+        try:
+            os.remove(path)
+        except FileNotFoundError:
+            return False
         return True
 
 
@@ -86,6 +96,10 @@ def test_two_sites_only_and_no_rename_needed(spark, orders, tmp_table_path,
     assert recording_store.conditional_puts, "lock never hit the seam"
     lock = os.path.join(tmp_table_path, ".hoodie", ".lock")
     assert set(recording_store.conditional_puts) == {lock}
+    # release also routes through the adapter (never a bare os.remove),
+    # and only ever deletes the lock key
+    assert recording_store.deletes, "lock release never hit the seam"
+    assert set(recording_store.deletes) == {lock}
 
 
 def test_conditional_put_contention(tmp_table_path, recording_store):
