@@ -79,7 +79,10 @@ def find_orphan_files(table, max_age_s: float = 3600) -> list[str]:
     # migrating instant is visible in at least one of the two passes (it
     # was still active when we listed, or already archived when we read the
     # archive). The reverse order has a window where it appears in neither
-    # and its live data files would be misclassified as orphans.
+    # and its live data files would be misclassified as orphans. This
+    # depends on Timeline.archive() fsync-ing each archive record before
+    # deleting the active file (timeline.py) — delete-before-durable-append
+    # would reopen the window.
     for inst in tl_.completed(include_archived=False):
         try:
             md = tl_.metadata(inst)
@@ -92,7 +95,14 @@ def find_orphan_files(table, max_age_s: float = 3600) -> list[str]:
     if os.path.exists(tl_.archive_path):
         with open(tl_.archive_path) as f:
             for line in f:
-                rec = json.loads(line)
+                try:
+                    rec = json.loads(line)
+                except json.JSONDecodeError:
+                    # torn tail from a concurrent archive() append: archive()
+                    # fsyncs each record BEFORE deleting the active instant,
+                    # so a torn line's instant is still in the active pass —
+                    # skipping it here is safe (crash direction: keep files).
+                    continue
                 for st in rec.get("metadata", {}).get("write_stats", []):
                     referenced.add(st["path"])
     pending_ts = {i.timestamp for i in tl_.pending()}

@@ -126,7 +126,13 @@ class Timeline:
         if include_archived and COMPLETED in states and os.path.exists(self.archive_path):
             with open(self.archive_path) as f:
                 for line in f:
-                    rec = json.loads(line)
+                    try:
+                        rec = json.loads(line)
+                    except json.JSONDecodeError:
+                        # torn tail from a crashed/concurrent archive()
+                        # append; archive() fsyncs before deleting the
+                        # active file, so the instant is still active
+                        continue
                     out.append(Instant(rec["timestamp"], rec["action"], COMPLETED))
         if os.path.isdir(self.dir):
             for name in os.listdir(self.dir):
@@ -154,7 +160,12 @@ class Timeline:
         if os.path.exists(self.archive_path):
             with open(self.archive_path) as f:
                 for line in f:
-                    rec = json.loads(line)
+                    try:
+                        rec = json.loads(line)
+                    except json.JSONDecodeError:
+                        # torn tail line from a concurrent/crashed archive()
+                        # append; the instant is still in the active dir then
+                        continue
                     if rec["timestamp"] == instant.timestamp and rec["action"] == instant.action:
                         return rec["metadata"]
         raise FileNotFoundError(f"no metadata for {instant}")
@@ -179,6 +190,11 @@ class Timeline:
                     continue
                 f.write(json.dumps({"timestamp": inst.timestamp, "action": inst.action,
                                     "metadata": self.metadata(inst)}) + "\n")
+                # The archive record must be durably visible BEFORE the
+                # active instant file disappears: a concurrent reader (or a
+                # crash here) must find the instant in at least one place.
+                f.flush()
+                os.fsync(f.fileno())
                 self.delete_instant(inst)
                 moved += 1
         return moved
@@ -276,8 +292,18 @@ class LockProvider:
 
     def __exit__(self, *exc):
         # release through the same adapter that acquired: an object-store
-        # deployment deletes via the store API, never a local os.remove
+        # deployment deletes via the store API, never a local os.remove.
+        # A failed release must NOT mask an in-flight exception from the
+        # with-block body — the leaked lock is recoverable (heartbeat /
+        # expiry reclamation), a swallowed body exception is not.
         from . import storage
 
-        storage.ATOMIC.delete_if_exists(self.path)
+        try:
+            storage.ATOMIC.delete_if_exists(self.path)
+        except Exception as e:  # pragma: no cover - transient store errors
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "lock release failed for %s (%s); lock left for expiry reclamation",
+                self.path, e)
         return False
