@@ -318,7 +318,8 @@ def simhash_dup_pairs(df: DataFrame, id_col: str, text_col: str,
 
 def embedding_near_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
                              threshold: float = 0.95, planes: int = 8,
-                             dim: int | None = None) -> DataFrame:
+                             dim: int | None = None,
+                             max_bucket_rows: int = 4096) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via sign-LSH blocking.
 
     Each vector maps to a ``planes``-bit bucket (sign of dot with a
@@ -328,17 +329,70 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
     ``(1 − θ/π)^planes``; for dedup-grade thresholds (≥0.95) that's ≈0.9 —
     run with two plane seeds and union for higher recall. Returns
     (id_a, id_b, cos).
+
+    Hot-bucket guard: at corpus scale a degenerate bucket (all-zero or
+    boilerplate-identical embeddings hashing to one sign key) makes the
+    within-bucket self-join quadratic. Buckets over ``max_bucket_rows``
+    are split into ``s = ceil(n / max_bucket_rows)`` salted sub-buckets by
+    ``pmod(xxhash64(id), s)``; rows in salt 0 act as PIVOTS and are
+    replicated into every sub-bucket, so each row is still compared against
+    its own salt peers plus the pivot set. Per-row work drops from O(n) to
+    O(max_bucket_rows), total bucket pairs from O(n²) to
+    O(n · max_bucket_rows) — and a duplicate cluster stays CONNECTED
+    through the pivots, so downstream ``duplicate_groups`` (large-star /
+    small-star) still folds the whole degenerate bucket into one group.
+    Pairs between two non-pivot rows in different salts are sacrificed —
+    for dedup that is recall loss inside a bucket that is already ~all
+    mutual duplicates, not correctness loss. Split events are logged.
+    Buckets at or under the cap take the exact path, bit-identical to the
+    unguarded join (the sf0.01 oracle row exercises that path).
     """
+    import logging
+    import math
+
     from .similarity import cosine, sign_lsh_key
 
     keyed = _pin(
         _spread(df).select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
         .withColumn("bucket", sign_lsh_key(F.col("v"), planes, dim)))
-    a = keyed.alias("a")
-    b = keyed.alias("b")
+    # bucket census: ≤ 2^planes rows, map-side partial agg over the pinned
+    # signatures — one cheap pass that buys skew immunity for the join
+    hot = (keyed.groupBy("bucket").agg(F.count(F.lit(1)).alias("__n"))
+           .filter(F.col("__n") > max_bucket_rows).collect())
+    if not hot:
+        a = keyed.alias("a")
+        b = keyed.alias("b")
+        joined = (a.join(b, "bucket")
+                  .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+    else:
+        logging.getLogger(__name__).warning(
+            "embedding_near_dup_pairs: splitting %d hot bucket(s) "
+            "(largest %d rows > cap %d) into salted sub-buckets; "
+            "cross-salt non-pivot pairs within those buckets are skipped",
+            len(hot), max(r["__n"] for r in hot), max_bucket_rows)
+        spark = df.sparkSession
+        splits = spark.createDataFrame(
+            [(r["bucket"], int(math.ceil(r["__n"] / max_bucket_rows)))
+             for r in hot], ["bucket", "__s"])
+        salted = (
+            keyed.join(F.broadcast(splits), "bucket", "left")
+            .withColumn("__s", F.coalesce(F.col("__s"), F.lit(1)))
+            .withColumn("__salt", F.pmod(F.xxhash64(F.col(id_col)),
+                                         F.col("__s")).cast("int"))
+            # pivots (salt 0) fan out to every sub-bucket; everyone else
+            # lands only in their own — both join sides use the fan-out, so
+            # a pair matches iff same salt or either member is a pivot
+            .withColumn("__jsalt", F.explode(
+                F.when(F.col("__salt") == 0,
+                       F.sequence(F.lit(0), F.col("__s") - F.lit(1)))
+                .otherwise(F.array(F.col("__salt")))))
+            .drop("__s", "__salt"))
+        a = salted.alias("a")
+        b = salted.alias("b")
+        joined = (a.join(b, ["bucket", "__jsalt"])
+                  .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
     return (
-        a.join(b, "bucket")
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        joined
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"),
                 cosine(F.col("a.v"), F.col("b.v")).alias("cos"))
         .filter(F.col("cos") >= threshold)

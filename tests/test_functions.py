@@ -404,3 +404,44 @@ def test_dedup_by_groups_keeps_one_per_cluster(spark, dup_corpus):
     missing = (groups.select(F.col("group_id").alias("doc_id")).distinct()
                .join(kept, "doc_id", "left_anti").count())
     assert missing == 0
+
+
+def test_embedding_near_dup_hot_bucket_bounded(spark):
+    """Adversarial skew: 10k identical-signature rows in ONE sign-LSH
+    bucket. The hot-bucket guard must (a) keep the pair count at
+    O(n * max_bucket_rows) instead of C(n, 2), and (b) keep the whole
+    degenerate cluster CONNECTED through the pivot sub-bucket so
+    duplicate_groups still folds it into one group."""
+    n, cap = 10_000, 100
+    df = spark.range(n).select(
+        F.col("id").cast("int").alias("id"),
+        F.array(F.lit(1.0), F.lit(2.0), F.lit(3.0), F.lit(4.0))
+        .alias("embedding"))
+    pairs = HF.embedding_near_dup_pairs(
+        df, "id", "embedding", threshold=0.999, max_bucket_rows=cap)
+    n_pairs = pairs.count()
+    assert n_pairs <= 2 * n * cap, f"unbounded hot bucket: {n_pairs} pairs"
+    assert n_pairs < n * (n - 1) // 2
+    groups = HF.duplicate_groups(pairs)
+    assert groups.select("group_id").distinct().count() == 1
+    assert groups.count() == n
+
+
+def test_embedding_near_dup_guard_exact_below_cap(emb):
+    """Below the cap the guard must be bit-identical to the exact path;
+    an aggressive cap may drop cross-salt pairs but never invent any."""
+    dup = emb.unionByName(emb.withColumn("vec_id", F.col("vec_id") + 10000))
+    exact = {(r.id_a, r.id_b, round(r.cos, 9)) for r in
+             HF.embedding_near_dup_pairs(
+                 dup, "vec_id", "embedding", threshold=0.999,
+                 max_bucket_rows=1_000_000).collect()}
+    capped = {(r.id_a, r.id_b, round(r.cos, 9)) for r in
+              HF.embedding_near_dup_pairs(
+                  dup, "vec_id", "embedding", threshold=0.999,
+                  max_bucket_rows=1).collect()}
+    assert exact >= capped and exact
+    # and with no oversized bucket the results are identical
+    same = {(r.id_a, r.id_b, round(r.cos, 9)) for r in
+            HF.embedding_near_dup_pairs(
+                dup, "vec_id", "embedding", threshold=0.999).collect()}
+    assert same == exact
