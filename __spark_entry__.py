@@ -579,6 +579,26 @@ def _fx_orders_si(spark, sf_dir, path):
     return {"tbl": tbl}
 
 
+def _fx_docs_incdedup(spark, sf_dir, path):
+    """Incremental dedup-against-state: three micro-batches (originals,
+    exact copies +10000, near copies +20000 with ' zz' appended) ingested
+    through IncrementalDeduper. Batch order equals doc_id order, so the
+    final table must equal ONE batch-global seen_dedup pass over the union
+    — which is exactly what the DuckDB oracle computes."""
+    from hoodie_spark.streaming import IncrementalDeduper
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    exact = docs.withColumn("doc_id", F.col("doc_id") + 10000)
+    near = (docs.withColumn("doc_id", F.col("doc_id") + 20000)
+            .withColumn("text", F.concat(F.col("text"), F.lit(" zz"))))
+    tbl = HoodieTable.create(spark, path, "docs_incdedup", ["doc_id"], None)
+    dd = IncrementalDeduper(tbl, "doc_id", "text", threshold=0.8)
+    for batch in (docs, exact, near):
+        tbl.upsert(dd.filter_batch(batch))
+        dd.advance(batch)
+    return {"tbl": tbl}
+
+
 _BUILDERS = {
     "orders_cow": _fx_orders_cow, "orders_ow": _fx_orders_ow,
     "orders_owt": _fx_orders_owt, "orders_rb": _fx_orders_rb,
@@ -600,6 +620,7 @@ _BUILDERS = {
     "orders_exprskip": _fx_orders_exprskip,
     "orders_analyze": _fx_orders_analyze,
     "orders_logcompact": _fx_orders_logcompact,
+    "docs_incdedup": _fx_docs_incdedup,
 }
 
 _ORDER_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
@@ -1130,6 +1151,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_embedding"] = lambda s, d: HF.embedding_near_dup_pairs(
         _dup_emb(s, d), "vec_id", "embedding", threshold=0.999,
         dim=64).select("id_a", "id_b")
+    # batch-incremental dedup against persisted table state == one global
+    # seen_dedup pass over the union (hoodie_spark/streaming/incremental_dedup.py)
+    q["incremental_dedup"] = lambda s, d: _data(
+        _fixture(s, d, "docs_incdedup")["tbl"].snapshot()).select("doc_id")
 
     # ---- similarity search
     q["ann_brute_force"] = lambda s, d: HF.brute_force_topk(
@@ -1317,21 +1342,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (insert_overwrite_table ~ insert_overwrite, merge_into_sql ~
     # merge_into, cdc_incremental ~ cdc_upsert); the displaced rows stay
     # oracle-verified via tools/check_oracle.py like everything past 50.
-    promote = {"gopher_quality": "insert_overwrite_table",
-               "dedup_spans": "merge_into_sql",
-               "ann_pq": "cdc_incremental",
+    # Round-9 rotation (VERDICT r8 task #3): insert_overwrite_table,
+    # merge_into_sql and cdc_incremental return to the window, displacing
+    # the rows that took their place in r7 (gopher_quality — its gate runs
+    # inside the in-window corpus_pipeline row; dedup_spans; ann_pq — IVF
+    # + brute-force ANN stay in-window). Displaced rows remain
+    # oracle-verified via tools/check_oracle.py (record in PLANS.md).
+    promote = {"corpus_pipeline": "continuous_rollup",
                # continuous_rollup shares events_window's oracle verbatim
-               # (o["continuous_rollup"] = o["events_window"]) — the
-               # closest-variant row in the window this round
-               "corpus_pipeline": "continuous_rollup",
+               "chunk_documents": "dedup_jaccard",
                # dedup_jaccard is the verify stage of the in-window
                # dedup_minhash_lsh row; ann_lsh is the third of four
-               # in-window ANN variants (brute force + IVF + PQ stay) —
-               # both displaced for this round's new unique operators.
+               # in-window ANN variants.
                # source_mix_sample / knn_classify / events_json_agg stay
                # past the window: they are near-variants of hash_sample,
                # ann_brute_force and events_window respectively.
-               "chunk_documents": "dedup_jaccard",
                "unigram_logprob": "ann_lsh"}
     keys = list(q)
     for new, old in promote.items():
@@ -2110,6 +2135,33 @@ SELECT min(doc_id) AS doc_id FROM (
     o["dedup_minhash_lsh"] = f"""
 WITH {_DOC_CORPUS}, {_MINHASH_SIG}
 SELECT id_a, id_b FROM cand
+"""
+    # incremental-vs-global equivalence contract: the Spark side ingests
+    # three id-ordered batches through IncrementalDeduper; the oracle is
+    # ONE global pass — keep doc iff no smaller-id doc is an exact dup or
+    # an LSH-band candidate with >= 13/16 agreeing signature positions
+    # (13 = min_sig_matches(0.8, 16), integer compare in both engines)
+    mm = HF.min_sig_matches(0.8, 16)
+    o["incremental_dedup"] = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 10000 AS doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 20000 AS doc_id, text || ' zz' AS text
+  FROM documents
+), {_MINHASH_SIG},
+near AS (
+  SELECT c.id_b FROM cand c
+  JOIN sig a ON a.doc_id = c.id_a
+  JOIN sig b ON b.doc_id = c.id_b
+  WHERE len(list_filter(range(1, 17),
+        i -> a.sig[CAST(i AS INT)] = b.sig[CAST(i AS INT)])) >= {mm}
+),
+exact AS (
+  SELECT b.doc_id AS id_b FROM corpus a JOIN corpus b
+  ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id
+)
+SELECT doc_id FROM corpus
+WHERE doc_id NOT IN (SELECT id_b FROM near UNION SELECT id_b FROM exact)
 """
     # transitive closure of the LSH candidate pairs; group = component min
     o["dedup_groups"] = f"""

@@ -104,6 +104,26 @@ def run_suite(spark, sf_dir: str) -> dict[str, float]:
     timed("simhash_dedup")(lambda: HF.simhash_dup_pairs(
         docs, "doc_id", "text", bits=32, max_distance=3).count())
     timed("exact_dedup")(lambda: HF.exact_dedup(docs, ["text"], "doc_id").count())
+
+    # steady-state incremental-dedup batch: filter a new batch (half fresh,
+    # half exact copies of seen docs) against persisted state, commit the
+    # survivors, register the batch — O(batch) work, never O(corpus)
+    from hoodie_spark.streaming import IncrementalDeduper
+    inc_tbl = HoodieTable.create(
+        spark, os.path.join(work, "docs_inc"), "docs_inc", ["doc_id"], None)
+    inc_dd = IncrementalDeduper(inc_tbl, "doc_id", "text", threshold=0.8)
+    seed = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text")
+    inc_tbl.upsert(inc_dd.filter_batch(seed))
+    inc_dd.advance(seed)
+    batch2 = (docs.filter(F.col("doc_id") % 2 == 1)
+              .select("doc_id", "text")
+              .unionByName(seed.select(
+                  (F.col("doc_id") + 10_000_000).alias("doc_id"), "text")))
+
+    def inc_round():
+        inc_tbl.upsert(inc_dd.filter_batch(batch2))
+        inc_dd.advance(batch2)
+    timed("incremental_dedup")(inc_round)
     queries_df = emb.filter(F.col("vec_id") < 10)
     timed("ann_brute_force")(lambda: HF.brute_force_topk(
         emb, queries_df, "vec_id", "embedding", k=10).count())

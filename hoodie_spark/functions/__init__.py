@@ -42,6 +42,10 @@ from .dedup import (
     simhash_dup_pairs,
     embedding_near_dup_pairs,
     dedup_spans,
+    seen_dedup,
+    doc_features,
+    min_sig_matches,
+    sig_agreement,
 )
 from .similarity import (
     dot,
@@ -90,6 +94,7 @@ __all__ = [
     "exact_dedup", "with_minhash", "minhash_candidate_pairs",
     "jaccard_dedup_pairs", "with_simhash", "simhash_sigs",
     "simhash_dup_pairs", "embedding_near_dup_pairs", "dedup_spans",
+    "seen_dedup", "doc_features", "min_sig_matches", "sig_agreement",
     "dot", "l2_norm", "cosine", "brute_force_topk", "lsh_bucket_topk",
     "ivf_topk", "pq_codebooks", "pq_codebooks_trained", "pq_encode",
     "pq_reconstruct", "pq_topk", "write_pq_index", "write_ivfpq_index",

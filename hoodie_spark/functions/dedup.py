@@ -121,6 +121,83 @@ def minhash_sigs(df: DataFrame, id_col: str, text_col: str,
         F.array(*[F.col(f"__h{i}") for i in range(num_hashes)]).alias("minhash"))
 
 
+def min_sig_matches(threshold: float, num_hashes: int) -> int:
+    """Smallest number of agreeing MinHash positions whose agreement
+    fraction reaches ``threshold`` — integer compare on both engines, so a
+    knife-edge float ratio can never flip the oracle gate."""
+    import math
+
+    return int(math.ceil(threshold * num_hashes - 1e-9))
+
+
+def doc_features(df: DataFrame, id_col: str, text_col: str,
+                 num_hashes: int = 16, bands: int = 4,
+                 ngram: int = 5) -> DataFrame:
+    """Per-document dedup features: (id, chash, minhash, bands).
+
+    ``chash`` is md5 of the RAW text (byte-identity); ``minhash`` is the
+    shingle signature (null for texts shorter than the n-gram — such docs
+    participate in exact dedup only); ``bands`` is the LSH band key array.
+    One map-side pass plus the signature's partial-min shuffle; the feature
+    row is a few hundred bytes regardless of document size, so this is the
+    unit that dedup STATE persists per seen doc.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_sigs(df, id_col, text_col, num_hashes, ngram)
+    return (df.select(F.col(id_col), F.md5(F.col(text_col)).alias("chash"))
+            .join(sig, id_col, "left")
+            .withColumn("bands", F.when(
+                F.col("minhash").isNotNull(),
+                band_keys("minhash", bands, rows_per_band))))
+
+
+def seen_dedup(df: DataFrame, id_col: str, text_col: str,
+               threshold: float = 0.8, num_hashes: int = 16,
+               bands: int = 4, ngram: int = 5) -> DataFrame:
+    """Arrival-order dedup: keep a document iff NO earlier document
+    (smaller ``id_col``) is an exact duplicate (identical text bytes) or a
+    near duplicate (shares ≥1 LSH band AND ≥ ``threshold`` of MinHash
+    signature positions agree).
+
+    "Earlier" counts every SEEN document, kept or dropped — the pair
+    relation is over the whole ordered corpus, which makes the result
+    EXACTLY reproducible batch-by-batch: filtering each arriving batch
+    against accumulated state (:class:`~hoodie_spark.streaming.incremental_dedup.IncrementalDeduper`)
+    yields the same keep-set as this one global pass over the union. That
+    equivalence is the driver-verified contract (q:incremental_dedup).
+
+    Scale: exact pass is a window over md5(text) (hash-partitioned, one
+    shuffle); near pass is the banded self-join (O(candidates), not
+    O(n²)); signature agreement is an in-row zip — no text re-reads.
+    """
+    mm = min_sig_matches(threshold, num_hashes)
+    feats = _pin(doc_features(df, id_col, text_col, num_hashes, bands, ngram))
+    exact_w = Window.partitionBy("chash").orderBy(F.col(id_col))
+    exact_dropped = (feats.withColumn("__rn", F.row_number().over(exact_w))
+                     .filter(F.col("__rn") > 1).select(F.col(id_col)))
+    banded = _pin(
+        feats.filter(F.col("bands").isNotNull())
+        .select(F.col(id_col), F.col("minhash"),
+                F.explode("bands").alias("bk"))
+        .select(id_col, F.col("bk.band").alias("band"),
+                F.col("bk.bh").alias("bh"), "minhash"))
+    a, b = banded.alias("a"), banded.alias("b")
+    near_dropped = (
+        a.join(b, ["band", "bh"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .filter(sig_agreement(F.col("a.minhash"), F.col("b.minhash")) >= mm)
+        .select(F.col(f"b.{id_col}").alias(id_col)))
+    dropped = exact_dropped.unionByName(near_dropped).distinct()
+    return df.join(dropped, id_col, "left_anti")
+
+
+def sig_agreement(sig_a, sig_b) -> Column:
+    """Number of agreeing positions between two equal-length signatures —
+    in-row zip_with, no shuffle."""
+    return F.size(F.filter(F.zip_with(sig_a, sig_b, lambda x, y: x == y),
+                           lambda m: m))
+
+
 def band_keys(sig_col, bands: int, rows_per_band: int) -> Column:
     """LSH banding: array of ``bands`` structs (band index, md5-of-band)."""
     sig_col = F.col(sig_col) if isinstance(sig_col, str) else sig_col

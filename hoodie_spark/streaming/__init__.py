@@ -2,6 +2,7 @@ from .ingest import (CsvDFSSource, HoodieIncrSource, Ingestor, JdbcSource,
                      JsonDFSSource, KafkaSource, MultiTableIngestor,
                      ParquetDFSSource, SqlSource)
 from .async_services import AsyncTableServices
+from .incremental_dedup import IncrementalDeduper
 from .schema import (FileBasedSchemaProvider, RowBasedSchemaProvider,
                      SchemaProvider, SchemaRegistryProvider,
                      StaticSchemaProvider)
@@ -19,7 +20,8 @@ __all__ = ["foreach_batch_writer", "write_stream", "incremental_batches",
            "latest_offset", "Ingestor", "ParquetDFSSource", "JsonDFSSource",
            "CsvDFSSource", "JdbcSource", "KafkaSource", "SqlSource",
            "HoodieIncrSource", "MultiTableIngestor", "AsyncTableServices",
-           "stateful_dedup", "stateful_session_counts", "SchemaProvider",
+           "stateful_dedup", "stateful_session_counts", "IncrementalDeduper",
+           "SchemaProvider",
            "StaticSchemaProvider", "FileBasedSchemaProvider",
            "SchemaRegistryProvider", "RowBasedSchemaProvider",
            "Transformer", "SqlQueryTransformer", "FlatteningTransformer",

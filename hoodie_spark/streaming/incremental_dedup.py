@@ -1,0 +1,269 @@
+"""Incremental corpus dedup against persisted table state.
+
+The batch-global dedup operators (:mod:`hoodie_spark.functions.dedup`) answer
+"which docs in THIS corpus are duplicates" — admitting a new day's crawl with
+them means re-scanning the whole corpus. This module keeps a compact dedup
+STATE next to the table so each arriving batch is filtered against everything
+already seen in O(batch), never O(corpus):
+
+- ``content/`` — one md5(text) per seen doc, hash-partitioned by
+  ``bucket = pmod(xxhash64(chash), n_buckets)``: the exact-duplicate probe
+  reads ONLY the bucket partitions the batch's hashes fall in (partition
+  pruning on a parquet ``partitionBy`` layout), so the state side of the
+  anti-join is O(batch-buckets), not O(corpus).
+- ``bands/`` — the LSH band keys of each seen doc's MinHash signature, with
+  the full signature inline, partitioned by ``pmod(xxhash64(bh), n_buckets)``.
+  A new doc probes state on (band, bh); candidates are verified by signature
+  agreement ≥ threshold — an in-row zip, no text re-reads, no corpus scan.
+- ``state.json`` — watermark: the table instant state is synced through,
+  plus the signature parameters (batches must agree on them).
+
+Semantics (the contract the driver oracle verifies): a doc is dropped iff
+ANY earlier-seen doc — previous batches, or a smaller id within its own
+batch — is an exact duplicate or shares ≥1 band with ≥ threshold signature
+agreement. "Seen" includes docs that were themselves dropped, which is what
+makes batch-by-batch filtering EXACTLY equal to one global
+:func:`~hoodie_spark.functions.dedup.seen_dedup` pass over the union.
+
+Crash story: state is appended AFTER the table commit and the watermark is
+published atomically after the append. A crash in between leaves state
+behind the table; the next batch detects the gap and backfills from the
+table's own incremental read (kept docs only — signatures of docs that were
+dropped in the lost window are gone, so a near-dup of such a doc may be
+re-admitted once: dedup degrades toward re-admission, never false drops).
+
+Reference parity: the role DeltaStreamer's continuous mode plays in the
+reference (hudi-utilities .../deltastreamer/HoodieDeltaStreamer.java:354 —
+each round processes only new source data) combined with filterExists
+(hudi-client .../HoodieReadClient.java:186 — drop records already in the
+table) — here generalized from key-identity to content/near-dup identity.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.dedup import doc_features, min_sig_matches, sig_agreement
+
+STATE_DIR = "dedup_state"
+
+
+class IncrementalDeduper:
+    """Filter arriving batches against everything the table has seen.
+
+    Usage (or pass ``deduper=`` to :class:`~hoodie_spark.streaming.ingest.Ingestor`)::
+
+        dd = IncrementalDeduper(table, "doc_id", "text", threshold=0.8)
+        kept = dd.filter_batch(batch_df)   # drop seen dups, O(batch)
+        table.upsert(kept)
+        dd.advance(batch_df)               # register the WHOLE batch as seen
+    """
+
+    def __init__(self, table, id_col: str, text_col: str,
+                 threshold: float = 0.8, num_hashes: int = 16,
+                 bands: int = 4, ngram: int = 5, n_buckets: int = 32):
+        self.table = table
+        self.id_col = id_col
+        self.text_col = text_col
+        self.threshold = threshold
+        self.num_hashes = num_hashes
+        self.bands = bands
+        self.ngram = ngram
+        self.n_buckets = n_buckets
+        self.dir = os.path.join(table.base_path, ".hoodie", STATE_DIR)
+        # feature reuse between filter_batch(df) and the advance(df) that
+        # follows it: instance state, valid because a deduper is a
+        # single-writer object (one ingest pipeline per table by OCC)
+        self._feat_cache: tuple[DataFrame, DataFrame] | None = None
+        st = self._load_state()
+        if st:
+            for k in ("num_hashes", "bands", "ngram", "n_buckets"):
+                if st[k] != getattr(self, k):
+                    raise ValueError(
+                        f"dedup state at {self.dir} was built with {k}="
+                        f"{st[k]}, got {getattr(self, k)} — signature "
+                        "parameters must match across batches")
+
+    # ------------------------------------------------------------ state io
+    @property
+    def _state_path(self) -> str:
+        return os.path.join(self.dir, "state.json")
+
+    def _load_state(self) -> dict | None:
+        if not os.path.exists(self._state_path):
+            return None
+        with open(self._state_path) as f:
+            return json.load(f)
+
+    def _publish_state(self, instant: str | None) -> None:
+        from .. import storage
+
+        os.makedirs(self.dir, exist_ok=True)
+        storage.ATOMIC.put_atomic(self._state_path, json.dumps({
+            "instant": instant, "num_hashes": self.num_hashes,
+            "bands": self.bands, "ngram": self.ngram,
+            "n_buckets": self.n_buckets}).encode())
+
+    def _read_state(self, sub: str, schema: str) -> DataFrame:
+        d = os.path.join(self.dir, sub)
+        spark = self.table.spark
+        if not os.path.isdir(d) or not any(
+                e.startswith("bucket=") for e in os.listdir(d)):
+            return spark.createDataFrame([], schema + ", bucket int")
+        return spark.read.schema(schema + ", bucket int").parquet(d)
+
+    # ------------------------------------------------------------ features
+    def _features(self, df: DataFrame) -> DataFrame:
+        return doc_features(df, self.id_col, self.text_col,
+                            self.num_hashes, self.bands, self.ngram)
+
+    def _banded(self, feats: DataFrame) -> DataFrame:
+        return (feats.filter(F.col("bands").isNotNull())
+                .select(F.col(self.id_col), F.col("minhash"),
+                        F.explode("bands").alias("bk"))
+                .select(self.id_col, F.col("bk.band").alias("band"),
+                        F.col("bk.bh").alias("bh"), "minhash"))
+
+    # ------------------------------------------------------------- filter
+    def filter_batch(self, df: DataFrame) -> DataFrame:
+        """Rows of ``df`` that are neither exact nor near duplicates of any
+        earlier-seen doc (persisted state or a smaller id in this batch)."""
+        self.catch_up()
+        id_col = self.id_col
+        mm = min_sig_matches(self.threshold, self.num_hashes)
+        feats = self._features(df).persist()
+        self._feat_cache = (df, feats)
+        banded = self._banded(feats).persist()
+
+        # exact vs state: probe ONLY the state buckets the batch hashes in
+        probe = feats.withColumn(
+            "bucket", F.pmod(F.xxhash64("chash"),
+                             F.lit(self.n_buckets)).cast("int"))
+        buckets = [r["bucket"] for r in
+                   probe.select("bucket").distinct().collect()]
+        content = self._read_state("content", "chash string")
+        if buckets:
+            content = content.filter(F.col("bucket").isin(buckets))
+        exact_state = (probe.join(content, ["bucket", "chash"], "left_semi")
+                       .select(id_col))
+        # exact within batch: any smaller id with the same bytes
+        w = Window.partitionBy("chash").orderBy(F.col(id_col))
+        exact_batch = (feats.withColumn("__rn", F.row_number().over(w))
+                       .filter(F.col("__rn") > 1).select(id_col))
+
+        # near vs state: equi-join on (band, bh) against the pruned bucket
+        # partitions; the batch side is the small build side
+        bprobe = banded.withColumn(
+            "bucket", F.pmod(F.xxhash64("bh"),
+                             F.lit(self.n_buckets)).cast("int"))
+        bbuckets = [r["bucket"] for r in
+                    bprobe.select("bucket").distinct().collect()]
+        sbands = self._read_state(
+            "bands", f"band int, bh string, minhash array<string>")
+        if bbuckets:
+            sbands = sbands.filter(F.col("bucket").isin(bbuckets))
+        near_state = (
+            bprobe.join(
+                sbands.select("bucket", "band", "bh",
+                              F.col("minhash").alias("__ssig")),
+                ["bucket", "band", "bh"])
+            .filter(sig_agreement(F.col("minhash"), F.col("__ssig")) >= mm)
+            .select(id_col))
+        # near within batch: banded self-join, later id drops
+        a, b = banded.alias("a"), banded.alias("b")
+        near_batch = (
+            a.join(b, ["band", "bh"])
+            .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .filter(sig_agreement(F.col("a.minhash"),
+                                  F.col("b.minhash")) >= mm)
+            .select(F.col(f"b.{id_col}").alias(id_col)))
+
+        dropped = (exact_state.unionByName(exact_batch)
+                   .unionByName(near_state).unionByName(near_batch)
+                   .distinct())
+        return df.join(dropped, id_col, "left_anti")
+
+    # ------------------------------------------------------------- advance
+    def advance(self, df: DataFrame, instant: str | None = None) -> None:
+        """Register EVERY row of the batch (kept or dropped) as seen and
+        publish the watermark. Call after the table commit succeeded."""
+        if self._feat_cache is not None and self._feat_cache[0] is df:
+            # reuse the persisted features filter_batch(df) just computed —
+            # the signature pass is the dominant cost of a batch
+            feats = self._feat_cache[1]
+            self._feat_cache = None
+        else:
+            feats = self._features(df).persist()
+        (feats.select(
+            "chash",
+            F.pmod(F.xxhash64("chash"),
+                   F.lit(self.n_buckets)).cast("int").alias("bucket"))
+         .distinct()
+         .write.partitionBy("bucket").mode("append")
+         .parquet(os.path.join(self.dir, "content")))
+        (self._banded(feats)
+         .select("band", "bh", "minhash",
+                 F.pmod(F.xxhash64("bh"),
+                        F.lit(self.n_buckets)).cast("int").alias("bucket"))
+         .write.partitionBy("bucket").mode("append")
+         .parquet(os.path.join(self.dir, "bands")))
+        feats.unpersist()
+        if instant is None:
+            last = self.table.timeline.last_completed()
+            instant = last.timestamp if last else None
+        self._publish_state(instant)
+
+    # ------------------------------------------------------------ catch-up
+    def catch_up(self) -> int:
+        """Repair state that fell behind the table (crash between commit
+        and advance, or a pre-existing table): backfill features from the
+        table's OWN incremental read since the watermark. Returns rows
+        backfilled. Only kept docs are recoverable this way — see module
+        docstring for the (re-admission-only) degradation contract."""
+        st = self._load_state()
+        mark = st["instant"] if st else None
+        last = self.table.timeline.last_completed()
+        if last is None or (mark is not None and last.timestamp <= mark):
+            if st is None:
+                self._publish_state(None)
+            return 0
+        missed = self.table.incremental(begin=mark)
+        n = missed.count()
+        if n:
+            self.advance(missed.select(self.id_col, self.text_col),
+                         instant=last.timestamp)
+        else:
+            self._publish_state(last.timestamp)
+        return n
+
+    # ------------------------------------------------------------- compact
+    def compact_state(self) -> int:
+        """Fold per-batch appended files: one file per bucket, duplicates
+        collapsed (EXISTS semantics make duplicates harmless but they cost
+        scan width). Returns rows retained."""
+        import shutil
+
+        total = 0
+        for sub, schema, keys in (
+                ("content", "chash string", ["chash"]),
+                ("bands", "band int, bh string, minhash array<string>",
+                 ["band", "bh", "minhash"])):
+            d = os.path.join(self.dir, sub)
+            cur = self._read_state(sub, schema)
+            folded = cur.dropDuplicates(keys + ["bucket"])
+            tmp = d + ".compacting"
+            shutil.rmtree(tmp, ignore_errors=True)
+            (folded.repartition(F.col("bucket"))
+             .write.partitionBy("bucket").mode("overwrite").parquet(tmp))
+            total += folded.count()
+            trash = d + ".old"
+            shutil.rmtree(trash, ignore_errors=True)
+            if os.path.isdir(d):
+                os.replace(d, trash)
+            os.replace(tmp, d)
+            shutil.rmtree(trash, ignore_errors=True)
+        return total

@@ -178,7 +178,8 @@ class Ingestor:
                  transformers: list | None = None,
                  operation: str = "upsert",
                  compact_every: int | None = None,
-                 initial_checkpoint: str | None = None):
+                 initial_checkpoint: str | None = None,
+                 deduper=None):
         self.table = table
         self.source = source
         self.transformer_sql = transformer_sql
@@ -190,6 +191,11 @@ class Ingestor:
         # InitialCheckpointProvider / --checkpoint: where to start when the
         # table carries no checkpoint yet (fresh pipeline over old data)
         self.initial_checkpoint = initial_checkpoint
+        # optional IncrementalDeduper: each batch is filtered against the
+        # table's accumulated dedup state (filterExists generalized to
+        # content/near-dup identity), and the WHOLE batch — kept and
+        # dropped — is registered as seen after the commit
+        self.deduper = deduper
 
     def checkpoint(self) -> str | None:
         for inst in reversed(self.table.timeline.completed()):
@@ -212,6 +218,9 @@ class Ingestor:
                 self.transformer_sql.replace("<SRC>", "src"))
         for t in self.transformers:
             df = t(self.table.spark, df)
+        if self.deduper is not None:
+            batch = df.persist()
+            df = self.deduper.filter_batch(batch)
         self.table._writer.commit_extra[CHECKPOINT_KEY] = new_ck
         if self.operation == "insert":
             res = self.table.insert(df)
@@ -219,6 +228,11 @@ class Ingestor:
             res = self.table.bulk_insert(df)
         else:
             res = self.table.upsert(df)
+        if self.deduper is not None:
+            # after the commit: every incoming row (kept or dropped) is now
+            # "seen"; a crash before this point is repaired by catch_up()
+            self.deduper.advance(batch)
+            batch.unpersist()
         self._maybe_compact()
         return res
 

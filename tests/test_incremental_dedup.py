@@ -1,0 +1,137 @@
+"""Incremental dedup against persisted table state: batch-by-batch
+filtering must yield EXACTLY the same keep-set as one global seen_dedup
+pass over the union (the driver-oracle contract), survive a lost-state
+crash via catch-up from the table, and plug into the Ingestor.
+
+Reference parity: DeltaStreamer continuous mode
+(hudi-utilities .../deltastreamer/HoodieDeltaStreamer.java:354) +
+filterExists (hudi-client .../HoodieReadClient.java:186) generalized to
+content/near-dup identity."""
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from hoodie_spark import HoodieTable
+from hoodie_spark import functions as HF
+from hoodie_spark.streaming import IncrementalDeduper, Ingestor
+from hoodie_spark.streaming.ingest import Source
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    """Corpus with cross-batch exact AND near duplicates: batch boundaries
+    at doc_id 1000/11000, originals in batch 0, exact copies in batch 1,
+    near copies (text + ' zz') in batch 2."""
+    docs = (spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .select("doc_id", "text").filter(F.col("doc_id") < 60).cache())
+    exact = docs.withColumn("doc_id", F.col("doc_id") + 10000)
+    near = (docs.withColumn("doc_id", F.col("doc_id") + 20000)
+            .withColumn("text", F.concat(F.col("text"), F.lit(" zz"))))
+    return docs.unionByName(exact).unionByName(near).cache()
+
+
+def _batches(corpus):
+    return [corpus.filter(F.col("doc_id") < 1000),
+            corpus.filter((F.col("doc_id") >= 1000) & (F.col("doc_id") < 11000)),
+            corpus.filter(F.col("doc_id") >= 11000)]
+
+
+def _global_keep(corpus):
+    return {r.doc_id for r in
+            HF.seen_dedup(corpus, "doc_id", "text", threshold=0.8)
+            .select("doc_id").collect()}
+
+
+def test_incremental_equals_batch_global(spark, corpus, tmp_table_path):
+    tbl = HoodieTable.create(spark, tmp_table_path, "inc_dedup",
+                             ["doc_id"], None)
+    dd = IncrementalDeduper(tbl, "doc_id", "text", threshold=0.8)
+    for batch in _batches(corpus):
+        kept = dd.filter_batch(batch)
+        tbl.upsert(kept)
+        dd.advance(batch)
+    got = {r.doc_id for r in tbl.snapshot().select("doc_id").collect()}
+    expected = _global_keep(corpus)
+    assert got == expected
+    # sanity: dedup actually fired — exact copies dropped, originals kept
+    assert expected.issuperset({i for i in got if i < 1000})
+    assert not any(10000 <= i < 20000 for i in got)
+
+
+def test_catch_up_after_lost_state(spark, corpus, tmp_table_path):
+    """Crash between commit and advance (or state dir lost): catch_up
+    rebuilds kept-doc state from the table's incremental read, so an exact
+    duplicate of an already-KEPT doc is still dropped."""
+    tbl = HoodieTable.create(spark, tmp_table_path, "inc_dedup_cr",
+                             ["doc_id"], None)
+    dd = IncrementalDeduper(tbl, "doc_id", "text", threshold=0.8)
+    b0, b1, b2 = _batches(corpus)
+    tbl.upsert(dd.filter_batch(b0))
+    dd.advance(b0)
+    shutil.rmtree(dd.dir)  # state lost; table keeps batch-0 rows
+    dd2 = IncrementalDeduper(tbl, "doc_id", "text", threshold=0.8)
+    kept1 = dd2.filter_batch(b1)  # catch_up backfills from the table
+    assert kept1.count() == 0  # batch 1 is all exact copies of kept docs
+    tbl.upsert(kept1)
+    dd2.advance(b1)
+    kept2 = dd2.filter_batch(b2)
+    assert kept2.count() == 0  # near copies of kept docs
+    got = {r.doc_id for r in tbl.snapshot().select("doc_id").collect()}
+    assert got == _global_keep(corpus)
+
+
+def test_state_param_mismatch_raises(spark, corpus, tmp_table_path):
+    tbl = HoodieTable.create(spark, tmp_table_path, "inc_dedup_pm",
+                             ["doc_id"], None)
+    dd = IncrementalDeduper(tbl, "doc_id", "text")
+    dd.advance(_batches(corpus)[0])
+    with pytest.raises(ValueError, match="num_hashes"):
+        IncrementalDeduper(tbl, "doc_id", "text", num_hashes=32)
+
+
+def test_compact_state_preserves_decisions(spark, corpus, tmp_table_path):
+    tbl = HoodieTable.create(spark, tmp_table_path, "inc_dedup_cp",
+                             ["doc_id"], None)
+    dd = IncrementalDeduper(tbl, "doc_id", "text", threshold=0.8)
+    b0, b1, b2 = _batches(corpus)
+    for b in (b0, b1):
+        tbl.upsert(dd.filter_batch(b))
+        dd.advance(b)
+    assert dd.compact_state() > 0
+    assert dd.filter_batch(b1.limit(5)).count() == 0  # still seen
+    tbl.upsert(dd.filter_batch(b2))
+    dd.advance(b2)
+    got = {r.doc_id for r in tbl.snapshot().select("doc_id").collect()}
+    assert got == _global_keep(corpus)
+
+
+class _ListSource(Source):
+    """Test source: one pre-built DataFrame per checkpoint step."""
+
+    def __init__(self, dfs):
+        self.dfs = dfs
+
+    def fetch(self, spark, checkpoint):
+        i = int(checkpoint) if checkpoint else 0
+        if i >= len(self.dfs):
+            return None, checkpoint
+        return self.dfs[i], str(i + 1)
+
+
+def test_ingestor_with_deduper_three_microbatches(spark, corpus,
+                                                  tmp_table_path):
+    """DeltaStreamer-style continuous ingest with dedup-against-state:
+    three micro-batches with cross-batch duplicates land exactly the
+    batch-global keep-set, and the checkpoint still advances per batch."""
+    tbl = HoodieTable.create(spark, tmp_table_path, "inc_dedup_ing",
+                             ["doc_id"], None)
+    dd = IncrementalDeduper(tbl, "doc_id", "text", threshold=0.8)
+    ing = Ingestor(tbl, _ListSource(_batches(corpus)), deduper=dd)
+    ing.run_continuous(3)
+    assert ing.checkpoint() == "3"
+    got = {r.doc_id for r in tbl.snapshot().select("doc_id").collect()}
+    assert got == _global_keep(corpus)
