@@ -83,16 +83,22 @@ def minhash_signature(col, num_hashes: int = 16, ngram: int = 5) -> Column:
     Entirely in-row (no explode): documents of any size cost O(shingles ×
     num_hashes) local CPU and 32 bytes/element of output.
     """
-    shingles = char_ngrams(col, ngram)
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(
-            F.transform(
-                shingles,
-                lambda s: F.md5(F.concat(F.lit("h"), i.cast("string"), F.lit(":"), s)),
-            )
-        ),
-    )
+    # bind the shingle array ONCE (no CSE in interpreted HOFs — inlining
+    # would re-shingle the text once per hash seed, i.e. num_hashes times)
+    def _sig(sh):
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+            lambda i: F.array_min(
+                F.transform(
+                    sh,
+                    lambda s: F.md5(F.concat(F.lit("h"), i.cast("string"),
+                                             F.lit(":"), s)),
+                )
+            ),
+        )
+
+    return F.element_at(
+        F.transform(F.array(char_ngrams(col, ngram)), _sig), 1)
 
 
 def with_minhash(df: DataFrame, text_col: str, num_hashes: int = 16,

@@ -187,17 +187,23 @@ def top_ngrams(df: DataFrame, text_col: str, n: int = 5, k: int = 20,
 
 def word_ngrams(text_col, n: int) -> Column:
     """All word-level n-grams of a text column after whitespace
-    normalization + lowercasing, as an array of space-joined strings. Pure
-    Column expr (codegen'd, map-only)."""
+    normalization + lowercasing, as an array of space-joined strings.
+    Map-only Column expr; the token array is bound ONCE as a lambda
+    variable — interpreted HOFs have no subexpression elimination, so
+    referencing ``words(col)`` inside the per-gram lambda would re-run the
+    regexp+split chain once per gram (measured ~50x per doc)."""
     from .quality import words
-    toks = words(text_col)
-    count = F.size(toks) - F.lit(n - 1)
-    # sequence(1, 0) DESCENDS in Spark, so docs shorter than n need an
-    # explicit empty-array arm
-    return F.when(count >= 1, F.transform(
-        F.sequence(F.lit(1), count),
-        lambda i: F.array_join(F.slice(toks, i, n), " "))
-    ).otherwise(F.array().cast("array<string>"))
+
+    def _grams(toks):
+        count = F.size(toks) - F.lit(n - 1)
+        # sequence(1, 0) DESCENDS in Spark, so docs shorter than n need an
+        # explicit empty-array arm
+        return F.when(count >= 1, F.transform(
+            F.sequence(F.lit(1), count),
+            lambda i: F.array_join(F.slice(toks, i, n), " "))
+        ).otherwise(F.array().cast("array<string>"))
+
+    return F.element_at(F.transform(F.array(words(text_col)), _grams), 1)
 
 
 def contaminated_ids(corpus: DataFrame, test_set: DataFrame,
@@ -351,8 +357,34 @@ def unigram_logprob(df: DataFrame, id_col: str, text_col: str,
                  .cast("double").alias("logprob")))
 
 
-#: the one live stage-boundary cache from the latest corpus_pipeline call
-_last_pipeline_cache = None
+class StageCache:
+    """Caller-scoped persist handle for a pipeline's stage boundaries.
+
+    The pipeline pins intermediates here and attaches the handle to its
+    result DataFrame (``result._stage_cache``), so the persisted frames
+    live exactly as long as some caller can still run an action on the
+    result: when the result is garbage-collected (or ``release()`` is
+    called explicitly — e.g. per micro-batch in a streaming loop), the
+    frames unpersist. Releasing early only ever costs a recompute, never
+    correctness. Replaces the former thread-unsafe module-global cache."""
+
+    def __init__(self):
+        self._frames: list = []
+
+    def pin(self, df: DataFrame) -> DataFrame:
+        self._frames.append(df.persist())
+        return df
+
+    def release(self) -> None:
+        for f in self._frames:
+            try:
+                f.unpersist()
+            except Exception:  # Spark session may already be stopped
+                pass
+        self._frames.clear()
+
+    def __del__(self):  # pragma: no cover - GC timing
+        self.release()
 
 
 def corpus_pipeline(corpus: DataFrame, test_set: DataFrame,
@@ -396,24 +428,19 @@ def corpus_pipeline(corpus: DataFrame, test_set: DataFrame,
     # pack_shards makes three passes over its input (range bounds, bucket
     # totals, final window); persist the post-quota frame so the full
     # gate/dedup/decontaminate chain evaluates ONCE — bounded memory:
-    # per_group x n_groups rows, whatever the corpus size
-    global _last_pipeline_cache
-    if _last_pipeline_cache is not None:
-        # release the PREVIOUS invocation's stage boundary (its action
-        # has completed in any sequential usage — streaming micro-batches,
-        # bench loops, repeated notebook calls), so however many times
-        # this runs, at most ONE cached frame is live. Unpersisting early
-        # only ever costs a recompute, never correctness.
-        _last_pipeline_cache.unpersist()
-    w = kept.select(F.col(id_col), F.col(group_col),
-                    token_count(text_col).cast("double").alias("n_tokens")
-                    ).persist()
-    _last_pipeline_cache = w
+    # per_group x n_groups rows, whatever the corpus size. The persist is
+    # held by a caller-scoped StageCache tied to the result's lifetime.
+    cache = StageCache()
+    w = cache.pin(kept.select(
+        F.col(id_col), F.col(group_col),
+        token_count(text_col).cast("double").alias("n_tokens")))
     packed = pack_shards(w, "n_tokens", shard_budget, [id_col],
                          num_buckets=8)
-    return packed.select(F.col(id_col), F.col(group_col),
-                         F.col("n_tokens").cast("long").alias("n_tokens"),
-                         "shard_id")
+    result = packed.select(F.col(id_col), F.col(group_col),
+                           F.col("n_tokens").cast("long").alias("n_tokens"),
+                           "shard_id")
+    result._stage_cache = cache
+    return result
 
 
 def tfidf_terms(df: DataFrame, id_col: str, text_col: str,

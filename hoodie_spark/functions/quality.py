@@ -46,13 +46,18 @@ def word_spans(col, width: int = 4) -> Column:
     """Consecutive ``width``-word spans (the corpus's "lines" for
     repetition checks: the synthetic docs are single-line, and fixed-width
     spans are the deterministic stand-in CCNet applies to over-long
-    lines). Last partial span kept."""
-    toks = words(col)
-    n_spans = F.ceil(F.size(toks) / F.lit(float(width))).cast("int")
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(n_spans, F.lit(1))),
-        lambda i: F.array_join(
-            F.slice(toks, (i - F.lit(1)) * width + F.lit(1), width), " "))
+    lines). Last partial span kept. The token array is bound once as a
+    lambda variable — interpreted HOFs have no CSE, so inlining ``words``
+    into the per-span lambda would re-tokenize once per span."""
+
+    def _spans(toks):
+        n_spans = F.ceil(F.size(toks) / F.lit(float(width))).cast("int")
+        return F.transform(
+            F.sequence(F.lit(1), F.greatest(n_spans, F.lit(1))),
+            lambda i: F.array_join(
+                F.slice(toks, (i - F.lit(1)) * width + F.lit(1), width), " "))
+
+    return F.element_at(F.transform(F.array(words(col)), _spans), 1)
 
 
 def gopher_metrics(col, span_width: int = 4) -> Column:

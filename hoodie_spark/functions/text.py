@@ -53,15 +53,22 @@ def char_ngrams(col, n: int = 5) -> Column:
     """
     col = F.col(col) if isinstance(col, str) else col
     norm = F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
-    return F.when(
-        F.length(norm) >= n,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.length(norm) - F.lit(n - 1)),
-                lambda i: norm.substr(i, F.lit(n)),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+
+    # bind the normalized text ONCE as a lambda variable: interpreted HOFs
+    # have no CSE, so inlining `norm` into the per-shingle lambda would
+    # re-run the regexp chain once per shingle
+    def _shingles(m):
+        return F.when(
+            F.length(m) >= n,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.length(m) - F.lit(n - 1)),
+                    lambda i: m.substr(i, F.lit(n)),
+                )
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return F.element_at(F.transform(F.array(norm), _shingles), 1)
 
 
 # Marker-token profiles for the n-gram/stopword language heuristic.

@@ -132,9 +132,10 @@ class CorpusPipelineTransformer(Transformer):
         self.pipeline_kw = pipeline_kw
 
     def apply(self, spark, df: DataFrame) -> DataFrame:
-        # corpus_pipeline itself releases the previous invocation's cached
-        # stage boundary, so a long-running ingest holds at most ONE
-        # cached frame however many micro-batches run
+        # the result carries a caller-scoped StageCache (_stage_cache):
+        # a long-running ingest that drops each micro-batch's result after
+        # writing it releases that batch's cached frame via GC, so at most
+        # the live batches' frames are ever pinned
         from ..functions.pipeline import corpus_pipeline
         test = spark.read.parquet(self.test_path)
         return corpus_pipeline(df, test, id_col=self.id_col,
