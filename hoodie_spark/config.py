@@ -196,6 +196,12 @@ class WriteConfig:
     # table lock at commit and aborts on overlapping file-group writes
     concurrency_mode: str = WriteConcurrencyMode.SINGLE_WRITER
     lock_timeout_s: float = 60.0
+    # a lock file untouched for this long belongs to a DEAD writer (live
+    # holders finish their commit-critical section in seconds) and is
+    # force-reclaimed by the next waiter (FileSystemBasedLockProvider.java
+    # LOCK_EXPIRE semantics). Must be generous: reclaiming a live holder's
+    # lock breaks mutual exclusion. None disables reclamation.
+    lock_expiry_s: float | None = 600.0
     # failed-write cleaning (HoodieFailedWritesCleaningPolicy): "eager"
     # rolls back dead writers' pending instants at the start of every write;
     # "lazy" defers to clean() and only reclaims instants whose heartbeat

@@ -82,7 +82,8 @@ def ensure_initialized(table, view=None) -> None:
         return
     from .timeline import LockProvider
 
-    with LockProvider(table.base_path, table.write_config.lock_timeout_s):
+    with LockProvider(table.base_path, table.write_config.lock_timeout_s,
+                      table.write_config.lock_expiry_s):
         if os.path.exists(marker):
             return
         view = view or table.view()
@@ -182,7 +183,8 @@ def compact(table, retain_commits: int | None = None) -> int:
     # the lock covers read → fold → write → swap: a writer appending between
     # an unguarded read and the swap would have its entries silently
     # discarded by the overwrite (reverting those keys' locations)
-    with LockProvider(table.base_path, table.write_config.lock_timeout_s):
+    with LockProvider(table.base_path, table.write_config.lock_timeout_s,
+                      table.write_config.lock_expiry_s):
         df = spark.read.schema(INDEX_SCHEMA + ", bucket int").parquet(d)
 
         rolled_back: set[str] = set()

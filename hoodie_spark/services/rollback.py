@@ -79,7 +79,8 @@ def rollback_failed_writes(table) -> list[str]:
         # background refresher fires every expiry/4) or published — without
         # this, the TOCTOU window deletes a live writer's files mid-flight
         try:
-            with tl.LockProvider(table.base_path, cfg.lock_timeout_s):
+            with tl.LockProvider(table.base_path, cfg.lock_timeout_s,
+                                 cfg.lock_expiry_s):
                 if hb.is_expired(ts, cfg.heartbeat_expiry_s) \
                         and any(i.timestamp == ts
                                 for i in table.timeline.pending()):

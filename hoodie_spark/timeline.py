@@ -271,11 +271,39 @@ class Heartbeat:
 
 class LockProvider:
     """File-based create-if-absent lock (common/lock/LockProvider.java;
-    stands in for ZookeeperBasedLockProvider for single-host OCC)."""
+    stands in for ZookeeperBasedLockProvider for single-host OCC).
 
-    def __init__(self, base_path: str, timeout_s: float = 60.0):
+    Stale-holder reclamation (FileSystemBasedLockProvider.java
+    LOCK_EXPIRE semantics): a lock whose file mtime is older than
+    ``expiry_s`` belongs to a writer that died after acquiring (crashed
+    pre-heartbeat, or whose release delete failed) — a waiter deletes it
+    and races the conditional create again. The expiry must be far longer
+    than any live commit-critical section: the mtime is re-checked
+    immediately before the delete, but check-then-delete is not atomic,
+    so a too-short expiry could evict a live holder."""
+
+    def __init__(self, base_path: str, timeout_s: float = 60.0,
+                 expiry_s: float | None = 600.0):
         self.path = os.path.join(base_path, ".hoodie", ".lock")
         self.timeout_s = timeout_s
+        self.expiry_s = expiry_s
+
+    def _reclaim_if_expired(self) -> bool:
+        from . import storage
+
+        if self.expiry_s is None:
+            return False
+        try:
+            age = time.time() - os.path.getmtime(self.path)
+        except OSError:
+            return False  # released meanwhile — just retry the create
+        if age <= self.expiry_s:
+            return False
+        try:
+            storage.ATOMIC.delete_if_exists(self.path)
+        except Exception:
+            return False
+        return True
 
     def __enter__(self):
         # the other storage-atomicity dependency (storage.AtomicStorage):
@@ -286,6 +314,8 @@ class LockProvider:
         while True:
             if storage.ATOMIC.put_if_absent(self.path, b""):
                 return self
+            if self._reclaim_if_expired():
+                continue  # stale holder evicted — race the create again
             if time.time() > deadline:
                 raise TimeoutError(f"could not acquire table lock {self.path}")
             time.sleep(0.05)

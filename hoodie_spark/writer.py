@@ -394,7 +394,8 @@ class WriteClient:
             invoked = False
             try:
                 with LockProvider(self.table.base_path,
-                                  self.table.write_config.lock_timeout_s):
+                                  self.table.write_config.lock_timeout_s,
+                                  self.table.write_config.lock_expiry_s):
                     self._check_conflicts(instant, stats, replaced)
                     if index_fn is not None:
                         invoked = True

@@ -115,3 +115,107 @@ def test_conditional_put_contention(tmp_table_path, recording_store):
         pass
     assert recording_store.conditional_puts.count(
         os.path.join(tmp_table_path, ".hoodie", ".lock")) >= 3
+
+
+# ------------------------------------------------- fault injection (r8 #5)
+class TornWriteStore(st.LocalAtomicStorage):
+    """Adapter that dies mid-publish: half the payload reaches a temp
+    object, then the writer crashes. The DESTINATION key must never
+    carry a torn body (put_atomic's all-or-nothing contract)."""
+
+    def __init__(self, fail_substr):
+        self.fail_substr = fail_substr
+        self.tripped = False
+
+    def put_atomic(self, path, payload):
+        if self.fail_substr in path and not self.tripped:
+            self.tripped = True
+            with open(path + ".partial_upload", "wb") as f:
+                f.write(payload[: len(payload) // 2])
+            raise OSError("simulated crash mid-payload")
+        return super().put_atomic(path, payload)
+
+
+def test_torn_commit_publish_invisible_to_readers(spark, orders,
+                                                  tmp_table_path):
+    """put_atomic dies mid-payload while publishing a commit: readers keep
+    seeing the pre-crash snapshot, the timeline has no torn instant, and
+    the table accepts the retried write afterwards."""
+    tbl = HoodieTable.create(spark, tmp_table_path, "torn_t",
+                             ["o_orderkey"], "o_orderdate")
+    tbl.bulk_insert(orders.limit(100))
+    before = tbl.snapshot().count()
+    orig = st.ATOMIC
+    st.ATOMIC = TornWriteStore(".commit.completed.json")
+    try:
+        with pytest.raises(OSError, match="mid-payload"):
+            tbl.upsert(orders.limit(20)
+                       .withColumn("o_orderstatus", F.lit("X")))
+    finally:
+        st.ATOMIC = orig
+    # pre-crash state intact; no torn commit surfaced to the timeline
+    assert tbl.snapshot().count() == before
+    assert tbl.snapshot().filter("o_orderstatus = 'X'").count() == 0
+    for inst in tbl.timeline.completed():
+        assert tbl.timeline.metadata(inst) is not None  # all parseable
+    # the retried write succeeds and lands exactly once
+    tbl.upsert(orders.limit(20).withColumn("o_orderstatus", F.lit("X")))
+    assert tbl.snapshot().count() == before
+    assert tbl.snapshot().filter("o_orderstatus = 'X'").count() == 20
+
+
+def test_lock_orphaned_by_crash_reclaimed_by_expiry(tmp_table_path):
+    """put_if_absent succeeds, then the writer dies before ever touching
+    the heartbeat: the orphaned lock must be reclaimed by expiry — and
+    must NOT be reclaimed while it is fresh or when expiry is disabled."""
+    os.makedirs(os.path.join(tmp_table_path, ".hoodie"), exist_ok=True)
+    lock_path = os.path.join(tmp_table_path, ".hoodie", ".lock")
+    assert st.ATOMIC.put_if_absent(lock_path, b"")  # dead writer's lock
+
+    # fresh lock: a live holder must never be evicted
+    with pytest.raises(TimeoutError):
+        tl.LockProvider(tmp_table_path, timeout_s=0.3,
+                        expiry_s=600).__enter__()
+    # aged past expiry: next waiter reclaims and acquires
+    os.utime(lock_path, (1, 1))
+    with tl.LockProvider(tmp_table_path, timeout_s=2.0, expiry_s=1.0):
+        pass
+    assert not os.path.exists(lock_path)
+    # expiry disabled: even an ancient lock blocks (operator must clear)
+    assert st.ATOMIC.put_if_absent(lock_path, b"")
+    os.utime(lock_path, (1, 1))
+    with pytest.raises(TimeoutError):
+        tl.LockProvider(tmp_table_path, timeout_s=0.3,
+                        expiry_s=None).__enter__()
+    os.remove(lock_path)
+
+
+def test_failed_release_recovered_by_expiry(tmp_table_path):
+    """delete_if_exists fails during release (transient store error): the
+    lock leaks without masking the body's outcome, and a later waiter
+    recovers it through expiry reclamation."""
+
+    class FailingDelete(st.LocalAtomicStorage):
+        def __init__(self):
+            self.fail = True
+
+        def delete_if_exists(self, path):
+            if self.fail:
+                self.fail = False
+                raise OSError("transient delete error")
+            return super().delete_if_exists(path)
+
+    os.makedirs(os.path.join(tmp_table_path, ".hoodie"), exist_ok=True)
+    lock_path = os.path.join(tmp_table_path, ".hoodie", ".lock")
+    orig = st.ATOMIC
+    st.ATOMIC = FailingDelete()
+    try:
+        with tl.LockProvider(tmp_table_path, timeout_s=1.0):
+            pass  # release fails internally; no exception escapes
+        assert os.path.exists(lock_path)  # leaked
+        os.utime(lock_path, (1, 1))  # time passes beyond the expiry
+        with tl.LockProvider(tmp_table_path, timeout_s=2.0, expiry_s=1.0):
+            pass  # recovered: expired leak evicted, lock acquired
+        assert not os.path.exists(lock_path)
+    finally:
+        st.ATOMIC = orig
