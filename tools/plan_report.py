@@ -209,6 +209,7 @@ def main():
     out += BENCH_R5
     out += BENCH_R6
     out += BENCH_R7
+    out += BENCH_R9
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(root, "PLANS.md"), "w") as f:
@@ -495,6 +496,76 @@ BENCH_R7 = [
     'unigram_logprob displaced dedup_jaccard + ann_lsh, so the driver '
     'records 3 new unique operators this round (with corpus_pipeline). '
     'All 96 oracle rows re-matched after every change.',
+]
+
+BENCH_R9 = [
+    '',
+    '## Round 9: incremental dedup, HOF tokenization fix, lock expiry',
+    '',
+    'Work landed (r8 verdict list, executed in rank order): (1) '
+    '**incremental dedup against table state** — IncrementalDeduper '
+    '(streaming/incremental_dedup.py) filters each arriving batch against '
+    'persisted md5-content-hash + MinHash-band state (hash-partitioned, '
+    'bucket-pruned probes, O(batch) not O(corpus)); batch-by-batch result '
+    'proven EXACTLY equal to one global seen_dedup pass over the union '
+    '(q:incremental_dedup oracle row, in-window; 5 tests incl. lost-state '
+    'catch-up from the table and a 3-micro-batch Ingestor run). '
+    '(2) **hot-bucket guard** on embedding_near_dup_pairs: buckets over '
+    'max_bucket_rows split into salted sub-buckets with salt-0 pivots '
+    'replicated, O(n*cap) pairs instead of O(n^2), cluster connectivity '
+    'preserved for duplicate_groups; adversarial 10k-identical-rows test '
+    'bounded, under-cap path bit-identical (q:dedup_embedding still '
+    'hash-matched). (3) **window rotation**: insert_overwrite_table, '
+    'merge_into_sql, cdc_incremental, incremental_dedup entered the '
+    'first-50 driver window; displaced rows (gopher_quality, dedup_spans, '
+    'ann_pq, datasource_read) re-verified in the full 97/97 check_oracle '
+    'sweep below. (4) **tokenization bound once in HOF lambdas** '
+    '(word_ngrams / word_spans / char_ngrams / minhash_signature): '
+    'interpreted HOFs have no CSE, so the tokenize/normalize chain was '
+    're-running per gram/span/shingle/seed (~50x per doc); '
+    'contaminated_ids 3.7 s -> 0.9 s measured. corpus_pipeline cache is '
+    'now a caller-scoped StageCache on the result (module-global gone). '
+    '(5) **storage fault injection**: torn put_atomic mid-commit '
+    '(readers keep pre-crash snapshot), crash-pre-heartbeat lock orphan, '
+    'and failed delete_if_exists release — the latter two recovered by '
+    'the new lock_expiry_s stale-lock reclamation '
+    '(FileSystemBasedLockProvider LOCK_EXPIRE semantics). Plus all three '
+    'r8 ADVICE items: archive records fsync BEFORE active-instant delete '
+    '(closes the concurrent-archival orphan-misclassification race and '
+    'crash-mid-archival instant loss), torn archive tail lines tolerated '
+    'by all three readers, lock-release failures no longer mask body '
+    'exceptions.',
+    '',
+    '## Round 9: end-of-round verification sweep',
+    '',
+    'Final tree, run back-to-back on 2026-08-14: tools/check_oracle.py '
+    '**97/97 matched** at sf0.01 (96 hash + bpe_tokenize rows-only by '
+    'design) — includes every displaced window row; pytest **268 passed, '
+    '0 failed** (1050 s; +13 tests this round). Bench @ sf0.1 local[32], '
+    '2-run minima, QUIET host (load avg 0.75 at start): **headline '
+    '57.9 s over 47 queries**; the new incremental_dedup row costs '
+    '9.9 s, so like-for-like vs r8 is ~48.0 s vs 54.7 s. A second '
+    '2-run datapoint under concurrent pytest load (load avg 8.3) gave '
+    '68.3 s headline — both recorded per the noise methodology.',
+    '',
+    'Per-query quiet/loaded datapoint pairs (the two rows the r8 verdict '
+    'asked for, plus this round\'s movers):',
+    '',
+    '| query | r8 | r9 quiet | r9 loaded | note |',
+    '|---|---|---|---|---|',
+    '| corpus_pipeline | 5.43 | **2.26** | 2.32 | HOF tokenization fix; '
+    'target was <=3.5 s |',
+    '| ann_ivfpq_build | 2.89 | **2.82** | 3.11 | steady |',
+    '| ann_ivfpq_probe | 1.38 | 1.61 | 1.39 | steady |',
+    '| minhash_dedup | 2.33 | **0.55** | 0.65 | char_ngrams bind-once |',
+    '| dedup_spans | 2.71 | **1.29** | 1.23 | word_spans bind-once |',
+    '| incremental_dedup | n/a | 9.91 | 12.15 | NEW: full batch admission '
+    '= filter (~3 s: 2 bucket-pruned state probes + in-batch self-join) '
+    '+ table upsert (~5 s, the core writer path) + state append (~1.6 s) |',
+    '| upsert | 2.92 | 3.01 | 3.74 | steady |',
+    '| bulk_insert | 1.70 | 2.12 | 2.55 | steady |',
+    '| bulk_insert_warehouse | 8.08 | 6.80 | 8.00 | r8 drift was noise |',
+    '| tpch_q11 | 1.62 | 1.37 | 1.36 | r8 drift was noise |',
 ]
 
 if __name__ == "__main__":
