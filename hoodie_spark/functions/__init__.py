@@ -34,6 +34,7 @@ from .text import (
 )
 from .dedup import (
     exact_dedup,
+    bounded_self_pairs,
     with_minhash,
     minhash_candidate_pairs,
     jaccard_dedup_pairs,
@@ -95,6 +96,7 @@ __all__ = [
     "jaccard_dedup_pairs", "with_simhash", "simhash_sigs",
     "simhash_dup_pairs", "embedding_near_dup_pairs", "dedup_spans",
     "seen_dedup", "doc_features", "min_sig_matches", "sig_agreement",
+    "bounded_self_pairs",
     "dot", "l2_norm", "cosine", "brute_force_topk", "lsh_bucket_topk",
     "ivf_topk", "pq_codebooks", "pq_codebooks_trained", "pq_encode",
     "pq_reconstruct", "pq_topk", "write_pq_index", "write_ivfpq_index",

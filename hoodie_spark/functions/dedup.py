@@ -127,6 +127,81 @@ def minhash_sigs(df: DataFrame, id_col: str, text_col: str,
         F.array(*[F.col(f"__h{i}") for i in range(num_hashes)]).alias("minhash"))
 
 
+def bounded_self_pairs(keyed: DataFrame, key_cols: list[str], id_col: str,
+                       max_group_rows: int | None,
+                       carry: tuple[str, ...] = ()) -> DataFrame:
+    """Blocked self-join with hot-key protection — the shared candidate
+    generator for every LSH-style dedup operator.
+
+    Joins ``keyed`` to itself on ``key_cols`` and returns
+    ``(id_a, id_b[, <c>_a, <c>_b ...])`` with ``id_a < id_b``. A degenerate
+    key group (boilerplate-identical docs, all-zero embeddings) makes the
+    plain join quadratic in that group — the classic skewed-key
+    scale-killer. Groups over ``max_group_rows`` are split into
+    ``ceil(n/cap)`` salted sub-groups by ``pmod(xxhash64(id), s)``; rows in
+    salt 0 act as PIVOTS replicated into every sub-group, so each row still
+    meets its salt peers plus the pivot set: per-group pairs drop from
+    O(n²) to O(n·cap) while a duplicate cluster stays CONNECTED through
+    the pivots (downstream large-star/small-star grouping is unaffected).
+    Pairs between two non-pivot rows in different salts are sacrificed —
+    recall loss inside a group that is already ~all mutual duplicates.
+    Groups at or under the cap (and the whole plan when nothing is hot)
+    are bit-identical to the unguarded join. Splits are logged.
+
+    The census is one map-side-partial aggregate over the (pinned) keyed
+    frame; only groups ABOVE the cap are collected (≤ n/cap rows).
+    ``max_group_rows=None`` disables the guard entirely.
+    """
+    import logging
+    import math
+
+    hot = []
+    if max_group_rows is not None:
+        hot = (keyed.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("__n"))
+               .filter(F.col("__n") > max_group_rows).collect())
+    if hot:
+        logging.getLogger(__name__).warning(
+            "bounded_self_pairs: splitting %d hot group(s) on %s "
+            "(largest %d rows > cap %d) into salted sub-groups; cross-salt "
+            "non-pivot pairs within those groups are skipped",
+            len(hot), key_cols, max(r["__n"] for r in hot), max_group_rows)
+        from pyspark.sql import types as T
+
+        spark = keyed.sparkSession
+        schema = T.StructType(
+            [keyed.schema[c] for c in key_cols]
+            + [T.StructField("__s", T.IntegerType())])
+        splits = spark.createDataFrame(
+            [tuple(r[c] for c in key_cols)
+             + (int(math.ceil(r["__n"] / max_group_rows)),) for r in hot],
+            schema)
+        keyed = (
+            keyed.join(F.broadcast(splits), key_cols, "left")
+            .withColumn("__s", F.coalesce(F.col("__s"), F.lit(1)))
+            .withColumn("__salt", F.pmod(F.xxhash64(F.col(id_col)),
+                                         F.col("__s")).cast("int"))
+            # pivots (salt 0) fan out to every sub-group; everyone else
+            # lands only in their own — both join sides use the fan-out,
+            # so a pair matches iff same salt or either member is a pivot
+            .withColumn("__jsalt", F.explode(
+                F.when(F.col("__salt") == 0,
+                       F.sequence(F.lit(0), F.col("__s") - F.lit(1)))
+                .otherwise(F.array(F.col("__salt")))))
+            .drop("__s", "__salt"))
+        join_on = key_cols + ["__jsalt"]
+    else:
+        join_on = list(key_cols)
+    a, b = keyed.alias("a"), keyed.alias("b")
+    sel = [F.col(f"a.{id_col}").alias("id_a"),
+           F.col(f"b.{id_col}").alias("id_b")]
+    for c in carry:
+        sel += [F.col(f"a.{c}").alias(f"{c}_a"),
+                F.col(f"b.{c}").alias(f"{c}_b")]
+    return (a.join(b, join_on)
+            .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .select(*sel))
+
+
 def min_sig_matches(threshold: float, num_hashes: int) -> int:
     """Smallest number of agreeing MinHash positions whose agreement
     fraction reaches ``threshold`` — integer compare on both engines, so a
@@ -218,12 +293,16 @@ def band_keys(sig_col, bands: int, rows_per_band: int) -> Column:
 
 def minhash_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
                             num_hashes: int = 16, bands: int = 4,
-                            ngram: int = 5) -> DataFrame:
+                            ngram: int = 5,
+                            max_band_rows: int = 4096) -> DataFrame:
     """Distinct candidate pairs (id_a < id_b) sharing ≥1 LSH band.
 
     Plan shape: scan → map (signature) → explode bands (bands× rows of
     (id, band, bh)) → self-join on (band, bh) → distinct. The join input is
-    tiny regardless of document size; AQE handles any residual band skew.
+    tiny regardless of document size; a (band, bh) group over
+    ``max_band_rows`` (boilerplate-identical docs at corpus scale) is
+    split by :func:`bounded_self_pairs` so the join stays O(n·cap) per
+    group instead of quadratic.
     """
     rows_per_band = num_hashes // bands
     sig = minhash_sigs(df, id_col, text_col, num_hashes, ngram)
@@ -231,14 +310,8 @@ def minhash_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
         sig.select(F.col(id_col), F.explode(band_keys("minhash", bands, rows_per_band)).alias("bk"))
         .select(id_col, F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
     )
-    a = exploded.alias("a")
-    b = exploded.alias("b")
-    return (
-        a.join(b, ["band", "bh"])
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .distinct()
-    )
+    return bounded_self_pairs(exploded, ["band", "bh"], id_col,
+                              max_band_rows).distinct()
 
 
 def jaccard_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
@@ -353,7 +426,8 @@ def hamming(a, b, bits: int) -> Column:
 
 def simhash_dup_pairs(df: DataFrame, id_col: str, text_col: str,
                       bits: int = 16, max_distance: int = 2,
-                      blocks: int = 2) -> DataFrame:
+                      blocks: int = 2,
+                      max_block_rows: int = 4096) -> DataFrame:
     """Pairs whose SimHash Hamming distance ≤ max_distance.
 
     Candidate generation blocks the signature into ``blocks`` segments and
@@ -381,20 +455,16 @@ def simhash_dup_pairs(df: DataFrame, id_col: str, text_col: str,
     ]
     blocked = sh.select(
         id_col, "simhash", F.explode(F.array(*segments)).alias("block"))
-    a = blocked.alias("a")
-    b = blocked.alias("b")
-    cand = (
-        a.join(b, "block")
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"),
-                F.col("a.simhash").alias("sh_a"), F.col("b.simhash").alias("sh_b"))
-        .distinct()
-    )
+    # hot-block guard: a near-homogeneous corpus collapses a whole segment
+    # value onto one block key — bounded_self_pairs keeps it O(n·cap)
+    cand = bounded_self_pairs(blocked, ["block"], id_col, max_block_rows,
+                              carry=("simhash",)).distinct()
     return (
         # cast to long: DuckDB's list_sum yields HUGEINT — both engines must
         # present the distance as int64 for the value-hash gate to agree
         cand.select("id_a", "id_b",
-                    hamming("sh_a", "sh_b", bits).cast("long").alias("distance"))
+                    hamming("simhash_a", "simhash_b",
+                            bits).cast("long").alias("distance"))
         .filter(F.col("distance") <= max_distance)
     )
 
@@ -415,69 +485,21 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
 
     Hot-bucket guard: at corpus scale a degenerate bucket (all-zero or
     boilerplate-identical embeddings hashing to one sign key) makes the
-    within-bucket self-join quadratic. Buckets over ``max_bucket_rows``
-    are split into ``s = ceil(n / max_bucket_rows)`` salted sub-buckets by
-    ``pmod(xxhash64(id), s)``; rows in salt 0 act as PIVOTS and are
-    replicated into every sub-bucket, so each row is still compared against
-    its own salt peers plus the pivot set. Per-row work drops from O(n) to
-    O(max_bucket_rows), total bucket pairs from O(n²) to
-    O(n · max_bucket_rows) — and a duplicate cluster stays CONNECTED
-    through the pivots, so downstream ``duplicate_groups`` (large-star /
-    small-star) still folds the whole degenerate bucket into one group.
-    Pairs between two non-pivot rows in different salts are sacrificed —
-    for dedup that is recall loss inside a bucket that is already ~all
-    mutual duplicates, not correctness loss. Split events are logged.
-    Buckets at or under the cap take the exact path, bit-identical to the
+    within-bucket self-join quadratic — :func:`bounded_self_pairs` splits
+    buckets over ``max_bucket_rows`` into salted sub-buckets with pivot
+    replication: O(n·cap) pairs, cluster connectivity preserved for
+    ``duplicate_groups``, under-cap buckets bit-identical to the
     unguarded join (the sf0.01 oracle row exercises that path).
     """
-    import logging
-    import math
-
     from .similarity import cosine, sign_lsh_key
 
     keyed = _pin(
         _spread(df).select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
         .withColumn("bucket", sign_lsh_key(F.col("v"), planes, dim)))
-    # bucket census: ≤ 2^planes rows, map-side partial agg over the pinned
-    # signatures — one cheap pass that buys skew immunity for the join
-    hot = (keyed.groupBy("bucket").agg(F.count(F.lit(1)).alias("__n"))
-           .filter(F.col("__n") > max_bucket_rows).collect())
-    if not hot:
-        a = keyed.alias("a")
-        b = keyed.alias("b")
-        joined = (a.join(b, "bucket")
-                  .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-    else:
-        logging.getLogger(__name__).warning(
-            "embedding_near_dup_pairs: splitting %d hot bucket(s) "
-            "(largest %d rows > cap %d) into salted sub-buckets; "
-            "cross-salt non-pivot pairs within those buckets are skipped",
-            len(hot), max(r["__n"] for r in hot), max_bucket_rows)
-        spark = df.sparkSession
-        splits = spark.createDataFrame(
-            [(r["bucket"], int(math.ceil(r["__n"] / max_bucket_rows)))
-             for r in hot], ["bucket", "__s"])
-        salted = (
-            keyed.join(F.broadcast(splits), "bucket", "left")
-            .withColumn("__s", F.coalesce(F.col("__s"), F.lit(1)))
-            .withColumn("__salt", F.pmod(F.xxhash64(F.col(id_col)),
-                                         F.col("__s")).cast("int"))
-            # pivots (salt 0) fan out to every sub-bucket; everyone else
-            # lands only in their own — both join sides use the fan-out, so
-            # a pair matches iff same salt or either member is a pivot
-            .withColumn("__jsalt", F.explode(
-                F.when(F.col("__salt") == 0,
-                       F.sequence(F.lit(0), F.col("__s") - F.lit(1)))
-                .otherwise(F.array(F.col("__salt")))))
-            .drop("__s", "__salt"))
-        a = salted.alias("a")
-        b = salted.alias("b")
-        joined = (a.join(b, ["bucket", "__jsalt"])
-                  .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
     return (
-        joined
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"),
-                cosine(F.col("a.v"), F.col("b.v")).alias("cos"))
+        bounded_self_pairs(keyed, ["bucket"], id_col, max_bucket_rows,
+                           carry=("v",))
+        .select("id_a", "id_b", cosine(F.col("v_a"), F.col("v_b")).alias("cos"))
         .filter(F.col("cos") >= threshold)
         .distinct()
     )

@@ -445,3 +445,36 @@ def test_embedding_near_dup_guard_exact_below_cap(emb):
             HF.embedding_near_dup_pairs(
                 dup, "vec_id", "embedding", threshold=0.999).collect()}
     assert same == exact
+
+
+def test_simhash_hot_block_bounded(spark):
+    """10k identical texts collapse onto one simhash block: the guard
+    bounds candidate pairs at O(n*cap) and keeps the cluster connected."""
+    n, cap = 10_000, 100
+    df = spark.range(n).select(
+        F.col("id").cast("int").alias("id"),
+        F.lit("alpha beta gamma delta epsilon zeta").alias("text"))
+    pairs = HF.simhash_dup_pairs(df, "id", "text", bits=16, max_distance=0,
+                                 max_block_rows=cap)
+    n_pairs = pairs.count()
+    assert 0 < n_pairs <= 2 * n * cap
+    assert n_pairs < n * (n - 1) // 2
+    groups = HF.duplicate_groups(pairs)
+    assert groups.select("group_id").distinct().count() == 1
+    assert groups.count() == n
+
+
+def test_minhash_hot_band_bounded(spark):
+    """Identical-text corpus: every (band, bh) group is degenerate; the
+    guard bounds the candidate join while one connected group survives."""
+    n, cap = 5_000, 50
+    df = spark.range(n).select(
+        F.col("id").cast("int").alias("id"),
+        F.lit("the quick brown fox jumps over the lazy dog").alias("text"))
+    pairs = HF.minhash_candidate_pairs(df, "id", "text", max_band_rows=cap)
+    n_pairs = pairs.count()
+    assert 0 < n_pairs <= 2 * n * cap
+    assert n_pairs < n * (n - 1) // 2
+    groups = HF.duplicate_groups(pairs)
+    assert groups.select("group_id").distinct().count() == 1
+    assert groups.count() == n
