@@ -366,7 +366,14 @@ class StageCache:
     result: when the result is garbage-collected (or ``release()`` is
     called explicitly — e.g. per micro-batch in a streaming loop), the
     frames unpersist. Releasing early only ever costs a recompute, never
-    correctness. Replaces the former thread-unsafe module-global cache."""
+    correctness — and a bounded one: two of pack_shards' three passes run
+    EAGERLY inside corpus_pipeline (range bounds + bucket totals) while
+    the cache is pinned, so a caller that keeps only a DERIVED frame
+    (``corpus_pipeline(...).select(...)``) and lets the original result GC
+    pays at most ONE re-evaluation of the upstream chain on its final
+    action. Hold the result (or its ``_stage_cache``) across the action
+    to avoid even that. Replaces the former thread-unsafe module-global
+    cache."""
 
     def __init__(self):
         self._frames: list = []

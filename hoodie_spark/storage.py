@@ -124,6 +124,14 @@ class AtomicStorage:
         """Idempotent delete; False when the key was already gone."""
         raise NotImplementedError
 
+    def mtime(self, path: str) -> float | None:
+        """Last-modified time (epoch seconds) of the key, or None when it
+        does not exist. ADVISORY: only stale-lock expiry reclamation reads
+        it; an adapter that cannot supply it may leave this unimplemented
+        and reclamation is disabled (a dead holder's lock then needs an
+        operator to clear — correctness is unaffected)."""
+        raise NotImplementedError
+
 
 class LocalAtomicStorage(AtomicStorage):
     """POSIX backend: rename publish + O_EXCL conditional create."""
@@ -163,6 +171,12 @@ class LocalAtomicStorage(AtomicStorage):
         except FileNotFoundError:
             return False
         return True
+
+    def mtime(self, path: str) -> float | None:
+        try:
+            return os.path.getmtime(path)
+        except OSError:
+            return None
 
 
 #: the active adapter — swap for an object-store implementation in a

@@ -83,7 +83,12 @@ class S3AtomicStorage(AtomicStorage):
             self.client.put_object(Bucket=bucket, Key=key, Body=payload,
                                    IfNoneMatch="*")
         except Exception as e:
-            if _error_code(e) in ("PreconditionFailed", "412"):
+            # 412: the key already exists. 409 ConditionalRequestConflict:
+            # a CONCURRENT conditional write raced this one — the loser
+            # must treat it as "did not acquire" and let the caller's
+            # retry loop observe the outcome, not crash.
+            if _error_code(e) in ("PreconditionFailed", "412",
+                                  "ConditionalRequestConflict", "409"):
                 return False
             raise
         return True
@@ -101,3 +106,14 @@ class S3AtomicStorage(AtomicStorage):
             # the advisory return value
         self.client.delete_object(Bucket=bucket, Key=key)
         return existed
+
+    def mtime(self, path: str) -> float | None:
+        bucket, key = self.path_to_key(path)
+        try:
+            resp = self.client.head_object(Bucket=bucket, Key=key)
+        except Exception as e:
+            if _error_code(e) in ("404", "NoSuchKey", "NotFound"):
+                return None
+            raise
+        lm = resp.get("LastModified") if isinstance(resp, dict) else None
+        return lm.timestamp() if lm is not None else None

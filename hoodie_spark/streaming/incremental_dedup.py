@@ -47,7 +47,8 @@ import os
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.dedup import doc_features, min_sig_matches, sig_agreement
+from ..functions.dedup import (bounded_self_pairs, doc_features,
+                               min_sig_matches, sig_agreement)
 
 STATE_DIR = "dedup_state"
 
@@ -65,7 +66,8 @@ class IncrementalDeduper:
 
     def __init__(self, table, id_col: str, text_col: str,
                  threshold: float = 0.8, num_hashes: int = 16,
-                 bands: int = 4, ngram: int = 5, n_buckets: int = 32):
+                 bands: int = 4, ngram: int = 5, n_buckets: int = 32,
+                 max_band_rows: int | None = None):
         self.table = table
         self.id_col = id_col
         self.text_col = text_col
@@ -74,11 +76,14 @@ class IncrementalDeduper:
         self.bands = bands
         self.ngram = ngram
         self.n_buckets = n_buckets
+        # optional hot-group cap for the IN-BATCH near-dup self-join; None
+        # (default) keeps exact incremental==global equivalence
+        self.max_band_rows = max_band_rows
         self.dir = os.path.join(table.base_path, ".hoodie", STATE_DIR)
         # feature reuse between filter_batch(df) and the advance(df) that
         # follows it: instance state, valid because a deduper is a
         # single-writer object (one ingest pipeline per table by OCC)
-        self._feat_cache: tuple[DataFrame, DataFrame] | None = None
+        self._feat_cache: tuple[DataFrame, DataFrame, DataFrame] | None = None
         st = self._load_state()
         if st:
             for k in ("num_hashes", "bands", "ngram", "n_buckets"):
@@ -87,6 +92,15 @@ class IncrementalDeduper:
                         f"dedup state at {self.dir} was built with {k}="
                         f"{st[k]}, got {getattr(self, k)} — signature "
                         "parameters must match across batches")
+
+    def _release_pins(self) -> None:
+        if self._feat_cache is not None:
+            for frame in self._feat_cache[1:]:
+                try:
+                    frame.unpersist()
+                except Exception:
+                    pass
+            self._feat_cache = None
 
     # ------------------------------------------------------------ state io
     @property
@@ -108,7 +122,29 @@ class IncrementalDeduper:
             "bands": self.bands, "ngram": self.ngram,
             "n_buckets": self.n_buckets}).encode())
 
+    def _recover_dir(self, sub: str) -> None:
+        """Repair a compact_state() crash: the two-step directory swap can
+        leave the live dir missing with the COMPLETE folded copy still at
+        .compacting (and the pre-compaction data at .old). Losing state
+        here would be silent — the watermark still reads current, so
+        catch_up would backfill nothing and every seen doc would be
+        forgotten."""
+        d = os.path.join(self.dir, sub)
+        if os.path.isdir(d):
+            return
+        import shutil
+
+        if os.path.isdir(d + ".compacting") and os.path.isdir(d + ".old"):
+            # crash between the two os.replace calls: .compacting is the
+            # fully-written folded state (it is only ever swapped in AFTER
+            # its write completed while the live dir still existed)
+            os.replace(d + ".compacting", d)
+            shutil.rmtree(d + ".old", ignore_errors=True)
+        elif os.path.isdir(d + ".old"):
+            os.replace(d + ".old", d)
+
     def _read_state(self, sub: str, schema: str) -> DataFrame:
+        self._recover_dir(sub)
         d = os.path.join(self.dir, sub)
         spark = self.table.spark
         if not os.path.isdir(d) or not any(
@@ -133,11 +169,12 @@ class IncrementalDeduper:
         """Rows of ``df`` that are neither exact nor near duplicates of any
         earlier-seen doc (persisted state or a smaller id in this batch)."""
         self.catch_up()
+        self._release_pins()  # a prior filter_batch never advanced: drop its pins
         id_col = self.id_col
         mm = min_sig_matches(self.threshold, self.num_hashes)
         feats = self._features(df).persist()
-        self._feat_cache = (df, feats)
         banded = self._banded(feats).persist()
+        self._feat_cache = (df, feats, banded)
 
         # exact vs state: probe ONLY the state buckets the batch hashes in
         probe = feats.withColumn(
@@ -173,14 +210,20 @@ class IncrementalDeduper:
                 ["bucket", "band", "bh"])
             .filter(sig_agreement(F.col("minhash"), F.col("__ssig")) >= mm)
             .select(id_col))
-        # near within batch: banded self-join, later id drops
-        a, b = banded.alias("a"), banded.alias("b")
+        # near within batch: banded self-join, later id drops. Routed
+        # through bounded_self_pairs with the guard DISABLED by default
+        # (max_band_rows=None): capping loses cross-salt pairs above the
+        # cap, and the cap would bite per-BATCH groups while seen_dedup's
+        # would bite per-CORPUS groups, breaking the exact incremental ==
+        # global equivalence the oracle verifies. Micro-batches bound the
+        # group size operationally; set max_band_rows to trade exactness
+        # for a hard O(n*cap) bound on adversarial batches.
         near_batch = (
-            a.join(b, ["band", "bh"])
-            .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-            .filter(sig_agreement(F.col("a.minhash"),
-                                  F.col("b.minhash")) >= mm)
-            .select(F.col(f"b.{id_col}").alias(id_col)))
+            bounded_self_pairs(banded, ["band", "bh"], id_col,
+                               self.max_band_rows, carry=("minhash",))
+            .filter(sig_agreement(F.col("minhash_a"),
+                                  F.col("minhash_b")) >= mm)
+            .select(F.col("id_b").alias(id_col)))
 
         dropped = (exact_state.unionByName(exact_batch)
                    .unionByName(near_state).unionByName(near_batch)
@@ -191,13 +234,17 @@ class IncrementalDeduper:
     def advance(self, df: DataFrame, instant: str | None = None) -> None:
         """Register EVERY row of the batch (kept or dropped) as seen and
         publish the watermark. Call after the table commit succeeded."""
+        own_pin = False
         if self._feat_cache is not None and self._feat_cache[0] is df:
             # reuse the persisted features filter_batch(df) just computed —
             # the signature pass is the dominant cost of a batch
             feats = self._feat_cache[1]
-            self._feat_cache = None
         else:
+            self._release_pins()
             feats = self._features(df).persist()
+            own_pin = True
+        self._recover_dir("content")
+        self._recover_dir("bands")
         (feats.select(
             "chash",
             F.pmod(F.xxhash64("chash"),
@@ -211,7 +258,10 @@ class IncrementalDeduper:
                         F.lit(self.n_buckets)).cast("int").alias("bucket"))
          .write.partitionBy("bucket").mode("append")
          .parquet(os.path.join(self.dir, "bands")))
-        feats.unpersist()
+        if own_pin:
+            feats.unpersist()
+        else:
+            self._release_pins()  # feats + banded from the paired filter_batch
         if instant is None:
             last = self.table.timeline.last_completed()
             instant = last.timestamp if last else None

@@ -184,7 +184,22 @@ class Timeline:
         if n_move <= 0:
             return 0
         moved = 0
+        # a prior crash can leave a torn (newline-less) tail; appending
+        # straight onto it would GLUE the new record into one unparseable
+        # line — and since we fsync-then-delete, the glued instant would
+        # vanish from both the archive and the active dir. Terminate the
+        # torn tail first: it becomes a skippable garbage line whose
+        # instant is still safely in the active dir (its delete never ran).
+        if os.path.exists(self.archive_path) \
+                and os.path.getsize(self.archive_path) > 0:
+            with open(self.archive_path, "rb") as rf:
+                rf.seek(-1, os.SEEK_END)
+                torn = rf.read(1) != b"\n"
+        else:
+            torn = False
         with open(self.archive_path, "a") as f:
+            if torn:
+                f.write("\n")
             for inst in active[:n_move]:
                 if protected and inst.timestamp in protected:
                     continue
@@ -274,36 +289,73 @@ class LockProvider:
     stands in for ZookeeperBasedLockProvider for single-host OCC).
 
     Stale-holder reclamation (FileSystemBasedLockProvider.java
-    LOCK_EXPIRE semantics): a lock whose file mtime is older than
+    LOCK_EXPIRE semantics): a lock whose storage mtime is older than
     ``expiry_s`` belongs to a writer that died after acquiring (crashed
     pre-heartbeat, or whose release delete failed) — a waiter deletes it
-    and races the conditional create again. The expiry must be far longer
-    than any live commit-critical section: the mtime is re-checked
-    immediately before the delete, but check-then-delete is not atomic,
-    so a too-short expiry could evict a live holder."""
+    and races the conditional create again. Two safeguards keep live
+    holders safe: (a) the HOLDER refreshes the lock's mtime from a daemon
+    thread every ``expiry_s/3``, so a live lock is never observed stale
+    no matter how long the critical section runs; (b) the waiter
+    re-reads the mtime immediately before the evicting delete. The
+    residual race — another holder's create landing in the microseconds
+    between that re-read and the delete — is inherent to any
+    check-then-delete protocol without a conditional DELETE (the
+    reference's FileSystemBasedLockProvider carries the same window) and
+    shrinks with ``expiry_s``; keep it generous. The mtime is read
+    through the AtomicStorage seam; an adapter without ``mtime`` support
+    disables reclamation (safe: a dead lock then waits for an operator,
+    never the reverse)."""
 
     def __init__(self, base_path: str, timeout_s: float = 60.0,
                  expiry_s: float | None = 600.0):
         self.path = os.path.join(base_path, ".hoodie", ".lock")
         self.timeout_s = timeout_s
         self.expiry_s = expiry_s
+        self._refresher: threading.Thread | None = None
+        self._stop = threading.Event()
+
+    def _mtime(self) -> float | None:
+        from . import storage
+
+        try:
+            return storage.ATOMIC.mtime(self.path)
+        except NotImplementedError:
+            return None
+        except Exception:
+            return None
 
     def _reclaim_if_expired(self) -> bool:
         from . import storage
 
         if self.expiry_s is None:
             return False
-        try:
-            age = time.time() - os.path.getmtime(self.path)
-        except OSError:
-            return False  # released meanwhile — just retry the create
-        if age <= self.expiry_s:
-            return False
+        mt = self._mtime()
+        if mt is None or time.time() - mt <= self.expiry_s:
+            return False  # gone, fresh, or mtime unsupported — no eviction
         try:
             storage.ATOMIC.delete_if_exists(self.path)
         except Exception:
             return False
         return True
+
+    def _start_refresher(self):
+        if self.expiry_s is None:
+            return
+        from . import storage
+
+        interval = self.expiry_s / 3.0
+        self._stop.clear()
+
+        def run():  # touch the lock so a live holder never looks stale
+            while not self._stop.wait(interval):
+                try:
+                    storage.ATOMIC.put_atomic(self.path, b"")
+                except Exception:
+                    pass  # refresh is best-effort; expiry is generous
+
+        self._refresher = threading.Thread(target=run, daemon=True,
+                                           name="hoodie-lock-refresh")
+        self._refresher.start()
 
     def __enter__(self):
         # the other storage-atomicity dependency (storage.AtomicStorage):
@@ -313,6 +365,7 @@ class LockProvider:
         deadline = time.time() + self.timeout_s
         while True:
             if storage.ATOMIC.put_if_absent(self.path, b""):
+                self._start_refresher()
                 return self
             if self._reclaim_if_expired():
                 continue  # stale holder evicted — race the create again
@@ -328,6 +381,9 @@ class LockProvider:
         # expiry reclamation), a swallowed body exception is not.
         from . import storage
 
+        if self._refresher is not None:
+            self._stop.set()
+            self._refresher = None
         try:
             storage.ATOMIC.delete_if_exists(self.path)
         except Exception as e:  # pragma: no cover - transient store errors

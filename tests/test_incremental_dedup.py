@@ -135,3 +135,47 @@ def test_ingestor_with_deduper_three_microbatches(spark, corpus,
     assert ing.checkpoint() == "3"
     got = {r.doc_id for r in tbl.snapshot().select("doc_id").collect()}
     assert got == _global_keep(corpus)
+
+
+def test_compact_state_crash_recovery(spark, corpus, tmp_table_path):
+    """A crash between compact_state's two directory swaps leaves the live
+    dir missing; _recover_dir must restore the complete folded copy —
+    silently losing state would re-admit every future duplicate."""
+    import os
+
+    tbl = HoodieTable.create(spark, tmp_table_path, "inc_dedup_crash",
+                             ["doc_id"], None)
+    dd = IncrementalDeduper(tbl, "doc_id", "text", threshold=0.8)
+    b0, b1, _ = _batches(corpus)
+    tbl.upsert(dd.filter_batch(b0))
+    dd.advance(b0)
+    dd.compact_state()
+    # simulate the crash window: live dir renamed away, folded copy staged
+    d = os.path.join(dd.dir, "content")
+    os.replace(d, d + ".old")
+    import shutil
+    shutil.copytree(d + ".old", d + ".compacting")
+    dd2 = IncrementalDeduper(tbl, "doc_id", "text", threshold=0.8)
+    assert dd2.filter_batch(b1).count() == 0  # exact copies still caught
+    assert os.path.isdir(d) and not os.path.isdir(d + ".compacting")
+
+
+def test_filter_advance_releases_cached_frames(spark, corpus,
+                                               tmp_table_path):
+    """The paired filter_batch/advance cycle must not leak persisted
+    frames across micro-batches (long-running ingest)."""
+    tbl = HoodieTable.create(spark, tmp_table_path, "inc_dedup_pins",
+                             ["doc_id"], None)
+    dd = IncrementalDeduper(tbl, "doc_id", "text", threshold=0.8)
+    b0, b1, _ = _batches(corpus)
+    kept = dd.filter_batch(b0)
+    _, feats, banded = dd._feat_cache
+    tbl.upsert(kept)
+    dd.advance(b0)
+    assert dd._feat_cache is None
+    assert not feats.is_cached and not banded.is_cached
+    # filter-without-advance then another filter: stale pins released too
+    dd.filter_batch(b1)
+    _, feats1, banded1 = dd._feat_cache
+    dd.filter_batch(b1)
+    assert not feats1.is_cached and not banded1.is_cached

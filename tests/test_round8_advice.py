@@ -106,3 +106,31 @@ def test_lock_release_failure_does_not_mask_body_exception(tmp_table_path):
     finally:
         storage.ATOMIC.delete_if_exists = orig
     os.remove(os.path.join(tmp_table_path, ".hoodie", ".lock"))
+
+
+def test_archive_append_terminates_torn_tail(spark, orders, tmp_table_path):
+    """Appending over a crash-torn (newline-less) archive tail must not
+    glue the new record onto the partial line — the re-archived instant
+    would otherwise vanish from BOTH the archive and the active dir."""
+    tbl = _make_table_with_commits(spark, orders, tmp_table_path)
+    tl = tbl.timeline
+    with open(tl.archive_path, "w") as f:
+        f.write('{"timestamp": "199901010000', )  # torn, no newline
+    moved = tbl.archive(max_active=2)
+    assert moved >= 2
+    with open(tl.archive_path) as f:
+        lines = f.read().splitlines()
+    parsed = []
+    for ln in lines:
+        try:
+            parsed.append(json.loads(ln))
+        except json.JSONDecodeError:
+            pass
+    # every archived instant's record parses on its own line
+    archived = [i for i in tl.instants(include_archived=True)
+                if i not in tl.instants(include_archived=False)]
+    assert len(archived) == moved
+    ts = {r["timestamp"] for r in parsed}
+    assert all(i.timestamp in ts for i in archived)
+    # and the snapshot still folds the archived metadata
+    assert tbl.snapshot().count() == 100

@@ -219,3 +219,34 @@ def test_failed_release_recovered_by_expiry(tmp_table_path):
         assert not os.path.exists(lock_path)
     finally:
         st.ATOMIC = orig
+
+
+def test_live_holder_refresh_prevents_eviction(tmp_table_path):
+    """The holder's refresh thread keeps the lock mtime fresh, so a waiter
+    with a short expiry never evicts a LIVE holder mid-critical-section."""
+    import threading
+    import time as _t
+
+    os.makedirs(os.path.join(tmp_table_path, ".hoodie"), exist_ok=True)
+    lock_path = os.path.join(tmp_table_path, ".hoodie", ".lock")
+    release = threading.Event()
+    held = threading.Event()
+
+    def holder():
+        with tl.LockProvider(tmp_table_path, timeout_s=5, expiry_s=0.6):
+            held.set()
+            release.wait(10)
+
+    t = threading.Thread(target=holder)
+    t.start()
+    try:
+        assert held.wait(5)
+        _t.sleep(1.5)  # > 2x expiry: without refresh the lock looks stale
+        with pytest.raises(TimeoutError):
+            tl.LockProvider(tmp_table_path, timeout_s=0.5,
+                            expiry_s=0.6).__enter__()
+        assert os.path.exists(lock_path)  # holder never evicted
+    finally:
+        release.set()
+        t.join(10)
+    assert not os.path.exists(lock_path)  # released on exit

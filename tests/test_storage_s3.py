@@ -41,6 +41,8 @@ class FakeS3Client:
         self.calls.append(("head", Key))
         if (Bucket, Key) not in self.objects:
             raise _ClientError("404")
+        import datetime
+        return {"LastModified": datetime.datetime.now(datetime.timezone.utc)}
 
     def delete_object(self, Bucket, Key):
         self.calls.append(("delete", Key))
@@ -63,6 +65,9 @@ class LocalBackedS3Client(FakeS3Client):
         self.calls.append(("head", Key))
         if not os.path.exists(Key):
             raise _ClientError("404")
+        import datetime
+        return {"LastModified": datetime.datetime.fromtimestamp(
+            os.path.getmtime(Key), datetime.timezone.utc)}
 
     def delete_object(self, Bucket, Key):
         self.calls.append(("delete", Key))
@@ -90,6 +95,26 @@ def test_primitives_follow_s3_protocol():
     assert ("warehouse", "tables/t/.hoodie/x.json") in c.objects
     with pytest.raises(ValueError, match="no default bucket"):
         S3AtomicStorage(client=c).put_atomic("/plain/path", b"")
+
+
+def test_conditional_request_conflict_is_lost_race():
+    class Racy(FakeS3Client):
+        def put_object(self, Bucket, Key, Body, IfNoneMatch=None):
+            if IfNoneMatch == "*":
+                raise _ClientError("ConditionalRequestConflict")
+            super().put_object(Bucket, Key, Body)
+
+    s3 = S3AtomicStorage(client=Racy())
+    assert s3.put_if_absent("s3://b/k", b"") is False  # retryable, no crash
+
+
+def test_mtime_via_head_object():
+    c = FakeS3Client()
+    s3 = S3AtomicStorage(client=c)
+    assert s3.mtime("s3://b/missing") is None
+    s3.put_atomic("s3://b/k", b"x")
+    import time
+    assert abs(s3.mtime("s3://b/k") - time.time()) < 5
 
 
 def test_unexpected_errors_propagate():
