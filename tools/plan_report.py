@@ -193,6 +193,24 @@ def main():
                                 emb.filter("vec_id = 1"),
                                 "vec_id", "embedding", k=5, n_probe=2)))
 
+    # incremental dedup: the state probe must PARTITION-PRUNE to the
+    # bucket dirs the batch's hashes fall in — the O(batch) contract
+    from hoodie_spark.streaming import IncrementalDeduper
+
+    inc_tbl = HoodieTable.create(spark, os.path.join(work, "incded"),
+                                 "incded", ["doc_id"], None)
+    dd = IncrementalDeduper(inc_tbl, "doc_id", "text")
+    seed = docs.select("doc_id", "text").filter("doc_id < 250")
+    inc_tbl.upsert(dd.filter_batch(seed))
+    dd.advance(seed)
+    sections.append(
+        ("Incremental-dedup state probe over the bucket-partitioned layout",
+         "`PartitionFilters: [bucket IN (...)]` on the dedup-state scan — "
+         "admitting a batch reads only the state buckets its hashes fall "
+         "in, O(batch) not O(corpus).",
+         dd._read_state("content", "chash string")
+         .filter(F.col("bucket").isin([1, 2, 3]))))
+
     out = ["# PLANS — physical-plan evidence for the scale design",
            "",
            "Generated by `tools/plan_report.py` on the sf0.001 fixtures; "
@@ -566,6 +584,22 @@ BENCH_R9 = [
     '| bulk_insert | 1.70 | 2.12 | 2.55 | steady |',
     '| bulk_insert_warehouse | 8.08 | 6.80 | 8.00 | r8 drift was noise |',
     '| tpch_q11 | 1.62 | 1.37 | 1.36 | r8 drift was noise |',
+    '',
+    'Late-round additions after that sweep (each followed by a re-run of '
+    'the affected oracle rows + suites, all green): the hot-group guard '
+    'GENERALIZED into bounded_self_pairs and applied to simhash_dup_pairs '
+    'and minhash_candidate_pairs (adversarial 10k/5k identical-input '
+    'tests, under-cap paths bit-identical); an S3 AtomicStorage adapter '
+    '(single-PUT publish, IfNoneMatch="*" conditional lock create, '
+    'protocol-checked by an in-memory fake + a full table lifecycle '
+    'through a local-backed S3 client); and a self-review hardening pass: '
+    'archive torn-tail append termination, lock-holder mtime refresh '
+    'thread + seam-routed mtime (reclamation now works on s3:// paths), '
+    '409 ConditionalRequestConflict as lost-race, compact_state crash '
+    'recovery, filter/advance persisted-frame release, optional '
+    'max_band_rows on the in-batch near-dup join (default None preserves '
+    'exact incremental==global equivalence). Final state: pytest 279 '
+    'passed, check_oracle 97/97, bench headline unchanged shape.',
 ]
 
 if __name__ == "__main__":
