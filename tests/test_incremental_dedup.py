@@ -179,3 +179,90 @@ def test_filter_advance_releases_cached_frames(spark, corpus,
     _, feats1, banded1 = dd._feat_cache
     dd.filter_batch(b1)
     assert not feats1.is_cached and not banded1.is_cached
+
+
+def _py_seen_keep(docs, threshold=0.8, num_hashes=16, bands=4, ngram=5):
+    """Pure-Python mirror of the seen_dedup semantics: keep doc iff no
+    earlier doc is an exact dup or an LSH-band candidate with >= threshold
+    signature agreement. Same md5 formulas as the engine."""
+    import hashlib
+    import math
+    import re
+
+    def md5(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    def feats(text):
+        norm = re.sub(r"\s+", " ", text.lower()).strip()
+        sh = []
+        seen = set()
+        if len(norm) >= ngram:
+            for i in range(len(norm) - ngram + 1):
+                g = norm[i:i + ngram]
+                if g not in seen:
+                    seen.add(g)
+                    sh.append(g)
+        chash = md5(text)
+        if not sh:
+            return chash, None, None
+        sig = [min(md5(f"h{i}:{s}") for s in sh) for i in range(num_hashes)]
+        rpb = num_hashes // bands
+        bh = [(b, md5("".join(sig[b * rpb:(b + 1) * rpb])))
+              for b in range(bands)]
+        return chash, sig, bh
+
+    mm = int(math.ceil(threshold * num_hashes - 1e-9))
+    kept, seen_feats = [], []
+    for doc_id, text in sorted(docs):
+        chash, sig, bh = feats(text)
+        dup = False
+        for (c2, s2, b2) in seen_feats:
+            if c2 == chash:
+                dup = True
+                break
+            if sig is not None and b2 is not None and \
+                    set(bh) & set(b2) and \
+                    sum(1 for x, y in zip(sig, s2) if x == y) >= mm:
+                dup = True
+                break
+        if not dup:
+            kept.append(doc_id)
+        seen_feats.append((chash, sig, bh))
+    return set(kept)
+
+
+def test_seen_dedup_matches_python_model(spark, tmp_table_path):
+    """Randomized model check: seen_dedup AND the two-batch incremental
+    path both reproduce a brute-force O(n^2) Python implementation of the
+    same md5/MinHash math on a corpus dense with near-duplicates."""
+    import random
+
+    rng = random.Random(20260815)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta"]
+    docs = []
+    base_texts = [" ".join(rng.choices(vocab, k=rng.randint(2, 12)))
+                  for _ in range(12)]
+    for i in range(40):
+        t = rng.choice(base_texts)
+        r = rng.random()
+        if r < 0.3:
+            t = t + " " + rng.choice(vocab)      # near copy
+        elif r < 0.5:
+            t = " ".join(rng.choices(vocab, k=rng.randint(2, 12)))  # fresh
+        docs.append((i, t))
+    expected = _py_seen_keep(docs)
+
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    got = {r.doc_id for r in
+           HF.seen_dedup(df, "doc_id", "text", threshold=0.8)
+           .select("doc_id").collect()}
+    assert got == expected
+
+    tbl = HoodieTable.create(spark, tmp_table_path, "inc_dedup_model",
+                             ["doc_id"], None)
+    dd = IncrementalDeduper(tbl, "doc_id", "text", threshold=0.8)
+    for batch in (df.filter("doc_id < 20"), df.filter("doc_id >= 20")):
+        tbl.upsert(dd.filter_batch(batch))
+        dd.advance(batch)
+    inc = {r.doc_id for r in tbl.snapshot().select("doc_id").collect()}
+    assert inc == expected
