@@ -383,6 +383,10 @@ class LockProvider:
 
         if self._refresher is not None:
             self._stop.set()
+            # wait out an IN-FLIGHT refresh put before deleting: a touch
+            # landing after the delete would resurrect the lock and wedge
+            # the next writer until expiry reclamation
+            self._refresher.join(timeout=10.0)
             self._refresher = None
         try:
             storage.ATOMIC.delete_if_exists(self.path)
