@@ -266,3 +266,25 @@ def test_seen_dedup_matches_python_model(spark, tmp_table_path):
         dd.advance(batch)
     inc = {r.doc_id for r in tbl.snapshot().select("doc_id").collect()}
     assert inc == expected
+
+
+def test_incremental_dedup_on_mor_table(spark, corpus, tmp_table_path):
+    """Deduper over a MERGE_ON_READ table: the catch-up backfill reads
+    through delta logs (incremental over deltacommits), and the final
+    state still equals the batch-global keep-set."""
+    from hoodie_spark.config import TableType
+
+    tbl = HoodieTable.create(spark, tmp_table_path, "inc_dedup_mor",
+                             ["doc_id"], None,
+                             table_type=TableType.MERGE_ON_READ)
+    dd = IncrementalDeduper(tbl, "doc_id", "text", threshold=0.8)
+    b0, b1, b2 = _batches(corpus)
+    tbl.upsert(dd.filter_batch(b0))
+    dd.advance(b0)
+    shutil.rmtree(dd.dir)  # lose state: catch_up must read the MOR table
+    dd2 = IncrementalDeduper(tbl, "doc_id", "text", threshold=0.8)
+    for b in (b1, b2):
+        tbl.upsert(dd2.filter_batch(b))
+        dd2.advance(b)
+    got = {r.doc_id for r in tbl.snapshot().select("doc_id").collect()}
+    assert got == _global_keep(corpus)
