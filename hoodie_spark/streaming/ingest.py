@@ -179,7 +179,8 @@ class Ingestor:
                  operation: str = "upsert",
                  compact_every: int | None = None,
                  initial_checkpoint: str | None = None,
-                 deduper=None):
+                 deduper=None,
+                 compact_state_every: int | None = 16):
         self.table = table
         self.source = source
         self.transformer_sql = transformer_sql
@@ -196,6 +197,12 @@ class Ingestor:
         # content/near-dup identity), and the WHOLE batch — kept and
         # dropped — is registered as seen after the commit
         self.deduper = deduper
+        # fold the per-batch appended state files every N synced batches so
+        # a long-running pipeline's state scan width stays bounded
+        # (n_buckets files, duplicates collapsed) instead of growing by
+        # 2*n_buckets files per micro-batch
+        self.compact_state_every = compact_state_every
+        self._dedup_batches = 0
 
     def checkpoint(self) -> str | None:
         for inst in reversed(self.table.timeline.completed()):
@@ -233,6 +240,10 @@ class Ingestor:
             # "seen"; a crash before this point is repaired by catch_up()
             self.deduper.advance(batch)
             batch.unpersist()
+            self._dedup_batches += 1
+            if self.compact_state_every and \
+                    self._dedup_batches % self.compact_state_every == 0:
+                self.deduper.compact_state()
         self._maybe_compact()
         return res
 

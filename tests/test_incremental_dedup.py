@@ -288,3 +288,26 @@ def test_incremental_dedup_on_mor_table(spark, corpus, tmp_table_path):
         dd2.advance(b)
     got = {r.doc_id for r in tbl.snapshot().select("doc_id").collect()}
     assert got == _global_keep(corpus)
+
+
+def test_ingestor_compacts_state_periodically(spark, corpus,
+                                              tmp_table_path):
+    """Long-running ingest folds the per-batch state appends every
+    compact_state_every batches, bounding state file counts, without
+    changing decisions."""
+    import glob
+    import os
+
+    tbl = HoodieTable.create(spark, tmp_table_path, "inc_dedup_cse",
+                             ["doc_id"], None)
+    dd = IncrementalDeduper(tbl, "doc_id", "text", threshold=0.8)
+    ing = Ingestor(tbl, _ListSource(_batches(corpus)), deduper=dd,
+                   compact_state_every=2)
+    ing.run_continuous(3)
+    got = {r.doc_id for r in tbl.snapshot().select("doc_id").collect()}
+    assert got == _global_keep(corpus)
+    # after the fold each bucket dir holds ONE file (batches 1-2 folded,
+    # batch 3 appended one more)
+    for bucket_dir in glob.glob(os.path.join(dd.dir, "content", "bucket=*")):
+        n = len([f for f in os.listdir(bucket_dir) if f.endswith(".parquet")])
+        assert n <= 2, f"{bucket_dir} has {n} files"
