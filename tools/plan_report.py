@@ -575,8 +575,12 @@ BENCH_R9 = [
     'target was <=3.5 s |',
     '| ann_ivfpq_build | 2.89 | **2.82** | 3.11 | steady |',
     '| ann_ivfpq_probe | 1.38 | 1.61 | 1.39 | steady |',
-    '| minhash_dedup | 2.33 | **0.55** | 0.65 | char_ngrams bind-once |',
+    '| minhash_dedup | 2.33 | **0.55** | 0.65 | char_ngrams bind-once; '
+    'after the late-round hot-group guard the row costs ~1.1 s (one '
+    'census aggregate buys skew immunity) — still 2x faster than r8 |',
     '| dedup_spans | 2.71 | **1.29** | 1.23 | word_spans bind-once |',
+    '| simhash_dedup | n/a-r8 | 0.91 | 1.42 | ~1.5 s final tree with the '
+    'hot-block census |',
     '| incremental_dedup | n/a | 9.91 | 12.15 | NEW: full batch admission '
     '= filter (~3 s: 2 bucket-pruned state probes + in-batch self-join) '
     '+ table upsert (~5 s, the core writer path) + state append (~1.6 s) |',
