@@ -31,6 +31,9 @@ behind the table; the next batch detects the gap and backfills from the
 table's own incremental read (kept docs only — signatures of docs that were
 dropped in the lost window are gone, so a near-dup of such a doc may be
 re-admitted once: dedup degrades toward re-admission, never false drops).
+A ROLLBACK/RESTORE past the watermark breaks that direction — state would
+still carry removed rows as "seen" and falsely drop their re-ingest — so
+catch_up detects it and rebuilds state from the table's current content.
 
 Reference parity: the role DeltaStreamer's continuous mode plays in the
 reference (hudi-utilities .../deltastreamer/HoodieDeltaStreamer.java:354 —
@@ -276,6 +279,19 @@ class IncrementalDeduper:
         docstring for the (re-admission-only) degradation contract."""
         st = self._load_state()
         mark = st["instant"] if st else None
+        # a rollback/restore AFTER the watermark removed table rows whose
+        # signatures state still carries as "seen" — re-ingesting those
+        # docs would be FALSE DROPS, the one direction the contract
+        # forbids. Rebuild state from the table's current content
+        # (O(table), but rollback is a rare operator action).
+        if mark is not None:
+            from .. import timeline as tl
+
+            undone = [i for i in self.table.timeline.completed(
+                          (tl.ROLLBACK, tl.RESTORE))
+                      if i.timestamp > mark]
+            if undone:
+                return self._rebuild_from_table()
         last = self.table.timeline.last_completed()
         if last is None or (mark is not None and last.timestamp <= mark):
             if st is None:
@@ -286,6 +302,31 @@ class IncrementalDeduper:
         if n:
             self.advance(missed.select(self.id_col, self.text_col),
                          instant=last.timestamp)
+        else:
+            self._publish_state(last.timestamp)
+        return n
+
+    def _rebuild_from_table(self) -> int:
+        """Drop all state and re-register the table's CURRENT content as
+        the seen set (used after rollback/restore invalidated entries)."""
+        import logging
+        import shutil
+
+        logging.getLogger(__name__).warning(
+            "dedup state at %s invalidated by rollback/restore — "
+            "rebuilding from the current table content", self.dir)
+        for sub in ("content", "bands"):
+            d = os.path.join(self.dir, sub)
+            for suffix in ("", ".old", ".compacting"):
+                shutil.rmtree(d + suffix, ignore_errors=True)
+        last = self.table.timeline.last_completed()
+        if last is None:
+            self._publish_state(None)
+            return 0
+        current = self.table.snapshot().select(self.id_col, self.text_col)
+        n = current.count()
+        if n:
+            self.advance(current, instant=last.timestamp)
         else:
             self._publish_state(last.timestamp)
         return n

@@ -311,3 +311,36 @@ def test_ingestor_compacts_state_periodically(spark, corpus,
     for bucket_dir in glob.glob(os.path.join(dd.dir, "content", "bucket=*")):
         n = len([f for f in os.listdir(bucket_dir) if f.endswith(".parquet")])
         assert n <= 2, f"{bucket_dir} has {n} files"
+
+
+def test_rollback_invalidates_seen_state(spark, corpus, tmp_table_path):
+    """Restoring the table to a savepoint removes rows whose signatures
+    state still carries; re-ingesting those docs must be KEPT (rebuild on
+    rollback), never falsely dropped — the one forbidden direction."""
+    tbl = HoodieTable.create(spark, tmp_table_path, "inc_dedup_rb",
+                             ["doc_id"], None)
+    dd = IncrementalDeduper(tbl, "doc_id", "text", threshold=0.8)
+    b0 = _batches(corpus)[0]
+    tbl.upsert(dd.filter_batch(b0))
+    dd.advance(b0)
+    n0 = tbl.snapshot().count()
+    sp = tbl.timeline.last_completed().timestamp
+    tbl.savepoint(sp)
+    fresh = spark.range(50000, 50020).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("entirely novel content item number "),
+                 F.col("id").cast("string"),
+                 F.lit(" with its own distinct vocabulary payload "),
+                 F.md5(F.col("id").cast("string"))).alias("text"))
+    tbl.upsert(dd.filter_batch(fresh))
+    dd.advance(fresh)
+    assert tbl.snapshot().count() == n0 + 20
+    tbl.restore(sp)  # fresh docs gone from the table, still in state
+    assert tbl.snapshot().count() == n0
+    dd2 = IncrementalDeduper(tbl, "doc_id", "text", threshold=0.8)
+    kept = dd2.filter_batch(fresh)  # catch_up must rebuild, not false-drop
+    assert kept.count() == fresh.count()
+    tbl.upsert(kept)
+    dd2.advance(fresh)
+    # and batch-0 duplicates are still recognized after the rebuild
+    assert dd2.filter_batch(b0.limit(10)).count() == 0
