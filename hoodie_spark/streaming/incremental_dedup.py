@@ -34,6 +34,11 @@ re-admitted once: dedup degrades toward re-admission, never false drops).
 A ROLLBACK/RESTORE past the watermark breaks that direction — state would
 still carry removed rows as "seen" and falsely drop their re-ingest — so
 catch_up detects it and rebuilds state from the table's current content.
+Row-level DELETEs deliberately do NOT invalidate seen-state: a deleted
+doc's content stays suppressed if it arrives again (takedown semantics —
+the usual reason corpus rows are deleted); an operator who wants deleted
+content re-admittable should rebuild state (delete the state dir and let
+catch_up reconstruct it from the table).
 
 Reference parity: the role DeltaStreamer's continuous mode plays in the
 reference (hudi-utilities .../deltastreamer/HoodieDeltaStreamer.java:354 —
