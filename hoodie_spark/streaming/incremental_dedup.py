@@ -208,7 +208,7 @@ class IncrementalDeduper:
         bbuckets = [r["bucket"] for r in
                     bprobe.select("bucket").distinct().collect()]
         sbands = self._read_state(
-            "bands", f"band int, bh string, minhash array<string>")
+            "bands", "band int, bh string, minhash array<string>")
         if bbuckets:
             sbands = sbands.filter(F.col("bucket").isin(bbuckets))
         near_state = (

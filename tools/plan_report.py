@@ -602,7 +602,12 @@ BENCH_R9 = [
     '409 ConditionalRequestConflict as lost-race, compact_state crash '
     'recovery, filter/advance persisted-frame release, optional '
     'max_band_rows on the in-batch near-dup join (default None preserves '
-    'exact incremental==global equivalence). Final state: pytest 279 '
+    'exact incremental==global equivalence); rollback/restore past the '
+    'dedup-state watermark triggers a state rebuild from the table (a '
+    'stale seen-set would otherwise FALSE-DROP re-ingested docs); the '
+    'continuous ingest loop folds state files every compact_state_every '
+    'batches; a randomized Python-model check pins the md5/MinHash/band '
+    'math against a third independent implementation. Final state: pytest 283 '
     'passed, check_oracle 97/97, bench headline unchanged shape.',
 ]
 
