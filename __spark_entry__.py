@@ -1235,6 +1235,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["corpus_filter"] = lambda s, d: HF.filter_corpus(
         load_table(s, d, "documents"), "text", langs=["en", "und"],
         min_quality=0.75, min_tokens=30, max_pii_hits=0).select("doc_id")
+    # fixed-length training-sequence packing: docs concatenate in id order
+    # and split across 256-token boundaries (exact integer semantics)
+    q["pack_sequences"] = lambda s, d: HF.pack_sequences(
+        load_table(s, d, "documents").select(
+            "doc_id", HF.token_count("text").alias("w")),
+        "w", 256, ["doc_id"], num_buckets=8).select(
+            "doc_id", "seq_id", "piece_start", "piece_len")
     q["embedding_projection"] = lambda s, d: load_table(
         s, d, "embeddings").select(
             "vec_id", *[F.round(p, 6).alias(f"p{i}") for i, p in enumerate(
@@ -1514,6 +1521,23 @@ GROUP BY ngram ORDER BY df DESC, ngram ASC LIMIT 20
             f"p{i + 1} AS (SELECT doc_id, "
             f"regexp_replace(c, '{pat}', '<{tag.upper()}>', 'g') AS c, "
             f"h + len(regexp_extract_all(c, '{pat}')) AS h FROM p{i})")
+    o["pack_sequences"] = f"""
+WITH t AS (
+  SELECT doc_id, len({_TOKENS.format(t='text')}) AS w FROM documents
+),
+pos AS (
+  SELECT doc_id, w,
+         CAST(COALESCE(SUM(w) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS off
+  FROM t WHERE w > 0
+)
+SELECT doc_id, CAST(u.k AS BIGINT) AS seq_id,
+       CAST(GREATEST(off, u.k * 256) - off AS BIGINT) AS piece_start,
+       CAST(LEAST(off + w, (u.k + 1) * 256)
+            - GREATEST(off, u.k * 256) AS BIGINT) AS piece_len
+FROM pos, UNNEST(range(off // 256, (off + w - 1) // 256 + 1)) AS u(k)
+"""
     o["corpus_filter"] = ("WITH " + ",\n".join(pii_steps) + f"""
 SELECT d.doc_id FROM documents d
 JOIN p{len(_PII_PATTERNS)} pp ON d.doc_id = pp.doc_id

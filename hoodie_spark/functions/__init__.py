@@ -83,6 +83,7 @@ from .ranges import range_join
 from .sessions import sessionize
 from .pipeline import (
     redact_pii, pii_hits, deterministic_sample, sample_hash, pack_shards,
+    pack_sequences,
     top_ngrams, filter_corpus, word_ngrams, contaminated_ids, decontaminate,
     stratified_sample, tfidf_terms, tfidf_vectors, corpus_pipeline,
     chunk_documents, unigram_logprob, source_weighted_sample,
@@ -109,7 +110,7 @@ __all__ = [
     "asof_join",
     "range_join",
     "redact_pii", "pii_hits", "deterministic_sample", "sample_hash",
-    "pack_shards", "top_ngrams", "filter_corpus",
+    "pack_shards", "pack_sequences", "top_ngrams", "filter_corpus",
     "word_ngrams", "contaminated_ids", "decontaminate", "stratified_sample",
     "corpus_pipeline", "chunk_documents", "unigram_logprob",
     "source_weighted_sample",

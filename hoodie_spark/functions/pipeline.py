@@ -146,6 +146,78 @@ def pack_shards(df: DataFrame, weight_col: str, budget: float,
             .drop("__bkt", "__w", "__off"))
 
 
+def pack_sequences(df: DataFrame, weight_col, seq_len: int,
+                   order_cols: list[str],
+                   num_buckets: int = 256) -> DataFrame:
+    """Pack ordered documents into fixed-length training sequences of
+    ``seq_len`` tokens — the example-construction step between chunking
+    and shard packing: documents concatenate in ``order_cols`` order and a
+    document crossing a sequence boundary SPLITS across sequences.
+
+    Returns one row per (document, sequence) piece: the input columns plus
+    ``seq_id`` (0-based sequence index), ``piece_start`` (token offset of
+    the piece WITHIN the document) and ``piece_len``. Rows with a
+    non-positive weight are dropped (no tokens to place). Exact integer
+    semantics, reproducible across engines: with o = total tokens before
+    the doc and w its token count, the doc spans global tokens [o, o+w)
+    and lands in sequences floor(o/L) .. floor((o+w-1)/L).
+
+    Scale shape: the global offset is the same distributed two-pass prefix
+    sum as :func:`pack_shards` (order-contiguous equal-width buckets,
+    per-bucket cumsum, one broadcast offset row per bucket — never an
+    `Exchange SinglePartition`); the piece fan-out is an in-row
+    ``sequence()`` explode, ceil(w/L)+1 rows max per doc, no shuffle.
+    The first entry of ``order_cols`` must be numeric.
+    """
+    lead = order_cols[0]
+    lo, hi = df.agg(F.min(lead), F.max(lead)).first()
+    if lo is None:
+        return (df.withColumn("seq_id", F.lit(None).cast("long"))
+                .withColumn("piece_start", F.lit(None).cast("long"))
+                .withColumn("piece_len", F.lit(None).cast("long")))
+    span = float(hi) - float(lo)
+    if span <= 0 or num_buckets <= 1:
+        bucket = F.lit(0)
+    else:
+        bucket = F.least(
+            F.lit(num_buckets - 1),
+            F.floor((F.col(lead).cast("double") - F.lit(float(lo)))
+                    / F.lit(span) * F.lit(num_buckets)).cast("int"))
+    w = (F.col(weight_col) if isinstance(weight_col, str)
+         else weight_col).cast("long")
+    staged = (df.withColumn("__w", w).filter(F.col("__w") > 0)
+              .withColumn("__bkt", bucket))
+    totals = {r["__bkt"]: r["__t"] for r in
+              staged.groupBy("__bkt").agg(F.sum("__w").alias("__t"))
+              .collect()}
+    offsets, acc = {}, 0
+    for b in sorted(totals):
+        offsets[b] = acc
+        acc += int(totals[b])
+    off_df = F.broadcast(df.sparkSession.createDataFrame(
+        [(int(b), int(o)) for b, o in offsets.items()],
+        "__bkt int, __boff long"))
+    win = Window.partitionBy("__bkt").orderBy(*order_cols)
+    local_cum = F.sum("__w").over(win) - F.col("__w")
+    L = F.lit(int(seq_len))
+    off = (F.col("__boff") + local_cum).alias("__off")
+    pieced = (staged.join(off_df, "__bkt")
+              .withColumn("__off", off)
+              .withColumn("seq_id", F.explode(F.sequence(
+                  F.floor(F.col("__off") / L).cast("long"),
+                  F.floor((F.col("__off") + F.col("__w") - 1) / L)
+                  .cast("long"))))
+              .withColumn("__gs", F.greatest(F.col("__off"),
+                                             F.col("seq_id") * L))
+              .withColumn("__ge", F.least(F.col("__off") + F.col("__w"),
+                                          (F.col("seq_id") + 1) * L))
+              .withColumn("piece_start",
+                          (F.col("__gs") - F.col("__off")).cast("long"))
+              .withColumn("piece_len",
+                          (F.col("__ge") - F.col("__gs")).cast("long")))
+    return pieced.drop("__bkt", "__w", "__boff", "__off", "__gs", "__ge")
+
+
 def filter_corpus(df: DataFrame, text_col: str,
                   langs: list[str] | None = None,
                   min_quality: float | None = None,

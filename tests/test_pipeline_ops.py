@@ -355,3 +355,33 @@ def test_chunk_documents_random_model(spark):
                for i, text in docs
                for ci, txt, nt in model(text, chunk, overlap)}
         assert got == exp, (chunk, overlap)
+
+
+def test_pack_sequences_matches_python_model(spark):
+    """Random weights (incl. zero and >seq_len docs): exact piece layout
+    vs a sequential Python model, plus the every-sequence-full invariant."""
+    import collections
+    import random
+
+    rng = random.Random(7)
+    L = 16
+    rows = [(i, rng.randint(0, 40)) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id int, w int")
+    got = sorted((r.doc_id, r.seq_id, r.piece_start, r.piece_len) for r in
+                 HF.pack_sequences(df, "w", L, ["doc_id"],
+                                   num_buckets=8).collect())
+    exp, off = [], 0
+    for i, w in rows:
+        if w <= 0:
+            continue
+        for k in range(off // L, (off + w - 1) // L + 1):
+            gs, ge = max(off, k * L), min(off + w, (k + 1) * L)
+            exp.append((i, k, gs - off, ge - gs))
+        off += w
+    assert got == sorted(exp)
+    per_seq = collections.Counter()
+    for _, k, _, pl in got:
+        per_seq[k] += pl
+    last = max(per_seq)
+    assert all(v == L for k, v in per_seq.items() if k != last)
+    assert 0 < per_seq[last] <= L
