@@ -156,6 +156,9 @@ def run_suite(spark, sf_dir: str) -> dict[str, float]:
         docs.filter(F.col("doc_id") % 20 == 0)).count())
     timed("chunk_documents")(lambda: HF.chunk_documents(
         docs, "doc_id", "text", chunk_tokens=64, overlap=8).count())
+    timed("pack_sequences")(lambda: HF.pack_sequences(
+        docs.select("doc_id", HF.token_count("text").alias("w")),
+        "w", 256, ["doc_id"]).count())
     timed("unigram_logprob")(lambda: HF.unigram_logprob(
         docs, "doc_id", "text", vocab_size=64).count())
     timed("events_window")(lambda: events.groupBy(
