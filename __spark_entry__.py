@@ -1132,6 +1132,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_fingerprint"] = lambda s, d: load_table(s, d, "documents").select(
         "doc_id", HF.fingerprint("text").alias("fp"),
         HF.kmin_fingerprint("text").alias("kfp"))
+    # within-document stutter repair: consecutive duplicate tokens collapse
+    # to one occurrence — map-only HOF, zero shuffle
+    q["collapse_repeats"] = lambda s, d: load_table(s, d, "documents").select(
+        "doc_id", HF.collapse_repeats("text").alias("o")).select(
+        "doc_id", F.col("o.text_clean").alias("text_clean"),
+        F.col("o.n_removed").alias("n_removed"))
 
     # ---- dedup
     q["dedup_exact"] = lambda s, d: HF.exact_dedup(
@@ -1303,6 +1309,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           "vec_id", "embedding", k=10, m=8, n_codes=16)
     q["ann_pq"] = _q_ann_pq
 
+    def _q_ann_pq_rerank(s, d):
+        # two-stage serving: ADC shortlist (top-30) then exact-cosine
+        # re-rank to top-10 — stage-2 cost independent of corpus size
+        emb = load_table(s, d, "embeddings")
+        return HF.pq_topk_rerank(
+            emb, emb.filter("vec_id < 10"), "vec_id", "embedding",
+            k=10, shortlist=30, m=8, n_codes=16).select(
+            "query_id", "neighbor_id", "rank")
+    q["ann_pq_rerank"] = _q_ann_pq_rerank
+
     q["chunk_documents"] = lambda s, d: HF.chunk_documents(
         load_table(s, d, "documents"), "doc_id", "text",
         chunk_tokens=64, overlap=8)
@@ -1364,7 +1380,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                # source_mix_sample / knn_classify / events_json_agg stay
                # past the window: they are near-variants of hash_sample,
                # ann_brute_force and events_window respectively.
-               "unigram_logprob": "ann_lsh"}
+               "unigram_logprob": "ann_lsh",
+               # Late round-9 rotation: this round's remaining NEW unique
+               # operators enter the window in place of rows whose close
+               # sibling stays in-window (displaced rows remain verified
+               # by tools/check_oracle.py):
+               #   pack_sequences    <-> insert_overwrite   (family stays
+               #     evidenced by insert_overwrite_table)
+               #   zorder_clustering <-> merge_into         (MERGE surface
+               #     stays evidenced by merge_into_sql)
+               #   ann_pq_rerank     <-> cdc_upsert         (CDC stays
+               #     evidenced by cdc_incremental, whose fixture performs
+               #     the CDC-payload writes)
+               #   collapse_repeats enters by insertion order (defined next
+               #     to text_stats), nudging the tail past the cutoff; the
+               #     multimodal_decode<->text_fingerprint swap pulls the
+               #     unique multimodal row back in — the displaced
+               #     text_fingerprint's map-only text family stays
+               #     evidenced by text_stats
+               "pack_sequences": "insert_overwrite",
+               "zorder_clustering": "merge_into",
+               "ann_pq_rerank": "cdc_upsert",
+               "multimodal_decode": "text_fingerprint"}
     keys = list(q)
     for new, old in promote.items():
         i, j = keys.index(old), keys.index(new)
@@ -1826,7 +1863,7 @@ FROM tc JOIN vocab USING (term)
     # with (dist, code) tie-break = Spark's first-index array_position;
     # scoring dots the raw query against the flattened reconstruction in
     # one left-to-right 64-element fold — rank-only output, like ann_ivf.
-    o["ann_pq"] = """
+    _pq_adc = """
 WITH v AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
   FROM embeddings
@@ -1871,12 +1908,40 @@ scored AS (
          ((q.ve[1]*c.re[1] + q.ve[2]*c.re[2] + q.ve[3]*c.re[3] + q.ve[4]*c.re[4] + q.ve[5]*c.re[5] + q.ve[6]*c.re[6] + q.ve[7]*c.re[7] + q.ve[8]*c.re[8]) + (q.ve[9]*c.re[9] + q.ve[10]*c.re[10] + q.ve[11]*c.re[11] + q.ve[12]*c.re[12] + q.ve[13]*c.re[13] + q.ve[14]*c.re[14] + q.ve[15]*c.re[15] + q.ve[16]*c.re[16]) + (q.ve[17]*c.re[17] + q.ve[18]*c.re[18] + q.ve[19]*c.re[19] + q.ve[20]*c.re[20] + q.ve[21]*c.re[21] + q.ve[22]*c.re[22] + q.ve[23]*c.re[23] + q.ve[24]*c.re[24]) + (q.ve[25]*c.re[25] + q.ve[26]*c.re[26] + q.ve[27]*c.re[27] + q.ve[28]*c.re[28] + q.ve[29]*c.re[29] + q.ve[30]*c.re[30] + q.ve[31]*c.re[31] + q.ve[32]*c.re[32]) + (q.ve[33]*c.re[33] + q.ve[34]*c.re[34] + q.ve[35]*c.re[35] + q.ve[36]*c.re[36] + q.ve[37]*c.re[37] + q.ve[38]*c.re[38] + q.ve[39]*c.re[39] + q.ve[40]*c.re[40]) + (q.ve[41]*c.re[41] + q.ve[42]*c.re[42] + q.ve[43]*c.re[43] + q.ve[44]*c.re[44] + q.ve[45]*c.re[45] + q.ve[46]*c.re[46] + q.ve[47]*c.re[47] + q.ve[48]*c.re[48]) + (q.ve[49]*c.re[49] + q.ve[50]*c.re[50] + q.ve[51]*c.re[51] + q.ve[52]*c.re[52] + q.ve[53]*c.re[53] + q.ve[54]*c.re[54] + q.ve[55]*c.re[55] + q.ve[56]*c.re[56]) + (q.ve[57]*c.re[57] + q.ve[58]*c.re[58] + q.ve[59]*c.re[59] + q.ve[60]*c.re[60] + q.ve[61]*c.re[61] + q.ve[62]*c.re[62] + q.ve[63]*c.re[63] + q.ve[64]*c.re[64]))
          / (q.nrm * c.rnrm) AS cos
   FROM rn2 c CROSS JOIN q WHERE c.vec_id <> q.vec_id
-)
+)"""
+    o["ann_pq"] = _pq_adc + """
 SELECT query_id, neighbor_id, rank FROM (
   SELECT query_id, neighbor_id,
          row_number() OVER (PARTITION BY query_id
                             ORDER BY cos DESC, neighbor_id) AS rank
   FROM scored
+) WHERE rank <= 10
+"""
+    # two-stage PQ serving: ADC shortlist (top-30, the scored CTE above)
+    # then exact-cosine re-rank from the raw vectors — the dot is the same
+    # left-to-right 64-fold as ann_brute_force, so ranks match bit-for-bit
+    o["ann_pq_rerank"] = _pq_adc + """,
+short AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, neighbor_id) AS rank
+    FROM scored) WHERE rank <= 30
+),
+rescored AS (
+  SELECT s.query_id, s.neighbor_id,
+         list_sum(list_transform(range(1, 65),
+           i -> c.ve[CAST(i AS INT)] * q2.ve[CAST(i AS INT)]))
+         / (c.nrm * q2.nrm) AS cos
+  FROM short s
+  JOIN n c ON c.vec_id = s.neighbor_id
+  JOIN n q2 ON q2.vec_id = s.query_id
+)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rank
+  FROM rescored
 ) WHERE rank <= 10
 """
 
@@ -2149,6 +2214,32 @@ SELECT doc_id,
        md5(array_to_string(
          list_sort(list_transform(shingles, s -> md5(s)))[1:8], '')) AS kfp
 FROM sh
+"""
+    # consecutive-duplicate-token collapse: zipped unnest pairs each token
+    # with its ordinal, lag() finds the predecessor, string_agg rebuilds
+    # the text in order — same single-space normalization as the engine
+    o["collapse_repeats"] = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS l
+  FROM documents
+),
+w AS (
+  SELECT doc_id, unnest(l) AS w,
+         unnest(range(1, len(l) + 1)) AS i, len(l) AS n
+  FROM t
+),
+f AS (
+  SELECT doc_id, w, i, n,
+         lag(w) OVER (PARTITION BY doc_id ORDER BY i) AS pw
+  FROM w
+)
+SELECT doc_id,
+       string_agg(w, ' ' ORDER BY i)
+         FILTER (WHERE pw IS NULL OR w <> pw) AS text_clean,
+       CAST(any_value(n) - count(*)
+         FILTER (WHERE pw IS NULL OR w <> pw) AS INT) AS n_removed
+FROM f GROUP BY doc_id
 """
     o["dedup_exact"] = """
 SELECT min(doc_id) AS doc_id FROM (

@@ -132,6 +132,8 @@ def run_suite(spark, sf_dir: str) -> dict[str, float]:
         n_centroids=16, n_probe=4).count())
     timed("ann_pq")(lambda: HF.pq_topk(
         emb, queries_df, "vec_id", "embedding", k=10).count())
+    timed("ann_pq_rerank")(lambda: HF.pq_topk_rerank(
+        emb, queries_df, "vec_id", "embedding", k=10, shortlist=30).count())
 
     # the production ANN shape: IVF-PQ index build is amortized
     # (ann_ivfpq_build), serving cost is the probe — centroid partition
@@ -154,6 +156,9 @@ def run_suite(spark, sf_dir: str) -> dict[str, float]:
     timed("corpus_pipeline")(lambda: HF.corpus_pipeline(
         docs.filter(F.col("doc_id") % 20 != 0),
         docs.filter(F.col("doc_id") % 20 == 0)).count())
+    timed("collapse_repeats")(lambda: docs.select(
+        HF.collapse_repeats("text").alias("o")).agg(
+            F.sum("o.n_removed")).collect())
     timed("chunk_documents")(lambda: HF.chunk_documents(
         docs, "doc_id", "text", chunk_tokens=64, overlap=8).count())
     timed("pack_sequences")(lambda: HF.pack_sequences(

@@ -31,6 +31,7 @@ from .text import (
     quality_score,
     fingerprint,
     kmin_fingerprint,
+    collapse_repeats,
 )
 from .dedup import (
     exact_dedup,
@@ -62,6 +63,7 @@ from .similarity import (
     pq_encode,
     pq_reconstruct,
     pq_topk,
+    pq_topk_rerank,
     write_pq_index,
     write_ivfpq_index,
     ivfpq_topk_from_index,

@@ -35,7 +35,7 @@ __all__ = [
     "brute_force_topk", "lsh_bucket_topk", "ivf_topk",
     "kmeans_centroids", "write_ivf_index", "ivf_topk_from_index",
     "pq_codebooks", "pq_codebooks_trained", "pq_encode", "pq_reconstruct",
-    "pq_topk", "write_pq_index", "write_ivfpq_index",
+    "pq_topk", "pq_topk_rerank", "write_pq_index", "write_ivfpq_index",
     "ivfpq_topk_from_index", "knn_classify",
 ]
 
@@ -618,6 +618,50 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
                     .withColumn("c_rn", _pq_code_norm(books)))
     lut_df = _pq_luts(queries, id_col, vec_col, books)
     return _pq_score_topk(codes_df, lut_df, books, k)
+
+
+def pq_topk_rerank(corpus: DataFrame, queries: DataFrame, id_col: str,
+                   vec_col: str, k: int = 10, shortlist: int = 30,
+                   m: int = 8, n_codes: int = 16, books=None,
+                   codes_df: DataFrame | None = None) -> DataFrame:
+    """Two-stage ANN serving: ADC shortlist, then EXACT cosine re-rank.
+
+    Stage 1 runs :func:`pq_topk` for the top-``shortlist`` candidates per
+    query — with a pre-encoded index (``codes_df`` from
+    :func:`write_pq_index`) the scan reads only codes + norm and never
+    touches the raw corpus. Stage 2 fetches raw vectors for just the
+    ``|queries| x shortlist`` candidate ids (an equi-join the corpus side
+    can hash-prune / dynamic-partition-prune at scale), broadcasts the raw
+    queries, and re-scores each candidate with the exact cosine.
+
+    Scale: stage-2 cost is independent of corpus size — the standard
+    recall-repair pattern for PQ's quantization error. ``shortlist/k`` is
+    the recall knob; with ``shortlist >= |corpus| - 1`` the result equals
+    :func:`brute_force_topk` exactly.
+
+    Returns (query_id, neighbor_id, rank, cos) — rank 1..k per query by
+    exact cosine, ties toward the smaller neighbor id.
+    """
+    short = pq_topk(corpus, queries, id_col, vec_col, k=shortlist, m=m,
+                    n_codes=n_codes, books=books, codes_df=codes_df)
+    cand = short.select(F.col("query_id").alias("q_id"),
+                        F.col("neighbor_id").alias("c_id"))
+    c = _prep(corpus, id_col, vec_col, "c")
+    q = _prep(queries, id_col, vec_col, "q")
+    # broadcast the |queries| x shortlist candidate ids into the corpus
+    # scan: the raw-vector fetch is a map-side hash join (plus dynamic
+    # pruning on a partitioned corpus), never a corpus shuffle
+    scored = (c.join(F.broadcast(cand), "c_id")
+              .join(F.broadcast(q), "q_id")
+              .select(F.col("q_id").alias("query_id"),
+                      F.col("c_id").alias("neighbor_id"),
+                      (dot("c_v", "q_v")
+                       / (F.col("c_n") * F.col("q_n"))).alias("cos")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"),
+                                               F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank", "cos"))
 
 
 def pq_codebooks_trained(corpus: DataFrame, id_col: str, vec_col: str,

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "tokens", "token_count", "regex_token_count", "char_ngrams", "lang_id",
     "LANG_PROFILES", "quality_score", "fingerprint", "kmin_fingerprint",
+    "collapse_repeats",
 ]
 
 
@@ -125,6 +126,40 @@ def quality_score(col) -> Column:
         + F.lit(0.2) * stop
         + F.lit(0.1) * (F.lit(1.0) - symbols / safe_n)
     )
+
+
+def collapse_repeats(col) -> Column:
+    """Collapse runs of consecutive duplicate whitespace tokens to a single
+    occurrence — the cheap in-document repetition repair (boilerplate
+    stutter, copy-paste echo) that complements the *gate* in
+    ``quality.gopher_metrics``: instead of dropping a repetitive document,
+    this keeps it with the stutter removed.
+
+    Returns ``struct(text_clean string, n_removed int)``. Whitespace runs
+    normalize to a single space in the output (same convention as
+    :func:`fingerprint`). Case-sensitive: tokens must match exactly to
+    collapse.
+
+    Pure higher-order Column expression — map-only, zero shuffle, runs in
+    whole-stage codegen; at 100 TB this is scan-bound. The token array is
+    bound ONCE as a lambda variable (interpreted HOFs have no CSE — see
+    :func:`char_ngrams`), so the split/filter chain runs once per row, not
+    once per token.
+    """
+    col = F.col(col) if isinstance(col, str) else col
+    raw = F.filter(F.split(col, r"\s+"), lambda t: t != F.lit(""))
+
+    def _out(toks):
+        # keep token i (0-based) iff it differs from its predecessor;
+        # element_at is 1-based so element_at(toks, i) IS the predecessor
+        kept = F.filter(
+            toks,
+            lambda x, i: (i == F.lit(0)) | (x != F.element_at(toks, i)))
+        return F.struct(
+            F.array_join(kept, " ").alias("text_clean"),
+            (F.size(toks) - F.size(kept)).alias("n_removed"))
+
+    return F.element_at(F.transform(F.array(raw), _out), 1)
 
 
 def fingerprint(col) -> Column:

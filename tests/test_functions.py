@@ -478,3 +478,37 @@ def test_minhash_hot_band_bounded(spark):
     groups = HF.duplicate_groups(pairs)
     assert groups.select("group_id").distinct().count() == 1
     assert groups.count() == n
+
+
+def test_collapse_repeats_hand_checked(spark):
+    df = spark.createDataFrame(
+        [(1, "a a b b b c a"),
+         (2, "one  two\t two   three"),   # whitespace runs normalize
+         (3, "solo"),
+         (4, "no dup here at all"),
+         (5, "Spam spam")],               # case-sensitive: no collapse
+        ["doc_id", "text"])
+    out = {r.doc_id: r for r in df.select(
+        "doc_id", HF.collapse_repeats("text").alias("o"))
+        .select("doc_id", "o.*").collect()}
+    assert out[1].text_clean == "a b c a" and out[1].n_removed == 3
+    assert out[2].text_clean == "one two three" and out[2].n_removed == 1
+    assert out[3].text_clean == "solo" and out[3].n_removed == 0
+    assert out[4].n_removed == 0
+    assert out[5].text_clean == "Spam spam" and out[5].n_removed == 0
+
+
+def test_collapse_repeats_corpus_properties(docs):
+    out = (docs.select("doc_id", "text",
+                       HF.collapse_repeats("text").alias("o"))
+           .select("doc_id", "text", "o.*"))
+    # token accounting: kept + removed == original token count
+    bad = out.filter(
+        HF.token_count("text_clean") + F.col("n_removed")
+        != HF.token_count("text")).count()
+    assert bad == 0
+    # idempotent: a second pass removes nothing
+    again = out.select(HF.collapse_repeats("text_clean").alias("o2"))
+    assert again.filter("o2.n_removed != 0").count() == 0
+    # the synthetic corpus does contain stutter ("batch batch batch")
+    assert out.agg(F.sum("n_removed")).first()[0] > 0

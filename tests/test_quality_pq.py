@@ -258,3 +258,55 @@ def test_quality_ops_edge_inputs(spark):
     assert out.count() >= 1  # unicode doc survives with its spans
     t = HF.tfidf_terms(df.filter("text is not null"), "doc_id", "text")
     assert t.filter("term = 'wörld'").count() == 1
+
+
+def test_pq_rerank_full_shortlist_equals_bruteforce(spark, emb):
+    """With a shortlist covering the whole corpus the exact re-rank must
+    reproduce brute-force ranks exactly — quantization error fully
+    repaired."""
+    qs = emb.filter("vec_id < 5")
+    n = emb.count()
+    bf = {(r[0], r[1], r[2]) for r in HF.brute_force_topk(
+        emb, qs, "vec_id", "embedding", k=10)
+        .select("query_id", "neighbor_id", "rank").collect()}
+    rr = {(r[0], r[1], r[2]) for r in HF.pq_topk_rerank(
+        emb, qs, "vec_id", "embedding", k=10, shortlist=n)
+        .select("query_id", "neighbor_id", "rank").collect()}
+    assert rr == bf
+
+
+def test_pq_rerank_improves_recall_and_uses_index(spark, emb,
+                                                  tmp_table_path):
+    qs = emb.filter("vec_id < 10")
+    bf = {(r[0], r[1]) for r in HF.brute_force_topk(
+        emb, qs, "vec_id", "embedding", k=10)
+        .select("query_id", "neighbor_id").collect()}
+    adc = {(r[0], r[1]) for r in HF.pq_topk(
+        emb, qs, "vec_id", "embedding", k=10)
+        .select("query_id", "neighbor_id").collect()}
+    out = HF.pq_topk_rerank(emb, qs, "vec_id", "embedding", k=10,
+                            shortlist=50)
+    rr = {(r[0], r[1]) for r in
+          out.select("query_id", "neighbor_id").collect()}
+    # exact re-rank can only help: recall vs brute force >= raw ADC recall
+    assert len(bf & rr) >= len(bf & adc)
+    # dense ranks, cos non-increasing with rank
+    rows = out.orderBy("query_id", "rank").collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r)
+    for q, rs in per_q.items():
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        coss = [r.cos for r in rs]
+        assert all(a >= b for a, b in zip(coss, coss[1:]))
+    # pre-encoded index path: identical result, raw corpus never scanned
+    # in stage 1
+    books = HF.pq_codebooks(emb, "vec_id", "embedding", m=8, k=16)
+    HF.write_pq_index(emb, books, "vec_id", "embedding", tmp_table_path)
+    codes = spark.read.parquet(tmp_table_path)
+    rr2 = {(r[0], r[1], r[2]) for r in HF.pq_topk_rerank(
+        emb, qs, "vec_id", "embedding", k=10, shortlist=50, books=books,
+        codes_df=codes).select("query_id", "neighbor_id", "rank").collect()}
+    rr1 = {(r[0], r[1], r[2]) for r in
+           out.select("query_id", "neighbor_id", "rank").collect()}
+    assert rr1 == rr2
