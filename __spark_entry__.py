@@ -594,7 +594,9 @@ def _fx_docs_incdedup(spark, sf_dir, path):
     tbl = HoodieTable.create(spark, path, "docs_incdedup", ["doc_id"], None)
     dd = IncrementalDeduper(tbl, "doc_id", "text", threshold=0.8)
     for batch in (docs, exact, near):
-        tbl.upsert(dd.filter_batch(batch))
+        # filter_batch admits only unseen keys, so the write can be an
+        # index-lookup-free insert (reference: filterExists + insert)
+        tbl.insert(dd.filter_batch(batch))
         dd.advance(batch)
     return {"tbl": tbl}
 

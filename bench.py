@@ -113,7 +113,9 @@ def run_suite(spark, sf_dir: str) -> dict[str, float]:
         spark, os.path.join(work, "docs_inc"), "docs_inc", ["doc_id"], None)
     inc_dd = IncrementalDeduper(inc_tbl, "doc_id", "text", threshold=0.8)
     seed = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text")
-    inc_tbl.upsert(inc_dd.filter_batch(seed))
+    # admission writes are index-lookup-free inserts: filter_batch already
+    # guarantees only unseen keys survive (filterExists + insert shape)
+    inc_tbl.insert(inc_dd.filter_batch(seed))
     inc_dd.advance(seed)
     batch2 = (docs.filter(F.col("doc_id") % 2 == 1)
               .select("doc_id", "text")
@@ -121,7 +123,7 @@ def run_suite(spark, sf_dir: str) -> dict[str, float]:
                   (F.col("doc_id") + 10_000_000).alias("doc_id"), "text")))
 
     def inc_round():
-        inc_tbl.upsert(inc_dd.filter_batch(batch2))
+        inc_tbl.insert(inc_dd.filter_batch(batch2))
         inc_dd.advance(batch2)
     timed("incremental_dedup")(inc_round)
     queries_df = emb.filter(F.col("vec_id") < 10)

@@ -68,7 +68,7 @@ class IncrementalDeduper:
 
         dd = IncrementalDeduper(table, "doc_id", "text", threshold=0.8)
         kept = dd.filter_batch(batch_df)   # drop seen dups, O(batch)
-        table.upsert(kept)
+        table.insert(kept)                 # unseen keys only -> no index join
         dd.advance(batch_df)               # register the WHOLE batch as seen
     """
 
