@@ -1159,6 +1159,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_embedding"] = lambda s, d: HF.embedding_near_dup_pairs(
         _dup_emb(s, d), "vec_id", "embedding", threshold=0.999,
         dim=64).select("id_a", "id_b")
+    # SemDeDup: cluster-scoped cosine dedup returning the surviving rows
+    q["semantic_dedup"] = lambda s, d: HF.semantic_dedup(
+        _dup_emb(s, d), "vec_id", "embedding", n_clusters=16,
+        threshold=0.99).select("vec_id")
     # batch-incremental dedup against persisted table state == one global
     # seen_dedup pass over the union (hoodie_spark/streaming/incremental_dedup.py)
     q["incremental_dedup"] = lambda s, d: _data(
@@ -1394,12 +1398,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                #   ann_pq_rerank     <-> cdc_upsert         (CDC stays
                #     evidenced by cdc_incremental, whose fixture performs
                #     the CDC-payload writes)
-               #   collapse_repeats enters by insertion order (defined next
-               #     to text_stats), nudging the tail past the cutoff; the
+               #   collapse_repeats + semantic_dedup enter by insertion
+               #     order (defined beside their families), nudging the
+               #     tail past the cutoff; the
                #     multimodal_decode<->text_fingerprint swap pulls the
-               #     unique multimodal row back in — the displaced
-               #     text_fingerprint's map-only text family stays
-               #     evidenced by text_stats
+               #     unique multimodal row back in. Net out: text_
+               #     fingerprint (text_stats stays) and unigram_logprob
+               #     (driver-recorded in r7 AND r8; stays check_oracle-
+               #     verified like every past-window row).
                "pack_sequences": "insert_overwrite",
                "zorder_clustering": "merge_into",
                "ann_pq_rerank": "cdc_upsert",
@@ -2293,6 +2299,60 @@ reach AS (
   SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a WHERE s.b <> r.a
 )
 SELECT a AS id, LEAST(a, MIN(b)) AS group_id FROM reach GROUP BY a
+"""
+    # SemDeDup: assignment = ann_ivf's nearest-centroid CTE (aff ties ->
+    # smaller centroid id), pair gate = the same left-to-right 64-fold
+    # cosine, groups = dedup_groups' recursive reach; survivors = every id
+    # not out-ranked by a smaller member of its component
+    o["semantic_dedup"] = """
+WITH RECURSIVE v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+  FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000, list_transform(embedding, x -> CAST(x AS DOUBLE))
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, ve, sqrt(list_sum(list_transform(ve, x -> x * x))) AS nrm
+  FROM v
+),
+cent AS (SELECT * FROM n WHERE vec_id < 16),
+aff AS (
+  SELECT a.vec_id AS c_id, k.vec_id AS k_id,
+         list_sum(list_transform(range(1, 65),
+           i -> a.ve[CAST(i AS INT)] * k.ve[CAST(i AS INT)]))
+         / (a.nrm * k.nrm) AS aff
+  FROM n a CROSS JOIN cent k
+),
+asg AS (
+  SELECT c_id, k_id AS centroid FROM (
+    SELECT c_id, k_id,
+           row_number() OVER (PARTITION BY c_id
+                              ORDER BY aff DESC, k_id) AS rn
+    FROM aff) WHERE rn = 1
+),
+cand AS (
+  SELECT a.c_id AS id_a, b.c_id AS id_b
+  FROM asg a JOIN asg b ON a.centroid = b.centroid AND a.c_id < b.c_id
+  JOIN n na ON na.vec_id = a.c_id
+  JOIN n nb ON nb.vec_id = b.c_id
+  WHERE list_sum(list_transform(range(1, 65),
+          i -> na.ve[CAST(i AS INT)] * nb.ve[CAST(i AS INT)]))
+        / (na.nrm * nb.nrm) >= 0.99
+),
+sym AS (
+  SELECT id_a AS a, id_b AS b FROM cand
+  UNION SELECT id_b AS a, id_a AS b FROM cand
+),
+reach AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a WHERE s.b <> r.a
+),
+losers AS (
+  SELECT a AS id FROM reach GROUP BY a HAVING MIN(b) < a
+)
+SELECT vec_id FROM v WHERE vec_id NOT IN (SELECT id FROM losers)
 """
     o["dedup_jaccard"] = f"""
 WITH {_DOC_CORPUS}, {_MINHASH_SIG},

@@ -104,6 +104,8 @@ def run_suite(spark, sf_dir: str) -> dict[str, float]:
     timed("simhash_dedup")(lambda: HF.simhash_dup_pairs(
         docs, "doc_id", "text", bits=32, max_distance=3).count())
     timed("exact_dedup")(lambda: HF.exact_dedup(docs, ["text"], "doc_id").count())
+    timed("semantic_dedup")(lambda: HF.semantic_dedup(
+        emb, "vec_id", "embedding", n_clusters=16, threshold=0.99).count())
 
     # steady-state incremental-dedup batch: filter a new batch (half fresh,
     # half exact copies of seen docs) against persisted state, commit the

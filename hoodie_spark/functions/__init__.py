@@ -43,6 +43,7 @@ from .dedup import (
     simhash_sigs,
     simhash_dup_pairs,
     embedding_near_dup_pairs,
+    semantic_dedup,
     dedup_spans,
     seen_dedup,
     doc_features,

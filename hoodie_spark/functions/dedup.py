@@ -35,7 +35,7 @@ from .text import char_ngrams, tokens
 __all__ = [
     "exact_dedup", "with_minhash", "minhash_candidate_pairs",
     "jaccard_dedup_pairs", "with_simhash", "simhash_sigs",
-    "simhash_dup_pairs", "embedding_near_dup_pairs",
+    "simhash_dup_pairs", "embedding_near_dup_pairs", "semantic_dedup",
 ]
 
 
@@ -503,6 +503,54 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
         .filter(F.col("cos") >= threshold)
         .distinct()
     )
+
+
+def semantic_dedup(df: DataFrame, id_col: str, vec_col: str,
+                   n_clusters: int = 16, threshold: float = 0.99,
+                   centroids: DataFrame | None = None,
+                   max_cluster_rows: int | None = None) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): coarse-cluster the embeddings, treat any
+    within-cluster pair with cosine >= ``threshold`` as semantic
+    duplicates, keep ONE representative per connected duplicate group.
+    The representative is the smallest id (deterministic; the paper keeps
+    a low-centroid-similarity member — pass your own policy by composing
+    :func:`~hoodie_spark.functions.components.duplicate_groups` directly).
+
+    Clustering: nearest of ``n_clusters`` deterministic centroids (the
+    corpus vectors with the smallest ids — the :func:`ivf_topk`
+    convention; pass ``kmeans_centroids(...)`` output as ``centroids``
+    for trained clusters). Complements :func:`embedding_near_dup_pairs`:
+    sign-LSH blocks by random hyperplanes (recall knob = planes),
+    SemDeDup blocks by cluster structure (recall knob = n_clusters) and
+    returns the surviving ROWS rather than pairs.
+
+    Scale: centroid assignment is one broadcast map pass over the corpus;
+    the pair join is cluster-local (never all-pairs) and shuffles each
+    cluster once; ``max_cluster_rows`` routes through
+    :func:`bounded_self_pairs`, so a degenerate cluster costs O(n*cap)
+    with connectivity preserved. At 100 TB use trained centroids with
+    n_clusters ~ corpus/10k so clusters stay self-join-sized.
+    """
+    from .components import dedup_by_groups
+    from .similarity import _assign_centroids, _prep, dot
+
+    c = _prep(df, id_col, vec_col, "c")
+    if centroids is None:
+        centroids = df.orderBy(F.col(id_col)).limit(n_clusters)
+    cent = _prep(centroids, id_col, vec_col, "k")
+    # pin: the self-join consumes the assignment twice (three times with
+    # the census) — without the boundary the broadcast-centroid argmax
+    # pass would re-run per branch
+    assigned = _pin(
+        _assign_centroids(c, cent).withColumnRenamed("c_id", "__sid"))
+    pairs = (
+        bounded_self_pairs(assigned, ["centroid"], "__sid",
+                           max_cluster_rows, carry=("c_v", "c_n"))
+        .filter((dot("c_v_a", "c_v_b")
+                 / (F.col("c_n_a") * F.col("c_n_b"))) >= threshold)
+        .select(F.col("id_a"), F.col("id_b")))
+    return dedup_by_groups(df, id_col, pairs)
 
 
 def dedup_spans(df: DataFrame, id_col: str, text_col: str,

@@ -512,3 +512,43 @@ def test_collapse_repeats_corpus_properties(docs):
     assert again.filter("o2.n_removed != 0").count() == 0
     # the synthetic corpus does contain stutter ("batch batch batch")
     assert out.agg(F.sum("n_removed")).first()[0] > 0
+
+
+def test_semantic_dedup_collapses_exact_copies(emb):
+    dup = emb.unionByName(emb.withColumn("vec_id", F.col("vec_id") + 10000))
+    out = HF.semantic_dedup(dup, "vec_id", "embedding", n_clusters=16,
+                            threshold=0.99)
+    ids = {r.vec_id for r in out.select("vec_id").collect()}
+    # every +10000 copy is an exact-cosine dup of its original, always
+    # co-clustered (identical vector -> identical affinities) -> dropped
+    assert all(i < 10000 for i in ids)
+    assert ids == {r.vec_id for r in emb.select("vec_id").collect()}
+
+
+def test_semantic_dedup_trained_centroids_and_threshold(emb):
+    cents = HF.kmeans_centroids(emb, "vec_id", "embedding",
+                                n_centroids=8, iters=2)
+    dup = emb.unionByName(emb.withColumn("vec_id", F.col("vec_id") + 10000))
+    out = HF.semantic_dedup(dup, "vec_id", "embedding", centroids=cents,
+                            threshold=0.99)
+    ids = {r.vec_id for r in out.select("vec_id").collect()}
+    assert all(i < 10000 for i in ids)
+    # threshold=1.01 admits nothing as a dup -> everything survives
+    keep_all = HF.semantic_dedup(dup, "vec_id", "embedding",
+                                 n_clusters=8, threshold=1.01)
+    assert keep_all.count() == dup.count()
+
+
+def test_semantic_dedup_hot_cluster_bounded(spark):
+    """10k identical vectors: one degenerate cluster; the cap keeps the
+    pair join O(n*cap) while pivot connectivity still collapses the
+    whole group to a single survivor."""
+    n, cap = 10_000, 64
+    base = [0.25] * 8
+    df = spark.range(n).select(
+        F.col("id").cast("int").alias("vec_id"),
+        F.array(*[F.lit(x) for x in base]).alias("embedding"))
+    out = HF.semantic_dedup(df, "vec_id", "embedding", n_clusters=1,
+                            threshold=0.99, max_cluster_rows=cap)
+    ids = [r.vec_id for r in out.collect()]
+    assert ids == [0]
