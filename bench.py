@@ -153,6 +153,9 @@ def run_suite(spark, sf_dir: str) -> dict[str, float]:
     timed("ann_ivfpq_probe")(lambda: HF.ivfpq_topk_from_index(
         spark, _idxp, _cents, _books, queries_df, "vec_id", "embedding",
         k=10, n_probe=4).count())
+    timed("ann_ivfpq_probe_rerank")(lambda: HF.ivfpq_topk_from_index(
+        spark, _idxp, _cents, _books, queries_df, "vec_id", "embedding",
+        k=10, n_probe=4, rerank_corpus=emb, shortlist=30).count())
     timed("gopher_quality")(lambda: HF.gopher_filter(
         docs, "text", keep_col="keep").groupBy("keep").count().collect())
     timed("dedup_spans")(lambda: HF.dedup_spans(

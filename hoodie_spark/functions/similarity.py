@@ -644,13 +644,21 @@ def pq_topk_rerank(corpus: DataFrame, queries: DataFrame, id_col: str,
     """
     short = pq_topk(corpus, queries, id_col, vec_col, k=shortlist, m=m,
                     n_codes=n_codes, books=books, codes_df=codes_df)
+    return _exact_rerank(short, corpus, queries, id_col, vec_col, k)
+
+
+def _exact_rerank(short: DataFrame, corpus: DataFrame, queries: DataFrame,
+                  id_col: str, vec_col: str, k: int) -> DataFrame:
+    """Shared stage-2 of two-stage serving: exact-cosine re-rank of a
+    (query_id, neighbor_id) shortlist against the raw corpus vectors.
+    The |queries| x shortlist candidate ids broadcast into the corpus
+    scan — a map-side hash join (plus dynamic pruning on a partitioned
+    corpus), never a corpus shuffle — so the stage costs O(|shortlist|)
+    regardless of corpus size."""
     cand = short.select(F.col("query_id").alias("q_id"),
                         F.col("neighbor_id").alias("c_id"))
     c = _prep(corpus, id_col, vec_col, "c")
     q = _prep(queries, id_col, vec_col, "q")
-    # broadcast the |queries| x shortlist candidate ids into the corpus
-    # scan: the raw-vector fetch is a map-side hash join (plus dynamic
-    # pruning on a partitioned corpus), never a corpus shuffle
     scored = (c.join(F.broadcast(cand), "c_id")
               .join(F.broadcast(q), "q_id")
               .select(F.col("q_id").alias("query_id"),
@@ -729,11 +737,19 @@ def write_ivfpq_index(corpus: DataFrame, centroids: DataFrame, books,
 
 def ivfpq_topk_from_index(spark, index_path: str, centroids: DataFrame,
                           books, queries: DataFrame, id_col: str,
-                          vec_col: str, k: int = 10,
-                          n_probe: int = 4) -> DataFrame:
+                          vec_col: str, k: int = 10, n_probe: int = 4,
+                          rerank_corpus: DataFrame | None = None,
+                          shortlist: int = 30) -> DataFrame:
     """Probe a persisted :func:`write_ivfpq_index` layout: centroid
     partition pruning + ADC scoring on the code column (per-query LUTs +
     the encode-time ``__rnorm`` — no reconstruction anywhere).
+
+    Pass ``rerank_corpus`` (the raw-vector table) for the full production
+    serving combo: the pruned ADC scan produces a top-``shortlist``
+    candidate set per query, then :func:`_exact_rerank` repairs
+    quantization error with exact cosines fetched for just those ids —
+    the index scan stays codes-only, the raw table is touched only at
+    |queries| x shortlist point lookups.
 
     The probe plan itself is DRIVER-side Python: the centroid table is
     bounded (it was collected to train the codebook in the first place)
@@ -774,6 +790,11 @@ def ivfpq_topk_from_index(spark, index_path: str, centroids: DataFrame,
                  .withColumn("c_rn", _pq_code_norm(books)))
     lut_df = (lut_df.join(probes, "q_id")
               .select("q_id", "q_n", "lut", "p_centroid"))
-    return _pq_score_topk(
-        index, lut_df, books, k,
+    adc = _pq_score_topk(
+        index, lut_df, books,
+        shortlist if rerank_corpus is not None else k,
         extra_join=F.col("centroid") == F.col("p_centroid"))
+    if rerank_corpus is None:
+        return adc
+    return _exact_rerank(adc, rerank_corpus, queries, id_col, vec_col,
+                         k).select("query_id", "neighbor_id", "rank")

@@ -310,3 +310,33 @@ def test_pq_rerank_improves_recall_and_uses_index(spark, emb,
     rr1 = {(r[0], r[1], r[2]) for r in
            out.select("query_id", "neighbor_id", "rank").collect()}
     assert rr1 == rr2
+
+
+def test_ivfpq_probe_with_exact_rerank(spark, emb, tmp_table_path):
+    """The full serving combo: pruned ADC shortlist + exact re-rank.
+    With every list probed and a corpus-wide shortlist the result must
+    equal brute force exactly; with a narrow probe, re-rank recall is at
+    least the plain ADC probe's recall."""
+    books = HF.pq_codebooks(emb, "vec_id", "embedding")
+    cents = HF.kmeans_centroids(emb, "vec_id", "embedding",
+                                n_centroids=8, iters=1)
+    HF.write_ivfpq_index(emb, cents, books, "vec_id", "embedding",
+                         tmp_table_path)
+    qs = emb.filter("vec_id < 5")
+    n = emb.count()
+    bf = {(r[0], r[1], r[2]) for r in HF.brute_force_topk(
+        emb, qs, "vec_id", "embedding", k=10)
+        .select("query_id", "neighbor_id", "rank").collect()}
+    full = {(r[0], r[1], r[2]) for r in HF.ivfpq_topk_from_index(
+        spark, tmp_table_path, cents, books, qs, "vec_id", "embedding",
+        k=10, n_probe=8, rerank_corpus=emb, shortlist=n).collect()}
+    assert full == bf
+    bf10 = {(a, b) for a, b, _ in bf}
+    plain = {(r[0], r[1]) for r in HF.ivfpq_topk_from_index(
+        spark, tmp_table_path, cents, books, qs, "vec_id", "embedding",
+        k=10, n_probe=4).select("query_id", "neighbor_id").collect()}
+    rr = {(r[0], r[1]) for r in HF.ivfpq_topk_from_index(
+        spark, tmp_table_path, cents, books, qs, "vec_id", "embedding",
+        k=10, n_probe=4, rerank_corpus=emb, shortlist=50)
+        .select("query_id", "neighbor_id").collect()}
+    assert len(bf10 & rr) >= len(bf10 & plain)
