@@ -1358,6 +1358,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return HF.corpus_pipeline(corpus, test)
     q["corpus_pipeline"] = _q_corpus_pipeline
 
+    # character-distribution Shannon entropy: the gibberish/boilerplate
+    # signal, computed entirely in-row (sorted char array -> run lengths
+    # -> decimal-summed terms) — map-only, zero shuffle
+    q["char_entropy"] = lambda s, d: load_table(s, d, "documents").select(
+        "doc_id", HF.char_entropy("text").alias("entropy"))
+    # temperature-scaled source mixing (GPT-3/PaLM recipe) over the
+    # skewed order-status mix; alpha=0.5 uses the exact integer-sqrt
+    # quantization so the SQL oracle reproduces the selection bit-for-bit
+    q["temperature_mix"] = lambda s, d: HF.temperature_mix(
+        load_table(s, d, "orders"), "o_orderstatus", "o_orderkey",
+        alpha=0.5).select("o_orderkey", "o_orderstatus")
+    # corpus length-distribution diagnostic: exact two-pass equal-width
+    # histogram (bins=16 keeps the width division exact in binary)
+    q["length_histogram"] = lambda s, d: HF.column_histogram(
+        load_table(s, d, "documents"), "n_chars", bins=16).select(
+        "bucket", F.round("lo", 6).alias("lo"),
+        F.round("hi", 6).alias("hi"), "n")
+
     # ---- SQL-on-snapshot (TPC-H style). Deliberately LAST: the driver
     # records only the first 50 queries, and every unique operator must land
     # inside that window — TPC-H rows are parity evidence for one §2.6 row,
@@ -1409,7 +1427,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                "pack_sequences": "insert_overwrite",
                "zorder_clustering": "merge_into",
                "ann_pq_rerank": "cdc_upsert",
-               "multimodal_decode": "text_fingerprint"}
+               "multimodal_decode": "text_fingerprint",
+               # char_entropy (new unique text operator) enters in place
+               # of ann_ivf: ANN stays evidenced in-window by the exact
+               # baseline (ann_brute_force) and the production two-stage
+               # path (ann_pq_rerank); temperature_mix/length_histogram
+               # stay past the window like the rest of the sampling and
+               # diagnostics family (hash_sample, stratified_sample,
+               # source_mix_sample).
+               "char_entropy": "ann_ivf"}
     keys = list(q)
     for new, old in promote.items():
         i, j = keys.index(old), keys.index(new)
@@ -2571,6 +2597,62 @@ FROM documents
     # the datasource read must land on the exact same final state the
     # library reader produces for the same table
     o["datasource_read"] = _COW_FINAL
+
+    # char-distribution entropy: exploded groupBy form of the engine's
+    # in-row run-length fold; per-char terms round to 6 decimals and sum
+    # as decimal(18,6), so both fold orders produce the identical double
+    o["char_entropy"] = """
+WITH t AS (
+  SELECT doc_id,
+         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+  FROM documents
+),
+ch AS (
+  SELECT doc_id, unnest(string_split(norm, '')) AS c, length(norm) AS n
+  FROM t WHERE length(norm) > 0
+),
+cc AS (
+  SELECT doc_id, c, any_value(n) AS n, count(*) AS cnt
+  FROM ch GROUP BY doc_id, c
+),
+s AS (
+  SELECT doc_id,
+         CAST(-sum(CAST(round((cnt * 1.0 / n) * log2(cnt * 1.0 / n), 6)
+                        AS DECIMAL(18,6))) AS DOUBLE) AS entropy
+  FROM cc GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CASE WHEN length(t.norm) = 0 THEN 0.0 ELSE s.entropy END AS entropy
+FROM t LEFT JOIN s USING (doc_id)
+"""
+    # temperature mixing at alpha=0.5: thr = isqrt(65536^2 * n_min / n),
+    # exact in integer arithmetic (sqrt of an exact integer < 2^53 is
+    # correctly rounded, so floor(sqrt(..)) == isqrt(..))
+    _okey = "md5(CAST(o_orderkey AS VARCHAR))"
+    o["temperature_mix"] = f"""
+WITH c AS (SELECT o_orderstatus AS s, count(*) AS n
+           FROM orders GROUP BY o_orderstatus),
+m AS (SELECT min(n) AS n_min FROM c),
+t AS (SELECT s, CAST(floor(sqrt(CAST((4294967296 * n_min) // n AS DOUBLE)))
+                AS BIGINT) AS thr FROM c, m)
+SELECT o.o_orderkey, o.o_orderstatus
+FROM orders o JOIN t ON o.o_orderstatus = t.s
+WHERE ({_hex4(_okey, 1)}) < t.thr
+"""
+    # equal-width histogram: one fixed double-op order shared with the
+    # engine — (x - lo) * bins / (hi - lo), width = (hi - lo) / 16
+    o["length_histogram"] = """
+WITH mm AS (SELECT CAST(min(n_chars) AS DOUBLE) AS lo,
+                   CAST(max(n_chars) AS DOUBLE) AS hi FROM documents),
+b AS (SELECT CAST(least(floor((CAST(n_chars AS DOUBLE) - mm.lo) * 16.0
+                              / (mm.hi - mm.lo)), 15) AS INT) AS bucket
+      FROM documents, mm)
+SELECT bucket,
+       round(mm.lo + bucket * ((mm.hi - mm.lo) / 16), 6) AS lo,
+       round(mm.lo + (bucket + 1) * ((mm.hi - mm.lo) / 16), 6) AS hi,
+       count(*) AS n
+FROM b, mm GROUP BY bucket, mm.lo, mm.hi
+"""
     return o
 
 

@@ -166,6 +166,13 @@ def run_suite(spark, sf_dir: str) -> dict[str, float]:
     timed("collapse_repeats")(lambda: docs.select(
         HF.collapse_repeats("text").alias("o")).agg(
             F.sum("o.n_removed")).collect())
+    timed("char_entropy")(lambda: docs.select(
+        HF.char_entropy("text").alias("h")).agg(
+            F.avg("h"), F.min("h"), F.max("h")).collect())
+    timed("temperature_mix")(lambda: HF.temperature_mix(
+        docs, "source", "doc_id", alpha=0.5).count())
+    timed("length_histogram")(lambda: HF.column_histogram(
+        docs, "n_chars", bins=16).collect())
     timed("chunk_documents")(lambda: HF.chunk_documents(
         docs, "doc_id", "text", chunk_tokens=64, overlap=8).count())
     timed("pack_sequences")(lambda: HF.pack_sequences(

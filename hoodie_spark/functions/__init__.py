@@ -29,6 +29,7 @@ from .text import (
     lang_id,
     LANG_PROFILES,
     quality_score,
+    char_entropy,
     fingerprint,
     kmin_fingerprint,
     collapse_repeats,
@@ -90,6 +91,7 @@ from .pipeline import (
     top_ngrams, filter_corpus, word_ngrams, contaminated_ids, decontaminate,
     stratified_sample, tfidf_terms, tfidf_vectors, corpus_pipeline,
     chunk_documents, unigram_logprob, source_weighted_sample,
+    temperature_mix, column_histogram,
 )
 from .bpe import bpe_train, bpe_encode, bpe_token_count
 
@@ -116,7 +118,8 @@ __all__ = [
     "pack_shards", "pack_sequences", "top_ngrams", "filter_corpus",
     "word_ngrams", "contaminated_ids", "decontaminate", "stratified_sample",
     "corpus_pipeline", "chunk_documents", "unigram_logprob",
-    "source_weighted_sample",
+    "source_weighted_sample", "temperature_mix", "column_histogram",
+    "char_entropy",
     "tfidf_terms", "tfidf_vectors",
     "bpe_train", "bpe_encode", "bpe_token_count",
     "normalize", "random_projection",

@@ -30,7 +30,7 @@ __all__ = ["redact_pii", "pii_hits", "deterministic_sample", "sample_hash",
            "pack_shards", "top_ngrams", "filter_corpus", "word_ngrams",
            "contaminated_ids", "decontaminate", "stratified_sample",
            "corpus_pipeline", "chunk_documents", "unigram_logprob",
-           "source_weighted_sample"]
+           "source_weighted_sample", "temperature_mix", "column_histogram"]
 
 
 # Plain character-class regexes only, so Java regex and DuckDB's RE2 agree.
@@ -341,6 +341,82 @@ def source_weighted_sample(df: DataFrame, source_col: str, key_col: str,
         thr = F.when(F.col(source_col) == s,
                      F.lit(int(r * 65536))).otherwise(thr)
     return df.filter(sample_hash(F.col(key_col), salt) < thr)
+
+
+def temperature_mix(df: DataFrame, source_col: str, key_col: str,
+                    alpha: float = 0.5, salt: str = "") -> DataFrame:
+    """Temperature-scaled source mixing (the GPT-3 / PaLM / mT5 recipe):
+    resample so source ``i``'s share is proportional to ``n_i ** alpha``
+    instead of its raw count — ``alpha < 1`` flattens the mixture toward
+    uniform without ever upsampling. Realized purely by deterministic
+    downsampling: the smallest source keeps everything and source ``i``
+    keeps rate ``(n_min / n_i) ** (1 - alpha)``, so the expected output
+    counts are ``n_min ** (1-alpha) * n_i ** alpha``.
+
+    Deterministic and repartition-stable like
+    :func:`source_weighted_sample` (same 16-bit md5 hash filter). Scale
+    shape: one bounded source census (map-side-combined groupBy over the
+    handful of source labels) + a map-only filter fused into the scan.
+
+    For ``alpha = 0.5`` the per-source keep threshold is computed with
+    exact integer arithmetic — ``isqrt(65536**2 * n_min // n_i)`` — so an
+    external SQL engine reproduces the selection bit-for-bit; other alphas
+    go through libm ``pow`` (stable within an engine, last-ulp across).
+    """
+    import math
+
+    counts = {r[0]: r[1]
+              for r in df.groupBy(source_col).count().collect()}
+    if not counts:
+        return df
+    n_min = min(counts.values())
+    thr = F.lit(0)
+    for s, n in sorted(counts.items()):
+        if alpha == 0.5:
+            t = math.isqrt((65536 * 65536 * n_min) // n)
+        else:
+            t = int(65536 * (n_min / n) ** (1.0 - alpha))
+        thr = F.when(F.col(source_col) == s, F.lit(t)).otherwise(thr)
+    return df.filter(sample_hash(F.col(key_col), salt) < thr)
+
+
+def column_histogram(df: DataFrame, col: str, bins: int = 10) -> DataFrame:
+    """Equal-width histogram of a numeric column — the distribution
+    diagnostic run before choosing mixing quotas, length cutoffs or
+    curriculum buckets. Returns one row per non-empty bucket:
+    ``(bucket, lo, hi, n)`` with ``lo``/``hi`` the bucket's value bounds.
+
+    Two passes, both trivially parallel: an exact min/max aggregate
+    (map-side combined, two numbers to the driver) and a map-only bucket
+    assignment feeding a ``bins``-bounded groupBy. The bucket expression
+    ``least(floor((x - min) * bins / (max - min)), bins - 1)`` uses one
+    fixed double-op order, so any IEEE engine reproduces it exactly; a
+    constant column collapses into a single bucket 0.
+    """
+    lo_hi = df.agg(F.min(col).alias("lo"), F.max(col).alias("hi")).first()
+    lo, hi = lo_hi[0], lo_hi[1]
+    if lo is None:
+        return df.sparkSession.createDataFrame(
+            [], "bucket int, lo double, hi double, n long")
+    span = float(hi) - float(lo)
+    x = F.col(col).cast("double")
+    if span == 0.0:
+        bucket = F.lit(0)
+    else:
+        bucket = F.least(
+            F.floor((x - F.lit(float(lo))) * F.lit(float(bins)) /
+                    F.lit(span)),
+            F.lit(bins - 1)).cast("int")
+    width = span / bins if span else 0.0
+    return (df.where(x.isNotNull())
+            .groupBy(bucket.alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select("bucket",
+                    (F.lit(float(lo)) + F.col("bucket") * F.lit(width))
+                    .alias("lo"),
+                    (F.lit(float(lo)) + (F.col("bucket") + 1) *
+                     F.lit(width)).alias("hi"),
+                    "n"))
 
 
 def chunk_documents(df: DataFrame, id_col: str, text_col: str,

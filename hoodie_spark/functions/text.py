@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "tokens", "token_count", "regex_token_count", "char_ngrams", "lang_id",
     "LANG_PROFILES", "quality_score", "fingerprint", "kmin_fingerprint",
-    "collapse_repeats",
+    "collapse_repeats", "char_entropy",
 ]
 
 
@@ -160,6 +160,59 @@ def collapse_repeats(col) -> Column:
             (F.size(toks) - F.size(kept)).alias("n_removed"))
 
     return F.element_at(F.transform(F.array(raw), _out), 1)
+
+
+def char_entropy(col) -> Column:
+    """Shannon entropy (bits) of the character distribution of the
+    normalized text — the cheap gibberish / boilerplate signal: natural
+    prose sits around 4-4.5 bits, single-character spam near 0, uniform
+    random base64 near 6.
+
+    Normalization matches :func:`fingerprint`: lowercase, whitespace runs
+    collapsed to a single space, trimmed. Empty text scores 0.0.
+
+    Scale shape: entirely in-row — the char array is sorted and reduced to
+    run lengths with higher-order functions, so this is a map-only stage
+    with zero shuffle (the exploded groupBy a naive implementation would
+    use shuffles one row PER CHARACTER — at 100 TB that is the corpus
+    itself, again). Each per-char term is rounded to 6 decimals and summed
+    as decimal(18,6) so the fold order cannot perturb the result — the
+    DuckDB oracle reproduces the value bit-for-bit from its exploded form.
+    """
+    col = F.col(col) if isinstance(col, str) else col
+    norm = F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+    # bind the sorted char array ONCE (interpreted HOFs have no CSE); the
+    # run-end index array likewise binds once for the run-length lambda
+    def _runs(cs):
+        n = F.size(cs)
+        ends = F.filter(
+            F.sequence(F.lit(1), n),
+            lambda i: (i == n) | (F.element_at(cs, i) !=
+                                  F.element_at(cs, i + F.lit(1))))
+
+        def _entropy(ends_):
+            counts = F.transform(
+                F.sequence(F.lit(1), F.size(ends_)),
+                lambda j: F.when(j == F.lit(1), F.element_at(ends_, 1))
+                .otherwise(F.element_at(ends_, j) -
+                           F.element_at(ends_, j - F.lit(1))))
+            terms = F.transform(
+                counts,
+                lambda c: F.round(
+                    (c.cast("double") / n) * F.log2(c.cast("double") / n), 6)
+                .cast("decimal(18,6)"))
+            # re-cast each partial sum: decimal + decimal widens precision
+            # and aggregate() requires merge type == zero type
+            return -F.aggregate(
+                terms, F.lit(0).cast("decimal(18,6)"),
+                lambda acc, t: (acc + t).cast("decimal(18,6)")).cast("double")
+
+        return F.element_at(F.transform(F.array(ends), _entropy), 1)
+
+    chars = F.array_sort(F.filter(F.split(norm, ""), lambda c: c != F.lit("")))
+    out = F.element_at(F.transform(F.array(chars), _runs), 1)
+    return F.when(F.length(norm) == 0, F.lit(0.0)).otherwise(out)
 
 
 def fingerprint(col) -> Column:

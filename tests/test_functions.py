@@ -552,3 +552,27 @@ def test_semantic_dedup_hot_cluster_bounded(spark):
                             threshold=0.99, max_cluster_rows=cap)
     ids = [r.vec_id for r in out.collect()]
     assert ids == [0]
+
+
+def test_char_entropy_hand_checked(spark):
+    import math
+    rows = spark.createDataFrame(
+        [(1, "aaaa"), (2, "ab"), (3, ""), (4, "  \t "), (5, "aAb B")],
+        ["doc_id", "text"])
+    got = {r[0]: r[1] for r in rows.select(
+        "doc_id", HF.char_entropy("text").alias("h")).collect()}
+    assert got[1] == 0.0          # single symbol
+    assert got[3] == 0.0 and got[4] == 0.0  # empty / whitespace-only
+    # "ab": two equiprobable chars -> exactly 1 bit
+    assert abs(got[2] - 1.0) < 1e-6
+    # "aAb B" normalizes to "aab b": counts a:2 b:2 space:1, n=5
+    exp = -sum(round(c / 5 * math.log2(c / 5), 6) for c in (2, 2, 1))
+    assert abs(got[5] - exp) < 1e-9
+
+
+def test_char_entropy_corpus_range(docs):
+    out = docs.select(HF.char_entropy("text").alias("h"))
+    stats = out.agg(F.min("h"), F.max("h"), F.count("h")).first()
+    # natural text: strictly positive, bounded by log2(alphabet)
+    assert stats[0] > 2.0 and stats[1] < 6.5
+    assert stats[2] == docs.count()

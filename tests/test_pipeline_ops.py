@@ -385,3 +385,54 @@ def test_pack_sequences_matches_python_model(spark):
     last = max(per_seq)
     assert all(v == L for k, v in per_seq.items() if k != last)
     assert 0 < per_seq[last] <= L
+
+
+def test_temperature_mix_flattens_skewed_sources(spark):
+    import math
+    rows = ([(i, "big") for i in range(400)] +
+            [(i + 1000, "mid") for i in range(100)] +
+            [(i + 2000, "small") for i in range(25)])
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = HF.temperature_mix(df, "source", "doc_id", alpha=0.5)
+    counts = {r[0]: r[1] for r in out.groupBy("source").count().collect()}
+    # smallest source keeps everything
+    assert counts["small"] == 25
+    # expected kept fraction for source i is sqrt(n_min/n_i); binomial
+    # bounds are generous (16-bit hash, n=400)
+    exp_big = 400 * math.sqrt(25 / 400)
+    exp_mid = 100 * math.sqrt(25 / 100)
+    assert abs(counts["big"] - exp_big) < 40
+    assert abs(counts["mid"] - exp_mid) < 25
+    # alpha=1 is the identity mix
+    assert HF.temperature_mix(df, "source", "doc_id", alpha=1.0).count() == 525
+    # deterministic: re-run selects the identical rows
+    a = {r[0] for r in out.select("doc_id").collect()}
+    b = {r[0] for r in HF.temperature_mix(
+        df, "source", "doc_id", alpha=0.5).select("doc_id").collect()}
+    assert a == b
+    # generic-alpha path: flattening is monotone in alpha
+    n07 = HF.temperature_mix(df, "source", "doc_id", alpha=0.7).count()
+    assert out.count() <= n07 <= 525
+
+
+def test_column_histogram_counts_and_bounds(spark, docs):
+    h = {r[0]: (r[1], r[2], r[3]) for r in
+         HF.column_histogram(docs, "n_chars", bins=8).collect()}
+    stats = docs.agg(F.min("n_chars"), F.max("n_chars")).first()
+    lo, hi = float(stats[0]), float(stats[1])
+    assert sum(v[2] for v in h.values()) == docs.count()
+    assert min(h) >= 0 and max(h) <= 7
+    w = (hi - lo) / 8
+    for b, (blo, bhi, _) in h.items():
+        assert blo == lo + b * w and bhi == lo + (b + 1) * w
+    # python cross-check of assignment
+    import math
+    exp = {}
+    for r in docs.select("n_chars").collect():
+        b = min(int(math.floor((float(r[0]) - lo) * 8.0 / (hi - lo))), 7)
+        exp[b] = exp.get(b, 0) + 1
+    assert {b: v[2] for b, v in h.items()} == exp
+    # constant column -> single bucket
+    one = HF.column_histogram(docs.withColumn("c", F.lit(5)), "c", bins=4)
+    rows = one.collect()
+    assert len(rows) == 1 and rows[0][0] == 0 and rows[0][3] == docs.count()
