@@ -1375,6 +1375,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         load_table(s, d, "documents"), "n_chars", bins=16).select(
         "bucket", F.round("lo", 6).alias("lo"),
         F.round("hi", 6).alias("hi"), "n")
+    # cluster-balanced curation sampling: nearest-centroid assignment
+    # (broadcast map pass) + per-cluster md5-order quota (WindowGroupLimit)
+    q["cluster_balanced_sample"] = lambda s, d: HF.cluster_balanced_sample(
+        load_table(s, d, "embeddings"), "vec_id", "embedding",
+        per_cluster=20, n_clusters=16)
 
     # ---- SQL-on-snapshot (TPC-H style). Deliberately LAST: the driver
     # records only the first 50 queries, and every unique operator must land
@@ -2652,6 +2657,39 @@ SELECT bucket,
        round(mm.lo + (bucket + 1) * ((mm.hi - mm.lo) / 16), 6) AS hi,
        count(*) AS n
 FROM b, mm GROUP BY bucket, mm.lo, mm.hi
+"""
+    # cluster-balanced sampling: same nearest-centroid assignment fragment
+    # as the semantic_dedup oracle (left-to-right list_sum fold == the
+    # engine's aggregate fold), then a per-cluster md5-order quota
+    o["cluster_balanced_sample"] = """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, ve, sqrt(list_sum(list_transform(ve, x -> x * x))) AS nrm
+  FROM v
+),
+cent AS (SELECT * FROM n WHERE vec_id < 16),
+aff AS (
+  SELECT a.vec_id AS c_id, k.vec_id AS k_id,
+         list_sum(list_transform(range(1, 65),
+           i -> a.ve[CAST(i AS INT)] * k.ve[CAST(i AS INT)]))
+         / (a.nrm * k.nrm) AS aff
+  FROM n a CROSS JOIN cent k
+),
+asg AS (
+  SELECT c_id, k_id AS centroid FROM (
+    SELECT c_id, k_id,
+           row_number() OVER (PARTITION BY c_id
+                              ORDER BY aff DESC, k_id) AS rn
+    FROM aff) WHERE rn = 1
+)
+SELECT c_id AS vec_id, centroid FROM (
+  SELECT c_id, centroid,
+         row_number() OVER (PARTITION BY centroid
+                            ORDER BY md5(CAST(c_id AS VARCHAR)), c_id) AS rn
+  FROM asg) WHERE rn <= 20
 """
     return o
 

@@ -71,6 +71,7 @@ from .similarity import (
     ivfpq_topk_from_index,
     knn_classify,
     kmeans_centroids,
+    cluster_balanced_sample,
     write_ivf_index,
     ivf_topk_from_index,
 )
@@ -106,7 +107,7 @@ __all__ = [
     "dot", "l2_norm", "cosine", "brute_force_topk", "lsh_bucket_topk",
     "ivf_topk", "pq_codebooks", "pq_codebooks_trained", "pq_encode",
     "pq_reconstruct", "pq_topk", "write_pq_index", "write_ivfpq_index",
-    "ivfpq_topk_from_index", "knn_classify",
+    "ivfpq_topk_from_index", "knn_classify", "cluster_balanced_sample",
     "gopher_metrics", "gopher_filter", "word_spans", "GOPHER_DEFAULTS",
     "MEDIA_META_SCHEMA", "attach_media", "decode_media_meta", "sample_frames",
     "register_codec",

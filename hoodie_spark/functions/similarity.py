@@ -33,7 +33,8 @@ __all__ = [
     "dot", "l2_norm", "cosine", "normalize", "random_projection",
     "sign_lsh_key",
     "brute_force_topk", "lsh_bucket_topk", "ivf_topk",
-    "kmeans_centroids", "write_ivf_index", "ivf_topk_from_index",
+    "kmeans_centroids", "cluster_balanced_sample",
+    "write_ivf_index", "ivf_topk_from_index",
     "pq_codebooks", "pq_codebooks_trained", "pq_encode", "pq_reconstruct",
     "pq_topk", "pq_topk_rerank", "write_pq_index", "write_ivfpq_index",
     "ivfpq_topk_from_index", "knn_classify",
@@ -257,6 +258,40 @@ def kmeans_centroids(corpus: DataFrame, id_col: str, vec_col: str,
     return spark.createDataFrame(
         [(i, v) for i, v in enumerate(cents)],
         f"{id_col} int, __v array<double>").withColumnRenamed("__v", vec_col)
+
+
+def cluster_balanced_sample(df: DataFrame, id_col: str, vec_col: str,
+                            per_cluster: int, n_clusters: int = 16,
+                            centroids: DataFrame | None = None) -> DataFrame:
+    """Cluster-balanced curation sampling (the SemDeDup / DataComp
+    cluster-and-prune recipe's mixing step): assign every embedding to its
+    nearest centroid (cosine, deterministic ties), then keep at most
+    ``per_cluster`` rows per cluster by md5-hash order of the id —
+    flattening over-dense regions of embedding space the way
+    :func:`~hoodie_spark.functions.pipeline.temperature_mix` flattens
+    over-dense *sources*. Returns ``(id_col, centroid)``; join back to the
+    corpus for the full rows.
+
+    Scale shape: one broadcast-centroid map pass over the corpus (the
+    k x dim matrix is the only broadcast state), then a single shuffle
+    keyed by the cluster whose per-cluster rank cutoff Spark's
+    WindowGroupLimit pushes map-side — each partition forwards at most
+    ``per_cluster`` rows per cluster. Centroids default to the
+    smallest-id corpus rows (the :func:`ivf_topk` convention, exactly
+    reproducible by the SQL oracle); pass :func:`kmeans_centroids` output
+    for trained clusters.
+    """
+    c = _prep(df, id_col, vec_col, "c")
+    if centroids is None:
+        centroids = df.orderBy(F.col(id_col)).limit(n_clusters)
+    cent = _prep(centroids, id_col, vec_col, "k")
+    assigned = _assign_centroids(c, cent).select(
+        F.col("c_id").alias(id_col), "centroid")
+    w = Window.partitionBy("centroid").orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col))
+    return (assigned.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= per_cluster)
+            .select(id_col, "centroid"))
 
 
 def write_ivf_index(corpus: DataFrame, centroids: DataFrame, id_col: str,

@@ -340,3 +340,24 @@ def test_ivfpq_probe_with_exact_rerank(spark, emb, tmp_table_path):
         k=10, n_probe=4, rerank_corpus=emb, shortlist=50)
         .select("query_id", "neighbor_id").collect()}
     assert len(bf10 & rr) >= len(bf10 & plain)
+
+
+def test_cluster_balanced_sample_quota_and_determinism(spark, emb):
+    out = HF.cluster_balanced_sample(emb, "vec_id", "embedding",
+                                     per_cluster=5, n_clusters=8)
+    rows = out.collect()
+    by_c = {}
+    for r in rows:
+        by_c.setdefault(r[1], []).append(r[0])
+    # quota respected per cluster, centroids are the smallest-id rows
+    assert all(len(v) <= 5 for v in by_c.values())
+    assert set(by_c) <= set(range(8))
+    # kept ids are a subset of the corpus and deterministic across runs
+    again = {(r[0], r[1]) for r in HF.cluster_balanced_sample(
+        emb, "vec_id", "embedding", per_cluster=5, n_clusters=8).collect()}
+    assert {(r[0], r[1]) for r in rows} == again
+    # a corpus-sized quota keeps every row, assignment matching ivf's
+    n = emb.count()
+    full = HF.cluster_balanced_sample(emb, "vec_id", "embedding",
+                                      per_cluster=n, n_clusters=8)
+    assert full.count() == n
