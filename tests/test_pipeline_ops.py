@@ -436,3 +436,67 @@ def test_column_histogram_counts_and_bounds(spark, docs):
     one = HF.column_histogram(docs.withColumn("c", F.lit(5)), "c", bins=4)
     rows = one.collect()
     assert len(rows) == 1 and rows[0][0] == 0 and rows[0][3] == docs.count()
+
+
+def test_char_entropy_random_model(spark):
+    """300 random strings (letters, digits, punctuation, messy whitespace)
+    vs an independent pure-Python model of the documented contract:
+    normalize -> char counts -> HALF_UP round-6 terms -> exact decimal sum."""
+    import math
+    import random
+    import re
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    rng = random.Random(13)
+    alpha = "abXY z\t0!?.\né"
+    docs = [(i, "".join(rng.choice(alpha)
+                        for _ in range(rng.randint(0, 60))))
+            for i in range(300)]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    got = {r[0]: r[1] for r in df.select(
+        "doc_id", HF.char_entropy("text").alias("h")).collect()}
+
+    q = Decimal("0.000001")
+    for i, text in docs:
+        norm = re.sub(r"\s+", " ", text.lower()).strip()
+        if not norm:
+            exp = 0.0
+        else:
+            n = len(norm)
+            total = Decimal(0)
+            for c in Counter(norm).values():
+                p = c / n
+                total += Decimal(p * math.log2(p)).quantize(
+                    q, rounding=ROUND_HALF_UP)
+            exp = float(-total)
+        assert got[i] == exp, (i, repr(text), got[i], exp)
+
+
+def test_temperature_mix_random_model(spark):
+    """Random skewed source layout vs a pure-Python model of the hash
+    threshold contract (alpha=0.5 exact integer-sqrt quantization)."""
+    import hashlib
+    import math
+    import random
+
+    rng = random.Random(29)
+    sources = {f"s{k}": rng.randint(1, 200) for k in range(6)}
+    rows, i = [], 0
+    for s, n in sources.items():
+        for _ in range(n):
+            rows.append((i, s))
+            i += 1
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    got = {r[0] for r in HF.temperature_mix(
+        df, "source", "doc_id", alpha=0.5).select("doc_id").collect()}
+
+    n_min = min(sources.values())
+    thr = {s: math.isqrt((65536 * 65536 * n_min) // n)
+           for s, n in sources.items()}
+    exp = {i for i, s in rows
+           if int(hashlib.md5(str(i).encode()).hexdigest()[:4], 16) < thr[s]}
+    assert got == exp
+    # smallest source is kept in full
+    smallest = min(sources, key=sources.get)
+    assert all(i in got for i, s in rows if s == smallest)
