@@ -348,10 +348,12 @@ def temperature_mix(df: DataFrame, source_col: str, key_col: str,
     """Temperature-scaled source mixing (the GPT-3 / PaLM / mT5 recipe):
     resample so source ``i``'s share is proportional to ``n_i ** alpha``
     instead of its raw count — ``alpha < 1`` flattens the mixture toward
-    uniform without ever upsampling. Realized purely by deterministic
-    downsampling: the smallest source keeps everything and source ``i``
-    keeps rate ``(n_min / n_i) ** (1 - alpha)``, so the expected output
-    counts are ``n_min ** (1-alpha) * n_i ** alpha``.
+    uniform, ``alpha > 1`` sharpens it toward the head, both without ever
+    upsampling. Realized purely by deterministic downsampling: the
+    max-rate source (smallest when flattening, largest when sharpening)
+    keeps everything and source ``i`` keeps rate
+    ``(n_ref / n_i) ** (1 - alpha)``, so the expected output counts are
+    proportional to ``n_i ** alpha``.
 
     Deterministic and repartition-stable like
     :func:`source_weighted_sample` (same 16-bit md5 hash filter). Scale
@@ -369,13 +371,17 @@ def temperature_mix(df: DataFrame, source_col: str, key_col: str,
               for r in df.groupBy(source_col).count().collect()}
     if not counts:
         return df
-    n_min = min(counts.values())
+    # keep rate ~ n_i^(alpha-1), normalized so the max-rate source keeps
+    # everything: for alpha < 1 that is the SMALLEST source (flattening
+    # never upsamples), for alpha > 1 the LARGEST (sharpening downweights
+    # the tail). alpha == 1 is the identity mix.
+    n_ref = min(counts.values()) if alpha <= 1.0 else max(counts.values())
     thr = F.lit(0)
     for s, n in sorted(counts.items()):
         if alpha == 0.5:
-            t = math.isqrt((65536 * 65536 * n_min) // n)
+            t = math.isqrt((65536 * 65536 * n_ref) // n)
         else:
-            t = int(65536 * (n_min / n) ** (1.0 - alpha))
+            t = int(65536 * (n_ref / n) ** (1.0 - alpha))
         thr = F.when(F.col(source_col) == s, F.lit(t)).otherwise(thr)
     return df.filter(sample_hash(F.col(key_col), salt) < thr)
 
@@ -393,6 +399,8 @@ def column_histogram(df: DataFrame, col: str, bins: int = 10) -> DataFrame:
     fixed double-op order, so any IEEE engine reproduces it exactly; a
     constant column collapses into a single bucket 0.
     """
+    if bins < 1:
+        raise ValueError("bins must be >= 1")
     lo_hi = df.agg(F.min(col).alias("lo"), F.max(col).alias("hi")).first()
     lo, hi = lo_hi[0], lo_hi[1]
     if lo is None:

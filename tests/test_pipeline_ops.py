@@ -413,6 +413,13 @@ def test_temperature_mix_flattens_skewed_sources(spark):
     # generic-alpha path: flattening is monotone in alpha
     n07 = HF.temperature_mix(df, "source", "doc_id", alpha=0.7).count()
     assert out.count() <= n07 <= 525
+    # sharpening (alpha > 1): the LARGEST source keeps everything and the
+    # tail is downweighted — not the identity
+    sharp = {r[0]: r[1] for r in HF.temperature_mix(
+        df, "source", "doc_id", alpha=2.0)
+        .groupBy("source").count().collect()}
+    assert sharp["big"] == 400
+    assert sharp.get("small", 0) < 25 and sharp.get("mid", 0) < 100
 
 
 def test_column_histogram_counts_and_bounds(spark, docs):
