@@ -77,15 +77,27 @@ def run_suite(spark, sf_dir: str) -> dict[str, float]:
     wh_tables = {}
 
     def build_wh():
-        for name, key in [("lineitem", ["l_orderkey", "l_linenumber",
-                                        "l_partkey", "l_suppkey"]),
-                          ("customer", ["c_custkey"]), ("part", ["p_partkey"]),
-                          ("supplier", ["s_suppkey"]), ("nation", ["n_nationkey"]),
-                          ("region", ["r_regionkey"])]:
+        # six INDEPENDENT tables: submit their build pipelines concurrently
+        # so the five small dims overlap lineitem's write instead of
+        # queueing behind it — on a real cluster these are disjoint jobs
+        # sharing executor capacity, exactly what Spark's FIFO scheduler
+        # interleaves at stage granularity
+        from concurrent.futures import ThreadPoolExecutor
+
+        def one(spec):
+            name, key = spec
             t = HoodieTable.create(spark, os.path.join(work, name), name, key)
             t.bulk_insert(load_table(spark, sf_dir, name))
             t.register_view(f"hd_{name}")
-            wh_tables[name] = t
+            return name, t
+
+        specs = [("lineitem", ["l_orderkey", "l_linenumber",
+                               "l_partkey", "l_suppkey"]),
+                 ("customer", ["c_custkey"]), ("part", ["p_partkey"]),
+                 ("supplier", ["s_suppkey"]), ("nation", ["n_nationkey"]),
+                 ("region", ["r_regionkey"])]
+        with ThreadPoolExecutor(max_workers=len(specs)) as ex:
+            wh_tables.update(dict(ex.map(one, specs)))
         cow.register_view("hd_orders")
     timed("bulk_insert_warehouse")(build_wh)
 
