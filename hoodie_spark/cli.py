@@ -75,6 +75,14 @@ def _build_parser() -> argparse.ArgumentParser:
     rd = sub.add_parser("repair-dedup")
     rd.add_argument("partition")
     rd.add_argument("--dry-run", action="store_true")
+    ro = sub.add_parser("repair-orphans")
+    ro.add_argument("--delete", action="store_true",
+                    help="actually remove (default: dry-run listing)")
+    ro.add_argument("--max-age", type=float, default=3600.0,
+                    help="minimum file age in seconds to qualify")
+    ar = sub.add_parser("archive")
+    ar.add_argument("--max-active", type=int, default=None,
+                    help="completed data instants to keep active")
     sub.add_parser("reclaim")
     sub.add_parser("upgrade")
     sub.add_parser("downgrade")
@@ -156,6 +164,17 @@ def main(argv: list[str] | None = None, spark=None) -> dict:
         res = repair_deduplicate(tbl, args.partition, dry_run=args.dry_run)
         out = {"duplicate_keys": res} if args.dry_run else \
             {"repair_instant": res}
+    elif args.cmd == "repair-orphans":
+        from .services.repair import repair_orphan_files
+
+        orphans = repair_orphan_files(tbl, dry_run=not args.delete,
+                                      max_age_s=args.max_age)
+        out = {"orphans": orphans, "deleted": bool(args.delete)}
+    elif args.cmd == "archive":
+        kw = {}
+        if args.max_active is not None:
+            kw["max_active"] = args.max_active
+        out = {"archived": tbl.archive(**kw)}
     elif args.cmd == "reclaim":
         from .services.rollback import rollback_failed_writes
 

@@ -232,6 +232,23 @@ def test_cli_commands(spark, orders, tmp_table_path):
     assert not si.exists(tbl2, "o_custkey")
     out = cli.main([tmp_table_path, "logcompact"], spark=spark)
     assert out["logcompaction_instant"] is None  # COW: nothing to merge
+    # orphan repair: plant a never-referenced parquet, dry-run lists it,
+    # --delete removes it (age 0 so the fresh plant qualifies)
+    orphan = os.path.join(tmp_table_path, "deadbeef_0-0-0_00000000000000.parquet")
+    with open(orphan, "wb") as f:
+        f.write(b"not really parquet")
+    out = cli.main([tmp_table_path, "repair-orphans", "--max-age", "0"],
+                   spark=spark)
+    assert out["orphans"] and not out["deleted"] and os.path.exists(orphan)
+    out = cli.main([tmp_table_path, "repair-orphans", "--max-age", "0",
+                    "--delete"], spark=spark)
+    assert out["deleted"] and not os.path.exists(orphan)
+    # archive: keep 1 active completed instant, the older one moves to jsonl
+    out = cli.main([tmp_table_path, "archive", "--max-active", "1"],
+                   spark=spark)
+    assert out["archived"] == 1
+    out = cli.main([tmp_table_path, "commits"], spark=spark)
+    assert len(out["commits"]) == 2  # archived history still folds in
     import shutil
     shutil.rmtree(exp, ignore_errors=True)
 
