@@ -1364,11 +1364,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["char_entropy"] = lambda s, d: load_table(s, d, "documents").select(
         "doc_id", HF.char_entropy("text").alias("entropy"))
     # temperature-scaled source mixing (GPT-3/PaLM recipe) over the
-    # skewed order-status mix; alpha=0.5 uses the exact integer-sqrt
-    # quantization so the SQL oracle reproduces the selection bit-for-bit
+    # genuinely skewed language mix (en dominates ~3x); alpha=0.5 uses the
+    # exact integer-sqrt quantization so the SQL oracle reproduces the
+    # selection bit-for-bit
     q["temperature_mix"] = lambda s, d: HF.temperature_mix(
-        load_table(s, d, "orders"), "o_orderstatus", "o_orderkey",
-        alpha=0.5).select("o_orderkey", "o_orderstatus")
+        load_table(s, d, "documents"), "lang", "doc_id",
+        alpha=0.5).select("doc_id", "lang")
     # corpus length-distribution diagnostic: exact two-pass equal-width
     # histogram (bins=16 keeps the width division exact in binary)
     q["length_histogram"] = lambda s, d: HF.column_histogram(
@@ -2633,15 +2634,15 @@ FROM t LEFT JOIN s USING (doc_id)
     # temperature mixing at alpha=0.5: thr = isqrt(65536^2 * n_min / n),
     # exact in integer arithmetic (sqrt of an exact integer < 2^53 is
     # correctly rounded, so floor(sqrt(..)) == isqrt(..))
-    _okey = "md5(CAST(o_orderkey AS VARCHAR))"
+    _okey = "md5(CAST(doc_id AS VARCHAR))"
     o["temperature_mix"] = f"""
-WITH c AS (SELECT o_orderstatus AS s, count(*) AS n
-           FROM orders GROUP BY o_orderstatus),
+WITH c AS (SELECT lang AS s, count(*) AS n
+           FROM documents GROUP BY lang),
 m AS (SELECT min(n) AS n_min FROM c),
 t AS (SELECT s, CAST(floor(sqrt(CAST((4294967296 * n_min) // n AS DOUBLE)))
                 AS BIGINT) AS thr FROM c, m)
-SELECT o.o_orderkey, o.o_orderstatus
-FROM orders o JOIN t ON o.o_orderstatus = t.s
+SELECT d.doc_id, d.lang
+FROM documents d JOIN t ON d.lang = t.s
 WHERE ({_hex4(_okey, 1)}) < t.thr
 """
     # equal-width histogram: one fixed double-op order shared with the

@@ -182,7 +182,7 @@ def run_suite(spark, sf_dir: str) -> dict[str, float]:
         HF.char_entropy("text").alias("h")).agg(
             F.avg("h"), F.min("h"), F.max("h")).collect())
     timed("temperature_mix")(lambda: HF.temperature_mix(
-        docs, "source", "doc_id", alpha=0.5).count())
+        docs, "lang", "doc_id", alpha=0.5).count())
     timed("cluster_balanced_sample")(lambda: HF.cluster_balanced_sample(
         emb, "vec_id", "embedding", per_cluster=50, n_clusters=16).count())
     timed("length_histogram")(lambda: HF.column_histogram(
