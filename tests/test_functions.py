@@ -576,3 +576,13 @@ def test_char_entropy_corpus_range(docs):
     # natural text: strictly positive, bounded by log2(alphabet)
     assert stats[0] > 2.0 and stats[1] < 6.5
     assert stats[2] == docs.count()
+
+
+def test_char_entropy_plan_is_map_only(spark):
+    """The 100 TB contract: zero Exchange, scan pruned to (id, text) —
+    asserted on a fresh (uncached) scan so column pruning is visible."""
+    fresh = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = fresh.select("doc_id", HF.char_entropy("text").alias("h"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan

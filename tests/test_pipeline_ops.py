@@ -507,3 +507,11 @@ def test_temperature_mix_random_model(spark):
     # smallest source is kept in full
     smallest = min(sources, key=sources.get)
     assert all(i in got for i, s in rows if s == smallest)
+
+
+def test_temperature_mix_plan_is_map_only_filter(docs):
+    """After the bounded census, admission is a single filtered scan —
+    no Exchange, no join."""
+    out = HF.temperature_mix(docs, "lang", "doc_id", alpha=0.5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Join" not in plan
