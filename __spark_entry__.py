@@ -1382,6 +1382,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         load_table(s, d, "embeddings"), "vec_id", "embedding",
         per_cluster=20, n_clusters=16)
 
+    def _q_mm_features(s, d):
+        # multimodal feature extraction: Arrow-batched mapInPandas embeds
+        # each payload (deterministic md5-derived fake codec — the plug
+        # point for a real model); exploded to (doc_id, j, feat) so the
+        # oracle compares scalars, round-6 washing the float32 roundtrip
+        docs = load_table(s, d, "documents")
+        m = HF.attach_media(docs.select(
+            "doc_id", F.encode("text", "utf-8").alias("p")), "p")
+        f = HF.extract_features(m, dim=4)
+        return (f.select("doc_id",
+                         F.posexplode("features").alias("j", "feat"))
+                .select("doc_id", "j",
+                        F.round(F.col("feat").cast("double"), 6)
+                        .alias("feat")))
+    q["multimodal_features"] = _q_mm_features
+
     # ---- SQL-on-snapshot (TPC-H style). Deliberately LAST: the driver
     # records only the first 50 queries, and every unique operator must land
     # inside that window — TPC-H rows are parity evidence for one §2.6 row,
@@ -2658,6 +2674,15 @@ SELECT bucket,
        round(mm.lo + (bucket + 1) * ((mm.hi - mm.lo) / 16), 6) AS hi,
        count(*) AS n
 FROM b, mm GROUP BY bucket, mm.lo, mm.hi
+"""
+    # multimodal feature extraction: component j of the deterministic
+    # fake embedder is (int(md5(md5(payload) || ':' || j)[:4], 16) % 2001
+    # - 1000) / 1000.0 — pure integer-then-divide, engine-portable
+    _fh = "md5(md5(text) || ':' || CAST(j AS VARCHAR))"
+    o["multimodal_features"] = f"""
+SELECT doc_id, CAST(j AS INT) AS j,
+       round((({_hex4(_fh, 1)}) % 2001 - 1000) / 1000.0, 6) AS feat
+FROM documents CROSS JOIN (SELECT unnest(range(0, 4)) AS j)
 """
     # cluster-balanced sampling: same nearest-centroid assignment fragment
     # as the semantic_dedup oracle (left-to-right list_sum fold == the

@@ -187,6 +187,10 @@ def run_suite(spark, sf_dir: str) -> dict[str, float]:
         emb, "vec_id", "embedding", per_cluster=50, n_clusters=16).count())
     timed("length_histogram")(lambda: HF.column_histogram(
         docs, "n_chars", bins=16).collect())
+    timed("multimodal_features")(lambda: HF.extract_features(
+        HF.attach_media(docs.select(
+            "doc_id", F.encode("text", "utf-8").alias("p")), "p"),
+        dim=8).agg(F.count("features")).collect())
     timed("chunk_documents")(lambda: HF.chunk_documents(
         docs, "doc_id", "text", chunk_tokens=64, overlap=8).count())
     timed("pack_sequences")(lambda: HF.pack_sequences(

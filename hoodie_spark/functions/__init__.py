@@ -80,6 +80,8 @@ from .multimodal import (
     attach_media,
     decode_media_meta,
     register_codec,
+    resize_media,
+    extract_features,
     sample_frames,
 )
 from .components import duplicate_groups, dedup_by_groups
@@ -110,7 +112,7 @@ __all__ = [
     "ivfpq_topk_from_index", "knn_classify", "cluster_balanced_sample",
     "gopher_metrics", "gopher_filter", "word_spans", "GOPHER_DEFAULTS",
     "MEDIA_META_SCHEMA", "attach_media", "decode_media_meta", "sample_frames",
-    "register_codec",
+    "register_codec", "resize_media", "extract_features",
     "sessionize",
     "duplicate_groups", "dedup_by_groups",
     "asof_join",

@@ -28,7 +28,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 __all__ = ["MEDIA_META_SCHEMA", "attach_media", "decode_media_meta",
-           "sample_frames", "register_codec"]
+           "sample_frames", "register_codec", "resize_media",
+           "extract_features"]
 
 # ------------------------------------------------------------ codec registry
 # The explicit plugin point for real decoders: register a callable
@@ -124,6 +125,125 @@ def decode_media_meta(df: DataFrame, media_col: str = "media",
             yield pdf
 
     return df.mapInPandas(decode, schema=out_schema)
+
+
+def resize_media(df: DataFrame, width: int, height: int,
+                 media_col: str = "media", fake: bool = True,
+                 codec=None) -> DataFrame:
+    """Resize stage: media bytes → media bytes at the target geometry.
+
+    Arrow-batched ``mapInPandas``; output schema = input with ``media``
+    replaced and ``media_meta`` (when present) updated to the new
+    ``n_bytes``/``digest``. The resize codec is the plug point —
+    ``register_codec("pil_resize", fn)`` with
+    ``fn(payload: bytes|None, width, height) -> bytes|None`` for a real
+    backend; the built-in fake is a deterministic 1-D nearest-neighbor
+    resample (payload repeated/truncated to ``width*height`` bytes), which
+    exercises the binary-in/binary-out batch path end to end.
+
+    Scale: map-only over Arrow batches, no shuffle; the payload column is
+    the only wide column touched (project it late — see module notes).
+    """
+    if codec is None and fake:
+        codec = "fake_resize"
+    if isinstance(codec, str):
+        codec = _CODECS.get(codec)
+    has_meta = "media_meta" in df.columns
+    out_schema = df.schema
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            if codec is None:
+                raise NotImplementedError(
+                    "no resize codec: register one with register_codec("
+                    "name, fn(payload, width, height) -> bytes) and pass "
+                    "codec=name; codec='fake_resize' is the deterministic "
+                    "test resampler")
+            pdf = pdf.copy()
+            out = [codec(b, width, height) for b in pdf[media_col]]
+            pdf[media_col] = out
+            if has_meta:
+                pdf["media_meta"] = [
+                    None if m is None else {
+                        **m,
+                        "n_bytes": None if b is None else len(b),
+                        "digest": None if b is None
+                        else hashlib.md5(bytes(b)).hexdigest()}
+                    for m, b in zip(pdf["media_meta"], out)]
+            yield pdf
+
+    return df.mapInPandas(resize, schema=out_schema)
+
+
+def _fake_resize(b, width: int, height: int):
+    """Deterministic 1-D nearest-neighbor byte resample to width*height."""
+    if b is None:
+        return None
+    target = max(width * height, 0)
+    raw = bytes(b)
+    if not raw or target == 0:
+        return b"" if raw is not None else None
+    reps = -(-target // len(raw))  # ceil
+    return (raw * reps)[:target]
+
+
+register_codec("fake_resize", _fake_resize)
+
+
+def extract_features(df: DataFrame, media_col: str = "media", dim: int = 8,
+                     fake: bool = True, codec=None) -> DataFrame:
+    """Feature-extract stage: media bytes → ``features array<float>`` —
+    the bridge from multimodal payloads into every embedding operator
+    (ANN top-k, near-dup, semantic_dedup, cluster_balanced_sample).
+
+    Arrow-batched ``mapInPandas``; output schema = input +
+    ``features array<float>``. The embedding model is the plug point —
+    ``register_codec("clip", fn)`` with ``fn(payload: bytes|None, dim)
+    -> list[float]|None`` for a real backend. The built-in fake derives
+    component ``j`` from ``md5(md5(payload) || ':' || j)``: first 4 hex
+    nibbles as an int, mapped to ``(v % 2001 - 1000) / 1000.0`` — pure
+    integer-then-divide arithmetic any SQL engine reproduces bit-for-bit.
+    """
+    if codec is None and fake:
+        codec = "fake_features"
+    if isinstance(codec, str):
+        codec = _CODECS.get(codec)
+    out_schema = T.StructType(
+        df.schema.fields + [T.StructField("features",
+                                          T.ArrayType(T.FloatType()))])
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if codec is None:
+                raise NotImplementedError(
+                    "no feature codec: register one with register_codec("
+                    "name, fn(payload, dim) -> list[float]) and pass "
+                    "codec=name; codec='fake_features' is the "
+                    "deterministic test embedder")
+            pdf = pdf.copy()
+            pdf["features"] = [codec(b, dim) for b in pdf[media_col]]
+            yield pdf
+
+    return df.mapInPandas(extract, schema=out_schema)
+
+
+def _fake_features(b, dim: int):
+    """Deterministic md5-derived embedding in [-1, 1]."""
+    import hashlib
+
+    if b is None:
+        return None
+    base = hashlib.md5(bytes(b)).hexdigest()
+    out = []
+    for j in range(dim):
+        h = hashlib.md5(f"{base}:{j}".encode()).hexdigest()
+        out.append((int(h[:4], 16) % 2001 - 1000) / 1000.0)
+    return out
+
+
+register_codec("fake_features", _fake_features)
 
 
 def sample_frames(df: DataFrame, media_col: str = "media", every_n_bytes: int = 64,

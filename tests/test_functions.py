@@ -586,3 +586,50 @@ def test_char_entropy_plan_is_map_only(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+
+def test_resize_media_geometry_and_meta(docs):
+    import hashlib
+    m = HF.attach_media(docs.select(
+        "doc_id", F.encode("text", "utf-8").alias("p")), "p",
+        media_type="image", fmt="png")
+    out = HF.resize_media(m, width=16, height=4).limit(10).collect()
+    for r in out:
+        assert len(r.media) == 16 * 4
+        assert r.media_meta.n_bytes == 64
+        assert r.media_meta.digest == hashlib.md5(bytes(r.media)).hexdigest()
+        assert r.media_meta.media_type == "image"  # rest of meta preserved
+    # deterministic 1-D nearest-neighbor model: repeat/truncate
+    src = {r.doc_id: r.media for r in m.limit(10).collect()}
+    for r in out:
+        raw = bytes(src[r.doc_id])
+        reps = -(-64 // len(raw))
+        assert bytes(r.media) == (raw * reps)[:64]
+
+
+def test_resize_media_requires_codec(docs):
+    m = HF.attach_media(docs.select(
+        "doc_id", F.encode("text", "utf-8").alias("p")), "p")
+    with pytest.raises(Exception, match="NotImplementedError|no resize codec"):
+        HF.resize_media(m, 8, 8, fake=False).collect()
+
+
+def test_extract_features_model_and_ann_composition(docs):
+    import hashlib
+    m = HF.attach_media(docs.select(
+        "doc_id", F.encode("text", "utf-8").alias("p")), "p")
+    feats = HF.extract_features(m, dim=8)
+    rows = feats.select("doc_id", "media", "features").limit(20).collect()
+    for r in rows:
+        base = hashlib.md5(bytes(r.media)).hexdigest()
+        exp = [(int(hashlib.md5(f"{base}:{j}".encode()).hexdigest()[:4], 16)
+                % 2001 - 1000) / 1000.0 for j in range(8)]
+        assert len(r.features) == 8
+        assert all(abs(a - b) < 1e-6 for a, b in zip(r.features, exp))
+        assert all(-1.0 <= v <= 1.0 for v in r.features)
+    # the bridge: extracted features feed the embedding operators directly
+    corpus = feats.select("doc_id", "features")
+    q = corpus.filter(F.col("doc_id") < 3)
+    top = HF.brute_force_topk(corpus, q, "doc_id", "features", k=5)
+    per_q = top.groupBy("query_id").count().collect()
+    assert per_q and all(r["count"] == 5 for r in per_q)
