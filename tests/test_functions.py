@@ -579,9 +579,12 @@ def test_char_entropy_corpus_range(docs):
 
 
 def test_char_entropy_plan_is_map_only(spark):
-    """The 100 TB contract: zero Exchange, scan pruned to (id, text) —
-    asserted on a fresh (uncached) scan so column pruning is visible."""
-    fresh = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    """The 100 TB contract: zero Exchange, scan pruned to (id, text).
+    The explicit schema keeps this read's logical plan distinct from the
+    module fixture's cached full-schema read — otherwise Spark's cache
+    manager substitutes the 5-column InMemoryRelation and hides pruning."""
+    fresh = spark.read.schema("doc_id bigint, text string").parquet(
+        f"{SF_DIR}/documents.parquet")
     out = fresh.select("doc_id", HF.char_entropy("text").alias("h"))
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
