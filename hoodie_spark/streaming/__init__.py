@@ -1,4 +1,4 @@
-from .ingest import (CsvDFSSource, HoodieIncrSource, Ingestor, JdbcSource,
+from .ingest import (CsvDFSSource, OrcDFSSource, HoodieIncrSource, Ingestor, JdbcSource,
                      JsonDFSSource, KafkaSource, MultiTableIngestor,
                      ParquetDFSSource, SqlSource)
 from .async_services import AsyncTableServices
@@ -18,7 +18,7 @@ from .transform import (AWSDmsTransformer, ChainedTransformer,
 
 __all__ = ["foreach_batch_writer", "write_stream", "incremental_batches",
            "latest_offset", "Ingestor", "ParquetDFSSource", "JsonDFSSource",
-           "CsvDFSSource", "JdbcSource", "KafkaSource", "SqlSource",
+           "CsvDFSSource", "OrcDFSSource", "JdbcSource", "KafkaSource", "SqlSource",
            "HoodieIncrSource", "MultiTableIngestor", "AsyncTableServices",
            "stateful_dedup", "stateful_session_counts", "IncrementalDeduper",
            "SchemaProvider",

@@ -85,6 +85,14 @@ class CsvDFSSource(_DFSSource):
                          {"header": "true", **(options or {})})
 
 
+class OrcDFSSource(_DFSSource):
+    """ORCDFSSource.java — ORC is a native Spark format, so the generic
+    mtime-checkpointed DFS selector covers it with fmt='orc'."""
+
+    def __init__(self, path, **kw):
+        super().__init__(path, "orc", **kw)
+
+
 @dataclass
 class JdbcSource(Source):
     """JdbcSource.java — incremental on a monotonically increasing column."""

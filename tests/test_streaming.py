@@ -627,3 +627,36 @@ def test_corpus_pipeline_transformer_on_ingest(spark, tmp_table_path):
     exp = {(r["doc_id"], r["lang"], r["n_tokens"], r["shard_id"])
            for r in corpus_pipeline(corpus, test_split).collect()}
     assert got == exp and len(got) > 0
+
+
+def test_orc_dfs_source_ingest(spark, tmp_table_path):
+    """ORC files feed the same mtime-checkpointed DFS selector: first fetch
+    reads everything, a newer file is picked up incrementally, and the
+    full Ingestor commit path lands the rows in the table."""
+    from hoodie_spark import HoodieTable
+    from hoodie_spark.streaming import Ingestor, OrcDFSSource
+
+    src_dir = os.path.join(tmp_table_path, "orc_src")
+    base = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5)], "id bigint, name string, v double")
+    base.coalesce(1).write.orc(os.path.join(src_dir, "b0"))
+    src = OrcDFSSource(src_dir + "/b0")
+    df, ck = src.fetch(spark, None)
+    assert df.count() == 2 and set(df.columns) == {"id", "name", "v"}
+    none_df, ck2 = src.fetch(spark, ck)
+    assert none_df is None and ck2 == ck  # nothing newer
+
+    tbl = HoodieTable.create(spark, os.path.join(tmp_table_path, "t"),
+                             "orc_ing", recordkey_fields=["id"])
+    ing = Ingestor(tbl, src, operation="upsert")
+    assert ing.sync_once() is not None
+    assert tbl.snapshot().count() == 2
+    # a second batch arrives appended into the directory; the mtime
+    # selector re-reads the touched files incrementally
+    import time
+    time.sleep(0.05)
+    more = spark.createDataFrame([(3, "c", 3.5)],
+                                 "id bigint, name string, v double")
+    more.coalesce(1).write.orc(os.path.join(src_dir, "b0"), mode="append")
+    assert ing.sync_once() is not None
+    assert tbl.snapshot().count() == 3
