@@ -282,3 +282,23 @@ def test_snapshot_export_archived_table(spark, orders, tmp_table_path):
                   copy.snapshot().select("o_orderkey", "o_orderstatus").collect()) == \
         sorted(tuple(r) for r in
                tbl.snapshot().select("o_orderkey", "o_orderstatus").collect())
+
+
+def test_concurrent_independent_table_builds(spark, orders, tmp_table_path):
+    """Disjoint tables build correctly from concurrent driver threads —
+    the pattern the warehouse bench uses to overlap independent writes.
+    Pins that no writer/keygen/storage driver state is shared per-table."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from hoodie_spark import HoodieTable
+
+    def build(i):
+        t = HoodieTable.create(spark, os.path.join(tmp_table_path, f"t{i}"),
+                               f"ct{i}", recordkey_fields=["o_orderkey"],
+                               precombine_field="o_orderdate")
+        t.bulk_insert(orders.limit(200))
+        return t.snapshot().count(), len(t.commits())
+
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        results = list(ex.map(build, range(4)))
+    assert results == [(200, 1)] * 4
