@@ -184,12 +184,26 @@ class IncrementalDeduper:
         banded = self._banded(feats).persist()
         self._feat_cache = (df, feats, banded)
 
-        # exact vs state: probe ONLY the state buckets the batch hashes in
+        # exact vs state: probe ONLY the state buckets the batch hashes in.
+        # BOTH bucket censuses (content hash + band hash) fold into ONE
+        # aggregation job over the persisted features — the collect is two
+        # bounded arrays (<= n_buckets ints each), and merging the jobs
+        # also makes this single action the feats materialization point.
         probe = feats.withColumn(
             "bucket", F.pmod(F.xxhash64("chash"),
                              F.lit(self.n_buckets)).cast("int"))
-        buckets = [r["bucket"] for r in
-                   probe.select("bucket").distinct().collect()]
+        census = feats.agg(
+            F.collect_set(
+                F.pmod(F.xxhash64("chash"),
+                       F.lit(self.n_buckets)).cast("int")).alias("cb"),
+            F.array_distinct(F.flatten(F.collect_list(
+                F.transform(
+                    F.col("bands"),
+                    lambda b: F.pmod(F.xxhash64(b["bh"]),
+                                     F.lit(self.n_buckets)).cast("int"))
+            ))).alias("bb")).first()
+        buckets = list(census["cb"] or [])
+        bbuckets = list(census["bb"] or [])
         content = self._read_state("content", "chash string")
         if buckets:
             content = content.filter(F.col("bucket").isin(buckets))
@@ -201,12 +215,11 @@ class IncrementalDeduper:
                        .filter(F.col("__rn") > 1).select(id_col))
 
         # near vs state: equi-join on (band, bh) against the pruned bucket
-        # partitions; the batch side is the small build side
+        # partitions (bbuckets from the shared census above); the batch
+        # side is the small build side
         bprobe = banded.withColumn(
             "bucket", F.pmod(F.xxhash64("bh"),
                              F.lit(self.n_buckets)).cast("int"))
-        bbuckets = [r["bucket"] for r in
-                    bprobe.select("bucket").distinct().collect()]
         sbands = self._read_state(
             "bands", "band int, bh string, minhash array<string>")
         if bbuckets:
