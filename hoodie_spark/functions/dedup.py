@@ -254,7 +254,12 @@ def seen_dedup(df: DataFrame, id_col: str, text_col: str,
     mm = min_sig_matches(threshold, num_hashes)
     feats = _pin(doc_features(df, id_col, text_col, num_hashes, bands, ngram))
     exact_w = Window.partitionBy("chash").orderBy(F.col(id_col))
-    exact_dropped = (feats.withColumn("__rn", F.row_number().over(exact_w))
+    # NULL text has no content hash: such rows are never exact duplicates
+    # of anything (partitionBy would otherwise group all NULL chashes into
+    # one bogus duplicate class, while any equi-join probe on chash never
+    # matches NULL — the filter keeps both formulations agreeing)
+    exact_dropped = (feats.filter(F.col("chash").isNotNull())
+                     .withColumn("__rn", F.row_number().over(exact_w))
                      .filter(F.col("__rn") > 1).select(F.col(id_col)))
     banded = _pin(
         feats.filter(F.col("bands").isNotNull())

@@ -109,7 +109,10 @@ def pack_shards(df: DataFrame, weight_col: str, budget: float,
     bucket. Equal-width bins can skew with pathological key distributions —
     that costs balance in the window stage, never correctness.
 
-    The first entry of ``order_cols`` must be numeric.
+    The first entry of ``order_cols`` must be numeric. The prefix sum uses
+    an explicit ROWS frame (ties on ``order_cols`` accumulate one row at a
+    time, never as a peer group); pass a unique key for bit-reproducible
+    shard assignment across engines.
     """
     lead = order_cols[0]
     lo, hi = df.agg(F.min(lead), F.max(lead)).first()
@@ -137,8 +140,9 @@ def pack_shards(df: DataFrame, weight_col: str, budget: float,
     off_df = F.broadcast(df.sparkSession.createDataFrame(
         [(int(b), float(o)) for b, o in offsets.items()],
         "__bkt int, __off double"))
-    win = Window.partitionBy("__bkt").orderBy(*order_cols)
-    local_cum = F.sum("__w").over(win) - F.col("__w")
+    win = (Window.partitionBy("__bkt").orderBy(*order_cols)
+           .rowsBetween(Window.unboundedPreceding, -1))
+    local_cum = F.coalesce(F.sum("__w").over(win), F.lit(0.0))
     return (staged.join(off_df, "__bkt")
             .withColumn("shard_id",
                         F.floor((F.col("__off") + local_cum)
@@ -167,7 +171,11 @@ def pack_sequences(df: DataFrame, weight_col, seq_len: int,
     per-bucket cumsum, one broadcast offset row per bucket — never an
     `Exchange SinglePartition`); the piece fan-out is an in-row
     ``sequence()`` explode, ceil(w/L)+1 rows max per doc, no shuffle.
-    The first entry of ``order_cols`` must be numeric.
+    The first entry of ``order_cols`` must be numeric. The running offset
+    uses an explicit ROWS frame, so rows TIED on ``order_cols`` still get
+    disjoint token ranges (no overlapping pieces); which tied row comes
+    first is engine-arbitrary, so pass a unique key (e.g. append the id
+    column) when bit-reproducible assignment across engines matters.
     """
     lead = order_cols[0]
     lo, hi = df.agg(F.min(lead), F.max(lead)).first()
@@ -197,8 +205,9 @@ def pack_sequences(df: DataFrame, weight_col, seq_len: int,
     off_df = F.broadcast(df.sparkSession.createDataFrame(
         [(int(b), int(o)) for b, o in offsets.items()],
         "__bkt int, __boff long"))
-    win = Window.partitionBy("__bkt").orderBy(*order_cols)
-    local_cum = F.sum("__w").over(win) - F.col("__w")
+    win = (Window.partitionBy("__bkt").orderBy(*order_cols)
+           .rowsBetween(Window.unboundedPreceding, -1))
+    local_cum = F.coalesce(F.sum("__w").over(win), F.lit(0).cast("long"))
     L = F.lit(int(seq_len))
     off = (F.col("__boff") + local_cum).alias("__off")
     pieced = (staged.join(off_df, "__bkt")
@@ -364,13 +373,22 @@ def temperature_mix(df: DataFrame, source_col: str, key_col: str,
     exact integer arithmetic — ``isqrt(65536**2 * n_min // n_i)`` — so an
     external SQL engine reproduces the selection bit-for-bit; other alphas
     go through libm ``pow`` (stable within an engine, last-ulp across).
+
+    Rows whose source is NULL are dropped: there is no source count to
+    derive a keep rate from, and a mixture row without provenance has no
+    place in a temperature-scaled mix.
     """
     import math
 
     counts = {r[0]: r[1]
               for r in df.groupBy(source_col).count().collect()}
+    # NULL-source rows have no count to attribute a rate to: they are
+    # always dropped (the when-chain's null comparison falls through to
+    # the base threshold 0), and they must not poison the census sort
+    has_null = counts.pop(None, 0)
     if not counts:
-        return df
+        return (df.filter(F.col(source_col).isNotNull())
+                if has_null else df)
     # keep rate ~ n_i^(alpha-1), normalized so the max-rate source keeps
     # everything: for alpha < 1 that is the SMALLEST source (flattening
     # never upsamples), for alpha > 1 the LARGEST (sharpening downweights

@@ -364,14 +364,35 @@ class _StageCommit(WriterCommitMessage):
         self.files = files
 
 
+def _staging_fs(table_path: str):
+    """(pyarrow FileSystem, normalized .staging dir) for a table path.
+
+    Staging is DATA-plane I/O that runs on EXECUTORS, so it cannot use the
+    driver-configured Storage seam (a module global does not travel with
+    the pickled task). ``pyarrow.fs`` is the executor-native equivalent:
+    ``from_uri`` resolves ``s3://`` / ``gs://`` / local paths to the right
+    filesystem on whatever host the task lands on — the same way Spark's
+    own scans resolve the table path via Hadoop s3a. Reference parity:
+    the reference stages through FileSystem/FSUtils for the same reason
+    (hudi-common .../fs/FSUtils.java)."""
+    from pyarrow import fs as pafs
+
+    d = table_path.rstrip("/") + "/.hoodie/.staging"
+    if "://" in table_path:
+        fs, norm = pafs.FileSystem.from_uri(d)
+        return fs, norm
+    return pafs.LocalFileSystem(), os.path.abspath(d)
+
+
 def _stage_batches(table_path: str, schema_json: str,
                    iterator) -> _StageCommit:
     """Executor side: stream this task's ARROW record batches into one
     staged parquet under ``<table>/.hoodie/.staging/`` — vectorized end to
     end (DataSourceArrowWriter hands us ``pa.RecordBatch``es straight off
     the JVM Arrow transfer; no row ever materializes as a Python object),
-    parallel, nothing moves to the driver. Returns the staged file list as
-    the commit message."""
+    parallel, nothing moves to the driver. Returns the staged file list
+    (original URI form, readable by ``spark.read``) as the commit
+    message."""
     import uuid as _uuid
 
     import pyarrow as pa
@@ -379,9 +400,9 @@ def _stage_batches(table_path: str, schema_json: str,
     from pyspark.sql.pandas.types import to_arrow_schema
 
     target = to_arrow_schema(StructType.fromJson(json.loads(schema_json)))
-    d = os.path.join(table_path, ".hoodie", ".staging")
-    os.makedirs(d, exist_ok=True)
-    f = os.path.join(d, f"part-{_uuid.uuid4().hex[:16]}.parquet")
+    fs, d = _staging_fs(table_path)
+    fs.create_dir(d, recursive=True)
+    name = f"part-{_uuid.uuid4().hex[:16]}.parquet"
     writer = None
     try:
         for batch in iterator:
@@ -389,12 +410,31 @@ def _stage_batches(table_path: str, schema_json: str,
             if t.schema != target:  # tz / nullability conventions differ
                 t = t.cast(target)
             if writer is None:
-                writer = pq.ParquetWriter(f, target)
+                writer = pq.ParquetWriter(f"{d}/{name}", target,
+                                          filesystem=fs)
             writer.write_table(t)
     finally:
         if writer is not None:
             writer.close()
-    return _StageCommit([f] if writer is not None else [])
+    staged = f"{table_path.rstrip('/')}/.hoodie/.staging/{name}"
+    return _StageCommit([staged] if writer is not None else [])
+
+
+def _norm_staged(table_path: str, files) -> list[str]:
+    """Commit-message URIs → filesystem-normalized paths (pyarrow strips
+    the scheme; local paths get abspath so set-membership comparisons
+    hold)."""
+    _, d = _staging_fs(table_path)
+    return [f"{d}/{f.rsplit('/', 1)[1]}" for f in files]
+
+
+def _remove_staged(table_path: str, files) -> None:
+    fs, _ = _staging_fs(table_path)
+    for f in _norm_staged(table_path, files):
+        try:
+            fs.delete_file(f)
+        except OSError:
+            pass  # raced with a concurrent sweep/commit
 
 
 def _sweep_staging(table_path: str, keep,
@@ -410,16 +450,22 @@ def _sweep_staging(table_path: str, keep,
     size should be using ``table.bulk_insert`` anyway."""
     import time
 
-    d = os.path.join(table_path, ".hoodie", ".staging")
-    if not os.path.isdir(d):
-        return
-    keep = {os.path.abspath(f) for f in keep}
+    from pyarrow import fs as pafs
+
+    fs, d = _staging_fs(table_path)
+    keep = set(_norm_staged(table_path, keep))
     cutoff = time.time() - max_age_sec
-    for name in os.listdir(d):
-        f = os.path.join(d, name)
+    try:
+        infos = fs.get_file_info(pafs.FileSelector(d, allow_not_found=True))
+    except OSError:
+        return
+    for info in infos:
+        if not info.is_file or info.path in keep:
+            continue
+        mtime = info.mtime.timestamp() if info.mtime else None
         try:
-            if os.path.abspath(f) not in keep and os.path.getmtime(f) < cutoff:
-                os.remove(f)
+            if mtime is not None and mtime < cutoff:
+                fs.delete_file(info.path)
         except OSError:
             pass  # raced with a concurrent sweep/commit
 
@@ -462,11 +508,7 @@ def _apply_staged(path: str, options: dict, schema_json: str,
             raise ValueError(f"unknown write operation {op!r}")
         dispatch[op](df)
     finally:
-        for f in files:
-            try:
-                os.remove(f)
-            except OSError:
-                pass
+        _remove_staged(path, files)
 
 
 class _HoodieWriter(DataSourceArrowWriter):
@@ -492,12 +534,8 @@ class _HoodieWriter(DataSourceArrowWriter):
         _sweep_staging(self.path, [], _staging_ttl(self.options))
 
     def abort(self, messages):
-        for m in messages or []:
-            for f in (m.files if m is not None else []):
-                try:
-                    os.remove(f)
-                except OSError:
-                    pass
+        _remove_staged(self.path, [f for m in messages or []
+                                  for f in (m.files if m is not None else [])])
         _sweep_staging(self.path, [], _staging_ttl(self.options))
 
 
@@ -522,10 +560,6 @@ class _HoodieStreamWriter(DataSourceStreamArrowWriter):
         _sweep_staging(self.path, [], _staging_ttl(self.options))
 
     def abort(self, messages, batchId):  # noqa: N803
-        for m in messages or []:
-            for f in (m.files if m is not None else []):
-                try:
-                    os.remove(f)
-                except OSError:
-                    pass
+        _remove_staged(self.path, [f for m in messages or []
+                                  for f in (m.files if m is not None else [])])
         _sweep_staging(self.path, [], _staging_ttl(self.options))

@@ -21,9 +21,17 @@ import shutil
 
 
 class Storage:
-    """Minimal filesystem interface; paths are plain strings."""
+    """Minimal filesystem interface; paths are plain strings.
+
+    Directory semantics on object stores: a "directory" is a key prefix.
+    ``listdir`` of a missing path returns ``[]`` (callers treat missing
+    and empty alike — nobody distinguishes them), ``makedirs`` may be a
+    no-op, and ``rename`` may degrade to copy+delete (safe everywhere it
+    is used: bulk-insert tmp moves publish via the commit manifest, so a
+    half-moved file is never referenced)."""
 
     def listdir(self, path: str) -> list[str]:
+        """Immediate children of ``path`` (sorted); [] when missing."""
         raise NotImplementedError
 
     def makedirs(self, path: str) -> None:
@@ -44,13 +52,23 @@ class Storage:
     def size(self, path: str) -> int:
         raise NotImplementedError
 
+    def read_bytes(self, path: str) -> bytes | None:
+        """Whole-object read; None when the path does not exist. The
+        read-side companion of ``AtomicStorage.put_atomic`` for small
+        control files (dedup-state watermarks) that must be readable on
+        the same backend their writes target."""
+        raise NotImplementedError
+
 
 class LocalStorage(Storage):
     """POSIX backend (the test/runtime default): atomic rename, recursive
     delete via shutil."""
 
     def listdir(self, path: str) -> list[str]:
-        return sorted(os.listdir(path))
+        try:
+            return sorted(os.listdir(path))
+        except FileNotFoundError:
+            return []
 
     def makedirs(self, path: str) -> None:
         os.makedirs(path, exist_ok=True)
@@ -70,8 +88,22 @@ class LocalStorage(Storage):
     def size(self, path: str) -> int:
         return os.path.getsize(path)
 
+    def read_bytes(self, path: str) -> bytes | None:
+        try:
+            with open(path, "rb") as f:
+                return f.read()
+        except FileNotFoundError:
+            return None
+
 
 LOCAL = LocalStorage()
+
+#: the active filesystem seam — tables constructed without an explicit
+#: ``storage=`` pick this up, so a deployment swaps ONE global (plus
+#: :data:`ATOMIC`) to move every control-plane file operation onto an
+#: object store. Data-plane parquet I/O goes through Spark/Arrow's own
+#: filesystem layer (s3a / pyarrow.fs) and needs no seam.
+FS: Storage = LOCAL
 
 
 class AtomicStorage:

@@ -16,7 +16,23 @@ already seen in O(batch), never O(corpus):
   A new doc probes state on (band, bh); candidates are verified by signature
   agreement ≥ threshold — an in-row zip, no text re-reads, no corpus scan.
 - ``state.json`` — watermark: the table instant state is synced through,
-  plus the signature parameters (batches must agree on them).
+  plus the signature parameters (batches must agree on them), plus the
+  per-store GENERATION pointers (below).
+
+Object-store layout: every state directory is a VERSIONED GENERATION —
+``content/gen-000000/``, ``content/gen-000001/``, … — and ``state.json``
+(published through the :class:`~hoodie_spark.storage.AtomicStorage` seam)
+records which generation is live. Batches append parquet into the live
+generation; :meth:`IncrementalDeduper.compact_state` writes the folded
+copy into the NEXT generation and swaps the pointer with one atomic
+publish — no directory rename anywhere, so the same code runs on S3/GCS
+where rename does not exist. A crash leaves either the old pointer (the
+new generation is unreferenced garbage, overwritten by the next compact
+and swept after the next successful swap) or the new pointer (the old
+generation is garbage, same sweep) — never a torn state. All remaining
+file operations (existence probes, listings, sweeps) go through the
+:class:`~hoodie_spark.storage.Storage` seam (``table.storage``), the
+engine-wide FSUtils equivalent.
 
 Semantics (the contract the driver oracle verifies): a doc is dropped iff
 ANY earlier-seen doc — previous batches, or a smaller id within its own
@@ -88,6 +104,7 @@ class IncrementalDeduper:
         # (default) keeps exact incremental==global equivalence
         self.max_band_rows = max_band_rows
         self.dir = os.path.join(table.base_path, ".hoodie", STATE_DIR)
+        self.fs = table.storage  # Storage seam: object-store swappable
         # feature reuse between filter_batch(df) and the advance(df) that
         # follows it: instance state, valid because a deduper is a
         # single-writer object (one ingest pipeline per table by OCC)
@@ -100,6 +117,12 @@ class IncrementalDeduper:
                         f"dedup state at {self.dir} was built with {k}="
                         f"{st[k]}, got {getattr(self, k)} — signature "
                         "parameters must match across batches")
+        # generation pointers: None = pre-gen LEGACY flat layout (data
+        # directly under content/ and bands/ — local-FS only; the next
+        # compact_state migrates it into gen-000000)
+        self._gens: dict[str, int | None] = (
+            st.get("gens", {"content": None, "bands": None}) if st
+            else {"content": 0, "bands": 0})
 
     def _release_pins(self) -> None:
         if self._feat_cache is not None:
@@ -116,49 +139,59 @@ class IncrementalDeduper:
         return os.path.join(self.dir, "state.json")
 
     def _load_state(self) -> dict | None:
-        if not os.path.exists(self._state_path):
-            return None
-        with open(self._state_path) as f:
-            return json.load(f)
+        raw = self.fs.read_bytes(self._state_path)
+        return None if raw is None else json.loads(raw)
 
     def _publish_state(self, instant: str | None) -> None:
         from .. import storage
 
-        os.makedirs(self.dir, exist_ok=True)
+        self.fs.makedirs(self.dir)
         storage.ATOMIC.put_atomic(self._state_path, json.dumps({
             "instant": instant, "num_hashes": self.num_hashes,
             "bands": self.bands, "ngram": self.ngram,
-            "n_buckets": self.n_buckets}).encode())
+            "n_buckets": self.n_buckets, "gens": self._gens}).encode())
 
-    def _recover_dir(self, sub: str) -> None:
-        """Repair a compact_state() crash: the two-step directory swap can
-        leave the live dir missing with the COMPLETE folded copy still at
-        .compacting (and the pre-compaction data at .old). Losing state
-        here would be silent — the watermark still reads current, so
-        catch_up would backfill nothing and every seen doc would be
-        forgotten."""
-        d = os.path.join(self.dir, sub)
-        if os.path.isdir(d):
+    def _sub_path(self, sub: str) -> str:
+        """Live data directory for a state store: the generation the
+        pointer names, or the flat legacy dir (``gens[sub] is None``)."""
+        g = self._gens[sub]
+        base = os.path.join(self.dir, sub)
+        return base if g is None else os.path.join(base, f"gen-{g:06d}")
+
+    def _recover_legacy(self, sub: str) -> None:
+        """Repair a LEGACY-layout compact crash (pre-generation states,
+        local FS only): the old two-step directory swap could leave the
+        live dir missing with the complete folded copy at .compacting and
+        the pre-compaction data at .old. Generation layouts never need
+        this — a crashed compact leaves the pointer unswapped."""
+        if self._gens[sub] is not None:
             return
-        import shutil
-
-        if os.path.isdir(d + ".compacting") and os.path.isdir(d + ".old"):
-            # crash between the two os.replace calls: .compacting is the
-            # fully-written folded state (it is only ever swapped in AFTER
-            # its write completed while the live dir still existed)
-            os.replace(d + ".compacting", d)
-            shutil.rmtree(d + ".old", ignore_errors=True)
-        elif os.path.isdir(d + ".old"):
-            os.replace(d + ".old", d)
+        d = os.path.join(self.dir, sub)
+        if self.fs.listdir(d):
+            return
+        if self.fs.listdir(d + ".compacting") and self.fs.listdir(d + ".old"):
+            # crash between the two swaps: .compacting is the fully-written
+            # folded state (only ever swapped in AFTER its write completed
+            # while the live dir still existed)
+            self.fs.rename(d + ".compacting", d)
+            self.fs.rmtree(d + ".old")
+        elif self.fs.listdir(d + ".old"):
+            self.fs.rename(d + ".old", d)
 
     def _read_state(self, sub: str, schema: str) -> DataFrame:
-        self._recover_dir(sub)
-        d = os.path.join(self.dir, sub)
+        self._recover_legacy(sub)
+        d = self._sub_path(sub)
         spark = self.table.spark
-        if not os.path.isdir(d) or not any(
-                e.startswith("bucket=") for e in os.listdir(d)):
+        buckets = [e for e in self.fs.listdir(d) if e.startswith("bucket=")]
+        if not buckets:
             return spark.createDataFrame([], schema + ", bucket int")
-        return spark.read.schema(schema + ", bucket int").parquet(d)
+        # read the bucket partition dirs EXPLICITLY (basePath keeps the
+        # partition column) so stray entries — a crashed migration's
+        # gen-000000 inside a legacy flat dir, _SUCCESS files — can never
+        # break partition discovery
+        return (spark.read.schema(schema + ", bucket int")
+                .option("basePath", d)
+                .parquet(*[os.path.join(d, e) for e in buckets]))
 
     # ------------------------------------------------------------ features
     def _features(self, df: DataFrame) -> DataFrame:
@@ -209,9 +242,13 @@ class IncrementalDeduper:
             content = content.filter(F.col("bucket").isin(buckets))
         exact_state = (probe.join(content, ["bucket", "chash"], "left_semi")
                        .select(id_col))
-        # exact within batch: any smaller id with the same bytes
+        # exact within batch: any smaller id with the same bytes. NULL
+        # text (chash IS NULL) is never an exact duplicate — mirroring
+        # seen_dedup, and consistent with the state probe above whose
+        # equi-join can never match a NULL chash
         w = Window.partitionBy("chash").orderBy(F.col(id_col))
-        exact_batch = (feats.withColumn("__rn", F.row_number().over(w))
+        exact_batch = (feats.filter(F.col("chash").isNotNull())
+                       .withColumn("__rn", F.row_number().over(w))
                        .filter(F.col("__rn") > 1).select(id_col))
 
         # near vs state: equi-join on (band, bh) against the pruned bucket
@@ -264,21 +301,22 @@ class IncrementalDeduper:
             self._release_pins()
             feats = self._features(df).persist()
             own_pin = True
-        self._recover_dir("content")
-        self._recover_dir("bands")
-        (feats.select(
+        self._recover_legacy("content")
+        self._recover_legacy("bands")
+        (feats.filter(F.col("chash").isNotNull())  # NULL text: never a dup
+         .select(
             "chash",
             F.pmod(F.xxhash64("chash"),
                    F.lit(self.n_buckets)).cast("int").alias("bucket"))
          .distinct()
          .write.partitionBy("bucket").mode("append")
-         .parquet(os.path.join(self.dir, "content")))
+         .parquet(self._sub_path("content")))
         (self._banded(feats)
          .select("band", "bh", "minhash",
                  F.pmod(F.xxhash64("bh"),
                         F.lit(self.n_buckets)).cast("int").alias("bucket"))
          .write.partitionBy("bucket").mode("append")
-         .parquet(os.path.join(self.dir, "bands")))
+         .parquet(self._sub_path("bands")))
         if own_pin:
             feats.unpersist()
         else:
@@ -325,21 +363,23 @@ class IncrementalDeduper:
         return n
 
     def _rebuild_from_table(self) -> int:
-        """Drop all state and re-register the table's CURRENT content as
-        the seen set (used after rollback/restore invalidated entries)."""
+        """Point both stores at fresh (empty) generations, re-register the
+        table's CURRENT content as the seen set, then swap the pointer
+        (used after rollback/restore invalidated entries). Crash-safe by
+        the generation contract: until the publish lands, the pointer
+        still names the old state and the rebuild simply re-triggers."""
         import logging
-        import shutil
 
         logging.getLogger(__name__).warning(
             "dedup state at %s invalidated by rollback/restore — "
             "rebuilding from the current table content", self.dir)
         for sub in ("content", "bands"):
-            d = os.path.join(self.dir, sub)
-            for suffix in ("", ".old", ".compacting"):
-                shutil.rmtree(d + suffix, ignore_errors=True)
+            g = self._gens[sub]
+            self._gens[sub] = 0 if g is None else g + 1
         last = self.table.timeline.last_completed()
         if last is None:
             self._publish_state(None)
+            self._sweep_stale()
             return 0
         current = self.table.snapshot().select(self.id_col, self.text_col)
         n = current.count()
@@ -347,32 +387,58 @@ class IncrementalDeduper:
             self.advance(current, instant=last.timestamp)
         else:
             self._publish_state(last.timestamp)
+        self._sweep_stale()
         return n
 
     # ------------------------------------------------------------- compact
+    def _sweep_stale(self) -> None:
+        """Best-effort removal of unreferenced state: superseded
+        generations, legacy flat-layout bucket dirs, and legacy crash
+        siblings. Safe to skip or crash mid-sweep — only the generation
+        the pointer names is ever read."""
+        for sub in ("content", "bands"):
+            g = self._gens[sub]
+            if g is None:
+                continue  # legacy layout: the flat dir IS the live state
+            base = os.path.join(self.dir, sub)
+            keep = f"gen-{g:06d}"
+            for e in self.fs.listdir(base):
+                if e == keep:
+                    continue
+                p = os.path.join(base, e)
+                self.fs.rmtree(p)
+                if self.fs.exists(p):  # plain file (_SUCCESS etc.)
+                    try:
+                        self.fs.remove(p)
+                    except OSError:
+                        pass
+            for suffix in (".old", ".compacting"):  # legacy crash siblings
+                self.fs.rmtree(base + suffix)
+
     def compact_state(self) -> int:
         """Fold per-batch appended files: one file per bucket, duplicates
         collapsed (EXISTS semantics make duplicates harmless but they cost
-        scan width). Returns rows retained."""
-        import shutil
-
+        scan width). The folded copy lands in the NEXT generation and one
+        atomic ``state.json`` publish swaps the pointer — no rename, so
+        this runs unchanged on object stores. Returns rows retained."""
+        st = self._load_state()
+        mark = st["instant"] if st else None
         total = 0
         for sub, schema, keys in (
                 ("content", "chash string", ["chash"]),
                 ("bands", "band int, bh string, minhash array<string>",
                  ["band", "bh", "minhash"])):
-            d = os.path.join(self.dir, sub)
             cur = self._read_state(sub, schema)
             folded = cur.dropDuplicates(keys + ["bucket"])
-            tmp = d + ".compacting"
-            shutil.rmtree(tmp, ignore_errors=True)
+            g = self._gens[sub]
+            new_g = 0 if g is None else g + 1
+            dst = os.path.join(self.dir, sub, f"gen-{new_g:06d}")
+            # overwrite: a crashed prior compact may have left a partial
+            # copy at this same generation (pointer never swapped to it)
             (folded.repartition(F.col("bucket"))
-             .write.partitionBy("bucket").mode("overwrite").parquet(tmp))
+             .write.partitionBy("bucket").mode("overwrite").parquet(dst))
             total += folded.count()
-            trash = d + ".old"
-            shutil.rmtree(trash, ignore_errors=True)
-            if os.path.isdir(d):
-                os.replace(d, trash)
-            os.replace(tmp, d)
-            shutil.rmtree(trash, ignore_errors=True)
+            self._gens[sub] = new_g
+        self._publish_state(mark)  # the atomic pointer swap
+        self._sweep_stale()
         return total

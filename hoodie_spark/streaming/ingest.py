@@ -233,25 +233,37 @@ class Ingestor:
                 self.transformer_sql.replace("<SRC>", "src"))
         for t in self.transformers:
             df = t(self.table.spark, df)
+        batch = None
         if self.deduper is not None:
             batch = df.persist()
             df = self.deduper.filter_batch(batch)
         self.table._writer.commit_extra[CHECKPOINT_KEY] = new_ck
-        if self.operation == "insert":
-            res = self.table.insert(df)
-        elif self.operation == "bulk_insert":
-            res = self.table.bulk_insert(df)
-        else:
-            res = self.table.upsert(df)
-        if self.deduper is not None:
-            # after the commit: every incoming row (kept or dropped) is now
-            # "seen"; a crash before this point is repaired by catch_up()
-            self.deduper.advance(batch)
-            batch.unpersist()
-            self._dedup_batches += 1
-            if self.compact_state_every and \
-                    self._dedup_batches % self.compact_state_every == 0:
-                self.deduper.compact_state()
+        try:
+            if self.operation == "insert":
+                res = self.table.insert(df)
+            elif self.operation == "bulk_insert":
+                res = self.table.bulk_insert(df)
+            else:
+                res = self.table.upsert(df)
+            if self.deduper is not None:
+                # after the commit: every incoming row (kept or dropped) is
+                # now "seen"; a crash before this point is repaired by
+                # catch_up()
+                self.deduper.advance(batch)
+                batch.unpersist()
+                self._dedup_batches += 1
+                if self.compact_state_every and \
+                        self._dedup_batches % self.compact_state_every == 0:
+                    self.deduper.compact_state()
+        except BaseException:
+            # a failed commit (or advance) must not leak the pinned batch
+            # and feature frames into the next continuous-loop retry —
+            # unpersist is idempotent, so the happy-path unpersist above
+            # and this one never double-free
+            if batch is not None:
+                batch.unpersist()
+                self.deduper._release_pins()
+            raise
         self._maybe_compact()
         return res
 

@@ -80,8 +80,11 @@ class HoodieTable:
             wc.bucket_index_num_buckets = config.bucket_index_num_buckets
         elif wc.index_type == IndexType.BUCKET:
             config.bucket_index_num_buckets = wc.bucket_index_num_buckets
-        from .storage import LOCAL
-        self.storage = storage or LOCAL
+        from . import storage as _storage
+        # attribute lookup at construction time so a deployment that swaps
+        # the module-global FS (object-store adapter) is picked up by every
+        # table built after the swap without threading storage= everywhere
+        self.storage = storage or _storage.FS
         self.timeline = Timeline(base_path)
         from .writer import WriteClient  # local import to avoid cycle
         self._writer = WriteClient(self)

@@ -138,8 +138,9 @@ def test_ingestor_with_deduper_three_microbatches(spark, corpus,
 
 
 def test_compact_state_crash_recovery(spark, corpus, tmp_table_path):
-    """A crash between compact_state's two directory swaps leaves the live
-    dir missing; _recover_dir must restore the complete folded copy —
+    """A compact that crashes BEFORE the pointer publish leaves the OLD
+    generation live: decisions intact, the orphan generation is
+    overwritten by the retried compact and swept after its publish —
     silently losing state would re-admit every future duplicate."""
     import os
 
@@ -149,15 +150,67 @@ def test_compact_state_crash_recovery(spark, corpus, tmp_table_path):
     b0, b1, _ = _batches(corpus)
     tbl.upsert(dd.filter_batch(b0))
     dd.advance(b0)
-    dd.compact_state()
-    # simulate the crash window: live dir renamed away, folded copy staged
+    gens_before = dict(dd._gens)
+    # crash window: both folded generations written, pointer never swapped
+    dd._publish_state = lambda instant: (_ for _ in ()).throw(
+        RuntimeError("crash before pointer publish"))
+    with pytest.raises(RuntimeError, match="pointer publish"):
+        dd.compact_state()
+    dd2 = IncrementalDeduper(tbl, "doc_id", "text", threshold=0.8)
+    assert dd2._gens == gens_before      # pointer unswapped
+    assert dd2.filter_batch(b1).count() == 0  # exact copies still caught
+    dd2.advance(b1)
+    assert dd2.compact_state() > 0       # retry folds + sweeps the orphan
+    for sub in ("content", "bands"):     # only the live generation remains
+        entries = os.listdir(os.path.join(dd.dir, sub))
+        assert entries == [f"gen-{dd2._gens[sub]:06d}"]
+
+
+def test_legacy_flat_layout_reads_recovers_and_migrates(
+        spark, corpus, tmp_table_path):
+    """Pre-generation states (data directly under content//bands/, no
+    "gens" pointer) stay readable and appendable, a legacy compact-crash
+    window (.old/.compacting siblings) is repaired, and the next
+    compact_state migrates everything into generation 0."""
+    import json
+    import os
+
+    tbl = HoodieTable.create(spark, tmp_table_path, "inc_dedup_legacy",
+                             ["doc_id"], None)
+    dd = IncrementalDeduper(tbl, "doc_id", "text", threshold=0.8)
+    b0, b1, b2 = _batches(corpus)
+    tbl.upsert(dd.filter_batch(b0))
+    dd.advance(b0)
+    # rewrite the state as the LEGACY layout: flatten gen-000000 into the
+    # store dir and strip the pointer from state.json
+    for sub in ("content", "bands"):
+        base = os.path.join(dd.dir, sub)
+        flat = base + ".flat"
+        os.replace(os.path.join(base, "gen-000000"), flat)
+        os.rmdir(base)
+        os.replace(flat, base)
+    st = json.load(open(dd._state_path))
+    st.pop("gens")
+    with open(dd._state_path, "w") as f:
+        json.dump(st, f)
+    # plus a legacy compact-crash window on content: live dir moved away,
+    # complete folded copy staged at .compacting
     d = os.path.join(dd.dir, "content")
     os.replace(d, d + ".old")
-    import shutil
     shutil.copytree(d + ".old", d + ".compacting")
     dd2 = IncrementalDeduper(tbl, "doc_id", "text", threshold=0.8)
-    assert dd2.filter_batch(b1).count() == 0  # exact copies still caught
+    assert dd2._gens == {"content": None, "bands": None}
+    assert dd2.filter_batch(b1).count() == 0  # recovered + consulted
     assert os.path.isdir(d) and not os.path.isdir(d + ".compacting")
+    dd2.advance(b1)                     # appends into the flat layout
+    assert dd2.compact_state() > 0      # migrates into gen-000000
+    assert dd2._load_state()["gens"] == {"content": 0, "bands": 0}
+    for sub in ("content", "bands"):    # flat bucket dirs swept
+        assert os.listdir(os.path.join(dd.dir, sub)) == ["gen-000000"]
+    tbl.upsert(dd2.filter_batch(b2))
+    dd2.advance(b2)
+    got = {r.doc_id for r in tbl.snapshot().select("doc_id").collect()}
+    assert got == _global_keep(corpus)
 
 
 def test_filter_advance_releases_cached_frames(spark, corpus,
@@ -344,3 +397,31 @@ def test_rollback_invalidates_seen_state(spark, corpus, tmp_table_path):
     dd2.advance(fresh)
     # and batch-0 duplicates are still recognized after the rebuild
     assert dd2.filter_batch(b0.limit(10)).count() == 0
+
+
+def test_null_text_never_duplicate(spark, tmp_table_path):
+    """NULL text has no content hash: such rows are never duplicates — of
+    each other or of anything seen — and the batch-incremental path agrees
+    with the one-pass global seen_dedup on them (r10 advice: the exact-dup
+    window used to group NULL chashes while the state probe's equi-join
+    never matched NULL, splitting the two paths)."""
+    rows = [(1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, None), (3, None),
+            (4, "alpha beta gamma delta epsilon zeta eta theta"),  # dup of 1
+            (5, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    glob = {r.doc_id for r in
+            HF.seen_dedup(df, "doc_id", "text", threshold=0.8).collect()}
+    assert glob == {1, 2, 3, 5}  # every null-text row kept, the copy drops
+    tbl = HoodieTable.create(spark, tmp_table_path, "inc_dedup_null",
+                             ["doc_id"], None)
+    dd = IncrementalDeduper(tbl, "doc_id", "text", threshold=0.8)
+    # batch 0 = {1,2,3} (seeds a null in state), batch 1 = {4,5}: doc 4 is
+    # an exact dup of seen doc 1, doc 5 a null-text arriving AFTER nulls
+    # were registered as seen — it must still be kept
+    for lo, hi in ((0, 4), (4, 6)):
+        b = df.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        tbl.upsert(dd.filter_batch(b))
+        dd.advance(b)
+    got = {r.doc_id for r in tbl.snapshot().select("doc_id").collect()}
+    assert got == glob

@@ -515,3 +515,45 @@ def test_temperature_mix_plan_is_map_only_filter(docs):
     out = HF.temperature_mix(docs, "lang", "doc_id", alpha=0.5)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_temperature_mix_null_source_policy(spark):
+    """NULL-source rows must not crash the census sort (None vs str) and
+    are dropped — no count exists to derive a keep rate from (r10 advice)."""
+    rows = ([(i, "big") for i in range(200)] +
+            [(i + 1000, "small") for i in range(20)] +
+            [(i + 2000, None) for i in range(15)])
+    df = spark.createDataFrame(rows, "doc_id int, source string")
+    out = HF.temperature_mix(df, "source", "doc_id", alpha=0.5)
+    counts = {r[0]: r[1] for r in out.groupBy("source").count().collect()}
+    assert None not in counts          # every null-source row dropped
+    assert counts["small"] == 20       # non-null behavior unchanged
+    # matches the same mix with the null rows pre-filtered
+    base = {r[0] for r in HF.temperature_mix(
+        df.filter(F.col("source").isNotNull()), "source", "doc_id",
+        alpha=0.5).select("doc_id").collect()}
+    assert {r[0] for r in out.select("doc_id").collect()} == base
+    # degenerate: ALL rows null-source -> empty, not identity
+    all_null = df.filter(F.col("source").isNull())
+    assert HF.temperature_mix(all_null, "source", "doc_id").count() == 0
+    # and a genuinely empty frame stays the identity
+    assert HF.temperature_mix(df.limit(0), "source", "doc_id").count() == 0
+
+
+def test_pack_sequences_tied_order_keys_disjoint(spark):
+    """Rows TIED on order_cols must still receive disjoint token ranges
+    (explicit ROWS frame, r10 advice): every sequence but the last is
+    exactly full and total packed tokens equal total input tokens."""
+    import collections
+
+    rows = [(7, 5)] * 40 + [(9, 13)] * 10  # heavy ties on the order key
+    df = spark.createDataFrame(rows, "k int, w int")
+    got = HF.pack_sequences(df, "w", 16, ["k"], num_buckets=4).collect()
+    per_seq = collections.Counter()
+    for r in got:
+        assert 0 < r.piece_len <= 16 and 0 <= r.piece_start
+        per_seq[r.seq_id] += r.piece_len
+    assert sum(per_seq.values()) == 40 * 5 + 10 * 13
+    last = max(per_seq)
+    assert all(v == 16 for k, v in per_seq.items() if k != last)
+    assert 0 < per_seq[last] <= 16
