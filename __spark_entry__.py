@@ -1457,7 +1457,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                # stay past the window like the rest of the sampling and
                # diagnostics family (hash_sample, stratified_sample,
                # source_mix_sample).
-               "char_entropy": "ann_ivf"}
+               "char_entropy": "ann_ivf",
+               # Round-10 rotation (standing policy: every unique operator
+               # gets driver-recorded at least once). The four round-9
+               # uniques still past the cutoff enter against rows whose
+               # close sibling stays in-window; displaced rows remain
+               # verified by tools/check_oracle.py (PLANS.md):
+               #   cluster_balanced_sample <-> mor_read_optimized (MOR
+               #     family stays evidenced by mor_snapshot +
+               #     mor_compaction, whose fixture reads RO post-compact)
+               #   temperature_mix   <-> truncate_table  (overwrite-style
+               #     SQL stays evidenced by insert_overwrite_table)
+               #   multimodal_features <-> update_where  (SQL DML stays
+               #     evidenced by delete_where + merge_into_sql)
+               #   length_histogram  <-> cow_read_keys   (key lookup stays
+               #     evidenced by cow_filter_exists; cow_point_lookup is
+               #     its check_oracle-verified twin)
+               "cluster_balanced_sample": "mor_read_optimized",
+               "temperature_mix": "truncate_table",
+               "multimodal_features": "update_where",
+               "length_histogram": "cow_read_keys"}
     keys = list(q)
     for new, old in promote.items():
         i, j = keys.index(old), keys.index(new)

@@ -136,10 +136,18 @@ def run_suite(spark, sf_dir: str) -> dict[str, float]:
               .unionByName(seed.select(
                   (F.col("doc_id") + 10_000_000).alias("doc_id"), "text")))
 
-    def inc_round():
-        inc_tbl.insert(inc_dd.filter_batch(batch2))
-        inc_dd.advance(batch2)
-    timed("incremental_dedup")(inc_round)
+    # per-stage split (r9 verdict nit: one conflated number made
+    # regressions unattributable) + the whole-pipeline row the history
+    # compares against. The stages ARE the pipeline: filter -> insert of
+    # the survivors -> state append, run in order on the same batch.
+    t_round = time.time()
+    kept2 = timed("incremental_dedup_filter")(
+        lambda: inc_dd.filter_batch(batch2).persist())
+    kept2.count()
+    timed("incremental_dedup_upsert")(lambda: inc_tbl.insert(kept2))
+    timed("incremental_dedup_state")(lambda: inc_dd.advance(batch2))
+    kept2.unpersist()
+    timings["incremental_dedup"] = round(time.time() - t_round, 3)
     queries_df = emb.filter(F.col("vec_id") < 10)
     timed("ann_brute_force")(lambda: HF.brute_force_topk(
         emb, queries_df, "vec_id", "embedding", k=10).count())
@@ -235,7 +243,10 @@ def main():
         for name, secs in run_suite(spark, sf_dir).items():
             timings[name] = min(secs, timings.get(name, float("inf")))
 
-    total = round(sum(timings.values()), 3)
+    # the incremental_dedup_* stage rows decompose the incremental_dedup
+    # pipeline row — count the pipeline once in the headline, not twice
+    total = round(sum(v for k, v in timings.items()
+                      if not k.startswith("incremental_dedup_")), 3)
     print(json.dumps({
         "metric": "hoodie_spark_headline_wall_seconds",
         "value": total,
