@@ -1183,6 +1183,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         load_table(s, d, "embeddings").filter(F.col("vec_id") < 10),
         "vec_id", "embedding", k=10, planes=6, dim=64).select(
             "query_id", "neighbor_id", "rank")
+    # int8 serving pair: symmetric per-vector quantization (exact floor
+    # arithmetic both engines reproduce) + inner-product top-k over the
+    # quantized codes (integer dot, two double scale multiplies)
+    q["embedding_quantize"] = lambda s, d: (
+        HF.quantize_embeddings(load_table(s, d, "embeddings"),
+                               "vec_id", "embedding")
+        .select("vec_id", F.round("scale", 6).alias("scale6"),
+                F.posexplode("codes").alias("pos", "code")))
+    q["ann_int8"] = lambda s, d: HF.int8_topk(
+        load_table(s, d, "embeddings"),
+        load_table(s, d, "embeddings").filter(F.col("vec_id") < 10),
+        "vec_id", "embedding", k=10).select(
+            "query_id", "neighbor_id", "rank")
 
     # ---- multimodal plumbing
     q["multimodal_decode"] = lambda s, d: HF.decode_media_meta(
@@ -1476,7 +1489,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                "cluster_balanced_sample": "mor_read_optimized",
                "temperature_mix": "truncate_table",
                "multimodal_features": "update_where",
-               "length_histogram": "cow_read_keys"}
+               "length_histogram": "cow_read_keys",
+               # round-10 NEW operators (never driver-recorded) enter
+               # against rows whose family stays in-window:
+               #   ann_int8           <-> delete_partition (replacecommit
+               #     family stays evidenced by insert_overwrite_table;
+               #     TTL shares the delete_partition machinery)
+               #   embedding_quantize <-> global_index_upsert (index
+               #     family keeps record/bloom/bucket/secondary in-window)
+               "ann_int8": "delete_partition",
+               "embedding_quantize": "global_index_upsert"}
     keys = list(q)
     for new, old in promote.items():
         i, j = keys.index(old), keys.index(new)
@@ -2469,6 +2491,48 @@ SELECT id_a, id_b, CAST(dist AS BIGINT) AS distance FROM (
                 THEN 1 ELSE 0 END)) AS dist
   FROM cand
 ) WHERE dist <= 3
+"""
+    # int8 quantization plane: scale = max|x|/127 (exact float->double ops),
+    # code = floor(x/scale + 0.5) — pure floor arithmetic, identical in any
+    # engine (round() would diverge on HALF_UP vs banker's at exact halves)
+    _quant = """
+t AS (
+  SELECT vec_id, embedding AS ve,
+         list_max(list_transform(embedding,
+                                 x -> abs(CAST(x AS DOUBLE)))) AS amax
+  FROM embeddings
+),
+qz AS (
+  SELECT vec_id,
+         CASE WHEN amax = 0 THEN 0.0 ELSE amax / 127.0 END AS scale,
+         list_transform(ve, x -> CAST(floor(
+             CAST(x AS DOUBLE)
+             / (CASE WHEN amax = 0 THEN 1.0 ELSE amax / 127.0 END)
+             + 0.5) AS BIGINT)) AS codes
+  FROM t
+)"""
+    o["embedding_quantize"] = f"""
+WITH {_quant}
+SELECT vec_id, round(scale, 6) AS scale6, CAST(u.i - 1 AS INT) AS pos,
+       CAST(codes[CAST(u.i AS INT)] AS INT) AS code
+FROM qz, UNNEST(range(1, 65)) AS u(i)
+"""
+    o["ann_int8"] = f"""
+WITH {_quant},
+q AS (SELECT * FROM qz WHERE vec_id < 10),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST(list_sum(list_transform(range(1, 65),
+              i -> c.codes[CAST(i AS INT)] * q.codes[CAST(i AS INT)]))
+              AS DOUBLE) * c.scale * q.scale AS score
+  FROM qz c CROSS JOIN q WHERE c.vec_id <> q.vec_id
+)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 10
 """
     plane = ("CASE WHEN strpos('01234567', substr(md5('p' || CAST(p AS VARCHAR) "
              "|| ':' || CAST(i - 1 AS VARCHAR)), 1, 1)) > 0 "

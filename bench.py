@@ -158,6 +158,8 @@ def run_suite(spark, sf_dir: str) -> dict[str, float]:
         emb, queries_df, "vec_id", "embedding", k=10).count())
     timed("ann_pq_rerank")(lambda: HF.pq_topk_rerank(
         emb, queries_df, "vec_id", "embedding", k=10, shortlist=30).count())
+    timed("ann_int8")(lambda: HF.int8_topk(
+        emb, queries_df, "vec_id", "embedding", k=10).count())
 
     # the production ANN shape: IVF-PQ index build is amortized
     # (ann_ivfpq_build), serving cost is the probe — centroid partition

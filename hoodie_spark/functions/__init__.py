@@ -56,6 +56,8 @@ from .similarity import (
     l2_norm,
     cosine,
     normalize,
+    quantize_embeddings,
+    int8_topk,
     random_projection,
     brute_force_topk,
     lsh_bucket_topk,
@@ -102,6 +104,7 @@ __all__ = [
     "tokens", "token_count", "regex_token_count", "char_ngrams", "lang_id",
     "LANG_PROFILES", "quality_score", "fingerprint", "kmin_fingerprint",
     "exact_dedup", "with_minhash", "minhash_candidate_pairs",
+    "quantize_embeddings", "int8_topk",
     "jaccard_dedup_pairs", "with_simhash", "simhash_sigs",
     "simhash_dup_pairs", "embedding_near_dup_pairs", "dedup_spans",
     "seen_dedup", "doc_features", "min_sig_matches", "sig_agreement",

@@ -38,6 +38,7 @@ __all__ = [
     "pq_codebooks", "pq_codebooks_trained", "pq_encode", "pq_reconstruct",
     "pq_topk", "pq_topk_rerank", "write_pq_index", "write_ivfpq_index",
     "ivfpq_topk_from_index", "knn_classify",
+    "quantize_embeddings", "int8_topk",
 ]
 
 
@@ -833,3 +834,73 @@ def ivfpq_topk_from_index(spark, index_path: str, centroids: DataFrame,
         return adc
     return _exact_rerank(adc, rerank_corpus, queries, id_col, vec_col,
                          k).select("query_id", "neighbor_id", "rank")
+
+
+# ----------------------------------------------------- int8 quantization
+def quantize_embeddings(df: DataFrame, id_col: str,
+                        vec_col: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization for ANN serving:
+    ``scale = max(|x|)/127`` and ``code = floor(x/scale + 0.5)`` — the
+    standard 4× memory/bandwidth reduction (float32 → int8) that keeps
+    inner-product ordering to within quantization error. Returns
+    (id_col, ``scale`` double, ``codes`` array<int>).
+
+    ``floor(x/scale + 0.5)`` instead of ``round()`` because engines
+    disagree on rounding mode at exact halves (HALF_UP vs banker's);
+    pure floor arithmetic reproduces bit-for-bit anywhere, which is what
+    lets an external SQL engine verify the codes. Zero vectors quantize
+    to all-zero codes with scale 0.
+
+    Scale shape: map-only — one HOF max and one HOF transform per row,
+    no shuffle; the amax/scale are bound ONCE as columns (never inside
+    the per-element lambda — interpreted HOFs re-evaluate captured
+    expressions per element)."""
+    staged = df.select(
+        F.col(id_col), F.col(vec_col).alias("__v"),
+        F.array_max(F.transform(
+            F.col(vec_col),
+            lambda x: F.abs(x.cast("double")))).alias("__amax"))
+    staged = staged.withColumn(
+        "__div", F.when(F.col("__amax") == 0.0, F.lit(1.0))
+                  .otherwise(F.col("__amax") / F.lit(127.0)))
+    return staged.select(
+        id_col,
+        F.when(F.col("__amax") == 0.0, F.lit(0.0))
+         .otherwise(F.col("__amax") / F.lit(127.0)).alias("scale"),
+        F.transform(
+            F.col("__v"),
+            lambda x: F.floor(x.cast("double") / F.col("__div")
+                              + F.lit(0.5)).cast("int")).alias("codes"))
+
+
+def int8_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
+              vec_col: str, k: int = 10) -> DataFrame:
+    """Inner-product top-k over int8-quantized vectors (MIPS serving):
+    ``score = int_dot(codes_c, codes_q) * scale_c * scale_q`` ≈ the
+    dequantized inner product. The corpus-side scan reads 64 int8 codes
+    + one scale per vector instead of 64 float32s; the dot is an integer
+    zip-fold (exact — no float accumulation inside the loop), so the
+    only doubles are the two scale multiplies, in a fixed order any IEEE
+    engine reproduces. Returns (query_id, neighbor_id, rank).
+
+    Same plan as :func:`brute_force_topk` (broadcast queries, per-query
+    top-k window); compose with :func:`quantize_embeddings` persisted as
+    the serving index for the 4× bandwidth win at scale."""
+    cq = quantize_embeddings(corpus, id_col, vec_col).withColumnsRenamed(
+        {id_col: "c_id", "scale": "c_s", "codes": "c_c"})
+    qq = quantize_embeddings(queries, id_col, vec_col).withColumnsRenamed(
+        {id_col: "q_id", "scale": "q_s", "codes": "q_c"})
+    idot = F.aggregate(
+        F.zip_with("c_c", "q_c", lambda a, b: (a * b).cast("long")),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    scored = (cq.crossJoin(F.broadcast(qq))
+              .filter(F.col("c_id") != F.col("q_id"))
+              .select(F.col("q_id").alias("query_id"),
+                      F.col("c_id").alias("neighbor_id"),
+                      (idot.cast("double") * F.col("c_s") * F.col("q_s"))
+                      .alias("score")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"),
+                                               F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank"))

@@ -361,3 +361,46 @@ def test_cluster_balanced_sample_quota_and_determinism(spark, emb):
     full = HF.cluster_balanced_sample(emb, "vec_id", "embedding",
                                       per_cluster=n, n_clusters=8)
     assert full.count() == n
+
+
+def test_int8_quantization_roundtrip_and_topk(spark, emb):
+    """Quantization error bound (|x - code*scale| <= scale/2 per element),
+    zero-vector handling, and int8 inner-product top-k recall vs the exact
+    inner-product ranking."""
+    qz = HF.quantize_embeddings(emb, "vec_id", "embedding")
+    joined = emb.join(qz, "vec_id").select(
+        F.max(F.array_max(F.zip_with(
+            F.col("embedding"), F.col("codes"),
+            lambda x, c: F.abs(x.cast("double") - c * F.col("scale"))
+        ))).alias("max_err"),
+        F.max(F.array_max(F.transform(
+            F.col("codes"), lambda c: F.abs(c)))).alias("max_code"),
+        F.max("scale").alias("max_scale")).first()
+    assert joined["max_code"] <= 127
+    assert joined["max_err"] <= joined["max_scale"] / 2 + 1e-12
+    # zero vector: scale 0, all-zero codes, no division blowup
+    z = spark.createDataFrame([(1, [0.0] * 4), (2, [1.0, -2.0, 0.5, 4.0])],
+                              "vec_id int, embedding array<float>")
+    rows = {r.vec_id: r for r in
+            HF.quantize_embeddings(z, "vec_id", "embedding").collect()}
+    assert rows[1].scale == 0.0 and set(rows[1].codes) == {0}
+    assert rows[2].codes[3] == 127  # max element pins to 127
+    # top-k over int8 codes tracks the exact inner-product ranking
+    queries = emb.filter(F.col("vec_id") < 10)
+    got = HF.int8_topk(emb, queries, "vec_id", "embedding", k=10)
+    from hoodie_spark.functions.similarity import _prep, dot
+    c, q = _prep(emb, "vec_id", "embedding", "c"), _prep(
+        queries, "vec_id", "embedding", "q")
+    from pyspark.sql import Window
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("ip"), F.asc("neighbor_id"))
+    exact = (c.crossJoin(F.broadcast(q))
+             .filter(F.col("c_id") != F.col("q_id"))
+             .select(F.col("q_id").alias("query_id"),
+                     F.col("c_id").alias("neighbor_id"),
+                     dot("c_v", "q_v").alias("ip"))
+             .withColumn("rank", F.row_number().over(w))
+             .filter(F.col("rank") <= 10))
+    g = {(r.query_id, r.neighbor_id) for r in got.collect()}
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    assert len(g & e) / len(e) >= 0.9  # recall@10 of the quantized path

@@ -1,0 +1,186 @@
+"""Scale probe: run the write path + dedup family + incremental-dedup at
+a ×N upscale of a base sf dir and report per-row minima, so "designed for
+100 TB" claims get at least one measured scaling datapoint past sf0.1.
+
+Usage::
+
+    python tools/scale_probe.py [base_sf_dir] [factor] [runs]
+    # defaults: /root/testdata/sf0.1  10  2
+
+The upscale replicates each table ``factor`` times with shifted keys.
+Replica text is salted (every 7th word tagged with the replica index) so
+replicas are NOT near-duplicates of each other — duplicate density stays
+comparable to the base corpus instead of exploding ×factor, which would
+change WHAT is measured, not just how much. Embeddings get a small
+deterministic per-replica perturbation for the same reason. The upscaled
+parquet is cached under /tmp/scale_probe_<factor>x and reused.
+
+Output: one JSON line per run plus a final ``minima`` line with
+seconds-per-row; compare against the same rows probed at factor=1.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def build_upscale(spark, base: str, factor: int, out: str) -> None:
+    from pyspark.sql import functions as F
+
+    from hoodie_spark.sources import load_table
+
+    os.makedirs(out, exist_ok=True)
+    docs = load_table(spark, base, "documents")
+    emb = load_table(spark, base, "embeddings")
+    orders = load_table(spark, base, "orders")
+    n_docs = docs.agg(F.max("doc_id")).first()[0] + 1
+    n_emb = emb.agg(F.max("vec_id")).first()[0] + 1
+    n_ord = orders.agg(F.max("o_orderkey")).first()[0] + 1
+
+    def replicas(df, key, n, mutate=None):
+        parts = []
+        for i in range(factor):
+            p = df.withColumn(key, F.col(key) + F.lit(int(i * n)))
+            if mutate is not None and i > 0:
+                p = mutate(p, i)
+            parts.append(p)
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        return u
+
+    def salt_text(df, i):
+        # tag every 7th word with the replica index: replicas stop being
+        # near-duplicates (char-5-gram Jaccard drops far below 0.8) while
+        # length/token statistics stay realistic
+        words = F.split(F.col("text"), " ")
+        salted = F.zip_with(
+            words, F.sequence(F.lit(0), F.size(words) - 1),
+            lambda w, j: F.when(j % 7 == i % 7,
+                                F.concat(w, F.lit(f"_{i}"))).otherwise(w))
+        return df.withColumn("text", F.concat_ws(" ", salted))
+
+    def perturb_emb(df, i):
+        return df.withColumn(
+            "embedding",
+            F.transform(F.col("embedding"),
+                        lambda x: x + F.lit(0.003 * ((i % 5) + 1))))
+
+    replicas(docs, "doc_id", n_docs, salt_text) \
+        .coalesce(8).write.mode("overwrite") \
+        .parquet(os.path.join(out, "documents.parquet"))
+    replicas(emb, "vec_id", n_emb, perturb_emb) \
+        .coalesce(8).write.mode("overwrite") \
+        .parquet(os.path.join(out, "embeddings.parquet"))
+    replicas(orders, "o_orderkey", n_ord) \
+        .coalesce(8).write.mode("overwrite") \
+        .parquet(os.path.join(out, "orders.parquet"))
+
+
+def probe_once(spark, sf_dir: str) -> dict:
+    from pyspark.sql import functions as F
+
+    from hoodie_spark import HoodieTable
+    from hoodie_spark import functions as HF
+    from hoodie_spark.sources import load_table
+    from hoodie_spark.streaming import IncrementalDeduper
+
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    orders = load_table(spark, sf_dir, "orders")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = load_table(spark, sf_dir, "embeddings")
+    work = tempfile.mkdtemp(prefix="scale_probe_")
+    try:
+        tbl = HoodieTable.create(
+            spark, os.path.join(work, "orders"), "orders_sp",
+            ["o_orderkey"], "o_orderdate",
+            partition_expr="cast(year(o_orderdate) as string)")
+        timed("bulk_insert", lambda: tbl.bulk_insert(orders))
+        upd = (orders.filter(F.col("o_orderkey") % 10 == 0)
+               .withColumn("o_orderstatus", F.lit("X")))
+        timed("upsert", lambda: tbl.upsert(upd))
+        timed("exact_dedup",
+              lambda: HF.exact_dedup(docs, ["text"], "doc_id").count())
+        timed("minhash_dedup", lambda: HF.minhash_candidate_pairs(
+            docs, "doc_id", "text").count())
+        timed("simhash_dedup", lambda: HF.simhash_dup_pairs(
+            docs, "doc_id", "text", bits=32, max_distance=3).count())
+        # hold EXPECTED CLUSTER SIZE constant across scales (the operator's
+        # documented contract: n_clusters ~ corpus size / target cluster
+        # size) — a fixed n_clusters at 10x data would measure quadratic
+        # within-cluster growth, i.e. the documented anti-pattern
+        n_vec = emb.count()
+        timed("semantic_dedup", lambda: HF.semantic_dedup(
+            emb, "vec_id", "embedding", n_clusters=max(16, n_vec // 125),
+            threshold=0.99).count())
+        inc_tbl = HoodieTable.create(
+            spark, os.path.join(work, "docs_inc"), "docs_inc_sp",
+            ["doc_id"], None)
+        dd = IncrementalDeduper(inc_tbl, "doc_id", "text", threshold=0.8)
+        seed = docs.filter(F.col("doc_id") % 2 == 0)
+        inc_tbl.insert(dd.filter_batch(seed))
+        dd.advance(seed)
+        batch2 = (docs.filter(F.col("doc_id") % 2 == 1)
+                  .unionByName(seed.select(
+                      (F.col("doc_id") + 100_000_000).alias("doc_id"),
+                      "text")))
+
+        def inc_round():
+            inc_tbl.insert(dd.filter_batch(batch2))
+            dd.advance(batch2)
+        timed("incremental_dedup", inc_round)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return timings
+
+
+def main() -> None:
+    base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    factor = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    runs = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+
+    from pyspark.sql import SparkSession
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (SparkSession.builder.master(f"local[{cpus}]")
+             .config("spark.sql.shuffle.partitions", cpus)
+             .config("spark.sql.session.timeZone", "UTC")
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.driver.memory", "16g")
+             .config("spark.ui.enabled", "false").getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if factor == 1:
+        sf_dir = base
+    else:
+        sf_dir = f"/tmp/scale_probe_{factor}x_{os.path.basename(base.rstrip('/'))}"
+        if not os.path.exists(os.path.join(sf_dir, "orders.parquet")):
+            t0 = time.time()
+            build_upscale(spark, base, factor, sf_dir)
+            print(json.dumps({"built": sf_dir,
+                              "sec": round(time.time() - t0, 1)}))
+    all_runs = []
+    for r in range(runs):
+        t = probe_once(spark, sf_dir)
+        all_runs.append(t)
+        print(json.dumps({"run": r, "timings": t}))
+    minima = {k: min(t[k] for t in all_runs) for k in all_runs[0]}
+    print(json.dumps({"base": base, "factor": factor, "minima": minima}))
+
+
+if __name__ == "__main__":
+    main()
