@@ -116,37 +116,37 @@ def _harvest_files(table, files: list[tuple[str, str, str, int]]) -> None:
     for inst, fn, _p, _n in files:
         by_instant.setdefault(inst, {})[fn] = {
             "m": m_of[fn], "k": K_HASHES, "hex": "".join(hex_of[fn])}
-    os.makedirs(_bloom_dir(table), exist_ok=True)
+    from . import storage
+
+    fs = table.storage
+    fs.makedirs(_bloom_dir(table))
     for inst, recs in by_instant.items():
         path = _sidecar(table, inst)
-        if os.path.exists(path):  # lazy append to an existing sidecar
-            with open(path) as f:
-                merged = json.load(f)
+        raw = fs.read_bytes(path)
+        if raw is not None:  # lazy append to an existing sidecar
+            merged = json.loads(raw)
             merged.update(recs)
             recs = merged
-        tmp = path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(recs, f)
-        os.replace(tmp, path)
+        storage.ATOMIC.put_atomic(path, json.dumps(recs).encode())
 
 
 def drop_sidecar(table, instant: str) -> None:
     """Remove an instant's sketch sidecar (OCC abort / rollback / restore):
     harvest runs before the conflict check, so an aborted commit would
     otherwise leave an orphan sidecar forever."""
-    p = _sidecar(table, instant)
-    if os.path.exists(p):
-        os.remove(p)
+    try:
+        table.storage.remove(_sidecar(table, instant))
+    except OSError:
+        pass
 
 
 def _load(table, instants: set[str]) -> dict[tuple[str, str], dict]:
     out: dict[tuple[str, str], dict] = {}
     for inst in instants:
-        p = _sidecar(table, inst)
-        if os.path.exists(p):
-            with open(p) as f:
-                for fn, rec in json.load(f).items():
-                    out[(inst, fn)] = rec
+        raw = table.storage.read_bytes(_sidecar(table, inst))
+        if raw is not None:
+            for fn, rec in json.loads(raw).items():
+                out[(inst, fn)] = rec
     return out
 
 

@@ -88,17 +88,17 @@ def _export_as_hudi(table, target_path: str, latest: str) -> None:
         if inst.timestamp <= latest:
             shutil.copy2(tl._path(inst),
                          os.path.join(dst_tl, inst.filename()))
-    if os.path.exists(tl.archive_path):
-        dst_arch = os.path.join(target_path, ".hoodie", "archived",
-                                "commits.jsonl")
-        os.makedirs(os.path.dirname(dst_arch), exist_ok=True)
-        import json
-        with open(tl.archive_path) as src, open(dst_arch, "w") as out:
-            for line in src:
-                if not line.strip():
-                    continue
-                if json.loads(line).get("timestamp", "") <= latest:
-                    out.write(line)
+    # archived history (legacy append-file + chunks) folds into one chunk
+    # in the export, filtered to the snapshot point
+    import json
+    arch_lines = [json.dumps(rec) for rec in tl.archived_records()
+                  if rec.get("timestamp", "") <= latest]
+    if arch_lines:
+        dst_arch_dir = os.path.join(target_path, ".hoodie", "archived")
+        os.makedirs(dst_arch_dir, exist_ok=True)
+        with open(os.path.join(dst_arch_dir, "chunk-export.jsonl"),
+                  "w") as out:
+            out.write("\n".join(arch_lines) + "\n")
     src_hoodie = os.path.join(table.base_path, ".hoodie")
     for fn in sorted(os.listdir(src_hoodie)):
         p = os.path.join(src_hoodie, fn)

@@ -51,22 +51,56 @@ def index_dir(table) -> str:
 
 
 def _marker_path(table) -> str:
-    # lives NEXT TO the index dir (not inside it): compact() swaps the
-    # directory wholesale and must not drop the init marker
+    # lives NEXT TO the index dir (not inside it): compaction supersedes
+    # generations under the dir and must not touch the init marker
     return index_dir(table) + ".init"
+
+
+def _gen_path(table) -> str:
+    return index_dir(table) + ".gen"
+
+
+def _live_dir(table) -> str:
+    """The generation the pointer names, or the flat legacy dir when no
+    pointer exists yet (fresh tables append flat until the first compact
+    migrates them — same object-store-safe design as the dedup state:
+    write-once generations + an atomic pointer publish, no renames)."""
+    raw = table.storage.read_bytes(_gen_path(table))
+    if raw is None:
+        return index_dir(table)
+    return os.path.join(index_dir(table), f"gen-{int(raw):06d}")
 
 
 def exists(table) -> bool:
     """True once the index is initialized (marker present). Entry files
     alone are not enough: a pre-existing table that enables the flag gets
     entries for touched file groups only until the backfill has run."""
-    return os.path.exists(_marker_path(table))
+    return table.storage.exists(_marker_path(table))
+
+
+def _bucket_dirs(table) -> list[str]:
+    d = _live_dir(table)
+    fs = table.storage
+    return [os.path.join(d, e) for e in fs.listdir(d)
+            if e.startswith("bucket=")]
 
 
 def _has_entry_files(table) -> bool:
-    d = index_dir(table)
-    return os.path.isdir(d) and any(
-        f.endswith(".parquet") for _r, _d, fs in os.walk(d) for f in fs)
+    fs = table.storage
+    return any(any(f.endswith(".parquet") for f in fs.listdir(b))
+               for b in _bucket_dirs(table))
+
+
+def _read_entries(table):
+    """Schema-pinned read of the live generation's bucket dirs, listed
+    EXPLICITLY (basePath keeps the partition column) so a crashed
+    migration's orphan gen dir inside a legacy flat layout can never
+    break partition discovery."""
+    buckets = _bucket_dirs(table)
+    if not buckets:
+        return None
+    return (table.spark.read.schema(INDEX_SCHEMA + ", bucket int")
+            .option("basePath", _live_dir(table)).parquet(*buckets))
 
 
 def ensure_initialized(table, view=None) -> None:
@@ -78,13 +112,14 @@ def ensure_initialized(table, view=None) -> None:
 
     MUST NOT be called while holding the table lock (takes it itself)."""
     marker = _marker_path(table)
-    if os.path.exists(marker):
+    fs = table.storage
+    if fs.exists(marker):
         return
     from .timeline import LockProvider
 
     with LockProvider(table.base_path, table.write_config.lock_timeout_s,
                       table.write_config.lock_expiry_s):
-        if os.path.exists(marker):
+        if fs.exists(marker):
             return
         view = view or table.view()
         slices = [sl for sl in view.latest_slices() if sl.base_file is not None]
@@ -98,9 +133,10 @@ def ensure_initialized(table, view=None) -> None:
                                # so future appends order correctly against it
                                F.col(COMMIT_TIME).alias("instant")))
             _write(table, entries, "backfill")
-        os.makedirs(os.path.dirname(marker), exist_ok=True)
-        with open(marker, "w") as f:
-            f.write("initialized")
+        from . import storage
+
+        fs.makedirs(os.path.dirname(marker))
+        storage.ATOMIC.put_atomic(marker, b"initialized")
 
 
 def entries_from_written_files(table, stats: list[dict], instant: str):
@@ -154,7 +190,7 @@ def _write(table, entries: DataFrame, instant: str) -> None:
         "bucket", F.pmod(F.xxhash64(F.col(RECORD_KEY)), F.lit(n_buckets)))
     # one file per bucket per write; append mode keeps history
     (out.repartition(F.col("bucket"))
-        .write.partitionBy("bucket").mode("append").parquet(index_dir(table)))
+        .write.partitionBy("bucket").mode("append").parquet(_live_dir(table)))
 
 
 def compact(table, retain_commits: int | None = None) -> int:
@@ -165,9 +201,13 @@ def compact(table, retain_commits: int | None = None) -> int:
     exclude them by instant. Older entries fold latest-wins — safe because
     restore past the clean horizon is impossible anyway (the data files are
     gone). Returns the number of entries in the folded portion.
-    """
-    import shutil
 
+    Object-store-safe: the fold lands in the NEXT write-once generation
+    and one atomic pointer publish supersedes the old one — no directory
+    rename (same design as the dedup state); superseded generations and
+    legacy flat bucket dirs are swept best-effort after the swap.
+    """
+    from . import storage
     from . import timeline as tl
     from .timeline import LockProvider
 
@@ -185,7 +225,9 @@ def compact(table, retain_commits: int | None = None) -> int:
     # discarded by the overwrite (reverting those keys' locations)
     with LockProvider(table.base_path, table.write_config.lock_timeout_s,
                       table.write_config.lock_expiry_s):
-        df = spark.read.schema(INDEX_SCHEMA + ", bucket int").parquet(d)
+        df = _read_entries(table)
+        if df is None:
+            return 0
 
         rolled_back: set[str] = set()
         for inst in table.timeline.completed((tl.ROLLBACK, tl.RESTORE)):
@@ -202,16 +244,29 @@ def compact(table, retain_commits: int | None = None) -> int:
                   .drop("__rn"))
         out = folded.unionByName(recent)
 
-        tmp = d + ".compacting"
-        shutil.rmtree(tmp, ignore_errors=True)
+        raw = table.storage.read_bytes(_gen_path(table))
+        new_g = 0 if raw is None else int(raw) + 1
+        dst = os.path.join(d, f"gen-{new_g:06d}")
+        # overwrite: a crashed prior compact may have left a partial copy
+        # at this generation (its pointer publish never ran)
         (out.repartition(F.col("bucket"))
-            .write.partitionBy("bucket").mode("overwrite").parquet(tmp))
+            .write.partitionBy("bucket").mode("overwrite").parquet(dst))
         n = folded.count()
-        trash = d + ".old"
-        shutil.rmtree(trash, ignore_errors=True)
-        os.replace(d, trash)
-        os.replace(tmp, d)
-        shutil.rmtree(trash, ignore_errors=True)
+        storage.ATOMIC.put_atomic(_gen_path(table), str(new_g).encode())
+        fsb = table.storage
+        keep = f"gen-{new_g:06d}"
+        for e in fsb.listdir(d):
+            if e == keep:
+                continue
+            p = os.path.join(d, e)
+            fsb.rmtree(p)
+            if fsb.exists(p):  # flat legacy file (_SUCCESS etc.)
+                try:
+                    fsb.remove(p)
+                except OSError:
+                    pass
+        for suffix in (".compacting", ".old"):  # legacy crash siblings
+            fsb.rmtree(d + suffix)
     return n
 
 
@@ -223,7 +278,7 @@ def lookup(table, view=None) -> DataFrame:
     if not _has_entry_files(table):
         # initialized-but-empty index (marker written on an empty table)
         return spark.createDataFrame([], LOOKUP_SCHEMA)
-    df = spark.read.schema(INDEX_SCHEMA + ", bucket int").parquet(index_dir(table))
+    df = _read_entries(table)
     # entries written by rolled-back / restored-over instants never happened
     from . import timeline as tl
 

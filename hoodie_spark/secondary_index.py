@@ -20,8 +20,13 @@ negatives never):
   * :func:`compact` rewrites the index keeping only entries whose file
     group is still live.
 
-Layout: ``<base>/.hoodie/secondary_index/<column>/<instant>[-b].parquet``
-(value kept in its native parquet type).
+Layout: ``<base>/.hoodie/secondary_index/<column>/add-<instant>-<rand>/``
+Spark-written parquet dirs, one per append, plus ``compacted-<rand>/``
+folds (value kept in its native parquet type). Write-once dirs + a
+write-fold-then-delete compact order mean NO renames anywhere, so the
+index runs unchanged on object stores; the legacy flat
+``<instant>.parquet`` files of the pre-round-10 layout are still read.
+All file ops go through the ``storage.Storage`` seam.
 """
 
 from __future__ import annotations
@@ -48,14 +53,12 @@ def _marker(table, column: str) -> str:
 
 
 def exists(table, column: str) -> bool:
-    return os.path.exists(_marker(table, column))
+    return table.storage.exists(_marker(table, column))
 
 
 def indexed_columns(table) -> list[str]:
     root = os.path.join(table.base_path, ".hoodie", "secondary_index")
-    if not os.path.isdir(root):
-        return []
-    return sorted(c for c in os.listdir(root)
+    return sorted(c for c in table.storage.listdir(root)
                   if not c.endswith(".init") and exists(table, c))
 
 
@@ -89,14 +92,11 @@ def _harvest(table, slices, column: str) -> DataFrame | None:
 
 
 def _append(table, column: str, entries: DataFrame, instant: str) -> None:
+    # one write-once Spark dir per append: no rename, object-store native
     d = _dir(table, column)
-    os.makedirs(d, exist_ok=True)
-    tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex[:8]}")
-    entries.coalesce(1).write.mode("overwrite").parquet(tmp)
-    part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
-    os.replace(os.path.join(tmp, part),
-               os.path.join(d, f"{instant}-{uuid.uuid4().hex[:6]}.parquet"))
-    shutil.rmtree(tmp, ignore_errors=True)
+    table.storage.makedirs(d)
+    out = os.path.join(d, f"add-{instant}-{uuid.uuid4().hex[:6]}")
+    entries.coalesce(1).write.mode("overwrite").parquet(out)
 
 
 def create_index(table, column: str) -> None:
@@ -109,16 +109,17 @@ def create_index(table, column: str) -> None:
     entries = _harvest(table, view.latest_slices(), column)
     if entries is not None:
         _append(table, column, entries, "00000000000000000")
-    os.makedirs(_dir(table, column), exist_ok=True)
-    with open(_marker(table, column), "w") as f:
-        f.write(column)
+    from . import storage
+
+    table.storage.makedirs(_dir(table, column))
+    storage.ATOMIC.put_atomic(_marker(table, column), column.encode())
 
 
 def drop_index(table, column: str) -> None:
-    shutil.rmtree(_dir(table, column), ignore_errors=True)
+    table.storage.rmtree(_dir(table, column))
     try:
-        os.remove(_marker(table, column))
-    except FileNotFoundError:
+        table.storage.remove(_marker(table, column))
+    except OSError:
         pass
 
 
@@ -148,15 +149,25 @@ def append_entries_for_stats(table, stats: list[dict], instant: str) -> None:
         _append(table, column, entries, instant)
 
 
-def _read_index(table, column: str) -> DataFrame | None:
+def _index_paths(table, column: str) -> list[str]:
     d = _dir(table, column)
-    if not os.path.isdir(d):
+    fs = table.storage
+    paths = []
+    for e in fs.listdir(d):
+        if e.endswith(".parquet"):  # legacy flat layout: still readable
+            paths.append(os.path.join(d, e))
+        elif e.startswith(("add-", "compacted-")):
+            sub = os.path.join(d, e)
+            if any(f.endswith(".parquet") for f in fs.listdir(sub)):
+                paths.append(sub)
+    return paths
+
+
+def _read_index(table, column: str) -> DataFrame | None:
+    paths = _index_paths(table, column)
+    if not paths:
         return None
-    files = [os.path.join(d, f) for f in os.listdir(d)
-             if f.endswith(".parquet")]
-    if not files:
-        return None
-    return table.spark.read.parquet(*files)
+    return table.spark.read.parquet(*paths)
 
 
 def lookup_groups(table, column: str, values_df: DataFrame,
@@ -187,22 +198,30 @@ def compact(table, column: str) -> int:
     live = sorted({(pp, fid) for (pp, fid), grp in view.groups.items()
                    if grp.is_live(None) and grp.latest_slice(None)})
     d = _dir(table, column)
+    fs = table.storage
+    stale = _index_paths(table, column)
     if not live:
-        shutil.rmtree(d, ignore_errors=True)
-        os.makedirs(d, exist_ok=True)
+        for p in stale:
+            _rm_entry(fs, p)
         return 0
     live_df = F.broadcast(table.spark.createDataFrame(
         live, "pp string, file_id string"))
     kept = idx.join(live_df, ["pp", "file_id"], "left_semi").distinct()
-    tmp = d + f".compact-{uuid.uuid4().hex[:8]}"
-    kept.coalesce(1).write.mode("overwrite").parquet(tmp)
-    n = table.spark.read.parquet(tmp).count()
-    old = d
-    shutil.rmtree(old, ignore_errors=True)
-    os.makedirs(old, exist_ok=True)
-    part = [f for f in os.listdir(tmp) if f.endswith(".parquet")]
-    for i, f in enumerate(part):
-        os.replace(os.path.join(tmp, f),
-                   os.path.join(old, f"compacted-{i}.parquet"))
-    shutil.rmtree(tmp, ignore_errors=True)
+    # write the fold FIRST, delete the superseded entries after — a crash
+    # in between leaves duplicates, which the pruning contract absorbs
+    # (distinct lookup, false positives allowed); never a lost index
+    dst = os.path.join(d, f"compacted-{uuid.uuid4().hex[:8]}")
+    kept.coalesce(1).write.mode("overwrite").parquet(dst)
+    n = table.spark.read.parquet(dst).count()
+    for p in stale:
+        _rm_entry(fs, p)
     return n
+
+
+def _rm_entry(fs, path: str) -> None:
+    fs.rmtree(path)
+    if fs.exists(path):  # a flat legacy file, not a dir
+        try:
+            fs.remove(path)
+        except OSError:
+            pass

@@ -75,14 +75,14 @@ def find_orphan_files(table, max_age_s: float = 3600) -> list[str]:
     tl_ = table.timeline
     referenced: set[str] = set()
     # Active completed instants FIRST, archive file SECOND. Archival moves
-    # an instant active-dir -> archive-file; with this order a concurrently
+    # an instant active-dir -> archive; with this order a concurrently
     # migrating instant is visible in at least one of the two passes (it
     # was still active when we listed, or already archived when we read the
     # archive). The reverse order has a window where it appears in neither
     # and its live data files would be misclassified as orphans. This
-    # depends on Timeline.archive() fsync-ing each archive record before
-    # deleting the active file (timeline.py) — delete-before-durable-append
-    # would reopen the window.
+    # depends on Timeline.archive() publishing the archive chunk BEFORE
+    # deleting the active files (timeline.py) — delete-before-durable-
+    # publish would reopen the window.
     for inst in tl_.completed(include_archived=False):
         try:
             md = tl_.metadata(inst)
@@ -91,20 +91,11 @@ def find_orphan_files(table, max_age_s: float = 3600) -> list[str]:
         for st in md.get("write_stats", []):
             referenced.add(st["path"])
     # archived metadata in ONE pass (Timeline.metadata would rescan the
-    # archive file once per archived instant — quadratic)
-    if os.path.exists(tl_.archive_path):
-        with open(tl_.archive_path) as f:
-            for line in f:
-                try:
-                    rec = json.loads(line)
-                except json.JSONDecodeError:
-                    # torn tail from a concurrent archive() append: archive()
-                    # fsyncs each record BEFORE deleting the active instant,
-                    # so a torn line's instant is still in the active pass —
-                    # skipping it here is safe (crash direction: keep files).
-                    continue
-                for st in rec.get("metadata", {}).get("write_stats", []):
-                    referenced.add(st["path"])
+    # archive once per archived instant — quadratic); archived_records is
+    # torn-tail tolerant for the legacy append-file era
+    for rec in tl_.archived_records():
+        for st in rec.get("metadata", {}).get("write_stats", []):
+            referenced.add(st["path"])
     pending_ts = {i.timestamp for i in tl_.pending()}
     now = time.time()
     orphans: list[str] = []

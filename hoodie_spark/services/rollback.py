@@ -100,19 +100,21 @@ def _sweep_publish_orphans(table, max_age_s: float = 3600) -> None:
     a concurrent writer's in-flight temp (a sub-second window) survives."""
     import time
 
+    from .. import storage
+
     d = table.timeline.dir
-    if not os.path.isdir(d):
-        return
+    fs = table.storage
     cutoff = time.time() - max_age_s
-    for name in os.listdir(d):
+    for name in fs.listdir(d):
         if not (name.startswith(".") and name.endswith(".tmp")):
             continue
         p = os.path.join(d, name)
         try:
-            if os.path.getmtime(p) < cutoff:
-                os.remove(p)
-        except OSError:
-            pass  # raced with a concurrent sweep
+            mt = storage.ATOMIC.mtime(p)
+            if mt is not None and mt < cutoff:
+                fs.remove(p)
+        except (OSError, NotImplementedError):
+            pass  # raced with a concurrent sweep, or mtime unsupported
 
 
 def _undo_structural_config(table, instant_ts: str) -> None:

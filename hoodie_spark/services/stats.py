@@ -28,23 +28,25 @@ def _dir(table) -> str:
 
 
 def _load_sidecars(base_path: str) -> dict[str, dict]:
+    from .. import storage
+
     d = os.path.join(base_path, ".hoodie", "col_stats")
-    if not os.path.isdir(d):
-        return {}
     merged: dict[str, dict] = {}
     # compacted.json holds the OLDEST entries but sorts after the
     # timestamp-named sidecars (digits < 'c'); load it first so a
     # sidecar written after compaction (re-ANALYZE, redefined expr
     # alias) wins the per-alias update below
-    names = sorted(os.listdir(d),
+    names = sorted(storage.FS.listdir(d),
                    key=lambda fn: (fn != "compacted.json", fn))
     for fn in names:
         if not fn.endswith(".json"):
             continue
         try:
-            with open(os.path.join(d, fn)) as f:
-                for path, cs in json.load(f).items():
-                    merged.setdefault(path, {}).update(cs)
+            raw = storage.FS.read_bytes(os.path.join(d, fn))
+            if raw is None:
+                continue
+            for path, cs in json.loads(raw).items():
+                merged.setdefault(path, {}).update(cs)
         except (OSError, json.JSONDecodeError):
             continue
     return merged
@@ -95,13 +97,14 @@ def analyze(table, columns: list[str] | None = None,
             out[relpath_from_uri(r["__f"], base)] = cs
     if not out:
         return 0
+    from .. import storage
+
     d = _dir(table)
-    os.makedirs(d, exist_ok=True)
-    tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex[:8]}")
-    with open(tmp, "w") as f:
-        json.dump(out, f)
-    os.replace(tmp, os.path.join(
-        d, f"{table.timeline.new_instant_time()}-{uuid.uuid4().hex[:6]}.json"))
+    table.storage.makedirs(d)
+    storage.ATOMIC.put_atomic(
+        os.path.join(
+            d, f"{table.timeline.new_instant_time()}-{uuid.uuid4().hex[:6]}.json"),
+        json.dumps(out).encode())
     return len(out)
 
 
@@ -113,19 +116,23 @@ def compact_sidecars(table) -> int:
     live = {sl.base_file.path for sl in table.view().latest_slices()
             if sl.base_file is not None}
     kept = {p: cs for p, cs in merged.items() if p in live}
+    from .. import storage
+
     d = _dir(table)
-    if not os.path.isdir(d):
-        return 0
+    fs = table.storage
     # write the merged file FIRST, then delete the inputs — a crash in
     # between leaves duplicates (harmless: the overlay merges), never a
     # window where all backfilled stats are lost
-    before = [fn for fn in os.listdir(d) if fn.endswith(".json")]
+    before = [fn for fn in fs.listdir(d) if fn.endswith(".json")]
+    if not before:
+        return 0
     if kept:
-        tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex[:8]}")
-        with open(tmp, "w") as f:
-            json.dump(kept, f)
-        os.replace(tmp, os.path.join(d, "compacted.json"))
+        storage.ATOMIC.put_atomic(os.path.join(d, "compacted.json"),
+                                  json.dumps(kept).encode())
     for fn in before:
         if fn != "compacted.json" or not kept:
-            os.remove(os.path.join(d, fn))
+            try:
+                fs.remove(os.path.join(d, fn))
+            except OSError:
+                pass
     return len(kept)

@@ -71,10 +71,16 @@ class SlicePartition(InputPartition):
 
 def _load_table_meta(path: str):
     """(config_dict, schema_json) from the table's properties file — pure
-    Python, usable on the driver without a SparkSession."""
-    with open(os.path.join(path, ".hoodie", _PROPERTIES)) as f:
-        cfg = json.load(f)
-    return cfg
+    Python, usable on the driver without a SparkSession. Read through the
+    FS seam so driver-side planning works against an object-store
+    adapter."""
+    from .. import storage
+
+    raw = storage.FS.read_bytes(os.path.join(path, ".hoodie", _PROPERTIES))
+    if raw is None:
+        raise FileNotFoundError(
+            f"not a hoodie table (no {_PROPERTIES}): {path}")
+    return json.loads(raw)
 
 
 def _timeline_view(path: str):

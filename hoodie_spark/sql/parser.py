@@ -695,14 +695,8 @@ def _exec_call(spark, sql: str, tables: dict):
         return spark.createDataFrame(
             rows or [], "instant string, operation string, files_written int")
     if proc == "show_archived_timeline":
-        import json as _json
-        import os as _os
-        rows = []
-        if _os.path.exists(tbl.timeline.archive_path):
-            with open(tbl.timeline.archive_path) as f:
-                for line in f:
-                    rec = _json.loads(line)
-                    rows.append((rec["timestamp"], rec["action"]))
+        rows = [(rec["timestamp"], rec["action"])
+                for rec in tbl.timeline.archived_records()]
         return spark.createDataFrame(
             rows or [], "commit_time string, action string")
     raise ValueError(f"unknown procedure {proc!r}")

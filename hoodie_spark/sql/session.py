@@ -118,9 +118,7 @@ def _route(spark, query: str, tables: dict):
         tables.pop(key, None)
         spark.catalog.dropTempView(key)
         if re.search(r"\bpurge\s*$", mask):
-            import shutil
-
-            shutil.rmtree(tbl.base_path, ignore_errors=True)
+            tbl.storage.rmtree(tbl.base_path)
         return True, _empty(spark)
 
     run_sql(spark, query, tables)

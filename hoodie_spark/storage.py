@@ -111,10 +111,18 @@ class AtomicStorage:
 
     Everything else in this engine is crash-safe WITHOUT storage-level
     atomicity: data/log parquet is invisible until a commit publishes
-    (manifest-based visibility, module docstring above), heartbeats are
-    advisory mtimes, and sidecar overlays tolerate torn re-writes because
-    each whole file is re-written. Exactly TWO sites genuinely depend on
-    an atomic primitive, and both route through this interface:
+    (manifest-based visibility, module docstring above) and heartbeats are
+    advisory mtimes. The sites that genuinely depend on an atomic
+    primitive all route through this interface — commit publish, lock
+    acquire/release (below), plus three more whole-object publishes with
+    the same all-or-nothing need: **archive chunks** (the chunk must be
+    fully visible before the moved active instants are deleted —
+    ``Timeline.archive``), **table properties** (a torn properties file
+    would break every future load), and the **dedup-state watermark**
+    (``streaming/incremental_dedup.py`` — the generation pointer swap IS
+    the state commit). Heartbeat touches also go through
+    :meth:`put_atomic`, not for atomicity but because a PUT is the only
+    way to bump a store mtime on S3/GCS. The original two:
 
     * **commit publish** (``Timeline._atomic_write``, reference parity
       ``HoodieActiveTimeline.java:149``) needs :meth:`put_atomic` —

@@ -44,17 +44,35 @@ class _DFSSource(Source):
     options: dict | None = None
 
     def fetch(self, spark: SparkSession, checkpoint):
+        # listing + mtimes via pyarrow.fs: the drop dir can live on
+        # s3:// / gs:// / local alike (same executor-agnostic filesystem
+        # layer the staging path uses)
+        from pyarrow import fs as pafs
+
         since = float(checkpoint) if checkpoint else -1.0
         files, max_mtime = [], since
         root = self.path
-        names = [os.path.join(root, f) for f in os.listdir(root)] \
-            if os.path.isdir(root) else [root]
-        for p in names:
-            if p.endswith(("_SUCCESS", ".crc")) or os.path.basename(p).startswith("."):
+        if "://" in root:
+            fsys, norm = pafs.FileSystem.from_uri(root)
+            scheme = root.split("://", 1)[0] + "://"
+        else:
+            fsys, norm = pafs.LocalFileSystem(), os.path.abspath(root)
+            scheme = ""
+        info = fsys.get_file_info(norm)
+        if info.type == pafs.FileType.NotFound:
+            return None, checkpoint
+        infos = (fsys.get_file_info(pafs.FileSelector(norm))
+                 if info.type == pafs.FileType.Directory else [info])
+        for fi in infos:
+            # immediate children are the load units — plain files OR
+            # Spark-written .parquet DIRECTORIES (their mtime bumps when
+            # part files land, same contract the os.listdir era had)
+            base = os.path.basename(fi.path.rstrip("/"))
+            if base.endswith(("_SUCCESS", ".crc")) or base.startswith("."):
                 continue
-            m = os.path.getmtime(p)
+            m = fi.mtime.timestamp() if fi.mtime else 0.0
             if m > since:
-                files.append(p)
+                files.append(scheme + fi.path if scheme else fi.path)
                 max_mtime = max(max_mtime, m)
         if not files:
             return None, checkpoint

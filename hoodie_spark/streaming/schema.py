@@ -57,14 +57,20 @@ class FileBasedSchemaProvider(SchemaProvider):
         self.target_path = target_path
 
     def source_schema(self, spark) -> T.StructType:
-        with open(self.path) as f:
-            return _parse(f.read())
+        from .. import storage
+
+        raw = storage.FS.read_bytes(self.path)
+        if raw is None:
+            raise FileNotFoundError(self.path)
+        return _parse(raw.decode())
 
     def target_schema(self, spark) -> T.StructType | None:
-        if self.target_path is None or not os.path.exists(self.target_path):
+        from .. import storage
+
+        if self.target_path is None:
             return None
-        with open(self.target_path) as f:
-            return _parse(f.read())
+        raw = storage.FS.read_bytes(self.target_path)
+        return None if raw is None else _parse(raw.decode())
 
 
 class SchemaRegistryProvider(SchemaProvider):

@@ -85,7 +85,7 @@ class HoodieTable:
         # the module-global FS (object-store adapter) is picked up by every
         # table built after the swap without threading storage= everywhere
         self.storage = storage or _storage.FS
-        self.timeline = Timeline(base_path)
+        self.timeline = Timeline(base_path, fs=self.storage)
         from .writer import WriteClient  # local import to avoid cycle
         self._writer = WriteClient(self)
         self._reader = ReadClient(self)
@@ -113,10 +113,18 @@ class HoodieTable:
 
     @staticmethod
     def load(spark: SparkSession, base_path: str,
-             write_config: WriteConfig | None = None) -> "HoodieTable":
-        with open(os.path.join(base_path, ".hoodie", _PROPERTIES)) as f:
-            cfg = TableConfig.from_json(f.read())
-        return HoodieTable(spark, base_path, cfg, write_config)
+             write_config: WriteConfig | None = None,
+             storage=None) -> "HoodieTable":
+        from . import storage as _storage
+
+        fs = storage or _storage.FS
+        raw = fs.read_bytes(os.path.join(base_path, ".hoodie", _PROPERTIES))
+        if raw is None:
+            raise FileNotFoundError(
+                f"not a hoodie table (no {_PROPERTIES}): {base_path}")
+        cfg = TableConfig.from_json(raw.decode())
+        return HoodieTable(spark, base_path, cfg, write_config,
+                           storage=storage)
 
     @staticmethod
     def bootstrap(spark: SparkSession, base_path: str, source_dir: str,
@@ -141,14 +149,18 @@ class HoodieTable:
 
     @staticmethod
     def exists(base_path: str) -> bool:
-        return os.path.exists(os.path.join(base_path, ".hoodie", _PROPERTIES))
+        from . import storage as _storage
+
+        return _storage.FS.exists(
+            os.path.join(base_path, ".hoodie", _PROPERTIES))
 
     def save_properties(self) -> None:
-        os.makedirs(os.path.join(self.base_path, ".hoodie"), exist_ok=True)
-        tmp = os.path.join(self.base_path, ".hoodie", "." + _PROPERTIES + ".tmp")
-        with open(tmp, "w") as f:
-            f.write(self.config.to_json())
-        os.replace(tmp, os.path.join(self.base_path, ".hoodie", _PROPERTIES))
+        from . import storage as _storage
+
+        self.storage.makedirs(os.path.join(self.base_path, ".hoodie"))
+        _storage.ATOMIC.put_atomic(
+            os.path.join(self.base_path, ".hoodie", _PROPERTIES),
+            self.config.to_json().encode())
 
     # --------------------------------------------------------------- schema
     @property

@@ -8,11 +8,15 @@ create), HoodieTimelineArchiveLog.java:72,120 (archival).
 
 Spark-first design: the timeline is pure driver-side Python over JSON files —
 no Spark job ever touches it. One file per (instant, state); completion is an
-atomic ``os.rename`` of a hidden temp file, so concurrent readers only ever
-see fully-written completed instants (same trick as
-HoodieActiveTimeline.createImmutableFileInPath). Archived instants are folded
-into a single JSON-lines file that stays cheap to scan at 100 TB scale
-(thousands of commits == a few MB of driver-side JSON).
+atomic whole-object publish through the ``storage.AtomicStorage`` seam, so
+concurrent readers only ever see fully-written completed instants (same trick
+as HoodieActiveTimeline.createImmutableFileInPath). Archived instants are
+folded into write-once JSON-lines CHUNK objects (one per archive run, each
+published atomically — no append, so the same code runs on object stores);
+the archive stays cheap to scan at 100 TB scale (thousands of commits == a
+few MB of driver-side JSON). All listings/reads/deletes go through the
+``storage.Storage`` seam (``storage.FS`` or an injected adapter), the
+FSUtils-equivalent boundary an object-store deployment swaps.
 """
 
 from __future__ import annotations
@@ -58,18 +62,30 @@ class Instant:
 class Timeline:
     """Active + archived timeline for one table."""
 
-    def __init__(self, base_path: str):
+    def __init__(self, base_path: str, fs=None):
         self.base_path = base_path
         self.meta_dir = os.path.join(base_path, ".hoodie")
         self.dir = os.path.join(self.meta_dir, "timeline")
-        self.archive_path = os.path.join(self.meta_dir, "archived", "commits.jsonl")
+        self.archive_dir = os.path.join(self.meta_dir, "archived")
+        # legacy single-append-file archive (pre-chunk layout): still read,
+        # never written — new folds publish write-once chunk objects
+        self.archive_path = os.path.join(self.archive_dir, "commits.jsonl")
         self.temp_dir = os.path.join(self.meta_dir, ".temp")
         self._last_ts = ""
+        self._fs = fs
+
+    @property
+    def fs(self):
+        if self._fs is not None:
+            return self._fs
+        from . import storage
+
+        return storage.FS
 
     def init(self) -> None:
-        os.makedirs(self.dir, exist_ok=True)
-        os.makedirs(self.temp_dir, exist_ok=True)
-        os.makedirs(os.path.dirname(self.archive_path), exist_ok=True)
+        self.fs.makedirs(self.dir)
+        self.fs.makedirs(self.temp_dir)
+        self.fs.makedirs(self.archive_dir)
 
     # ------------------------------------------------------------------ ids
     def new_instant_time(self) -> str:
@@ -104,43 +120,63 @@ class Timeline:
         self._atomic_write(self._path(inst), metadata)
         for state in (REQUESTED, INFLIGHT):
             p = os.path.join(self.dir, Instant(timestamp, action, state).filename())
-            if os.path.exists(p):
-                os.remove(p)
+            try:
+                self.fs.remove(p)
+            except OSError:
+                pass
         return inst
 
     def _atomic_write(self, path: str, payload: dict) -> None:
-        # one of the two storage-atomicity dependencies in the engine
-        # (storage.AtomicStorage contract): publish must be all-or-nothing
+        # a storage-atomicity dependency (storage.AtomicStorage contract):
+        # publish must be all-or-nothing
         from . import storage
         storage.ATOMIC.put_atomic(path, json.dumps(payload).encode())
 
     def delete_instant(self, instant: Instant) -> None:
-        p = self._path(instant)
-        if os.path.exists(p):
-            os.remove(p)
+        try:
+            self.fs.remove(self._path(instant))
+        except OSError:
+            pass
 
     # -------------------------------------------------------------- queries
+    def archived_records(self):
+        """Yield archived-instant dicts: the legacy single append-file
+        first (torn-tail tolerant — its writer crashed mid-append once
+        upon a time), then the write-once chunk objects in name order.
+        Chunks are atomic whole-object publishes, so they are never torn;
+        an instant present in both a chunk and the active dir (crash
+        between chunk publish and active delete) is harmless — callers
+        dedup by (timestamp, action)."""
+        legacy = self.fs.read_bytes(self.archive_path)
+        chunks = [e for e in self.fs.listdir(self.archive_dir)
+                  if e.startswith("chunk-") and e.endswith(".jsonl")]
+        bodies = [] if legacy is None else [legacy]
+        for name in sorted(chunks):
+            body = self.fs.read_bytes(os.path.join(self.archive_dir, name))
+            if body is not None:
+                bodies.append(body)
+        for body in bodies:
+            for line in body.decode().splitlines():
+                try:
+                    yield json.loads(line)
+                except json.JSONDecodeError:
+                    # torn tail from a crashed legacy-era append; the
+                    # instant is still in the active dir (its delete
+                    # never ran), so skipping the garbage line is safe
+                    continue
+
     def instants(self, states: tuple[str, ...] = (COMPLETED,), actions: tuple[str, ...] | None = None,
                  include_archived: bool = False) -> list[Instant]:
         out: list[Instant] = []
-        if include_archived and COMPLETED in states and os.path.exists(self.archive_path):
-            with open(self.archive_path) as f:
-                for line in f:
-                    try:
-                        rec = json.loads(line)
-                    except json.JSONDecodeError:
-                        # torn tail from a crashed/concurrent archive()
-                        # append; archive() fsyncs before deleting the
-                        # active file, so the instant is still active
-                        continue
-                    out.append(Instant(rec["timestamp"], rec["action"], COMPLETED))
-        if os.path.isdir(self.dir):
-            for name in os.listdir(self.dir):
-                if not name.endswith(".json"):
-                    continue
-                ts, action, state = name[: -len(".json")].split(".", 2)
-                if state in states and (actions is None or action in actions):
-                    out.append(Instant(ts, action, state))
+        if include_archived and COMPLETED in states:
+            for rec in self.archived_records():
+                out.append(Instant(rec["timestamp"], rec["action"], COMPLETED))
+        for name in self.fs.listdir(self.dir):
+            if not name.endswith(".json"):
+                continue
+            ts, action, state = name[: -len(".json")].split(".", 2)
+            if state in states and (actions is None or action in actions):
+                out.append(Instant(ts, action, state))
         if actions is not None:
             out = [i for i in out if i.action in actions]
         return sorted(set(out))
@@ -152,22 +188,13 @@ class Timeline:
         return self.instants((REQUESTED, INFLIGHT))
 
     def metadata(self, instant: Instant) -> dict:
-        p = self._path(instant)
-        if os.path.exists(p):
-            with open(p) as f:
-                return json.load(f)
+        raw = self.fs.read_bytes(self._path(instant))
+        if raw is not None:
+            return json.loads(raw)
         # fall back to the archive (HoodieArchivedTimeline.java)
-        if os.path.exists(self.archive_path):
-            with open(self.archive_path) as f:
-                for line in f:
-                    try:
-                        rec = json.loads(line)
-                    except json.JSONDecodeError:
-                        # torn tail line from a concurrent/crashed archive()
-                        # append; the instant is still in the active dir then
-                        continue
-                    if rec["timestamp"] == instant.timestamp and rec["action"] == instant.action:
-                        return rec["metadata"]
+        for rec in self.archived_records():
+            if rec["timestamp"] == instant.timestamp and rec["action"] == instant.action:
+                return rec["metadata"]
         raise FileNotFoundError(f"no metadata for {instant}")
 
     def last_completed(self, actions: tuple[str, ...] = DATA_ACTIONS) -> Instant | None:
@@ -176,43 +203,41 @@ class Timeline:
 
     # -------------------------------------------------------------- archive
     def archive(self, max_active: int, protected: set[str] | None = None) -> int:
-        """Move oldest completed data instants beyond ``max_active`` into the
-        JSON-lines archive (HoodieTimelineArchiveLog.java:120). Instants in
-        ``protected`` (e.g. savepointed or not-yet-cleaned) are kept active."""
+        """Move oldest completed data instants beyond ``max_active`` into
+        the archive (HoodieTimelineArchiveLog.java:120). Instants in
+        ``protected`` (e.g. savepointed or not-yet-cleaned) stay active.
+
+        Each fold publishes ONE write-once chunk object atomically
+        (``storage.AtomicStorage.put_atomic``) and only then deletes the
+        moved active files — the record is durably visible before the
+        active instant disappears, with no append and no fsync ordering,
+        so the same code runs on object stores. A crash between the chunk
+        publish and the deletes leaves instants in both places; readers
+        dedup. The pre-chunk single append-file archive is still read
+        (:meth:`archived_records`), never written."""
+        from . import storage
+
         active = self.instants((COMPLETED,), DATA_ACTIONS, include_archived=False)
         n_move = len(active) - max_active
         if n_move <= 0:
             return 0
-        moved = 0
-        # a prior crash can leave a torn (newline-less) tail; appending
-        # straight onto it would GLUE the new record into one unparseable
-        # line — and since we fsync-then-delete, the glued instant would
-        # vanish from both the archive and the active dir. Terminate the
-        # torn tail first: it becomes a skippable garbage line whose
-        # instant is still safely in the active dir (its delete never ran).
-        if os.path.exists(self.archive_path) \
-                and os.path.getsize(self.archive_path) > 0:
-            with open(self.archive_path, "rb") as rf:
-                rf.seek(-1, os.SEEK_END)
-                torn = rf.read(1) != b"\n"
-        else:
-            torn = False
-        with open(self.archive_path, "a") as f:
-            if torn:
-                f.write("\n")
-            for inst in active[:n_move]:
-                if protected and inst.timestamp in protected:
-                    continue
-                f.write(json.dumps({"timestamp": inst.timestamp, "action": inst.action,
-                                    "metadata": self.metadata(inst)}) + "\n")
-                # The archive record must be durably visible BEFORE the
-                # active instant file disappears: a concurrent reader (or a
-                # crash here) must find the instant in at least one place.
-                f.flush()
-                os.fsync(f.fileno())
-                self.delete_instant(inst)
-                moved += 1
-        return moved
+        to_move = [i for i in active[:n_move]
+                   if not (protected and i.timestamp in protected)]
+        if not to_move:
+            return 0
+        lines = [json.dumps({"timestamp": i.timestamp, "action": i.action,
+                             "metadata": self.metadata(i)}) for i in to_move]
+        # unique, time-prefixed chunk name: no coordination needed, sorted
+        # reads follow fold order
+        name = (f"chunk-{time.strftime('%Y%m%d%H%M%S')}"
+                f"{int(time.time_ns() // 1_000_000) % 1000:03d}"
+                f"-{os.urandom(4).hex()}.jsonl")
+        self.fs.makedirs(self.archive_dir)
+        storage.ATOMIC.put_atomic(os.path.join(self.archive_dir, name),
+                                  ("\n".join(lines) + "\n").encode())
+        for inst in to_move:
+            self.delete_instant(inst)
+        return len(to_move)
 
 
 class Heartbeat:
@@ -233,17 +258,22 @@ class Heartbeat:
         return os.path.join(self.dir, instant_ts)
 
     def refresh(self, instant_ts: str) -> None:
-        """Start or re-arm the heartbeat for an in-flight instant."""
-        os.makedirs(self.dir, exist_ok=True)
-        p = self._path(instant_ts)
-        with open(p, "a"):
-            pass
-        os.utime(p, None)
+        """Start or re-arm the heartbeat for an in-flight instant. A PUT
+        of an empty object updates the store's last-modified time — the
+        object-store equivalent of a touch (there is no utime on S3/GCS);
+        heartbeats don't DEPEND on atomicity, they just reuse the same
+        adapter the lock refresher does."""
+        from . import storage
+
+        storage.FS.makedirs(self.dir)
+        storage.ATOMIC.put_atomic(self._path(instant_ts), b"")
 
     def stop(self, instant_ts: str) -> None:
+        from . import storage
+
         try:
-            os.remove(self._path(instant_ts))
-        except FileNotFoundError:
+            storage.FS.remove(self._path(instant_ts))
+        except OSError:
             pass
 
     def auto_refresh(self, instant_ts: str, interval_s: float):
@@ -276,10 +306,17 @@ class Heartbeat:
     def is_expired(self, instant_ts: str, expiry_s: float) -> bool:
         """Missing heartbeat counts as expired: a pending instant that never
         wrote one predates heartbeating or lost its writer before the first
-        beat — either way no live writer owns it."""
+        beat — either way no live writer owns it. Read through the seam
+        (storage LastModified on object stores); an adapter without mtime
+        support disables expiry — a dead write then waits for an operator,
+        never the reverse."""
+        from . import storage
+
         try:
-            mtime = os.path.getmtime(self._path(instant_ts))
-        except FileNotFoundError:
+            mtime = storage.ATOMIC.mtime(self._path(instant_ts))
+        except NotImplementedError:
+            return False  # reclamation disabled, never false-positive
+        if mtime is None:
             return True
         return (time.time() - mtime) > expiry_s
 

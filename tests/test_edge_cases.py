@@ -276,7 +276,7 @@ def test_snapshot_export_archived_table(spark, orders, tmp_table_path):
     out = os.path.join(tmp_table_path, "hudi_out")
     export_snapshot(tbl, out, "hudi")
     assert os.path.exists(os.path.join(out, ".hoodie", "archived",
-                                       "commits.jsonl"))
+                                       "chunk-export.jsonl"))
     copy = HoodieTable.load(spark, out)
     assert sorted(tuple(r) for r in
                   copy.snapshot().select("o_orderkey", "o_orderstatus").collect()) == \

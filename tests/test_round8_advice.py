@@ -39,12 +39,10 @@ def test_archive_record_durable_before_active_delete(spark, orders,
     orig_delete = tl.delete_instant
 
     def checked_delete(inst):
-        recs = []
-        if os.path.exists(tl.archive_path):
-            with open(tl.archive_path) as f:
-                for line in f:
-                    assert line.endswith("\n"), "torn archive line at delete"
-                    recs.append(json.loads(line))  # must parse: fsync'd
+        # the chunk is published atomically BEFORE any delete runs, so at
+        # this moment every moved instant must already be readable through
+        # the archive
+        recs = list(tl.archived_records())
         seen_at_delete.append(
             any(r["timestamp"] == inst.timestamp for r in recs))
         return orig_delete(inst)
@@ -108,29 +106,25 @@ def test_lock_release_failure_does_not_mask_body_exception(tmp_table_path):
     os.remove(os.path.join(tmp_table_path, ".hoodie", ".lock"))
 
 
-def test_archive_append_terminates_torn_tail(spark, orders, tmp_table_path):
-    """Appending over a crash-torn (newline-less) archive tail must not
-    glue the new record onto the partial line — the re-archived instant
-    would otherwise vanish from BOTH the archive and the active dir."""
+def test_archive_with_torn_legacy_file(spark, orders, tmp_table_path):
+    """Archiving next to a crash-torn legacy (append-era) archive file
+    must neither crash nor lose records: new folds land in write-once
+    chunk objects (never appended onto the torn line), the torn legacy
+    line is skipped on read, and every archived instant stays readable."""
     tbl = _make_table_with_commits(spark, orders, tmp_table_path)
     tl = tbl.timeline
     with open(tl.archive_path, "w") as f:
         f.write('{"timestamp": "199901010000', )  # torn, no newline
     moved = tbl.archive(max_active=2)
     assert moved >= 2
+    # the fold went into a chunk object, not onto the legacy file
+    assert any(e.startswith("chunk-") for e in os.listdir(tl.archive_dir))
     with open(tl.archive_path) as f:
-        lines = f.read().splitlines()
-    parsed = []
-    for ln in lines:
-        try:
-            parsed.append(json.loads(ln))
-        except json.JSONDecodeError:
-            pass
-    # every archived instant's record parses on its own line
+        assert f.read() == '{"timestamp": "199901010000'  # untouched
     archived = [i for i in tl.instants(include_archived=True)
                 if i not in tl.instants(include_archived=False)]
     assert len(archived) == moved
-    ts = {r["timestamp"] for r in parsed}
+    ts = {r["timestamp"] for r in tl.archived_records()}
     assert all(i.timestamp in ts for i in archived)
     # and the snapshot still folds the archived metadata
     assert tbl.snapshot().count() == 100

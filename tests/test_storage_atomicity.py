@@ -85,9 +85,18 @@ def test_two_sites_only_and_no_rename_needed(spark, orders, tmp_table_path,
     assert recording_store.atomic_puts, "publish never hit the seam"
     meta = os.path.join(tmp_table_path, ".hoodie") + os.sep
     timeline_dir = os.path.join(tmp_table_path, ".hoodie", "timeline")
+    hb_dir = os.path.join(tmp_table_path, ".hoodie", ".heartbeat")
+    arch_dir = os.path.join(tmp_table_path, ".hoodie", "archived")
     for p in recording_store.atomic_puts:
         assert p.startswith(meta), f"atomic put outside .hoodie: {p}"
-        assert p.endswith(".json"), f"atomic put is not an instant: {p}"
+        # every atomic put is one of the control-plane publishes: a
+        # timeline instant / table properties / dedup watermark (.json),
+        # an archive chunk (.jsonl), or a heartbeat touch (which reuses
+        # the adapter for its store-mtime side effect, not for atomicity)
+        assert (p.endswith(".json") or p.endswith(".jsonl")
+                or os.path.dirname(p) == hb_dir
+                or os.path.dirname(p) == arch_dir), \
+            f"unexpected atomic put: {p}"
     # the publish site really is the timeline (not some side channel)
     assert any(os.path.dirname(p) == timeline_dir or
                os.path.dirname(p) == os.path.join(tmp_table_path, ".hoodie")

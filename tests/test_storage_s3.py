@@ -313,3 +313,53 @@ def test_incremental_dedup_lifecycle_through_s3_seam(spark, tmp_table_path,
                for (op, k, *_) in s3_seams.calls)
     assert any(op == "list" and "dedup_state" in k
                for (op, k, *_) in s3_seams.calls)
+
+
+def test_control_plane_services_through_s3_seam(spark, orders,
+                                                tmp_table_path, s3_seams):
+    """Round-10 control-plane sweep: timeline archive (chunk objects),
+    secondary index (write-once entry dirs), record-index generations and
+    ANALYZE stats sidecars all work with every file op issued as an S3
+    API call — listings via list_objects_v2, reads via get_object,
+    publishes via PutObject."""
+    from pyspark.sql import functions as F
+
+    from hoodie_spark import secondary_index
+    from hoodie_spark.config import WriteConfig
+
+    tbl = HoodieTable.create(
+        spark, tmp_table_path, "s3_ctl", ["o_orderkey"], "o_orderdate",
+        write_config=WriteConfig(record_index=True))
+    base = orders.limit(300)
+    tbl.bulk_insert(base)
+    for k in (3, 5, 7):
+        tbl.upsert(base.filter(F.col("o_orderkey") % k == 0)
+                   .withColumn("o_orderstatus", F.lit(f"A{k}")))
+    # archive -> chunk object published via PutObject, readable back
+    moved = tbl.archive(max_active=2)
+    assert moved >= 2
+    assert any(op == "put" and "/archived/chunk-" in k
+               for (op, k, *_) in s3_seams.calls)
+    assert len(tbl.timeline.completed()) >= 4  # archived still visible
+    assert tbl.snapshot().count() == 300
+    # secondary index over the seam
+    tbl.create_secondary_index("o_orderstatus")
+    hits = secondary_index.lookup_groups(
+        tbl, "o_orderstatus",
+        spark.createDataFrame([("A3",)], "value string"))
+    assert hits
+    assert secondary_index.compact(tbl, "o_orderstatus") > 0
+    assert secondary_index.lookup_groups(
+        tbl, "o_orderstatus",
+        spark.createDataFrame([("A3",)], "value string")) == hits
+    # record-index generation compaction over the seam
+    from hoodie_spark import record_index
+    n = record_index.compact(tbl, retain_commits=1)
+    assert n > 0
+    assert record_index.lookup(tbl).count() == 300
+    # ANALYZE stats sidecar published + compacted over the seam
+    assert tbl.analyze(["o_totalprice"]) > 0
+    from hoodie_spark.services.stats import compact_sidecars
+    assert compact_sidecars(tbl) > 0
+    assert any(op == "put" and "/col_stats/" in k
+               for (op, k, *_) in s3_seams.calls)
