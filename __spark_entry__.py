@@ -965,6 +965,20 @@ def _dup_emb(spark, sf_dir):
     return emb.unionByName(emb.withColumn("vec_id", F.col("vec_id") + 10000))
 
 
+def _contain_docs(spark, sf_dir):
+    """Small corpus with PLANTED containment: doc 20000+i is the first
+    half of doc i's words — high containment, low Jaccard (the case the
+    symmetric dedups miss)."""
+    docs = (load_table(spark, sf_dir, "documents")
+            .select("doc_id", "text").filter(F.col("doc_id") < 60))
+    w = F.split(F.col("text"), " ")
+    half = docs.select(
+        (F.col("doc_id") + 20000).alias("doc_id"),
+        F.array_join(F.slice(w, 1, (F.size(w) / 2).cast("int")),
+                     " ").alias("text"))
+    return docs.unionByName(half)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable] = {}
 
@@ -1153,6 +1167,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_jaccard"] = lambda s, d: HF.jaccard_dedup_pairs(
         _dup_docs(s, d), "doc_id", "text", threshold=0.8).select(
             "id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    # asymmetric containment (doc-inside-doc; prefix-filtered, EXACT)
+    q["dedup_containment"] = lambda s, d: HF.containment_dedup_pairs(
+        _contain_docs(s, d), "doc_id", "text", threshold=0.9).select(
+            "id_a", "id_b", "containment")
     q["dedup_simhash"] = lambda s, d: HF.simhash_dup_pairs(
         load_table(s, d, "documents"), "doc_id", "text",
         bits=32, max_distance=3).select("id_a", "id_b", "distance")
@@ -1498,7 +1516,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                #   embedding_quantize <-> global_index_upsert (index
                #     family keeps record/bloom/bucket/secondary in-window)
                "ann_int8": "delete_partition",
-               "embedding_quantize": "global_index_upsert"}
+               "embedding_quantize": "global_index_upsert",
+               #   dedup_containment  <-> chunk_documents (doc-segmentation
+               #     family stays evidenced by pack_sequences; containment
+               #     is a NEW unique dedup axis — doc-inside-doc)
+               "dedup_containment": "chunk_documents"}
     keys = list(q)
     for new, old in promote.items():
         i, j = keys.index(old), keys.index(new)
@@ -2458,6 +2480,42 @@ SELECT id_a, id_b, round(j, 6) AS jaccard FROM (
                 - len(list_filter(sh_a, x -> list_contains(sh_b, x))) AS DOUBLE) AS j
   FROM pairs
 ) WHERE j >= 0.8
+"""
+    # containment: brute force in SQL via the exploded shingle equi-join
+    # (the 120-doc fixture keeps sum(df^2) small); the Spark side's prefix
+    # filter is EXACT, so the two pair sets must be identical
+    o["dedup_containment"] = """
+WITH raw AS (SELECT doc_id, text FROM documents WHERE doc_id < 60),
+halves AS (
+  SELECT doc_id + 20000 AS doc_id,
+         array_to_string(w[1:CAST(len(w)//2 AS INT)], ' ') AS text
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM raw)
+),
+corpus AS (SELECT * FROM raw UNION ALL SELECT * FROM halves),
+norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+  FROM corpus
+),
+s AS (
+  SELECT doc_id,
+         CASE WHEN length(t) >= 5
+              THEN list_distinct(list_transform(range(1, length(t) - 3),
+                                                i -> substr(t, CAST(i AS INT), 5)))
+              ELSE CAST([] AS VARCHAR[]) END AS sh
+  FROM norm
+),
+s2 AS (SELECT doc_id, sh, len(sh) AS m FROM s WHERE len(sh) > 0),
+ex AS (SELECT doc_id, m, unnest(sh) AS t FROM s2),
+ov AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.m AS m_a, b.m AS m_b,
+         COUNT(*) AS i
+  FROM ex a JOIN ex b ON a.t = b.t AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT id_a, id_b,
+       round(CAST(i AS DOUBLE) / CAST(least(m_a, m_b) AS DOUBLE), 6)
+       AS containment
+FROM ov WHERE i >= CEIL(0.9 * least(m_a, m_b) - 1e-9)
 """
     hexbits = "'8', '9', 'a', 'b', 'c', 'd', 'e', 'f'"
     o["dedup_simhash"] = f"""

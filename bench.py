@@ -116,6 +116,8 @@ def run_suite(spark, sf_dir: str) -> dict[str, float]:
     timed("simhash_dedup")(lambda: HF.simhash_dup_pairs(
         docs, "doc_id", "text", bits=32, max_distance=3).count())
     timed("exact_dedup")(lambda: HF.exact_dedup(docs, ["text"], "doc_id").count())
+    timed("containment_dedup")(lambda: HF.containment_dedup_pairs(
+        docs, "doc_id", "text", threshold=0.9).count())
     timed("semantic_dedup")(lambda: HF.semantic_dedup(
         emb, "vec_id", "embedding", n_clusters=16, threshold=0.99).count())
 

@@ -39,6 +39,7 @@ from .dedup import (
     bounded_self_pairs,
     with_minhash,
     minhash_candidate_pairs,
+    containment_dedup_pairs,
     jaccard_dedup_pairs,
     with_simhash,
     simhash_sigs,
@@ -105,7 +106,7 @@ __all__ = [
     "LANG_PROFILES", "quality_score", "fingerprint", "kmin_fingerprint",
     "exact_dedup", "with_minhash", "minhash_candidate_pairs",
     "quantize_embeddings", "int8_topk",
-    "jaccard_dedup_pairs", "with_simhash", "simhash_sigs",
+    "jaccard_dedup_pairs", "containment_dedup_pairs", "with_simhash", "simhash_sigs",
     "simhash_dup_pairs", "embedding_near_dup_pairs", "dedup_spans",
     "seen_dedup", "doc_features", "min_sig_matches", "sig_agreement",
     "bounded_self_pairs",

@@ -34,8 +34,9 @@ from .text import char_ngrams, tokens
 
 __all__ = [
     "exact_dedup", "with_minhash", "minhash_candidate_pairs",
-    "jaccard_dedup_pairs", "with_simhash", "simhash_sigs",
-    "simhash_dup_pairs", "embedding_near_dup_pairs", "semantic_dedup",
+    "jaccard_dedup_pairs", "containment_dedup_pairs", "with_simhash",
+    "simhash_sigs", "simhash_dup_pairs", "embedding_near_dup_pairs",
+    "semantic_dedup",
 ]
 
 
@@ -602,3 +603,66 @@ def dedup_spans(df: DataFrame, id_col: str, text_col: str,
                  F.size(kept_structs).cast("long").alias("n_spans_kept"),
                  F.count(F.lit(1)).alias("n_spans_total"))
             .filter(F.col("n_spans_kept") > 0))
+
+
+def containment_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
+                            threshold: float = 0.9,
+                            ngram: int = 5) -> DataFrame:
+    """Asymmetric containment near-dup pairs:
+    ``|S_a ∩ S_b| / min(|S_a|, |S_b|) >= threshold`` over the docs'
+    distinct character ``ngram`` shingle sets — catches a document
+    embedded inside a longer one (quotes, re-posts wrapped in
+    boilerplate), which symmetric Jaccard misses because the union is
+    dominated by the longer doc. Returns (id_a, id_b, containment) with
+    id_a < id_b — EXACT: every qualifying pair is found.
+
+    Candidates by prefix filtering (the PPJoin-family overlap-join
+    technique): order each doc's shingles by ascending corpus document
+    frequency (rarest first, shingle tie-break). A qualifying pair's
+    SMALLER doc can miss at most ``m - ceil(t*m)`` of its own shingles
+    from the other doc, so its first ``m - ceil(t*m) + 1`` rarest
+    shingles must include a shared one; probing every doc's prefix
+    against the full shingle postings therefore finds every qualifying
+    pair via its smaller side (the larger side's probe is redundant but
+    harmless).
+
+    Scale shape: shingle document frequency is one map-side-combined
+    groupBy; the candidate join keys on PREFIX shingles only — by
+    construction the rarest of each doc, so posting lists are short
+    exactly where the join multiplies; verification is an in-row
+    ``array_intersect`` per candidate with an INTEGER threshold
+    (``inter >= ceil(t*min - 1e-9)``, the same epsilon-guarded ceil as
+    :func:`min_sig_matches`) so no float division sits in the predicate
+    and an external SQL engine reproduces the pair set bit-for-bit.
+    """
+    from .text import char_ngrams
+
+    sh = _pin(_spread(df).select(
+        F.col(id_col), char_ngrams(F.col(text_col), ngram).alias("sh"))
+        .filter(F.size("sh") > 0)
+        .withColumn("m", F.size("sh")))
+    ex = sh.select(id_col, "m", F.explode("sh").alias("t"))
+    dfreq = ex.groupBy("t").agg(F.count("*").alias("__df"))
+    w = Window.partitionBy(id_col).orderBy("__df", "t")
+    req = F.ceil(F.lit(threshold) * F.col("m") - F.lit(1e-9)).cast("int")
+    prefix = (ex.join(dfreq, "t")
+              .withColumn("__rn", F.row_number().over(w))
+              .filter(F.col("__rn") <= F.col("m") - req + 1)
+              .select(F.col(id_col).alias("__pid"), "t"))
+    cands = (prefix.join(ex.select(F.col(id_col).alias("__cid"), "t"), "t")
+             .filter(F.col("__pid") != F.col("__cid"))
+             .select(F.least("__pid", "__cid").alias("id_a"),
+                     F.greatest("__pid", "__cid").alias("id_b"))
+             .distinct())
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"),
+                  F.col("m").alias("m_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"),
+                  F.col("m").alias("m_b"))
+    mn = F.least("m_a", "m_b")
+    need = F.ceil(F.lit(threshold) * mn - F.lit(1e-9)).cast("int")
+    return (cands.join(a, "id_a").join(b, "id_b")
+            .withColumn("__i", F.size(F.array_intersect("sh_a", "sh_b")))
+            .filter(F.col("__i") >= need)
+            .select("id_a", "id_b",
+                    F.round(F.col("__i").cast("double")
+                            / mn.cast("double"), 6).alias("containment")))

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from hoodie_spark import HoodieTable, WriteConfig
 from hoodie_spark import bloom
+from hoodie_spark import storage as st
 from hoodie_spark.config import IndexType, PARTITION_PATH, RECORD_KEY
 from hoodie_spark.index import _prune_by_key_range
 from hoodie_spark.keygen import with_keys
@@ -117,6 +118,7 @@ def test_probe_batches_bound_broadcast(spark, tmp_table_path, monkeypatch):
     class FakeTable:
         base_path = tmp_table_path
         write_config = WriteConfig(bloom_sketch_min_records=1)
+        storage = st.LOCAL  # sidecar reads go through the Storage seam
     os.makedirs(os.path.join(tmp_table_path, ".hoodie", "bloom"))
     with open(os.path.join(tmp_table_path, ".hoodie", "bloom", "c1.json"),
               "w") as f:

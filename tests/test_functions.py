@@ -636,3 +636,46 @@ def test_extract_features_model_and_ann_composition(docs):
     top = HF.brute_force_topk(corpus, q, "doc_id", "features", k=5)
     per_q = top.groupBy("query_id").count().collect()
     assert per_q and all(r["count"] == 5 for r in per_q)
+
+
+def test_containment_dedup_exact_vs_bruteforce(spark):
+    """Prefix-filtered containment join must equal the O(n^2) model —
+    EXACT, including planted doc-inside-doc pairs that Jaccard misses."""
+    import itertools
+    import math
+    import re
+
+    from pyspark.sql import functions as F
+
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text").filter(F.col("doc_id") < 50))
+    w = F.split(F.col("text"), " ")
+    half = docs.select((F.col("doc_id") + 20000).alias("doc_id"),
+                       F.array_join(F.slice(w, 1, (F.size(w) / 2)
+                                            .cast("int")), " ").alias("text"))
+    corpus = docs.unionByName(half)
+    got = {(r.id_a, r.id_b): r.containment for r in
+           HF.containment_dedup_pairs(corpus, "doc_id", "text",
+                                      threshold=0.9).collect()}
+
+    def shingles(t):
+        t = re.sub(r"\s+", " ", t.lower()).strip()
+        return (set(t[i:i + 5] for i in range(len(t) - 4))
+                if len(t) >= 5 else set())
+
+    S = {r.doc_id: shingles(r.text) for r in corpus.collect()}
+    exp = {}
+    for a, b in itertools.combinations(sorted(S), 2):
+        if not S[a] or not S[b]:
+            continue
+        mn = min(len(S[a]), len(S[b]))
+        i = len(S[a] & S[b])
+        if i >= math.ceil(0.9 * mn - 1e-9):
+            exp[(a, b)] = round(i / mn, 6)
+    assert got == exp
+    # the planted halves ARE found, and Jaccard at the same bar misses them
+    planted = [(a, b) for (a, b) in got if b - a == 20000]
+    assert len(planted) >= 40
+    jac = {(r.id_a, r.id_b) for r in HF.jaccard_dedup_pairs(
+        corpus, "doc_id", "text", threshold=0.9).collect()}
+    assert sum(1 for p in planted if p in jac) < len(planted) / 2
