@@ -127,6 +127,11 @@ def probe_once(spark, sf_dir: str) -> dict:
         timed("semantic_dedup", lambda: HF.semantic_dedup(
             emb, "vec_id", "embedding", n_clusters=max(16, n_vec // 125),
             threshold=0.99).count())
+        timed("containment_dedup", lambda: HF.containment_dedup_pairs(
+            docs, "doc_id", "text", threshold=0.9).count())
+        queries = emb.filter(F.col("vec_id") % 997 == 0)  # ~n/1000 queries
+        timed("ann_int8", lambda: HF.int8_topk(
+            emb, queries, "vec_id", "embedding", k=10).count())
         inc_tbl = HoodieTable.create(
             spark, os.path.join(work, "docs_inc"), "docs_inc_sp",
             ["doc_id"], None)
