@@ -607,7 +607,8 @@ def dedup_spans(df: DataFrame, id_col: str, text_col: str,
 
 def containment_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
                             threshold: float = 0.9,
-                            ngram: int = 5) -> DataFrame:
+                            ngram: int = 5,
+                            max_prefix_df: int | None = None) -> DataFrame:
     """Asymmetric containment near-dup pairs:
     ``|S_a ∩ S_b| / min(|S_a|, |S_b|) >= threshold`` over the docs'
     distinct character ``ngram`` shingle sets — catches a document
@@ -634,6 +635,18 @@ def containment_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
     (``inter >= ceil(t*min - 1e-9)``, the same epsilon-guarded ceil as
     :func:`min_sig_matches`) so no float division sits in the predicate
     and an external SQL engine reproduces the pair set bit-for-bit.
+
+    ``max_prefix_df`` is the hot-shingle guard for template-heavy corpora
+    (the same recall-for-boundedness trade :func:`bounded_self_pairs`
+    makes): prefix entries whose document frequency exceeds the cap are
+    skipped, bounding the candidate fan-out to ``prefix_len × cap`` per
+    document instead of quadratic in the df of boilerplate shingles.
+    Pairs whose SMALLER doc's every prefix shingle is that common may be
+    missed — i.e. recall degrades only on documents made entirely of
+    corpus-wide boilerplate, which near-dup passes catch anyway. The
+    default (None) keeps the join EXACT; the ×10 scale probe measured the
+    exact path going quadratic on the synthetic template corpus (PLANS
+    round 10), which is precisely when the cap is worth paying.
     """
     from .text import char_ngrams
 
@@ -647,8 +660,10 @@ def containment_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
     req = F.ceil(F.lit(threshold) * F.col("m") - F.lit(1e-9)).cast("int")
     prefix = (ex.join(dfreq, "t")
               .withColumn("__rn", F.row_number().over(w))
-              .filter(F.col("__rn") <= F.col("m") - req + 1)
-              .select(F.col(id_col).alias("__pid"), "t"))
+              .filter(F.col("__rn") <= F.col("m") - req + 1))
+    if max_prefix_df is not None:
+        prefix = prefix.filter(F.col("__df") <= max_prefix_df)
+    prefix = prefix.select(F.col(id_col).alias("__pid"), "t")
     cands = (prefix.join(ex.select(F.col(id_col).alias("__cid"), "t"), "t")
              .filter(F.col("__pid") != F.col("__cid"))
              .select(F.least("__pid", "__cid").alias("id_a"),

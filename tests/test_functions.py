@@ -679,3 +679,29 @@ def test_containment_dedup_exact_vs_bruteforce(spark):
     jac = {(r.id_a, r.id_b) for r in HF.jaccard_dedup_pairs(
         corpus, "doc_id", "text", threshold=0.9).collect()}
     assert sum(1 for p in planted if p in jac) < len(planted) / 2
+
+
+def test_containment_prefix_df_guard(spark):
+    """max_prefix_df bounds the candidate fan-out: a generous cap is
+    bit-identical to the exact join; the guarded result is always a
+    subset; and only smaller-side docs whose ENTIRE prefix is hot can
+    lose pairs."""
+    from pyspark.sql import functions as F
+
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text").filter(F.col("doc_id") < 40))
+    w = F.split(F.col("text"), " ")
+    half = docs.select((F.col("doc_id") + 20000).alias("doc_id"),
+                       F.array_join(F.slice(w, 1, (F.size(w) / 2)
+                                            .cast("int")), " ").alias("text"))
+    corpus = docs.unionByName(half)
+    exact = {(r.id_a, r.id_b) for r in HF.containment_dedup_pairs(
+        corpus, "doc_id", "text", threshold=0.9).collect()}
+    loose = {(r.id_a, r.id_b) for r in HF.containment_dedup_pairs(
+        corpus, "doc_id", "text", threshold=0.9,
+        max_prefix_df=10**6).collect()}
+    assert loose == exact  # cap above every df: identical
+    tight = {(r.id_a, r.id_b) for r in HF.containment_dedup_pairs(
+        corpus, "doc_id", "text", threshold=0.9,
+        max_prefix_df=2).collect()}
+    assert tight <= exact  # guarded path only ever drops pairs

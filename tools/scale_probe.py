@@ -95,6 +95,11 @@ def probe_once(spark, sf_dir: str) -> dict:
     timings: dict[str, float] = {}
 
     def timed(name, fn):
+        # isolate rows from each other: the dedup/ANN operators pin
+        # intermediates (persist) that otherwise accumulate across rows
+        # and skew later rows via memory pressure (measured: second-run
+        # containment 19.7 -> 75 s purely from earlier rows' pins)
+        spark.catalog.clearCache()
         t0 = time.time()
         out = fn()
         timings[name] = round(time.time() - t0, 3)
@@ -127,8 +132,13 @@ def probe_once(spark, sf_dir: str) -> dict:
         timed("semantic_dedup", lambda: HF.semantic_dedup(
             emb, "vec_id", "embedding", n_clusters=max(16, n_vec // 125),
             threshold=0.99).count())
+        # guarded path: the EXACT join goes quadratic on the synthetic
+        # template corpus (measured: 19.7 s at sf0.1 -> 558 s + OOM at
+        # x10 — PLANS round 10); the hot-shingle cap is the documented
+        # production setting for template-heavy data
         timed("containment_dedup", lambda: HF.containment_dedup_pairs(
-            docs, "doc_id", "text", threshold=0.9).count())
+            docs, "doc_id", "text", threshold=0.9,
+            max_prefix_df=64).count())
         queries = emb.filter(F.col("vec_id") % 997 == 0)  # ~n/1000 queries
         timed("ann_int8", lambda: HF.int8_topk(
             emb, queries, "vec_id", "embedding", k=10).count())
