@@ -404,3 +404,12 @@ def test_int8_quantization_roundtrip_and_topk(spark, emb):
     g = {(r.query_id, r.neighbor_id) for r in got.collect()}
     e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
     assert len(g & e) / len(e) >= 0.9  # recall@10 of the quantized path
+
+
+def test_int8_quantize_plan_is_map_only(spark, emb):
+    """quantize_embeddings must stay a single map stage: no Exchange, no
+    Join — the 4x-bandwidth serving claim assumes the codes come off the
+    scan for free."""
+    plan = (HF.quantize_embeddings(emb, "vec_id", "embedding")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan and "Join" not in plan

@@ -363,3 +363,32 @@ def test_control_plane_services_through_s3_seam(spark, orders,
     assert compact_sidecars(tbl) > 0
     assert any(op == "put" and "/col_stats/" in k
                for (op, k, *_) in s3_seams.calls)
+
+
+def test_s3storage_listdir_paginates():
+    """listdir must follow ContinuationToken pages — a 1000-key archive
+    dir on real S3 truncates."""
+    from hoodie_spark.storage_s3 import S3Storage
+
+    class PagingClient(FakeS3Client):
+        def list_objects_v2(self, Bucket, Prefix, Delimiter=None,
+                            ContinuationToken=None):
+            full = super().list_objects_v2(Bucket, Prefix,
+                                           Delimiter=Delimiter)
+            contents = full["Contents"]
+            start = int(ContinuationToken or 0)
+            page = contents[start:start + 2]
+            more = start + 2 < len(contents)
+            return {"Contents": page,
+                    "CommonPrefixes": full["CommonPrefixes"] if start == 0
+                    else [],
+                    "IsTruncated": more,
+                    "NextContinuationToken": str(start + 2)}
+
+    c = PagingClient()
+    fs = S3Storage(client=c)
+    for i in range(7):
+        c.objects[("b", f"t/dir/f{i}.json")] = b"x"
+    c.objects[("b", "t/dir/sub/inner.json")] = b"y"
+    assert fs.listdir("s3://b/t/dir") == \
+        [f"f{i}.json" for i in range(7)] + ["sub"]

@@ -62,3 +62,32 @@ def test_partition_expr_column_extraction():
     assert _expr_columns("cast(year(o_orderdate) as string)") == {"o_orderdate"}
     assert _expr_columns("concat(region, '/', city)") == {"region", "city"}
     assert _expr_columns("'constant'") == set()
+
+
+def test_archive_chunk_crash_between_publish_and_delete(tmp_table_path):
+    """Crash AFTER the chunk publish but BEFORE the active deletes: the
+    instant is visible in both places and readers must dedup — never
+    duplicate, never lose."""
+    tl = Timeline(tmp_table_path)
+    tl.init()
+    times = []
+    for i in range(5):
+        t = tl.new_instant_time()
+        tl.create_requested(COMMIT, t)
+        tl.complete(COMMIT, t, {"n": i})
+        times.append(t)
+    orig = tl.delete_instant
+    tl.delete_instant = lambda inst: None  # crash: deletes never run
+    try:
+        assert tl.archive(max_active=2) == 3
+    finally:
+        tl.delete_instant = orig
+    # in BOTH places now; completed() must dedup to the original set
+    assert [i.timestamp for i in tl.completed()] == times
+    assert tl.metadata(Instant(times[0], COMMIT))["n"] == 0
+    # the retried archive re-folds the still-active instants into a new
+    # chunk; the duplicate records collapse in every reader
+    assert tl.archive(max_active=2) == 3
+    assert [i.timestamp for i in tl.completed()] == times
+    active = tl.instants((COMPLETED,), include_archived=False)
+    assert [i.timestamp for i in active] == times[3:]
