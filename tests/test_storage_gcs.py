@@ -323,3 +323,40 @@ def test_full_lifecycle_through_gcs_adapter(spark, orders, tmp_table_path,
                for (op, k, *_) in gcs_seams.calls)
     import shutil
     shutil.rmtree(dtbl_path, ignore_errors=True)
+
+
+def test_control_plane_services_through_gcs_seam(spark, orders,
+                                                 tmp_table_path, gcs_seams):
+    """Mirror of the S3 services sweep: archive chunks, secondary index,
+    record-index generations and ANALYZE sidecars with every control-plane
+    op a GCS API call."""
+    from pyspark.sql import functions as F
+
+    from hoodie_spark import record_index, secondary_index
+    from hoodie_spark.config import WriteConfig
+    from hoodie_spark.services.stats import compact_sidecars
+
+    tbl = HoodieTable.create(
+        spark, tmp_table_path, "gcs_ctl", ["o_orderkey"], "o_orderdate",
+        write_config=WriteConfig(record_index=True))
+    base = orders.limit(300)
+    tbl.bulk_insert(base)
+    for k in (3, 5):
+        tbl.upsert(base.filter(F.col("o_orderkey") % k == 0)
+                   .withColumn("o_orderstatus", F.lit(f"A{k}")))
+    assert tbl.archive(max_active=2) >= 1
+    assert any(op == "upload" and "/archived/chunk-" in k
+               for (op, k, *_) in gcs_seams.calls)
+    assert tbl.snapshot().count() == 300
+    tbl.create_secondary_index("o_orderstatus")
+    hits = secondary_index.lookup_groups(
+        tbl, "o_orderstatus",
+        spark.createDataFrame([("A3",)], "value string"))
+    assert hits
+    assert secondary_index.compact(tbl, "o_orderstatus") > 0
+    assert record_index.compact(tbl, retain_commits=1) > 0
+    assert record_index.lookup(tbl).count() == 300
+    assert tbl.analyze(["o_totalprice"]) > 0
+    assert compact_sidecars(tbl) > 0
+    assert any(op == "list" and "col_stats" in k
+               for (op, k, *_) in gcs_seams.calls)
