@@ -51,6 +51,7 @@ from .dedup import (
     doc_features,
     min_sig_matches,
     sig_agreement,
+    lsh_plan,
 )
 from .similarity import (
     dot,
@@ -109,6 +110,7 @@ __all__ = [
     "jaccard_dedup_pairs", "containment_dedup_pairs", "with_simhash", "simhash_sigs",
     "simhash_dup_pairs", "embedding_near_dup_pairs", "dedup_spans",
     "seen_dedup", "doc_features", "min_sig_matches", "sig_agreement",
+    "lsh_plan",
     "bounded_self_pairs",
     "dot", "l2_norm", "cosine", "brute_force_topk", "lsh_bucket_topk",
     "ivf_topk", "pq_codebooks", "pq_codebooks_trained", "pq_encode",

@@ -36,7 +36,7 @@ __all__ = [
     "exact_dedup", "with_minhash", "minhash_candidate_pairs",
     "jaccard_dedup_pairs", "containment_dedup_pairs", "with_simhash",
     "simhash_sigs", "simhash_dup_pairs", "embedding_near_dup_pairs",
-    "semantic_dedup",
+    "semantic_dedup", "lsh_plan",
 ]
 
 
@@ -681,3 +681,56 @@ def containment_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
             .select("id_a", "id_b",
                     F.round(F.col("__i").cast("double")
                             / mn.cast("double"), 6).alias("containment")))
+
+
+def lsh_plan(threshold: float, num_hashes: int = 16,
+             fn_weight: float = 3.0) -> tuple[int, int]:
+    """Pick the (bands, rows_per_band) banding for a MinHash signature of
+    ``num_hashes`` at a target Jaccard ``threshold`` — the S-curve planner
+    (Leskovec/Rajaraman/Ullman, Mining of Massive Datasets §3.4): a pair
+    with similarity s becomes a candidate with probability
+    ``1 - (1 - s^r)^b``, and the curve's waterline sits near
+    ``(1/b)^(1/r)``.
+
+    Scores every divisor pair r*b == num_hashes by the integrated error —
+    false-positive mass below the threshold plus ``fn_weight`` × the
+    false-negative mass above it — SUBJECT TO the hard recall floor
+    ``P(candidate | s = threshold) >= 0.5`` (always satisfiable: b =
+    num_hashes, r = 1 has a waterline of 1/num_hashes). The floor is the
+    contract a dedup caller actually needs — a banding must not miss the
+    majority of pairs sitting exactly at the bar — and the ``fn_weight=3``
+    default leans the remaining choice toward recall, because a missed
+    duplicate is permanent while a spurious candidate merely gets
+    verified and rejected (an unweighted, unconstrained integral would
+    pick steep curves like (2, 8) for t=0.8/n=16 with only 31% candidate
+    probability AT the threshold; this planner's (4, 4) catches 88%
+    there). Pure driver-side arithmetic.
+
+    Returns (bands, rows_per_band); feed bands into
+    :func:`minhash_candidate_pairs` / :class:`~hoodie_spark.streaming.incremental_dedup.IncrementalDeduper`.
+    The library default (num_hashes=16, bands=4) is exactly this
+    planner's answer for threshold 0.8.
+    """
+    if not 0.0 < threshold < 1.0:
+        raise ValueError("threshold must be in (0, 1)")
+    best, best_err = None, None
+    for r in range(1, num_hashes + 1):
+        if num_hashes % r:
+            continue
+        b = num_hashes // r
+        if 1.0 - (1.0 - threshold ** r) ** b < 0.5:
+            continue  # recall floor: must catch the majority at the bar
+        # integrate the candidate probability curve on a fixed grid
+        steps = 1000
+        fp = fn = 0.0
+        for i in range(steps):
+            s = (i + 0.5) / steps
+            p = 1.0 - (1.0 - s ** r) ** b
+            if s < threshold:
+                fp += p / steps
+            else:
+                fn += (1.0 - p) / steps
+        err = fp + fn_weight * fn
+        if best_err is None or err < best_err:
+            best, best_err = (b, r), err
+    return best

@@ -705,3 +705,24 @@ def test_containment_prefix_df_guard(spark):
         corpus, "doc_id", "text", threshold=0.9,
         max_prefix_df=2).collect()}
     assert tight <= exact  # guarded path only ever drops pairs
+
+
+def test_lsh_plan_properties():
+    """The banding planner: library defaults reproduced, waterline
+    tracks the threshold, recall at the threshold stays high, and the
+    S-curve math itself is sane."""
+    from hoodie_spark.functions.dedup import lsh_plan
+
+    assert lsh_plan(0.8, 16) == (4, 4)  # the library default, derived
+    for t in (0.5, 0.7, 0.8, 0.9):
+        for n in (16, 32, 64):
+            b, r = lsh_plan(t, n)
+            assert b * r == n and b >= 1 and r >= 1
+            # the planner's hard contract: majority recall at the bar
+            p_at_t = 1.0 - (1.0 - t ** r) ** b
+            assert p_at_t >= 0.5, (t, n, b, r, p_at_t)
+    # monotonicity: higher threshold -> steeper curve (more rows per band)
+    assert lsh_plan(0.9, 32)[1] >= lsh_plan(0.5, 32)[1]
+    import pytest
+    with pytest.raises(ValueError):
+        lsh_plan(1.5, 16)
