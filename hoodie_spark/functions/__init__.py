@@ -60,6 +60,8 @@ from .similarity import (
     normalize,
     quantize_embeddings,
     int8_topk,
+    write_int8_index,
+    int8_topk_from_index,
     random_projection,
     brute_force_topk,
     lsh_bucket_topk,
@@ -106,7 +108,7 @@ __all__ = [
     "tokens", "token_count", "regex_token_count", "char_ngrams", "lang_id",
     "LANG_PROFILES", "quality_score", "fingerprint", "kmin_fingerprint",
     "exact_dedup", "with_minhash", "minhash_candidate_pairs",
-    "quantize_embeddings", "int8_topk",
+    "quantize_embeddings", "int8_topk", "write_int8_index", "int8_topk_from_index",
     "jaccard_dedup_pairs", "containment_dedup_pairs", "with_simhash", "simhash_sigs",
     "simhash_dup_pairs", "embedding_near_dup_pairs", "dedup_spans",
     "seen_dedup", "doc_features", "min_sig_matches", "sig_agreement",

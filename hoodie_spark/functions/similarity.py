@@ -38,7 +38,8 @@ __all__ = [
     "pq_codebooks", "pq_codebooks_trained", "pq_encode", "pq_reconstruct",
     "pq_topk", "pq_topk_rerank", "write_pq_index", "write_ivfpq_index",
     "ivfpq_topk_from_index", "knn_classify",
-    "quantize_embeddings", "int8_topk",
+    "quantize_embeddings", "int8_topk", "write_int8_index",
+    "int8_topk_from_index",
 ]
 
 
@@ -887,6 +888,44 @@ def int8_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
     top-k window); compose with :func:`quantize_embeddings` persisted as
     the serving index for the 4× bandwidth win at scale."""
     cq = quantize_embeddings(corpus, id_col, vec_col).withColumnsRenamed(
+        {id_col: "c_id", "scale": "c_s", "codes": "c_c"})
+    qq = quantize_embeddings(queries, id_col, vec_col).withColumnsRenamed(
+        {id_col: "q_id", "scale": "q_s", "codes": "q_c"})
+    idot = F.aggregate(
+        F.zip_with("c_c", "q_c", lambda a, b: (a * b).cast("long")),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    scored = (cq.crossJoin(F.broadcast(qq))
+              .filter(F.col("c_id") != F.col("q_id"))
+              .select(F.col("q_id").alias("query_id"),
+                      F.col("c_id").alias("neighbor_id"),
+                      (idot.cast("double") * F.col("c_s") * F.col("q_s"))
+                      .alias("score")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"),
+                                               F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank"))
+
+
+def write_int8_index(corpus: DataFrame, id_col: str, vec_col: str,
+                     path: str) -> None:
+    """Persist the int8 serving index: (id, scale, codes) — quantization
+    is paid ONCE at build time, and every probe scans 64 int8 codes + one
+    double per vector (4× less bandwidth than float32 embeddings; parquet
+    dictionary/byte encoding shrinks it further). The amortized-build /
+    cheap-probe shape of :func:`write_ivf_index` applied to whole-vector
+    int8 (MIPS serving)."""
+    quantize_embeddings(corpus, id_col, vec_col) \
+        .write.mode("overwrite").parquet(path)
+
+
+def int8_topk_from_index(spark, index_path: str, queries: DataFrame,
+                         id_col: str, vec_col: str, k: int = 10) -> DataFrame:
+    """Inner-product top-k against a persisted :func:`write_int8_index` —
+    the query side quantizes at probe time (tiny by definition) and
+    broadcasts; the index side is a pure parquet scan of codes. Identical
+    results to :func:`int8_topk` over the same corpus (test-pinned)."""
+    cq = spark.read.parquet(index_path).withColumnsRenamed(
         {id_col: "c_id", "scale": "c_s", "codes": "c_c"})
     qq = quantize_embeddings(queries, id_col, vec_col).withColumnsRenamed(
         {id_col: "q_id", "scale": "q_s", "codes": "q_c"})

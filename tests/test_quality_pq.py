@@ -413,3 +413,25 @@ def test_int8_quantize_plan_is_map_only(spark, emb):
     plan = (HF.quantize_embeddings(emb, "vec_id", "embedding")
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_int8_index_probe_equals_direct(spark, emb, tmp_table_path):
+    """The persisted int8 index probe must return exactly what the
+    direct (quantize-per-call) path returns — build once, probe cheap."""
+    import os
+
+    idx = os.path.join(tmp_table_path, "int8_idx")
+    HF.write_int8_index(emb, "vec_id", "embedding", idx)
+    queries = emb.filter(F.col("vec_id") < 8)
+    direct = sorted((r.query_id, r.neighbor_id, r.rank) for r in
+                    HF.int8_topk(emb, queries, "vec_id", "embedding",
+                                 k=10).collect())
+    via_idx = sorted((r.query_id, r.neighbor_id, r.rank) for r in
+                     HF.int8_topk_from_index(spark, idx, queries, "vec_id",
+                                             "embedding", k=10).collect())
+    assert via_idx == direct
+    # the probe plan reads ONLY the index (codes+scale), never embeddings
+    plan = HF.int8_topk_from_index(spark, idx, queries, "vec_id",
+                                   "embedding", k=10) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "int8_idx" in plan
