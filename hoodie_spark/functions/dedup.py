@@ -695,8 +695,11 @@ def lsh_plan(threshold: float, num_hashes: int = 16,
     Scores every divisor pair r*b == num_hashes by the integrated error —
     false-positive mass below the threshold plus ``fn_weight`` × the
     false-negative mass above it — SUBJECT TO the hard recall floor
-    ``P(candidate | s = threshold) >= 0.5`` (always satisfiable: b =
-    num_hashes, r = 1 has a waterline of 1/num_hashes). The floor is the
+    ``P(candidate | s = threshold) >= 0.5``. For thresholds below even
+    the flattest curve's waterline (t such that 1-(1-t)^num_hashes <
+    0.5, i.e. roughly t < 0.7/num_hashes) no banding clears the floor
+    and the planner falls back to that flattest, max-recall banding
+    (b = num_hashes, r = 1). The floor is the
     contract a dedup caller actually needs — a banding must not miss the
     majority of pairs sitting exactly at the bar — and the ``fn_weight=3``
     default leans the remaining choice toward recall, because a missed
@@ -733,4 +736,10 @@ def lsh_plan(threshold: float, num_hashes: int = 16,
         err = fp + fn_weight * fn
         if best_err is None or err < best_err:
             best, best_err = (b, r), err
+    if best is None:
+        # thresholds below even the flattest curve's waterline (e.g.
+        # t=0.03, n=16: b=16,r=1 gives P=0.39 < 0.5): no banding of this
+        # signature can clear the floor. Return the flattest —
+        # max-recall — banding rather than None (callers unpack a tuple).
+        return (num_hashes, 1)
     return best

@@ -83,6 +83,56 @@ def partition_resolvable(df: DataFrame, cfg: TableConfig) -> bool:
     return True
 
 
+def custom_partition_expr(spec: str,
+                          timestamp_format: str | dict = "yyyy/MM/dd") -> str:
+    """CustomKeyGenerator parity (hudi-client/hudi-spark-client/.../keygen/
+    CustomKeyGenerator.java, CustomAvroKeyGenerator.java): compile the
+    reference's named per-field partition spec
+    ``"field1:simple,field2:timestamp"`` into a ``partition_expr`` SQL
+    string for :class:`~hoodie_spark.config.TableConfig`.
+
+    Semantics match the reference: each ``field:type`` segment renders as
+    the field's string value (``simple``) or its formatted timestamp
+    (``timestamp`` — TimestampBasedKeyGenerator's output format, supplied
+    per-field via a ``{field: fmt}`` dict or one format for all), and
+    segments join with ``/``. An empty spec means non-partitioned
+    (returns ``''`` → the empty partition path). Record keys need no
+    counterpart: the reference delegates to Simple/ComplexKeyGenerator by
+    field count, exactly what :func:`record_key_expr` already does.
+
+    Spark-first: the result is one Catalyst expression evaluated inside
+    whole-stage codegen. Timestamp fields are cast to timestamp first,
+    so string timestamps, date/timestamp columns, and bigint epoch
+    seconds all work (Spark's numeric→timestamp cast is seconds-based).
+    """
+    spec = (spec or "").strip()
+    if not spec:
+        return "''"
+    segs = []
+    for part in spec.split(","):
+        part = part.strip()
+        pieces = [p.strip() for p in part.split(":")]
+        if len(pieces) != 2 or not pieces[0]:
+            raise ValueError(
+                f"custom partition spec segment {part!r} is not in "
+                "'field:type' form (types: simple, timestamp)")
+        field, ktype = pieces[0], pieces[1].lower()
+        if ktype == "simple":
+            segs.append(f"cast(`{field}` as string)")
+        elif ktype in ("timestamp", "timestampbased", "timestamp_based"):
+            fmt = (timestamp_format.get(field, "yyyy/MM/dd")
+                   if isinstance(timestamp_format, dict) else timestamp_format)
+            segs.append(
+                f"date_format(cast(`{field}` as timestamp), '{fmt}')")
+        else:
+            raise ValueError(
+                f"unknown PartitionKeyType {ktype!r} for field {field!r} "
+                "(expected 'simple' or 'timestamp')")
+    if len(segs) == 1:
+        return segs[0]
+    return "concat_ws('/', " + ", ".join(segs) + ")"
+
+
 def with_keys(df: DataFrame, cfg: TableConfig) -> DataFrame:
     """Attach _hoodie_record_key and _hoodie_partition_path columns.
 

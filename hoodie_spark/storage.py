@@ -41,6 +41,14 @@ class Storage:
         raise NotImplementedError
 
     def remove(self, path: str) -> None:
+        """Delete one file. Missing-file contract: raises
+        ``FileNotFoundError`` (an ``OSError``) when the path does not
+        exist — callers that tolerate already-gone files (crash
+        recovery, heartbeat stop, sidecar sweeps) guard with
+        ``except OSError``. Backends must map their native missing-key
+        signal (GCS ``NotFound``, local ``FileNotFoundError``) to this;
+        S3's DeleteObject succeeds silently on a missing key, which
+        satisfies the contract (no error is also tolerated)."""
         raise NotImplementedError
 
     def rmtree(self, path: str) -> None:
@@ -186,7 +194,22 @@ class LocalAtomicStorage(AtomicStorage):
         try:
             with open(tmp, "wb") as f:
                 f.write(payload)
+                # durability, not just atomicity: archive() deletes the
+                # moved active instants right after this publish returns,
+                # so on power loss the rename must not be allowed to
+                # vanish while the deletes persist (object-store adapters
+                # get this for free from the PUT)
+                f.flush()
+                os.fsync(f.fileno())
             os.replace(tmp, path)
+            try:
+                dfd = os.open(d, os.O_RDONLY)
+                try:
+                    os.fsync(dfd)
+                finally:
+                    os.close(dfd)
+            except OSError:
+                pass  # directory fsync unsupported (some filesystems)
         except BaseException:
             try:
                 os.remove(tmp)

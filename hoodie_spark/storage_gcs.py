@@ -158,7 +158,15 @@ class GCSStorage(_GCSPaths, Storage):
         blob.delete()
 
     def remove(self, path: str) -> None:
-        self._blob(path).delete()
+        try:
+            self._blob(path).delete()
+        except Exception as e:
+            # Storage.remove contract: missing file -> FileNotFoundError
+            # (OSError), matching LocalStorage — google's NotFound is not
+            # an OSError, so callers' `except OSError` guards would abort
+            if _is_not_found(e):
+                raise FileNotFoundError(path) from e
+            raise
 
     def rmtree(self, path: str) -> None:
         bucket, key = self.path_to_key(path)

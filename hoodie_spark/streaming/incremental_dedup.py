@@ -91,7 +91,8 @@ class IncrementalDeduper:
     def __init__(self, table, id_col: str, text_col: str,
                  threshold: float = 0.8, num_hashes: int = 16,
                  bands: int = 4, ngram: int = 5, n_buckets: int = 32,
-                 max_band_rows: int | None = None):
+                 max_band_rows: int | None = None,
+                 warn_band_rows: int = 5000):
         self.table = table
         self.id_col = id_col
         self.text_col = text_col
@@ -103,6 +104,11 @@ class IncrementalDeduper:
         # optional hot-group cap for the IN-BATCH near-dup self-join; None
         # (default) keeps exact incremental==global equivalence
         self.max_band_rows = max_band_rows
+        # observability for the uncapped default: filter_batch logs a
+        # warning (no extra Spark action — measured inside the census
+        # aggregation) when any in-batch (band, bh) group exceeds this,
+        # so the O(n^2) adversarial-batch hazard is visible in production
+        self.warn_band_rows = warn_band_rows
         self.dir = os.path.join(table.base_path, ".hoodie", STATE_DIR)
         self.fs = table.storage  # Storage seam: object-store swappable
         # feature reuse between filter_batch(df) and the advance(df) that
@@ -218,25 +224,47 @@ class IncrementalDeduper:
         self._feat_cache = (df, feats, banded)
 
         # exact vs state: probe ONLY the state buckets the batch hashes in.
-        # BOTH bucket censuses (content hash + band hash) fold into ONE
-        # aggregation job over the persisted features — the collect is two
-        # bounded arrays (<= n_buckets ints each), and merging the jobs
-        # also makes this single action the feats materialization point.
+        # BOTH bucket censuses (content hash + band hash) AND the max
+        # in-batch band-group size fold into ONE aggregation job over the
+        # persisted features — a (band, bh) groupBy (map-side combined)
+        # re-aggregated to a single row: the collect is two bounded
+        # arrays (<= n_buckets ints each) plus one int, and this single
+        # action is also the feats materialization point.
         probe = feats.withColumn(
             "bucket", F.pmod(F.xxhash64("chash"),
                              F.lit(self.n_buckets)).cast("int"))
-        census = feats.agg(
-            F.collect_set(
-                F.pmod(F.xxhash64("chash"),
-                       F.lit(self.n_buckets)).cast("int")).alias("cb"),
-            F.array_distinct(F.flatten(F.collect_list(
-                F.transform(
-                    F.col("bands"),
-                    lambda b: F.pmod(F.xxhash64(b["bh"]),
-                                     F.lit(self.n_buckets)).cast("int"))
-            ))).alias("bb")).first()
+        ex = (feats.select(
+                  F.pmod(F.xxhash64("chash"),
+                         F.lit(self.n_buckets)).cast("int").alias("cbk"),
+                  F.explode_outer("bands").alias("bk"))
+              .select("cbk", F.col("bk.band").alias("band"),
+                      F.col("bk.bh").alias("bh")))
+        census = (
+            ex.groupBy("band", "bh")
+            .agg(F.collect_set("cbk").alias("cbs"),
+                 F.count("bh").alias("gn"))
+            .agg(F.array_distinct(
+                     F.flatten(F.collect_list("cbs"))).alias("cb"),
+                 F.collect_set(F.when(
+                     F.col("bh").isNotNull(),
+                     F.pmod(F.xxhash64("bh"),
+                            F.lit(self.n_buckets)).cast("int"))).alias("bb"),
+                 F.max(F.when(F.col("bh").isNotNull(),
+                              F.col("gn"))).alias("maxg"))
+            .first())
         buckets = list(census["cb"] or [])
         bbuckets = list(census["bb"] or [])
+        if self.max_band_rows is None and \
+                (census["maxg"] or 0) > self.warn_band_rows:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "in-batch near-dup self-join: largest (band, bh) group has "
+                "%d rows (> warn_band_rows=%d) and max_band_rows is None — "
+                "candidate pairing is quadratic in that group. Set "
+                "max_band_rows for a hard O(n*cap) bound (trades exact "
+                "incremental==global equivalence).",
+                census["maxg"], self.warn_band_rows)
         content = self._read_state("content", "chash string")
         if buckets:
             content = content.filter(F.col("bucket").isin(buckets))
@@ -376,6 +404,11 @@ class IncrementalDeduper:
         for sub in ("content", "bands"):
             g = self._gens[sub]
             self._gens[sub] = 0 if g is None else g + 1
+            # the destination generation may hold a crashed compact's
+            # partial (or complete) folded copy of the PRE-rollback state
+            # — advance() appends, so clear it or rolled-back docs'
+            # signatures would survive the rebuild as false "seen"
+            self.fs.rmtree(self._sub_path(sub))
         last = self.table.timeline.last_completed()
         if last is None:
             self._publish_state(None)

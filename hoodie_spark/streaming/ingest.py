@@ -113,24 +113,44 @@ class OrcDFSSource(_DFSSource):
 
 @dataclass
 class JdbcSource(Source):
-    """JdbcSource.java — incremental on a monotonically increasing column."""
+    """JdbcSource.java — incremental on a monotonically increasing column.
+
+    One JDBC scan per round: the filtered batch is persisted and
+    materialized by the checkpoint-max aggregation, so the downstream
+    write job reads the cache instead of re-querying the source table
+    (which may be a production OLTP database). The pin is released on
+    the next fetch — bounded by one micro-batch, same discipline as the
+    Ingestor's dedup batch pin."""
 
     url: str
     table: str
     incr_column: str
     options: dict | None = None
 
-    def fetch(self, spark, checkpoint):
+    _prev = None  # previous round's cached batch (not a dataclass field)
+
+    def _load(self, spark):
+        """The raw JDBC read — a seam so tests can substitute a fake."""
         reader = (spark.read.format("jdbc").option("url", self.url)
                   .option("dbtable", self.table))
         for k, v in (self.options or {}).items():
             reader = reader.option(k, v)
-        df = reader.load()
+        return reader.load()
+
+    def fetch(self, spark, checkpoint):
+        df = self._load(spark)
         if checkpoint:
             df = df.filter(F.col(self.incr_column) > checkpoint)
+        df = df.persist()
+        if self._prev is not None:
+            self._prev.unpersist()
+            self._prev = None
+        # this action materializes the cache: the ONE source scan
         row = df.agg(F.max(self.incr_column)).collect()[0]
         if row[0] is None:
+            df.unpersist()
             return None, checkpoint
+        self._prev = df
         return df, str(row[0])
 
 

@@ -3,6 +3,7 @@
 Reference parity: hudi-utilities/.../schema/SchemaProvider.java (interface),
 FilebasedSchemaProvider.java (schema file on DFS), SchemaRegistryProvider.java
 (REST registry, e.g. Confluent: GET <url> → {"schema": "..."}),
+JdbcbasedSchemaProvider.java (schema from the database's own metadata),
 RowBasedSchemaProvider.java (infer from the incoming batch).
 
 Spark-first: providers resolve to a Spark ``StructType`` (from DDL text or
@@ -99,6 +100,38 @@ class SchemaRegistryProvider(SchemaProvider):
         except json.JSONDecodeError:
             pass
         return _parse(body)
+
+
+class JdbcBasedSchemaProvider(SchemaProvider):
+    """JdbcbasedSchemaProvider.java: resolve the source schema from the
+    database's own metadata by running a zero-row query against the JDBC
+    table (``WHERE 1=0`` — the standard JDBC metadata probe: the driver
+    returns the ResultSet schema without transferring data). Spark-first:
+    the probe is a ``spark.read.format("jdbc")`` load whose ``.schema``
+    IS the resolved StructType; no rows are fetched until an action runs,
+    and none ever does. ``loader`` is injectable for tests (no JDBC
+    database in the sandbox) and must return a DataFrame whose schema is
+    the table's."""
+
+    def __init__(self, url: str, table: str, options: dict | None = None,
+                 loader=None):
+        self.url = url
+        self.table = table
+        self.options = options or {}
+        self._load = loader or self._jdbc_load
+
+    def _jdbc_load(self, spark):
+        # dbtable accepts a subquery: the 1=0 pushdown makes this a pure
+        # metadata round-trip on every mainstream JDBC driver
+        reader = (spark.read.format("jdbc").option("url", self.url)
+                  .option("dbtable",
+                          f"(SELECT * FROM {self.table} WHERE 1=0) __probe"))
+        for k, v in self.options.items():
+            reader = reader.option(k, v)
+        return reader.load()
+
+    def source_schema(self, spark) -> T.StructType:
+        return self._load(spark).schema
 
 
 class RowBasedSchemaProvider(SchemaProvider):

@@ -83,7 +83,23 @@ class HoodieTable:
         from . import storage as _storage
         # attribute lookup at construction time so a deployment that swaps
         # the module-global FS (object-store adapter) is picked up by every
-        # table built after the swap without threading storage= everywhere
+        # table built after the swap without threading storage= everywhere.
+        # storage= is an INSTRUMENTATION seam (wrap/count the same
+        # backend), not a backend switch: heartbeats, sidecar stats,
+        # schema providers and save_properties go through the module
+        # globals, so a per-table storage from a DIFFERENT backend than
+        # the globals would split the control plane across two stores.
+        # Swapping storage.FS + storage.ATOMIC is the supported way to
+        # target an object store; reject the split-brain here.
+        if storage is not None and not isinstance(storage, type(_storage.FS)):
+            raise ValueError(
+                f"per-table storage {type(storage).__name__} is not a "
+                f"{type(_storage.FS).__name__} (the module-global backend). "
+                "storage= only wraps/instruments the global backend; to "
+                "run on an object store swap the module globals "
+                "(hoodie_spark.storage.FS and .ATOMIC) so heartbeats, "
+                "stats sidecars and table properties land on the same "
+                "store as the timeline.")
         self.storage = storage or _storage.FS
         self.timeline = Timeline(base_path, fs=self.storage)
         from .writer import WriteClient  # local import to avoid cycle

@@ -1,0 +1,291 @@
+"""Round-11 verdict/advice regression tests.
+
+- ADVICE: _rebuild_from_table must clear the destination generation a
+  crashed compact left behind (false-drop hazard after rollback).
+- ADVICE: GCSStorage.remove maps 404 to FileNotFoundError so the
+  Storage.remove missing-file contract is backend-agnostic.
+- ADVICE: LocalAtomicStorage.put_atomic fsyncs before the rename so the
+  archive's chunk-then-delete ordering survives power loss.
+- ADVICE: lsh_plan never returns None (falls back to the flattest
+  banding below the satisfiable-threshold waterline).
+- ADVICE: per-table storage= from a different backend family than the
+  module globals is rejected (control-plane split-brain).
+- VERDICT 4: CustomKeyGenerator parity — named field:type partition
+  spec (ref keygen/CustomKeyGenerator.java, CustomAvroKeyGenerator.java).
+- VERDICT 5: JdbcBasedSchemaProvider (ref JdbcbasedSchemaProvider.java).
+- VERDICT 6: JdbcSource scans the source once per round (cache serves
+  the write job).
+- VERDICT 8: uncapped in-batch near-dup self-join logs a warning when a
+  (band, bh) group exceeds warn_band_rows.
+"""
+
+import logging
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from hoodie_spark import HoodieTable, custom_partition_expr
+from hoodie_spark import storage as st
+from hoodie_spark.functions.dedup import lsh_plan
+from hoodie_spark.storage_gcs import GCSStorage
+from hoodie_spark.streaming.incremental_dedup import IncrementalDeduper
+from hoodie_spark.streaming.ingest import JdbcSource
+from hoodie_spark.streaming.schema import (JdbcBasedSchemaProvider,
+                                           resolve_schema)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------- rebuild
+
+
+_BODIES = [
+    "the quick brown fox jumps over the lazy dog near the riverbank",
+    "pack my box with five dozen liquor jugs before the long journey",
+    "sphinx of black quartz judge my vow under the desert moonlight",
+    "how vexingly quick daft zebras jump across the frozen meadow",
+    "crazy fredrick bought many very exquisite opal jewels yesterday",
+    "we promptly judged antique ivory buckles for the next big prize",
+]
+
+
+def _docs(spark, n=6):
+    rows = [(i, _BODIES[i % len(_BODIES)]) for i in range(n)]
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+def test_rebuild_clears_crashed_compact_generation(spark, tmp_table_path):
+    """Crash a compact_state AFTER its gen-N+1 parquet write but BEFORE
+    the pointer publish, then roll back the table: the rebuild must not
+    append onto (and publish) the stale pre-rollback copy sitting at the
+    generation it bumps into — rolled-back docs must be re-admittable."""
+    tbl = HoodieTable.create(spark, tmp_table_path, "rbgen", ["doc_id"], None)
+    dd = IncrementalDeduper(tbl, "doc_id", "text", threshold=0.8)
+    b0 = _docs(spark)
+    res = tbl.upsert(dd.filter_batch(b0))
+    dd.advance(b0)
+
+    def boom(instant):
+        raise RuntimeError("crash before pointer publish")
+
+    dd._publish_state = boom
+    with pytest.raises(RuntimeError):
+        dd.compact_state()  # gen-000001 parquet written, pointer still gen-0
+
+    tbl.rollback(res.instant)  # invalidates every seen signature
+    dd2 = IncrementalDeduper(tbl, "doc_id", "text", threshold=0.8)
+    kept = dd2.filter_batch(b0)  # catch_up -> rollback seen -> rebuild
+    # rebuild from an EMPTY table: nothing is "seen", all docs re-admitted
+    assert kept.count() == b0.count()
+
+
+# ------------------------------------------------------------- gcs remove
+
+
+def test_gcs_remove_maps_404_to_filenotfound():
+    from test_storage_gcs import FakeGCSClient
+
+    c = FakeGCSClient()
+    fs = GCSStorage(client=c)
+    with pytest.raises(FileNotFoundError):
+        fs.remove("gs://b/never/was/here")
+    # and an `except OSError` guard (the engine's tolerant callers) works
+    try:
+        fs.remove("gs://b/also/missing")
+    except OSError:
+        pass
+
+
+# ------------------------------------------------------------ fsync order
+
+
+def test_put_atomic_fsyncs_before_rename(tmp_table_path, monkeypatch):
+    calls = []
+    real_fsync = os.fsync
+    real_replace = os.replace
+    monkeypatch.setattr(os, "fsync",
+                        lambda fd: (calls.append("fsync"), real_fsync(fd)))
+    monkeypatch.setattr(
+        os, "replace",
+        lambda a, b: (calls.append("rename"), real_replace(a, b)))
+    os.makedirs(tmp_table_path)
+    p = os.path.join(tmp_table_path, "x.json")
+    st.LocalAtomicStorage().put_atomic(p, b"payload")
+    with open(p, "rb") as f:
+        assert f.read() == b"payload"
+    # data fsync happens BEFORE the rename publish
+    assert "fsync" in calls and calls.index("fsync") < calls.index("rename")
+
+
+# ---------------------------------------------------------------- lsh_plan
+
+
+def test_lsh_plan_low_threshold_falls_back_to_flattest():
+    assert lsh_plan(0.03, 16) == (16, 1)  # below every curve's waterline
+    assert lsh_plan(0.8, 16) == (4, 4)  # the documented default unchanged
+    b, r = lsh_plan(0.5, 16)
+    assert b * r == 16
+    assert 1.0 - (1.0 - 0.5 ** r) ** b >= 0.5  # floor holds when satisfiable
+
+
+# --------------------------------------------------------- storage guard
+
+
+def test_per_table_storage_from_other_backend_rejected(spark,
+                                                       tmp_table_path):
+    class NotTheGlobalBackend(st.Storage):
+        pass
+
+    with pytest.raises(ValueError, match="module-global"):
+        HoodieTable.create(spark, tmp_table_path, "sb", ["doc_id"], None,
+                           storage=NotTheGlobalBackend())
+    # instrumentation wrappers (subclasses of the global backend) still work
+    class Wrapper(type(st.FS)):
+        pass
+
+    tbl = HoodieTable.create(spark, tmp_table_path, "sb", ["doc_id"], None,
+                             storage=Wrapper())
+    tbl.upsert(_docs(spark, 3))
+    assert tbl.snapshot().count() == 3
+
+
+# ------------------------------------------------------- custom keygen
+
+
+def test_custom_keygen_mixed_field_types(spark, orders, tmp_table_path):
+    """CustomKeyGenerator.java semantics: 'f1:simple,f2:timestamp' -> one
+    partition path '<f1 value>/<f2 formatted>'."""
+    expr = custom_partition_expr("o_custkey:simple,o_orderdate:timestamp",
+                                 timestamp_format={"o_orderdate": "yyyy/MM"})
+    tbl = HoodieTable.create(spark, tmp_table_path, "orders_ck",
+                             ["o_orderkey"], "o_orderdate",
+                             partition_expr=expr)
+    src = orders.limit(200)
+    tbl.bulk_insert(src)
+    got = tbl.snapshot().select(
+        "o_custkey", "o_orderdate",
+        F.col("_hoodie_partition_path").alias("pp"))
+    bad = got.filter(F.col("pp") != F.concat_ws(
+        "/", F.col("o_custkey").cast("string"),
+        F.date_format(F.col("o_orderdate").cast("timestamp"), "yyyy/MM")))
+    assert bad.count() == 0
+    assert got.count() == 200
+    # both key types actually contributed segments
+    one = got.first()
+    assert one["pp"].startswith(str(one["o_custkey"]) + "/")
+    assert one["pp"].count("/") == 2  # custkey / yyyy / MM
+
+
+def test_custom_keygen_spec_validation():
+    assert custom_partition_expr("") == "''"  # non-partitioned
+    assert custom_partition_expr("a:simple") == "cast(`a` as string)"
+    with pytest.raises(ValueError, match="field:type"):
+        custom_partition_expr("just_a_field")
+    with pytest.raises(ValueError, match="PartitionKeyType"):
+        custom_partition_expr("a:fancy")
+
+
+# ----------------------------------------------------- jdbc schema provider
+
+
+def test_jdbc_schema_provider(spark):
+    probe_schema = "a int, b string, ts timestamp"
+
+    def loader(sp):
+        return sp.createDataFrame([], probe_schema)
+
+    prov = JdbcBasedSchemaProvider("jdbc:fake://db", "t", loader=loader)
+    got = prov.source_schema(spark)
+    assert [f.name for f in got.fields] == ["a", "b", "ts"]
+    assert resolve_schema(prov, spark) == got
+
+    # the default loader builds a zero-row (WHERE 1=0) metadata probe —
+    # verified structurally against a recording reader (no JDBC db here)
+    class Reader:
+        def __init__(self):
+            self.opts = {}
+
+        def format(self, f):
+            self.fmt = f
+            return self
+
+        def option(self, k, v):
+            self.opts[k] = v
+            return self
+
+        def load(self):
+            return loader(spark)
+
+    class FakeSpark:
+        read = Reader()
+
+    real = JdbcBasedSchemaProvider("jdbc:fake://db", "t",
+                                   options={"user": "u"})
+    assert [f.name for f in real.source_schema(FakeSpark).fields] == \
+        ["a", "b", "ts"]
+    assert FakeSpark.read.fmt == "jdbc"
+    assert "WHERE 1=0" in FakeSpark.read.opts["dbtable"]
+    assert FakeSpark.read.opts["user"] == "u"
+
+
+# ------------------------------------------------------ jdbc single scan
+
+
+class _FakeJdbc(JdbcSource):
+    def __init__(self, path):
+        super().__init__(url="jdbc:fake://db", table="t", incr_column="id")
+        self._path = path
+
+    def _load(self, spark):
+        return spark.read.parquet(self._path)
+
+
+def test_jdbc_source_single_scan_and_checkpoint(spark, tmp_table_path):
+    os.makedirs(tmp_table_path)
+    p = os.path.join(tmp_table_path, "src")
+    spark.range(1, 11).toDF("id").write.parquet(p)
+    src = _FakeJdbc(p)
+    df, ck = src.fetch(spark, None)
+    assert ck == "10"
+    # the batch was materialized into the cache by the checkpoint agg:
+    # deleting the source proves the downstream "write" never re-scans it
+    shutil.rmtree(p)
+    assert df.count() == 10
+    # next round: new data, incremental filter, previous pin released
+    spark.range(1, 16).toDF("id").write.parquet(p)
+    df2, ck2 = src.fetch(spark, ck)
+    assert ck2 == "15" and df2.count() == 5
+    assert not df.storageLevel.useMemory  # round-1 cache released
+    # empty round: checkpoint unchanged, nothing pinned
+    got = src.fetch(spark, ck2)
+    assert got == (None, ck2)
+
+
+# -------------------------------------------------------- band-group warn
+
+
+def test_uncapped_band_group_warns(spark, tmp_table_path, caplog):
+    tbl = HoodieTable.create(spark, tmp_table_path, "warn", ["doc_id"], None)
+    dd = IncrementalDeduper(tbl, "doc_id", "text", threshold=0.8,
+                            warn_band_rows=3)
+    same = spark.createDataFrame(
+        [(i, "identical body text long enough to produce minhash bands")
+         for i in range(8)], "doc_id int, text string")
+    with caplog.at_level(logging.WARNING,
+                         logger="hoodie_spark.streaming.incremental_dedup"):
+        kept = dd.filter_batch(same)
+        n = kept.count()
+    assert n == 1  # correctness unchanged: one survivor
+    assert any("max_band_rows" in r.message for r in caplog.records)
+    dd._release_pins()
+    # capped deduper: no warning (the hazard is bounded)
+    dd2 = IncrementalDeduper(tbl, "doc_id", "text", threshold=0.8,
+                             warn_band_rows=3, max_band_rows=4)
+    caplog.clear()
+    with caplog.at_level(logging.WARNING,
+                         logger="hoodie_spark.streaming.incremental_dedup"):
+        dd2.filter_batch(same).count()
+    assert not any("max_band_rows" in r.message for r in caplog.records)
+    dd2._release_pins()
