@@ -1520,7 +1520,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                #   dedup_containment  <-> chunk_documents (doc-segmentation
                #     family stays evidenced by pack_sequences; containment
                #     is a NEW unique dedup axis — doc-inside-doc)
-               "dedup_containment": "chunk_documents"}
+               "dedup_containment": "chunk_documents",
+               # Round-11 rotation (VERDICT r10 task #1): the 16 remaining
+               # never-driver-recorded non-TPC-H queries enter the window.
+               # Every displaced row was driver-recorded green in r10 (or
+               # earlier) and is re-verified via tools/check_oracle.py this
+               # round (PLANS.md); each displaced family keeps an in-window
+               # representative:
+               #   mor_logcompaction <-> mor_incremental (incremental stays
+               #     via cow_incremental + cdc_incremental; MOR stays via
+               #     mor_snapshot + mor_compaction)
+               "mor_logcompaction": "mor_incremental",
+               #   expr_data_skipping <-> data_skipping, analyze_skipping
+               #     <-> zorder_clustering (skipping family keeps BOTH new
+               #     variants in-window; clustering stays via clustering)
+               "expr_data_skipping": "data_skipping",
+               "analyze_skipping": "zorder_clustering",
+               #   pii_redaction <-> collapse_repeats (map-only text family
+               #     stays via pii_redaction itself + ngram_freq)
+               "pii_redaction": "collapse_repeats",
+               #   shard_packing <-> pack_sequences (the same two-pass
+               #     prefix-sum family, shard variant now evidenced)
+               "shard_packing": "pack_sequences",
+               #   stratified/source-mix/hash sampling enter against the
+               #     r10-recorded sampling rows
+               "stratified_sample": "cluster_balanced_sample",
+               "source_mix_sample": "temperature_mix",
+               "hash_sample": "dedup_containment",
+               #   knn_classify + embedding_projection <-> the r10-recorded
+               #     int8 pair (ANN stays via ann_brute_force + ann_pq_rerank)
+               "knn_classify": "ann_int8",
+               "text_tfidf": "embedding_quantize",
+               "embedding_projection": "chunk_documents",
+               #   ngram_freq / corpus_filter / decontaminate <-> r10-
+               #     recorded near-dup + multimodal rows (near-dup stays
+               #     via dedup_minhash_lsh + semantic_dedup +
+               #     incremental_dedup; multimodal via multimodal_decode)
+               "ngram_freq": "dedup_simhash",
+               "corpus_filter": "dedup_embedding",
+               "decontaminate": "multimodal_features",
+               #   events_json_agg <-> length_histogram (events family also
+               #     evidenced by sessionize + events_window)
+               "events_json_agg": "length_histogram",
+               #   bpe_tokenize <-> text_stats: BPE gets its first driver
+               #     record (rows-only by documented design — no oracle);
+               #     text family stays via text_tfidf/pii/ngram rows
+               "bpe_tokenize": "text_stats"}
     keys = list(q)
     for new, old in promote.items():
         i, j = keys.index(old), keys.index(new)
