@@ -258,8 +258,10 @@ def main():
 
     # the incremental_dedup_* stage rows decompose the incremental_dedup
     # pipeline row — count the pipeline once in the headline, not twice
+    stage_rows = sorted(k for k in timings
+                        if k.startswith("incremental_dedup_"))
     total = round(sum(v for k, v in timings.items()
-                      if not k.startswith("incremental_dedup_")), 3)
+                      if k not in stage_rows), 3)
     print(json.dumps({
         "metric": "hoodie_spark_headline_wall_seconds",
         "value": total,
@@ -267,6 +269,9 @@ def main():
         "queries": timings,
         "runs": runs,
         "aggregation": "per-query min over runs",
+        # non-headline decomposition rows: already included in the
+        # incremental_dedup pipeline row, excluded from "value"
+        "headline_excludes": stage_rows,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
 

@@ -171,6 +171,116 @@ print(f"RESULT committed={committed} conflicts={conflicts}")
 """
 
 
+_OCC_RACER = """
+import os, sys, time
+from pyspark.sql import SparkSession, functions as F
+from hoodie_spark import HoodieTable, WriteConfig, WriteConflictError
+from hoodie_spark.config import WriteConcurrencyMode
+
+path, sync_dir, me, other, mode = sys.argv[1:6]
+spark = (SparkSession.builder.master("local[4]")
+         .config("spark.sql.shuffle.partitions", "4")
+         .config("spark.ui.enabled", "false")
+         .config("spark.sql.session.timeZone", "UTC").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+if mode == "overlap":
+    # both writers update the SAME keys -> same file groups
+    batch = (orders.filter(F.col("o_orderkey") % 10 == 0)
+             .withColumn("o_orderstatus", F.lit(me)))
+else:
+    # disjoint partitions (partition_expr = year): no shared file group
+    year = 1995 if me == "A" else 1996
+    batch = (orders.filter(F.year("o_orderdate") == year)
+             .withColumn("o_orderstatus", F.lit(me)))
+cfg = WriteConfig(concurrency_mode=WriteConcurrencyMode.OPTIMISTIC,
+                  lock_timeout_s=120.0)
+tbl = HoodieTable.load(spark, path, write_config=cfg)
+
+# deterministic race: BOTH transactions must begin (fix their conflict
+# baseline) before EITHER commits — a file barrier inside _begin
+writer = tbl._writer
+orig_begin = writer._begin
+
+def begin_with_barrier(action):
+    inst = orig_begin(action)
+    open(os.path.join(sync_dir, "ready_" + me), "w").close()
+    deadline = time.time() + 120
+    while not os.path.exists(os.path.join(sync_dir, "ready_" + other)):
+        if time.time() > deadline:
+            print("BARRIER_TIMEOUT"); sys.exit(3)
+        time.sleep(0.05)
+    return inst
+
+writer._begin = begin_with_barrier
+try:
+    tbl.upsert(batch)
+    print("COMMITTED")
+except WriteConflictError:
+    print("CONFLICT")
+"""
+
+
+def _race(spark, tmp_table_path, mode, partition_expr):
+    import os
+    import subprocess
+    import sys
+    import tempfile
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    cfg = WriteConfig(concurrency_mode=WriteConcurrencyMode.OPTIMISTIC)
+    tbl = HoodieTable.create(
+        spark, tmp_table_path, "occ_race", ["o_orderkey"], "o_orderdate",
+        partition_expr=partition_expr, write_config=cfg)
+    tbl.bulk_insert(orders)
+    sync_dir = tempfile.mkdtemp(prefix="occ_sync_")
+    script = tempfile.NamedTemporaryFile("w", suffix=".py", delete=False)
+    script.write(_OCC_RACER)
+    script.close()
+    env = dict(os.environ,
+               PYTHONPATH=os.path.dirname(os.path.dirname(
+                   os.path.abspath(__file__))))
+    procs = [subprocess.Popen(
+        [sys.executable, script.name, tmp_table_path, sync_dir, m, o, mode],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True, env=env)
+        for m, o in (("A", "B"), ("B", "A"))]
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    assert all(p.returncode == 0 for p in procs), outs
+    return outs, tbl
+
+
+def test_occ_race_overlap_exactly_one_winner(spark, tmp_table_path):
+    """REAL two-driver race on the SAME file groups, with a file barrier
+    proving both transactions began before either committed (reference
+    semantics: SimpleConcurrentFileWritesConflictResolutionStrategy.java —
+    the overlapping loser must abort): exactly one commits."""
+    outs, tbl = _race(spark, tmp_table_path, "overlap",
+                      "cast(year(o_orderdate) as string)")
+    assert sorted(o.strip().splitlines()[-1] for o in outs) == \
+        ["COMMITTED", "CONFLICT"], outs
+    winner = [o for o in outs if "COMMITTED" in o]
+    assert len(winner) == 1
+    # the table carries ONLY the winner's rows, no torn mixture
+    tbl = HoodieTable.load(spark, tmp_table_path)
+    marks = {r[0] for r in tbl.snapshot().filter("o_orderstatus in ('A','B')")
+             .select("o_orderstatus").distinct().collect()}
+    assert len(marks) == 1, marks
+    assert tbl.timeline.pending() == []
+
+
+def test_occ_race_disjoint_both_commit(spark, tmp_table_path):
+    """Same race harness, writers on DISJOINT partitions: both commit."""
+    outs, tbl = _race(spark, tmp_table_path, "disjoint",
+                      "cast(year(o_orderdate) as string)")
+    assert [o.strip().splitlines()[-1] for o in outs] == \
+        ["COMMITTED", "COMMITTED"], outs
+    tbl = HoodieTable.load(spark, tmp_table_path)
+    snap = tbl.snapshot()
+    assert snap.filter("o_orderstatus = 'A'").count() > 0
+    assert snap.filter("o_orderstatus = 'B'").count() > 0
+    assert tbl.timeline.pending() == []
+
+
 def test_occ_two_process_stress(spark, tmp_table_path):
     """REAL multi-writer: two separate driver JVMs upserting the same table
     concurrently under OCC. Both key ranges hit the same file groups, so

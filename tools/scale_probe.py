@@ -1,5 +1,6 @@
-"""Scale probe: run the write path + dedup family + incremental-dedup at
-a ×N upscale of a base sf dir and report per-row minima, so "designed for
+"""Scale probe: run the write path + reads/table services + 3
+representative TPC-H plans + dedup family + incremental-dedup at a ×N
+upscale of a base sf dir and report per-row minima, so "designed for
 100 TB" claims get at least one measured scaling datapoint past sf0.1.
 
 Usage::
@@ -82,6 +83,12 @@ def build_upscale(spark, base: str, factor: int, out: str) -> None:
     replicas(orders, "o_orderkey", n_ord) \
         .coalesce(8).write.mode("overwrite") \
         .parquet(os.path.join(out, "orders.parquet"))
+    # lineitem shifts l_orderkey by the SAME stride as orders so the
+    # orders<->lineitem FK alignment (TPC-H joins) survives the upscale
+    lineitem = load_table(spark, base, "lineitem")
+    replicas(lineitem, "l_orderkey", n_ord) \
+        .coalesce(16).write.mode("overwrite") \
+        .parquet(os.path.join(out, "lineitem.parquet"))
 
 
 def probe_once(spark, sf_dir: str) -> dict:
@@ -118,6 +125,33 @@ def probe_once(spark, sf_dir: str) -> dict:
         upd = (orders.filter(F.col("o_orderkey") % 10 == 0)
                .withColumn("o_orderstatus", F.lit("X")))
         timed("upsert", lambda: tbl.upsert(upd))
+        # ---- reads + table services at scale (VERDICT r10 task #2):
+        # the read-side parity bar is the per-slice MOR merge
+        # (HoodieMergeOnReadRDD.scala:72-76) — snapshot cost must track
+        # the DIRTY slices, not the table size
+        timed("cow_snapshot", lambda: tbl.snapshot().count())
+        timed("clustering",
+              lambda: tbl.cluster(sort_cols=["o_orderkey"]))
+        from hoodie_spark import TableType
+        mor = HoodieTable.create(
+            spark, os.path.join(work, "orders_mor"), "orders_mor_sp",
+            ["o_orderkey"], "o_orderdate", table_type=TableType.MERGE_ON_READ,
+            partition_expr="cast(year(o_orderdate) as string)")
+        mor.bulk_insert(orders)
+        mor.upsert(upd)  # delta log -> dirty slices for the merge read
+        timed("mor_snapshot", lambda: mor.snapshot().count())
+        timed("mor_compaction", lambda: mor.compact())
+        timed("mor_ro_read", lambda: mor.read_optimized().count())
+        # ---- 3 representative TPC-H plans over the upscaled parquet:
+        # q1 (scan+agg), q6 (pushdown filter+agg), q4 (orders|x|lineitem
+        # exists-join). Plan scaling, same SQL the bench runs.
+        import __spark_entry__ as entry
+        lineitem = load_table(spark, sf_dir, "lineitem")
+        orders.createOrReplaceTempView("sp_orders")
+        lineitem.createOrReplaceTempView("sp_lineitem")
+        for qn in ("tpch_q1", "tpch_q6", "tpch_q4"):
+            sql = entry.TPCH_SQL[qn].format(l="sp_lineitem", o="sp_orders")
+            timed(qn, lambda s=sql: spark.sql(s).collect())
         timed("exact_dedup",
               lambda: HF.exact_dedup(docs, ["text"], "doc_id").count())
         timed("minhash_dedup", lambda: HF.minhash_candidate_pairs(
@@ -183,7 +217,9 @@ def main() -> None:
         sf_dir = base
     else:
         sf_dir = f"/tmp/scale_probe_{factor}x_{os.path.basename(base.rstrip('/'))}"
-        if not os.path.exists(os.path.join(sf_dir, "orders.parquet")):
+        if not all(os.path.exists(os.path.join(sf_dir, f"{t}.parquet"))
+                   for t in ("orders", "lineitem", "documents",
+                             "embeddings")):
             t0 = time.time()
             build_upscale(spark, base, factor, sf_dir)
             print(json.dumps({"built": sf_dir,
