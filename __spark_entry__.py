@@ -1565,7 +1565,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                #   bpe_tokenize <-> text_stats: BPE gets its first driver
                #     record (rows-only by documented design — no oracle);
                #     text family stays via text_tfidf/pii/ngram rows
-               "bpe_tokenize": "text_stats"}
+               "bpe_tokenize": "text_stats",
+               # ...and the final five: the never-driver-recorded TPC-H
+               # variants enter against heavily-recorded rows whose family
+               # stays in-window, completing 109/109 driver-recorded:
+               #   (COW reads stay via cow_snapshot + cow_incremental;
+               #    events via sessionize + events_json_agg; MOR services
+               #    via mor_snapshot + mor_logcompaction; dedup via
+               #    minhash_lsh/groups/incremental; key lookups via
+               #    secondary_index_lookup)
+               "tpch_q2": "cow_time_travel",
+               "tpch_q11": "events_window",
+               "tpch_q16": "mor_compaction",
+               "tpch_q20": "dedup_exact",
+               "tpch_q21": "cow_filter_exists"}
     keys = list(q)
     for new, old in promote.items():
         i, j = keys.index(old), keys.index(new)
