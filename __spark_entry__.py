@@ -1436,6 +1436,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for name in TPCH_SQL:
         q[name] = _q_tpch(name)
 
+    # ---- DSIR importance resampling (Xie et al., NeurIPS 2023): score
+    # corpus docs by hashed-ngram likelihood ratio vs a target
+    # distribution, select the top-k (functions/pipeline.dsir_select).
+    # Appended AFTER TPC-H so the curated r11 window (all 21 never-
+    # recorded rows) is untouched; new unique operator — rotate it into
+    # the window in round 12 per the standing policy.
+    def _q_dsir(s, d):
+        docs = load_table(s, d, "documents").select(
+            "doc_id", "text", "source")
+        target = docs.filter(F.col("source") == "src0") \
+                     .select("doc_id", "text")
+        return HF.dsir_select(docs.select("doc_id", "text"), target,
+                              "doc_id", "text", k=200)
+    q["dsir_select"] = _q_dsir
+
     # ---- 50-row window curation: the driver records CORRECTNESS for the
     # FIRST 50 queries only. Swap this round's new UNIQUE operators into
     # the window in place of close variants of still-in-window rows
@@ -2915,6 +2930,47 @@ SELECT c_id AS vec_id, centroid FROM (
          row_number() OVER (PARTITION BY centroid
                             ORDER BY md5(CAST(c_id AS VARCHAR)), c_id) AS rn
   FROM asg) WHERE rn <= 20
+"""
+
+    # DSIR importance resampling: the oracle recomputes the hashed
+    # unigram+bigram feature buckets (md5-derived, the portable-hash
+    # plane), both multinomials with add-one smoothing over 4096 buckets,
+    # the per-bucket rounded log-ratio, and the DECIMAL(18,6) per-doc sum
+    # — the exact unigram_logprob parity recipe.
+    o["dsir_select"] = f"""
+WITH tok AS (
+  SELECT doc_id, source,
+         string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, source,
+         list_concat(t,
+           CASE WHEN len(t) - 1 >= 1
+                THEN list_transform(range(1, CAST(len(t) AS BIGINT)),
+                                    i -> array_to_string(t[i:i+1], ' '))
+                ELSE CAST([] AS VARCHAR[]) END) AS g
+  FROM tok
+),
+bx AS (
+  SELECT doc_id, source, ({_hex4('md5(gram)', 1)} % 4096) AS b
+  FROM (SELECT doc_id, source, unnest(g) AS gram FROM grams)
+),
+cc AS (SELECT b, count(*) AS c FROM bx GROUP BY b),
+tc AS (SELECT b, count(*) AS c FROM bx WHERE source = 'src0' GROUP BY b),
+tot AS (SELECT (SELECT count(*) FROM bx WHERE source = 'src0') AS tt,
+               (SELECT count(*) FROM bx) AS ct),
+lr AS (
+  SELECT cc.b,
+         round(ln((coalesce(tc.c, 0) + 1.0) / (tot.tt + 4096.0))
+               - ln((cc.c + 1.0) / (tot.ct + 4096.0)), 6) AS lr
+  FROM cc LEFT JOIN tc USING (b), tot
+)
+SELECT doc_id, count(*) AS n_grams,
+       CAST(SUM(CAST(lr AS DECIMAL(18,6))) AS DOUBLE) AS log_weight
+FROM bx JOIN lr USING (b)
+GROUP BY doc_id
+ORDER BY log_weight DESC, doc_id LIMIT 200
 """
     return o
 

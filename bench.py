@@ -219,6 +219,10 @@ def run_suite(spark, sf_dir: str) -> dict[str, float]:
         "w", 256, ["doc_id"]).count())
     timed("unigram_logprob")(lambda: HF.unigram_logprob(
         docs, "doc_id", "text", vocab_size=64).count())
+    timed("dsir_select")(lambda: HF.dsir_select(
+        docs.select("doc_id", "text"),
+        docs.filter(F.col("source") == "src0").select("doc_id", "text"),
+        "doc_id", "text", k=200).count())
     timed("events_window")(lambda: events.groupBy(
         F.window("ts", "300 seconds"), "event_type")
         .agg(F.count("*"), F.sum("value")).count())

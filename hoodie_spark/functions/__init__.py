@@ -100,7 +100,7 @@ from .pipeline import (
     top_ngrams, filter_corpus, word_ngrams, contaminated_ids, decontaminate,
     stratified_sample, tfidf_terms, tfidf_vectors, corpus_pipeline,
     chunk_documents, unigram_logprob, source_weighted_sample,
-    temperature_mix, column_histogram,
+    temperature_mix, column_histogram, dsir_logweights, dsir_select,
 )
 from .bpe import bpe_train, bpe_encode, bpe_token_count
 
@@ -130,6 +130,7 @@ __all__ = [
     "word_ngrams", "contaminated_ids", "decontaminate", "stratified_sample",
     "corpus_pipeline", "chunk_documents", "unigram_logprob",
     "source_weighted_sample", "temperature_mix", "column_histogram",
+    "dsir_logweights", "dsir_select",
     "char_entropy",
     "tfidf_terms", "tfidf_vectors",
     "bpe_train", "bpe_encode", "bpe_token_count",

@@ -531,6 +531,85 @@ def unigram_logprob(df: DataFrame, id_col: str, text_col: str,
                  .cast("double").alias("logprob")))
 
 
+def _hashed_gram_buckets(text_col, buckets: int) -> "Column":
+    """Hashed word unigram+bigram feature buckets for one document (the
+    DSIR feature map): bucket = int(md5(gram)[:4], 16) mod ``buckets``.
+    md5-derived so an independent SQL engine reproduces the buckets
+    bit-for-bit (the same portable-hash plane trick the JL projection and
+    hash_sample use); 4 hex nibbles = 16 bits >= any practical bucket
+    count. Map-only Column expr."""
+    grams = F.concat(word_ngrams(text_col, 1), word_ngrams(text_col, 2))
+    return F.transform(
+        grams,
+        lambda g: (F.conv(F.substring(F.md5(g), 1, 4), 16, 10)
+                   .cast("int") % F.lit(buckets)))
+
+
+def dsir_logweights(corpus: DataFrame, target: DataFrame, id_col: str,
+                    text_col: str, buckets: int = 4096) -> DataFrame:
+    """DSIR importance weights (Xie et al., *Data Selection for Language
+    Models via Importance Resampling*, NeurIPS 2023): score each corpus
+    document by how much more likely its hashed-n-gram bag is under the
+    TARGET distribution than under the raw-corpus distribution —
+    ``log w(doc) = sum_g [ln p_target(bucket(g)) - ln p_corpus(bucket(g))]``
+    with add-one smoothing over the ``buckets`` feature space. Features
+    are word unigrams+bigrams hashed into ``buckets`` (the paper's
+    hashed bag-of-ngrams). Returns ``(id_col, n_grams, log_weight)`` for
+    every corpus doc with at least one gram.
+
+    Engine parity: per-bucket log-ratios are rounded to 6 decimals (one
+    value per bucket, not per gram) and the per-doc sum runs in
+    DECIMAL(18,6) — exact and fold-order-independent, the
+    :func:`unigram_logprob` pattern.
+
+    Scale: ONE aggregation pass over each side's grams, each producing
+    at most ``buckets`` rows (map-side partial counts — the shuffle
+    carries (bucket, partial) pairs); the log-ratio table is built
+    driver-side from those bounded rows (<= 2*buckets, never corpus-
+    scaled) and broadcast into a single map+agg scoring pass. No
+    corpus-sized shuffle except the final groupBy(id) with partial
+    aggregation."""
+    def counts(df):
+        return (df.select(F.explode(
+                    _hashed_gram_buckets(text_col, buckets)).alias("b"))
+                .groupBy("b").agg(F.count(F.lit(1)).alias("c")).collect())
+
+    tgt = {r["b"]: r["c"] for r in counts(target)}
+    raw = {r["b"]: r["c"] for r in counts(corpus)}
+    t_total, c_total = sum(tgt.values()), sum(raw.values())
+    spark = corpus.sparkSession
+    # log-ratio computed as a Spark expression over the bounded literal
+    # counts (exact ints): F.round is HALF_UP and F.log is the same libm
+    # every other rounded-log oracle row already hash-matches with
+    cnt = spark.createDataFrame(
+        [(b, tgt.get(b, 0), c) for b, c in sorted(raw.items())],
+        "b int, tc long, cc long")
+    lr = cnt.select(
+        "b",
+        F.round(F.log((F.col("tc") + F.lit(1.0))
+                      / F.lit(float(t_total + buckets)))
+                - F.log((F.col("cc") + F.lit(1.0))
+                        / F.lit(float(c_total + buckets))), 6).alias("lr"))
+    ex = corpus.select(F.col(id_col), F.explode(
+        _hashed_gram_buckets(text_col, buckets)).alias("b"))
+    return (ex.join(F.broadcast(lr), "b")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_grams"),
+                 F.sum(F.col("lr").cast("decimal(18,6)"))
+                 .cast("double").alias("log_weight")))
+
+
+def dsir_select(corpus: DataFrame, target: DataFrame, id_col: str,
+                text_col: str, k: int, buckets: int = 4096) -> DataFrame:
+    """Deterministic DSIR selection: the ``k`` corpus docs with the
+    highest importance weight (ties broken by id) — the top-k variant of
+    the paper's Gumbel resampling, reproducible across runs and engines.
+    The global top-k is a TakeOrderedAndProject (per-partition heaps +
+    one k-row merge), never a full sort."""
+    w = dsir_logweights(corpus, target, id_col, text_col, buckets)
+    return (w.orderBy(F.desc("log_weight"), F.asc(id_col)).limit(k))
+
+
 class StageCache:
     """Caller-scoped persist handle for a pipeline's stage boundaries.
 

@@ -557,3 +557,32 @@ def test_pack_sequences_tied_order_keys_disjoint(spark):
     last = max(per_seq)
     assert all(v == 16 for k, v in per_seq.items() if k != last)
     assert 0 < per_seq[last] <= 16
+
+
+def test_dsir_prefers_target_like_docs(spark):
+    """DSIR (Xie et al. 2023): docs whose hashed-ngram bag resembles the
+    TARGET distribution get higher importance weights than docs that
+    resemble only the raw corpus."""
+    legal = ["the party of the first part shall indemnify the counterparty",
+             "whereas the agreement herein shall bind the first party",
+             "the counterparty shall notify the first party herein"]
+    chat = ["lol that movie was so great gonna watch it again tonight",
+            "omg did you see the game last night that was wild",
+            "haha yeah totally gonna grab pizza later tonight"]
+    corpus = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(legal + chat)],
+        "doc_id int, text string")
+    target = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(legal)],
+        "doc_id int, text string")
+    w = {r["doc_id"]: r["log_weight"] for r in HF.dsir_logweights(
+        corpus, target, "doc_id", "text", buckets=512).collect()}
+    assert len(w) == 6
+    assert min(w[i] for i in (0, 1, 2)) > max(w[i] for i in (3, 4, 5))
+    top = [r["doc_id"] for r in HF.dsir_select(
+        corpus, target, "doc_id", "text", k=3, buckets=512).collect()]
+    assert sorted(top) == [0, 1, 2]
+    # deterministic across runs
+    top2 = [r["doc_id"] for r in HF.dsir_select(
+        corpus, target, "doc_id", "text", k=3, buckets=512).collect()]
+    assert top == top2
