@@ -586,3 +586,17 @@ def test_dsir_prefers_target_like_docs(spark):
     top2 = [r["doc_id"] for r in HF.dsir_select(
         corpus, target, "doc_id", "text", k=3, buckets=512).collect()]
     assert top == top2
+
+
+def test_dsir_plan_broadcast_scoring(docs):
+    """The scoring pass must be: pruned scan -> BroadcastHashJoin against
+    the bounded log-ratio table -> partial agg -> ONE exchange on the doc
+    key. A shuffled (sort-merge) join against the lr table, or a second
+    corpus exchange, would be the 100 TB anti-plan."""
+    corpus = docs.select("doc_id", "text")
+    target = docs.filter("doc_id % 5 = 0").select("doc_id", "text")
+    w = HF.dsir_logweights(corpus, target, "doc_id", "text", buckets=256)
+    plan = w._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange") <= 2  # broadcast + the per-doc agg
