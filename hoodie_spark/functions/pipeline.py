@@ -538,6 +538,10 @@ def _hashed_gram_buckets(text_col, buckets: int) -> "Column":
     bit-for-bit (the same portable-hash plane trick the JL projection and
     hash_sample use); 4 hex nibbles = 16 bits >= any practical bucket
     count. Map-only Column expr."""
+    if not 2 <= buckets <= 65536:
+        # the 16-bit hash plane can address at most 65536 buckets; a
+        # larger count would silently leave buckets forever empty
+        raise ValueError(f"buckets must be in [2, 65536], got {buckets}")
     grams = F.concat(word_ngrams(text_col, 1), word_ngrams(text_col, 2))
     return F.transform(
         grams,

@@ -600,3 +600,9 @@ def test_dsir_plan_broadcast_scoring(docs):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert plan.count("Exchange") <= 2  # broadcast + the per-doc agg
+
+
+def test_dsir_bucket_range_validated(spark):
+    df = spark.createDataFrame([(1, "a b c")], "doc_id int, text string")
+    with pytest.raises(ValueError, match="65536"):
+        HF.dsir_logweights(df, df, "doc_id", "text", buckets=1 << 17)
