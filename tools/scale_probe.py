@@ -176,6 +176,12 @@ def probe_once(spark, sf_dir: str) -> dict:
         queries = emb.filter(F.col("vec_id") % 997 == 0)  # ~n/1000 queries
         timed("ann_int8", lambda: HF.int8_topk(
             emb, queries, "vec_id", "embedding", k=10).count())
+        # DSIR: target = a fixed slice of the corpus; cost model is two
+        # bounded aggs + one broadcast scoring pass, so it must scale
+        # like a pair of corpus scans
+        timed("dsir_select", lambda: HF.dsir_select(
+            docs, docs.filter(F.col("doc_id") % 10 == 0), "doc_id",
+            "text", k=200).count())
         inc_tbl = HoodieTable.create(
             spark, os.path.join(work, "docs_inc"), "docs_inc_sp",
             ["doc_id"], None)
