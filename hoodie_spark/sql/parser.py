@@ -699,6 +699,30 @@ def _exec_call(spark, sql: str, tables: dict):
                 for rec in tbl.timeline.archived_records()]
         return spark.createDataFrame(
             rows or [], "commit_time string, action string")
+    if proc == "show_stats_wa":
+        # hudi-cli `stats wa` (StatsCommand.java:60-95): write
+        # amplification = records written / records upserted, per commit
+        # plus a Total row. Driver-side fold over commit metadata — no
+        # Spark job touches data files.
+        from .. import timeline as tl2
+        rows, tot_upd, tot_wr = [], 0, 0
+        for i in tbl.timeline.completed(tl2.DATA_ACTIONS):
+            try:
+                md = tbl.timeline.metadata(i)
+            except FileNotFoundError:
+                continue
+            upd = int(md.get("extra", {}).get("num_updates", 0) or 0)
+            wr = sum(s.get("num_records", 0) for s in
+                     md.get("write_stats", []))
+            rows.append((i.timestamp, upd, wr,
+                         round(wr / upd, 2) if upd > 0 else 0.0))
+            tot_upd += upd
+            tot_wr += wr
+        rows.append(("Total", tot_upd, tot_wr,
+                     round(tot_wr / tot_upd, 2) if tot_upd > 0 else 0.0))
+        return spark.createDataFrame(
+            rows, "commit_time string, total_upserted long, "
+                  "total_written long, write_amplification double")
     raise ValueError(f"unknown procedure {proc!r}")
 
 

@@ -205,3 +205,33 @@ def test_show_procedures_round6(spark, tmp_table_path):
     assert cp.count() == 1 and cp.first()["operation"] == "compact"
     arch = run_sql(spark, "CALL show_archived_timeline(table => 'showp')", t)
     assert arch.count() == 0  # nothing archived yet
+
+
+def test_show_stats_wa(spark, tmp_table_path):
+    """hudi-cli `stats wa` parity (StatsCommand.java:60-95): per-commit
+    upserted/written counts + write-amplification ratio, plus a Total row.
+    An upsert of k rows that lands in one file of n rows has WA n/k."""
+    from pyspark.sql import functions as F
+
+    from hoodie_spark import HoodieTable
+    from hoodie_spark.sql.parser import run_sql
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    tbl = HoodieTable.create(
+        spark, tmp_table_path, "wa", ["o_orderkey"], "o_orderdate")
+    n = orders.count()
+    tbl.bulk_insert(orders)
+    tbl.upsert(orders.limit(10).withColumn("o_orderstatus", F.lit("X")))
+    out = {r["commit_time"]: r for r in run_sql(
+        spark, "CALL show_stats_wa(table => 'wa')", {"wa": tbl}).collect()}
+    assert len(out) == 3  # bulk_insert + upsert + Total
+    total = out.pop("Total")
+    bulk, ups = sorted(out.values(), key=lambda r: r["commit_time"])
+    assert bulk["total_upserted"] == 0 and bulk["total_written"] == n
+    assert bulk["write_amplification"] == 0.0  # no updates -> ratio 0
+    assert ups["total_upserted"] == 10
+    assert ups["total_written"] >= 10  # rewrote whole file groups
+    assert ups["write_amplification"] == round(
+        ups["total_written"] / 10, 2)
+    assert total["total_upserted"] == 10
+    assert total["total_written"] == n + ups["total_written"]
