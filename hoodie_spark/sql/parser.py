@@ -723,6 +723,46 @@ def _exec_call(spark, sql: str, tables: dict):
         return spark.createDataFrame(
             rows, "commit_time string, total_upserted long, "
                   "total_written long, write_amplification double")
+    if proc == "show_commit_files":
+        # hudi-cli `commit showfiles` (CommitsCommand.java): the files one
+        # commit wrote, from its metadata — no listing, no data IO
+        want = args.get("instant")
+        rows = []
+        from .. import timeline as tl2
+        for i in tbl.timeline.completed(tl2.DATA_ACTIONS):
+            if want and i.timestamp != str(want):
+                continue
+            try:
+                md = tbl.timeline.metadata(i)
+            except FileNotFoundError:
+                continue
+            for s in md.get("write_stats", []):
+                rows.append((i.timestamp, s.get("partition", ""),
+                             s.get("file_name"), s.get("num_records", 0),
+                             s.get("size", 0), bool(s.get("is_delta"))))
+        return spark.createDataFrame(
+            rows or [], "commit_time string, partition string, "
+                        "file_name string, num_records long, size long, "
+                        "is_delta boolean")
+    if proc == "show_stats_filesizes":
+        # hudi-cli `stats filesizes` (StatsCommand.java:97-135): size
+        # distribution of the LIVE base files, from the manifest fold
+        sizes = sorted(sl.base_file.size
+                       for sl in tbl.view().latest_slices()
+                       if sl.base_file is not None)
+        if not sizes:
+            return spark.createDataFrame(
+                [], "num_files long, min long, p10 long, p50 long, "
+                    "p90 long, max long, avg long, total long")
+
+        def pct(p):
+            return sizes[min(len(sizes) - 1, int(p * len(sizes)))]
+
+        row = (len(sizes), sizes[0], pct(0.1), pct(0.5), pct(0.9),
+               sizes[-1], int(sum(sizes) / len(sizes)), sum(sizes))
+        return spark.createDataFrame(
+            [row], "num_files long, min long, p10 long, p50 long, "
+                   "p90 long, max long, avg long, total long")
     raise ValueError(f"unknown procedure {proc!r}")
 
 

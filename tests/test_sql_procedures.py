@@ -235,3 +235,31 @@ def test_show_stats_wa(spark, tmp_table_path):
         ups["total_written"] / 10, 2)
     assert total["total_upserted"] == 10
     assert total["total_written"] == n + ups["total_written"]
+
+
+def test_show_commit_files_and_filesizes(spark, tmp_table_path):
+    """hudi-cli `commit showfiles` + `stats filesizes` parity: per-commit
+    file rows from metadata; live base-file size distribution from the
+    manifest fold."""
+    from pyspark.sql import functions as F
+
+    from hoodie_spark import HoodieTable
+    from hoodie_spark.sql.parser import run_sql
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    tbl = HoodieTable.create(
+        spark, tmp_table_path, "cf", ["o_orderkey"], "o_orderdate",
+        partition_expr="cast(year(o_orderdate) as string)")
+    r1 = tbl.bulk_insert(orders)
+    tbl.upsert(orders.limit(10).withColumn("o_orderstatus", F.lit("X")))
+    t = {"cf": tbl}
+    allf = run_sql(spark, "CALL show_commit_files(table => 'cf')", t)
+    one = run_sql(spark, "CALL show_commit_files(table => 'cf', "
+                         f"instant => '{r1.instant}')", t)
+    assert one.count() > 0 and one.count() < allf.count()
+    assert one.agg(F.sum("num_records")).first()[0] == orders.count()
+    assert {r["commit_time"] for r in one.collect()} == {r1.instant}
+    fs = run_sql(spark, "CALL show_stats_filesizes(table => 'cf')", t).first()
+    assert fs["num_files"] == len(list(tbl.view().latest_slices()))
+    assert fs["min"] <= fs["p50"] <= fs["max"]
+    assert fs["total"] >= fs["max"] and fs["avg"] > 0
