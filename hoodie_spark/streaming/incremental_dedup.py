@@ -331,27 +331,34 @@ class IncrementalDeduper:
             own_pin = True
         self._recover_legacy("content")
         self._recover_legacy("bands")
+        if instant is None:
+            last = self.table.timeline.last_completed()
+            instant = last.timestamp if last else None
+        # seen_at stamps each signature with the batch's instant so
+        # compact_state(retain_after=...) can age state out (bounded-
+        # window dedup); filter_batch reads with an explicit schema that
+        # omits the column, so probes are unaffected
+        seen = F.lit(instant).cast("string").alias("seen_at")
         (feats.filter(F.col("chash").isNotNull())  # NULL text: never a dup
          .select(
             "chash",
             F.pmod(F.xxhash64("chash"),
                    F.lit(self.n_buckets)).cast("int").alias("bucket"))
          .distinct()
+         .select("chash", "bucket", seen)
          .write.partitionBy("bucket").mode("append")
          .parquet(self._sub_path("content")))
         (self._banded(feats)
          .select("band", "bh", "minhash",
                  F.pmod(F.xxhash64("bh"),
-                        F.lit(self.n_buckets)).cast("int").alias("bucket"))
+                        F.lit(self.n_buckets)).cast("int").alias("bucket"),
+                 seen)
          .write.partitionBy("bucket").mode("append")
          .parquet(self._sub_path("bands")))
         if own_pin:
             feats.unpersist()
         else:
             self._release_pins()  # feats + banded from the paired filter_batch
-        if instant is None:
-            last = self.table.timeline.last_completed()
-            instant = last.timestamp if last else None
         self._publish_state(instant)
 
     # ------------------------------------------------------------ catch-up
@@ -448,12 +455,24 @@ class IncrementalDeduper:
             for suffix in (".old", ".compacting"):  # legacy crash siblings
                 self.fs.rmtree(base + suffix)
 
-    def compact_state(self) -> int:
+    def compact_state(self, retain_after: str | None = None) -> int:
         """Fold per-batch appended files: one file per bucket, duplicates
-        collapsed (EXISTS semantics make duplicates harmless but they cost
-        scan width). The folded copy lands in the NEXT generation and one
-        atomic ``state.json`` publish swaps the pointer — no rename, so
-        this runs unchanged on object stores. Returns rows retained."""
+        collapsed onto their LATEST sighting (EXISTS semantics make
+        duplicates harmless but they cost scan width). The folded copy
+        lands in the NEXT generation and one atomic ``state.json``
+        publish swaps the pointer — no rename, so this runs unchanged on
+        object stores. Returns rows retained.
+
+        ``retain_after`` bounds the state for long-running pipelines
+        (100 TB concern: corpus-identity state otherwise grows forever):
+        signatures whose latest sighting is an instant STRICTLY BEFORE
+        ``retain_after`` are evicted, turning the deduper into a
+        sliding-window dedup — a duplicate of a doc last seen before the
+        window is ADMITTED again (the allowed degradation direction;
+        false drops remain impossible). Rows with an unknown age (state
+        written before ``seen_at`` existed, or advanced with no table
+        instant) are conservatively RETAINED — they can only cause extra
+        drops of true duplicates, never a false drop."""
         st = self._load_state()
         mark = st["instant"] if st else None
         total = 0
@@ -461,8 +480,15 @@ class IncrementalDeduper:
                 ("content", "chash string", ["chash"]),
                 ("bands", "band int, bh string, minhash array<string>",
                  ["band", "bh", "minhash"])):
-            cur = self._read_state(sub, schema)
-            folded = cur.dropDuplicates(keys + ["bucket"])
+            # schema-on-read: generations written before the seen_at
+            # column existed surface it as NULL
+            cur = self._read_state(sub, schema + ", seen_at string")
+            folded = (cur.groupBy(*keys, "bucket")
+                      .agg(F.max("seen_at").alias("seen_at")))
+            if retain_after is not None:
+                folded = folded.filter(
+                    F.col("seen_at").isNull()
+                    | (F.col("seen_at") >= retain_after))
             g = self._gens[sub]
             new_g = 0 if g is None else g + 1
             dst = os.path.join(self.dir, sub, f"gen-{new_g:06d}")

@@ -425,3 +425,73 @@ def test_null_text_never_duplicate(spark, tmp_table_path):
         dd.advance(b)
     got = {r.doc_id for r in tbl.snapshot().select("doc_id").collect()}
     assert got == glob
+
+
+_DISTINCT = [
+    "the quick brown fox jumps over the lazy dog near the riverbank",
+    "pack my box with five dozen liquor jugs before the long journey",
+    "sphinx of black quartz judge my vow under the desert moonlight",
+    "how vexingly quick daft zebras jump across the frozen meadow",
+    "crazy fredrick bought many very exquisite opal jewels yesterday",
+    "we promptly judged antique ivory buckles for the next big prize",
+]
+
+
+def test_compact_state_retention_window(spark, tmp_table_path):
+    """compact_state(retain_after=t) turns the deduper into a sliding
+    window: signatures last seen before t are evicted (their duplicates
+    re-admitted — the allowed direction), signatures at/after t still
+    drop duplicates."""
+    tbl = HoodieTable.create(spark, tmp_table_path, "ret", ["doc_id"], None)
+    dd = IncrementalDeduper(tbl, "doc_id", "text", threshold=0.8)
+    b0 = spark.createDataFrame(
+        [(i, _DISTINCT[i]) for i in range(3)], "doc_id int, text string")
+    b1 = spark.createDataFrame(
+        [(10 + i, _DISTINCT[3 + i]) for i in range(3)],
+        "doc_id int, text string")
+    tbl.upsert(dd.filter_batch(b0))
+    dd.advance(b0)
+    t0 = tbl.timeline.last_completed().timestamp
+    tbl.upsert(dd.filter_batch(b1))
+    dd.advance(b1)
+    t1 = tbl.timeline.last_completed().timestamp
+    assert t0 < t1
+    dd.compact_state(retain_after=t1)
+    # exact copies under fresh ids: b0's signatures were evicted, b1's kept
+    copy0 = b0.withColumn("doc_id", F.col("doc_id") + 1000)
+    copy1 = b1.withColumn("doc_id", F.col("doc_id") + 1000)
+    assert dd.filter_batch(copy0).count() == 3
+    dd._release_pins()
+    assert dd.filter_batch(copy1).count() == 0
+    dd._release_pins()
+
+
+def test_compact_state_retention_keeps_unknown_age(spark, tmp_table_path):
+    """State generations written before seen_at existed surface NULL age
+    and are conservatively retained by a retention compact (extra drops
+    of true duplicates are allowed; false drops are not — and eviction
+    of a doc actually still in the window would be silent under-dedup)."""
+    import os
+
+    tbl = HoodieTable.create(spark, tmp_table_path, "leg", ["doc_id"], None)
+    dd = IncrementalDeduper(tbl, "doc_id", "text", threshold=0.8)
+    b0 = spark.createDataFrame(
+        [(i, _DISTINCT[i]) for i in range(3)], "doc_id int, text string")
+    tbl.upsert(dd.filter_batch(b0))
+    dd.advance(b0)
+    t0 = tbl.timeline.last_completed().timestamp
+    # simulate a pre-seen_at generation: rewrite both stores without it
+    for sub, schema in (("content", "chash string, bucket int"),
+                        ("bands", "band int, bh string, "
+                                  "minhash array<string>, bucket int")):
+        d = dd._sub_path(sub)
+        rows = spark.read.option("basePath", d).parquet(d) \
+            .drop("seen_at").collect()
+        dd.fs.rmtree(d)
+        spark.createDataFrame(rows, schema) \
+            .write.partitionBy("bucket").mode("overwrite").parquet(d)
+    dd2 = IncrementalDeduper(tbl, "doc_id", "text", threshold=0.8)
+    dd2.compact_state(retain_after=t0 + "z")  # later than every instant
+    copy0 = b0.withColumn("doc_id", F.col("doc_id") + 1000)
+    assert dd2.filter_batch(copy0).count() == 0  # NULL-age rows retained
+    dd2._release_pins()
