@@ -226,7 +226,8 @@ class Ingestor:
                  compact_every: int | None = None,
                  initial_checkpoint: str | None = None,
                  deduper=None,
-                 compact_state_every: int | None = 16):
+                 compact_state_every: int | None = 16,
+                 state_retention_instants: int | None = None):
         self.table = table
         self.source = source
         self.transformer_sql = transformer_sql
@@ -248,6 +249,11 @@ class Ingestor:
         # (n_buckets files, duplicates collapsed) instead of growing by
         # 2*n_buckets files per micro-batch
         self.compact_state_every = compact_state_every
+        # bounded-window dedup: when set, each state compaction also
+        # evicts signatures last seen more than N completed data
+        # instants ago (old duplicates become re-admittable — the
+        # allowed direction; state size stays bounded by the window)
+        self.state_retention_instants = state_retention_instants
         self._dedup_batches = 0
 
     def checkpoint(self) -> str | None:
@@ -292,7 +298,13 @@ class Ingestor:
                 self._dedup_batches += 1
                 if self.compact_state_every and \
                         self._dedup_batches % self.compact_state_every == 0:
-                    self.deduper.compact_state()
+                    retain = None
+                    if self.state_retention_instants:
+                        insts = self.table.timeline.completed()
+                        n = self.state_retention_instants
+                        if len(insts) > n:
+                            retain = insts[-n].timestamp
+                    self.deduper.compact_state(retain_after=retain)
         except BaseException:
             # a failed commit (or advance) must not leak the pinned batch
             # and feature frames into the next continuous-loop retry —

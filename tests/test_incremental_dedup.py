@@ -495,3 +495,25 @@ def test_compact_state_retention_keeps_unknown_age(spark, tmp_table_path):
     copy0 = b0.withColumn("doc_id", F.col("doc_id") + 1000)
     assert dd2.filter_batch(copy0).count() == 0  # NULL-age rows retained
     dd2._release_pins()
+
+
+def test_ingestor_state_retention_window(spark, tmp_table_path):
+    """Ingestor(state_retention_instants=N): periodic compaction also
+    evicts signatures last seen more than N completed instants ago, so a
+    duplicate of an aged-out batch is re-admitted by a later batch."""
+    tbl = HoodieTable.create(spark, tmp_table_path, "inc_dedup_ret",
+                             ["doc_id"], None)
+    dd = IncrementalDeduper(tbl, "doc_id", "text", threshold=0.8)
+    b0 = spark.createDataFrame(
+        [(i, _DISTINCT[i]) for i in range(3)], "doc_id int, text string")
+    b1 = spark.createDataFrame(
+        [(10 + i, _DISTINCT[3 + i]) for i in range(3)],
+        "doc_id int, text string")
+    # b2 re-sends b0's texts under fresh ids AFTER b0 aged out
+    b2 = b0.withColumn("doc_id", F.col("doc_id") + 1000)
+    ing = Ingestor(tbl, _ListSource([b0, b1, b2]), deduper=dd,
+                   compact_state_every=2, state_retention_instants=1)
+    ing.run_continuous(3)
+    got = {r.doc_id for r in tbl.snapshot().select("doc_id").collect()}
+    # the aged-out duplicates (1000-1002) were ADMITTED; b1 rows kept
+    assert {1000, 1001, 1002} <= got and {10, 11, 12} <= got
