@@ -744,6 +744,23 @@ def _exec_call(spark, sql: str, tables: dict):
             rows or [], "commit_time string, partition string, "
                         "file_name string, num_records long, size long, "
                         "is_delta boolean")
+    if proc == "show_table_properties":
+        # hudi-cli `desc` (TableCommand.java): the table's persisted
+        # configuration, one (key, value) row each
+        cfg = tbl.config
+        rows = [
+            ("name", cfg.name),
+            ("table_type", str(cfg.table_type)),
+            ("recordkey_fields", ",".join(cfg.recordkey_fields or [])),
+            ("precombine_field", cfg.precombine_field or ""),
+            ("partition_fields", ",".join(cfg.partition_fields or [])),
+            ("partition_expr", cfg.partition_expr or ""),
+            ("payload", str(getattr(cfg, "payload", "") or "")),
+            ("bucket_index_num_buckets",
+             str(cfg.bucket_index_num_buckets or "")),
+            ("base_path", tbl.base_path),
+        ]
+        return spark.createDataFrame(rows, "key string, value string")
     if proc == "show_stats_filesizes":
         # hudi-cli `stats filesizes` (StatsCommand.java:97-135): size
         # distribution of the LIVE base files, from the manifest fold

@@ -263,3 +263,21 @@ def test_show_commit_files_and_filesizes(spark, tmp_table_path):
     assert fs["num_files"] == len(list(tbl.view().latest_slices()))
     assert fs["min"] <= fs["p50"] <= fs["max"]
     assert fs["total"] >= fs["max"] and fs["avg"] > 0
+
+
+def test_show_table_properties(spark, tmp_table_path):
+    """hudi-cli `desc` parity: persisted table configuration as rows."""
+    from hoodie_spark import HoodieTable
+    from hoodie_spark.sql.parser import run_sql
+
+    tbl = HoodieTable.create(
+        spark, tmp_table_path, "props", ["o_orderkey"], "o_orderdate",
+        partition_expr="cast(year(o_orderdate) as string)")
+    out = {r["key"]: r["value"] for r in run_sql(
+        spark, "CALL show_table_properties(table => 'props')",
+        {"props": tbl}).collect()}
+    assert out["name"] == "props"
+    assert out["recordkey_fields"] == "o_orderkey"
+    assert out["precombine_field"] == "o_orderdate"
+    assert "year" in out["partition_expr"]
+    assert out["base_path"] == tmp_table_path
