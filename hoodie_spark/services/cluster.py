@@ -94,24 +94,30 @@ def cluster(table, sort_cols: list[str] | None = None, partitions=None,
     (:mod:`hoodie_spark.services.layout`), keeping every output file tight
     in ALL layout dimensions so column-stats skipping prunes on any of
     them. Public layout-optimization design — beyond this reference
-    snapshot, which only ships the linear sort."""
-    plan = plan_clustering(table, partitions, small_file_limit,
-                           plan_strategy, target_partitions)
-    if len(plan) < 2:
-        return None
-    plan = [sl for grp in pack_groups(table, plan) for sl in grp]
-    if len(plan) < 2:
-        return None
-    target = target_file_size or table.write_config.clustering_target_file_size
-    sort_cols = sort_cols or [RECORD_KEY]
-    writer = table._writer
+    snapshot, which only ships the linear sort.
 
-    df = table.read_slices_base(plan)
-    total_bytes = sum(sl.base_file.size for sl in plan)
-    num_files = max(1, math.ceil(total_bytes / target))
-    prefix = uuid.uuid4().hex[:13]
+    The transaction BEGINS before the plan snapshot (writer._begin's
+    contract, same rule as compact()): a concurrent commit landing
+    between planning and begin would otherwise escape the conflict
+    baseline while being absent from the rewrite — its file group would
+    be marked replaced and the committed rows silently dropped."""
+    writer = table._writer
     instant = writer._begin(tl.REPLACECOMMIT)
     try:
+        plan = plan_clustering(table, partitions, small_file_limit,
+                               plan_strategy, target_partitions)
+        if len(plan) >= 2:
+            plan = [sl for grp in pack_groups(table, plan) for sl in grp]
+        if len(plan) < 2:
+            writer._abort_write(instant, [])
+            return None
+        target = (target_file_size
+                  or table.write_config.clustering_target_file_size)
+        sort_cols = sort_cols or [RECORD_KEY]
+        df = table.read_slices_base(plan)
+        total_bytes = sum(sl.base_file.size for sl in plan)
+        num_files = max(1, math.ceil(total_bytes / target))
+        prefix = uuid.uuid4().hex[:13]
         from ..writer import BUCKET, KIND, base_file_name
         if layout != "linear":
             from .layout import with_curve_key
@@ -158,6 +164,8 @@ def cluster(table, sort_cols: list[str] | None = None, partitions=None,
     except BaseException:
         writer._hb_abandon(instant)
         raise
+
+
 def rescale_buckets(table, new_num_buckets: int):
     """Re-bucket a hash-bucket-index table to ``new_num_buckets`` file
     groups per partition (public consistent-hashing bucket-resize design,

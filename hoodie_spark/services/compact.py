@@ -80,20 +80,28 @@ def schedule_compaction(table, strategy=None, **kw) -> list:
 
 
 def compact(table, strategy=None, **kw):
-    """Plan + execute. Returns the commit instant or None if nothing to do."""
-    plan = schedule_compaction(table, strategy, **kw)
-    if not plan:
-        return None
-    writer = table._writer
-    view = table.view()
-    base = table.read_slices_base(plan).withColumn(OPERATION, F.lit("I"))
-    delta_paths = [view.abs(lf.path) for sl in plan
-                   for lf in sl.log_files_as_of(None)]
-    merged = table._reader._resolve(base.unionByName(
-        table.read_delta_files(delta_paths))).drop(OPERATION)
+    """Plan + execute. Returns the commit instant or None if nothing to do.
 
+    The transaction BEGINS before the plan snapshot (writer._begin's
+    contract): a concurrent delta commit landing between planning and
+    begin would otherwise sort at-or-below the conflict baseline while
+    being absent from the planned merge — the compacted base would then
+    shadow that committed delta (its base_instant names the old slice),
+    silently dropping it. Begun-first, any such commit is > baseline on
+    the same file group and the conflict check aborts this compaction."""
+    writer = table._writer
     instant = writer._begin(tl.COMMIT)
     try:
+        plan = schedule_compaction(table, strategy, **kw)
+        if not plan:
+            writer._abort_write(instant, [])
+            return None
+        view = table.view()
+        base = table.read_slices_base(plan).withColumn(OPERATION, F.lit("I"))
+        delta_paths = [view.abs(lf.path) for sl in plan
+                       for lf in sl.log_files_as_of(None)]
+        merged = table._reader._resolve(base.unionByName(
+            table.read_delta_files(delta_paths))).drop(OPERATION)
         from ..writer import BUCKET, KIND, base_file_name
         write_df = (merged
                     .withColumn(BUCKET, F.split(F.col(FILE_NAME), "_").getItem(0))
@@ -116,6 +124,8 @@ def compact(table, strategy=None, **kw):
     except BaseException:
         writer._hb_abandon(instant)
         raise
+
+
 def logcompact(table, min_log_files: int = 3, partitions=None):
     """Minor (log) compaction — public Hudi-1.0 design; this reference
     snapshot ships only full compaction. Consolidates a slice's many small
@@ -130,21 +140,23 @@ def logcompact(table, min_log_files: int = 3, partitions=None):
     this instant skip them via the manifest (``LogFile.compacted_at``).
 
     Returns the logcompaction instant, or None if no slice qualifies.
+    Begins the transaction BEFORE the plan snapshot — same
+    plan-after-begin rule as full compaction (see compact()).
     """
-    view = table.view()
-    plan = [sl for sl in view.latest_slices(partitions=partitions)
-            if sl.base_file is not None
-            and len(sl.log_files_as_of(None)) >= min_log_files]
-    if not plan:
-        return None
     writer = table._writer
-    targets = {(sl.partition, sl.file_id): sl for sl in plan}
-    delta_paths = [view.abs(lf.path) for sl in plan
-                   for lf in sl.log_files_as_of(None)]
-    deltas = table.read_delta_files(delta_paths)
-
     instant = writer._begin(tl.LOGCOMPACTION)
     try:
+        view = table.view()
+        plan = [sl for sl in view.latest_slices(partitions=partitions)
+                if sl.base_file is not None
+                and len(sl.log_files_as_of(None)) >= min_log_files]
+        if not plan:
+            writer._abort_write(instant, [])
+            return None
+        targets = {(sl.partition, sl.file_id): sl for sl in plan}
+        delta_paths = [view.abs(lf.path) for sl in plan
+                       for lf in sl.log_files_as_of(None)]
+        deltas = table.read_delta_files(delta_paths)
         from ..writer import BUCKET, KIND
         fid_col = F.split(F.col(FILE_NAME), "_").getItem(0)
         write_df = (deltas

@@ -289,3 +289,93 @@ def test_uncapped_band_group_warns(spark, tmp_table_path, caplog):
         dd2.filter_batch(same).count()
     assert not any("max_band_rows" in r.message for r in caplog.records)
     dd2._release_pins()
+
+
+# --------------------------------------------- service plan/begin ordering
+
+
+def test_compaction_conflicts_with_commit_during_planning(
+        spark, orders, tmp_table_path, monkeypatch):
+    """A delta commit landing DURING compaction planning must abort the
+    compaction (WriteConflictError), not be silently shadowed by the new
+    base: the compacted base's instant sorts above the delta's
+    base_instant, so committing anyway would drop the delta's rows.
+    Before the round-11 fix, compact() planned BEFORE writer._begin, so
+    such a commit sorted at-or-below the conflict baseline and escaped
+    the check — this test pins plan-after-begin."""
+    from hoodie_spark import (HoodieTable, TableType, WriteConfig,
+                              WriteConflictError)
+    from hoodie_spark.config import WriteConcurrencyMode
+    import importlib
+    compact_mod = importlib.import_module(
+        'hoodie_spark.services.compact')
+
+    cfg = WriteConfig(concurrency_mode=WriteConcurrencyMode.OPTIMISTIC)
+    tbl = HoodieTable.create(
+        spark, tmp_table_path, "svc_race", ["o_orderkey"], "o_orderdate",
+        table_type=TableType.MERGE_ON_READ, write_config=cfg)
+    tbl.bulk_insert(orders.limit(300))
+    tbl.upsert(orders.limit(20).withColumn("o_orderstatus", F.lit("A")))
+
+    other = HoodieTable.load(spark, tmp_table_path, write_config=cfg)
+    real_plan = compact_mod.schedule_compaction
+
+    def plan_with_concurrent_commit(table, strategy=None, **kw):
+        plan = real_plan(table, strategy, **kw)
+        # a second writer commits a delta to the same file groups while
+        # this compaction is planning (i.e. after its _begin)
+        other.upsert(orders.limit(5).withColumn("o_orderstatus",
+                                                F.lit("B")))
+        return plan
+
+    monkeypatch.setattr(compact_mod, "schedule_compaction",
+                        plan_with_concurrent_commit)
+    with pytest.raises(WriteConflictError):
+        tbl.compact()
+    monkeypatch.setattr(compact_mod, "schedule_compaction", real_plan)
+    # the concurrent writer's rows are intact; no dangling instants
+    tbl2 = HoodieTable.load(spark, tmp_table_path)
+    assert tbl2.snapshot().filter("o_orderstatus = 'B'").count() == 5
+    assert tbl2.timeline.pending() == []
+    # and a retry (now planning over the new delta) succeeds and keeps it
+    assert tbl2.compact() is not None
+    assert tbl2.snapshot().filter("o_orderstatus = 'B'").count() == 5
+
+
+def test_clustering_conflicts_with_commit_during_planning(
+        spark, orders, tmp_table_path, monkeypatch):
+    """Same plan-after-begin rule for clustering: a commit landing during
+    the plan must conflict, or its file group would be marked replaced
+    with its rows absent from the rewrite."""
+    from hoodie_spark import (HoodieTable, WriteConfig, WriteConflictError)
+    from hoodie_spark.config import WriteConcurrencyMode
+    import importlib
+    cluster_mod = importlib.import_module(
+        'hoodie_spark.services.cluster')
+
+    cfg = WriteConfig(concurrency_mode=WriteConcurrencyMode.OPTIMISTIC)
+    tbl = HoodieTable.create(
+        spark, tmp_table_path, "cl_race", ["o_orderkey"], "o_orderdate",
+        partition_expr="cast(year(o_orderdate) as string)",
+        write_config=cfg)  # one small file group per year partition
+    tbl.bulk_insert(orders.limit(300))
+
+    other = HoodieTable.load(spark, tmp_table_path, write_config=cfg)
+    real_plan = cluster_mod.plan_clustering
+
+    def plan_with_concurrent_commit(table, *a, **kw):
+        plan = real_plan(table, *a, **kw)
+        other.upsert(orders.limit(5).withColumn("o_orderstatus",
+                                                F.lit("B")))
+        return plan
+
+    monkeypatch.setattr(cluster_mod, "plan_clustering",
+                        plan_with_concurrent_commit)
+    with pytest.raises(WriteConflictError):
+        tbl.cluster(sort_cols=["o_orderkey"])
+    monkeypatch.setattr(cluster_mod, "plan_clustering", real_plan)
+    tbl2 = HoodieTable.load(spark, tmp_table_path)
+    assert tbl2.snapshot().filter("o_orderstatus = 'B'").count() == 5
+    assert tbl2.timeline.pending() == []
+    assert tbl2.cluster(sort_cols=["o_orderkey"]) is not None
+    assert tbl2.snapshot().filter("o_orderstatus = 'B'").count() == 5
