@@ -606,3 +606,18 @@ def test_dsir_bucket_range_validated(spark):
     df = spark.createDataFrame([(1, "a b c")], "doc_id int, text string")
     with pytest.raises(ValueError, match="65536"):
         HF.dsir_logweights(df, df, "doc_id", "text", buckets=1 << 17)
+
+
+def test_dsir_self_target_is_identity(spark):
+    """p == q (target IS the corpus) makes every bucket's smoothed
+    log-ratio exactly 0, so every doc's weight is exactly 0.0 — the
+    estimator's null-calibration invariant."""
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate([
+            "alpha beta gamma delta epsilon zeta",
+            "one two three four five six seven",
+            "red orange yellow green blue indigo violet"])],
+        "doc_id int, text string")
+    out = HF.dsir_logweights(df, df, "doc_id", "text", buckets=256).collect()
+    assert len(out) == 3
+    assert all(r["log_weight"] == 0.0 for r in out)
