@@ -379,3 +379,102 @@ def test_clustering_conflicts_with_commit_during_planning(
     assert tbl2.timeline.pending() == []
     assert tbl2.cluster(sort_cols=["o_orderkey"]) is not None
     assert tbl2.snapshot().filter("o_orderstatus = 'B'").count() == 5
+
+
+_SVC_RACER = """
+import os, sys, time
+from pyspark.sql import SparkSession, functions as F
+from hoodie_spark import HoodieTable, WriteConfig, WriteConflictError
+from hoodie_spark.config import WriteConcurrencyMode
+
+path, sync_dir, me, other, role = sys.argv[1:6]
+spark = (SparkSession.builder.master("local[4]")
+         .config("spark.sql.shuffle.partitions", "4")
+         .config("spark.ui.enabled", "false")
+         .config("spark.sql.session.timeZone", "UTC").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+cfg = WriteConfig(concurrency_mode=WriteConcurrencyMode.OPTIMISTIC,
+                  lock_timeout_s=120.0)
+tbl = HoodieTable.load(spark, path, write_config=cfg)
+writer = tbl._writer
+orig_begin = writer._begin
+
+def begin_with_barrier(action):
+    inst = orig_begin(action)
+    open(os.path.join(sync_dir, "ready_" + me), "w").close()
+    deadline = time.time() + 120
+    while not os.path.exists(os.path.join(sync_dir, "ready_" + other)):
+        if time.time() > deadline:
+            print("BARRIER_TIMEOUT"); sys.exit(3)
+        time.sleep(0.05)
+    return inst
+
+writer._begin = begin_with_barrier
+try:
+    if role == "writer":
+        orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        tbl.upsert(orders.filter(F.col("o_orderkey") % 10 == 0)
+                   .withColumn("o_orderstatus", F.lit("W")))
+    else:
+        assert tbl.compact() is not None
+    print("COMMITTED")
+except WriteConflictError:
+    print("CONFLICT")
+"""
+
+
+def test_two_process_writer_vs_compaction_race(spark, orders,
+                                               tmp_table_path):
+    """REAL two-driver race between an upsert and a compaction on the
+    same file groups (both transactions provably begun before either
+    commits): exactly one wins, the loser aborts with WriteConflictError,
+    and the table stays consistent either way — the cross-process e2e
+    proof of the plan-after-begin fix."""
+    import os
+    import subprocess
+    import sys
+    import tempfile
+
+    from hoodie_spark import TableType, WriteConfig
+    from hoodie_spark.config import WriteConcurrencyMode
+
+    cfg = WriteConfig(concurrency_mode=WriteConcurrencyMode.OPTIMISTIC)
+    tbl = HoodieTable.create(
+        spark, tmp_table_path, "svc2p", ["o_orderkey"], "o_orderdate",
+        table_type=TableType.MERGE_ON_READ, write_config=cfg)
+    tbl.bulk_insert(orders)
+    n = orders.count()
+    # a delta so the compactor has a plan
+    tbl.upsert(orders.limit(20).withColumn("o_orderstatus", F.lit("A")))
+
+    sync_dir = tempfile.mkdtemp(prefix="svc_sync_")
+    script = tempfile.NamedTemporaryFile("w", suffix=".py", delete=False)
+    script.write(_SVC_RACER)
+    script.close()
+    env = dict(os.environ,
+               PYTHONPATH=os.path.dirname(os.path.dirname(
+                   os.path.abspath(__file__))))
+    procs = [subprocess.Popen(
+        [sys.executable, script.name, tmp_table_path, sync_dir, m, o, role],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+        env=env)
+        for m, o, role in (("A", "B", "writer"), ("B", "A", "service"))]
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    assert all(p.returncode == 0 for p in procs), outs
+    results = sorted(o.strip().splitlines()[-1] for o in outs)
+    assert results == ["COMMITTED", "CONFLICT"], outs
+
+    tbl2 = HoodieTable.load(spark, tmp_table_path)
+    snap = tbl2.snapshot().cache()
+    assert snap.count() == n  # neither outcome changes the key set
+    assert snap.groupBy("o_orderkey").count() \
+        .filter("count > 1").count() == 0
+    writer_out = outs[0].strip().splitlines()[-1]
+    if writer_out == "COMMITTED":
+        # the writer won: its rows must be durable (not shadowed)
+        assert snap.filter("o_orderstatus = 'W'").count() > 0
+    else:
+        # the compaction won: the setup delta must still be readable
+        assert snap.filter("o_orderstatus = 'A'").count() == 20
+    assert tbl2.timeline.pending() == []
+    snap.unpersist()
