@@ -1590,6 +1590,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                #    minhash_lsh/groups/incremental; key lookups via
                #    secondary_index_lookup)
                "tpch_q2": "cow_time_travel",
+               # Round-12 rotation (VERDICT r11 task #1): dsir_select —
+               # the single queries() entry never driver-recorded (added
+               # in r11 past the window) — enters against tpch_q2, which
+               # got its driver record in r11; TPC-H stays heavily
+               # in-window (q11/q16/q20/q21 recorded in r11, the other
+               # 17 in earlier rounds) and the displaced q2 is
+               # re-verified via tools/check_oracle.py (PLANS.md). After
+               # this swap all 110 declared queries have driver records.
+               "dsir_select": "tpch_q2",
                "tpch_q11": "events_window",
                "tpch_q16": "mor_compaction",
                "tpch_q20": "dedup_exact",

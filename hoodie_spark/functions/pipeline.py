@@ -572,14 +572,22 @@ def dsir_logweights(corpus: DataFrame, target: DataFrame, id_col: str,
     driver-side from those bounded rows (<= 2*buckets, never corpus-
     scaled) and broadcast into a single map+agg scoring pass. No
     corpus-sized shuffle except the final groupBy(id) with partial
-    aggregation."""
-    def counts(df):
-        return (df.select(F.explode(
-                    _hashed_gram_buckets(text_col, buckets)).alias("b"))
-                .groupBy("b").agg(F.count(F.lit(1)).alias("c")).collect())
-
-    tgt = {r["b"]: r["c"] for r in counts(target)}
-    raw = {r["b"]: r["c"] for r in counts(corpus)}
+    aggregation. The exploded corpus grams are PERSISTED across the
+    census and scoring passes (the :class:`StageCache` pattern, handle
+    on the result's ``_stage_cache``), so the corpus is tokenized and
+    hashed exactly ONCE — at 100 TB the tokenize+hash scan dominates
+    both passes."""
+    cache = StageCache()
+    ex = cache.pin(corpus.select(F.col(id_col), F.explode(
+        _hashed_gram_buckets(text_col, buckets)).alias("b")))
+    tgt = {r["b"]: r["c"] for r in (
+        target.select(F.explode(
+            _hashed_gram_buckets(text_col, buckets)).alias("b"))
+        .groupBy("b").agg(F.count(F.lit(1)).alias("c")).collect())}
+    # the corpus census materializes the persisted grams; scoring below
+    # re-reads them from cache instead of re-running tokenize+hash
+    raw = {r["b"]: r["c"] for r in (
+        ex.groupBy("b").agg(F.count(F.lit(1)).alias("c")).collect())}
     t_total, c_total = sum(tgt.values()), sum(raw.values())
     spark = corpus.sparkSession
     # log-ratio computed as a Spark expression over the bounded literal
@@ -594,13 +602,13 @@ def dsir_logweights(corpus: DataFrame, target: DataFrame, id_col: str,
                       / F.lit(float(t_total + buckets)))
                 - F.log((F.col("cc") + F.lit(1.0))
                         / F.lit(float(c_total + buckets))), 6).alias("lr"))
-    ex = corpus.select(F.col(id_col), F.explode(
-        _hashed_gram_buckets(text_col, buckets)).alias("b"))
-    return (ex.join(F.broadcast(lr), "b")
-            .groupBy(id_col)
-            .agg(F.count(F.lit(1)).alias("n_grams"),
-                 F.sum(F.col("lr").cast("decimal(18,6)"))
-                 .cast("double").alias("log_weight")))
+    out = (ex.join(F.broadcast(lr), "b")
+           .groupBy(id_col)
+           .agg(F.count(F.lit(1)).alias("n_grams"),
+                F.sum(F.col("lr").cast("decimal(18,6)"))
+                .cast("double").alias("log_weight")))
+    out._stage_cache = cache  # grams stay pinned while a caller can act
+    return out
 
 
 def dsir_select(corpus: DataFrame, target: DataFrame, id_col: str,
@@ -611,7 +619,10 @@ def dsir_select(corpus: DataFrame, target: DataFrame, id_col: str,
     The global top-k is a TakeOrderedAndProject (per-partition heaps +
     one k-row merge), never a full sort."""
     w = dsir_logweights(corpus, target, id_col, text_col, buckets)
-    return (w.orderBy(F.desc("log_weight"), F.asc(id_col)).limit(k))
+    out = w.orderBy(F.desc("log_weight"), F.asc(id_col)).limit(k)
+    # carry the grams pin onto the frame the caller actually acts on
+    out._stage_cache = w._stage_cache
+    return out
 
 
 class StageCache:

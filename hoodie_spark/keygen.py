@@ -117,13 +117,19 @@ def custom_partition_expr(spec: str,
                 f"custom partition spec segment {part!r} is not in "
                 "'field:type' form (types: simple, timestamp)")
         field, ktype = pieces[0], pieces[1].lower()
+        # NULL field values render as the reference's 'default' segment
+        # (CustomAvroKeyGenerator emits DEFAULT_PARTITION_PATH per part) —
+        # without the coalesce, concat_ws would DROP the null segment and
+        # collapse 'a/NULL/c' into a different partition's path 'a/c'
         if ktype == "simple":
-            segs.append(f"cast(`{field}` as string)")
+            segs.append(f"coalesce(cast(`{field}` as string), 'default')")
         elif ktype in ("timestamp", "timestampbased", "timestamp_based"):
             fmt = (timestamp_format.get(field, "yyyy/MM/dd")
                    if isinstance(timestamp_format, dict) else timestamp_format)
+            fmt = fmt.replace("'", "''")  # quote-safe SQL literal
             segs.append(
-                f"date_format(cast(`{field}` as timestamp), '{fmt}')")
+                f"coalesce(date_format(cast(`{field}` as timestamp), "
+                f"'{fmt}'), 'default')")
         else:
             raise ValueError(
                 f"unknown PartitionKeyType {ktype!r} for field {field!r} "

@@ -773,7 +773,12 @@ def _exec_call(spark, sql: str, tables: dict):
                     "p90 long, max long, avg long, total long")
 
         def pct(p):
-            return sizes[min(len(sizes) - 1, int(p * len(sizes)))]
+            # standard nearest-rank percentile: ceil(p*n)-th smallest
+            # (int(p*n) indexes one rank high — p90 of 10 files would
+            # return the max, diverging from StatsCommand's Snapshot)
+            import math
+            return sizes[min(len(sizes) - 1,
+                             max(0, math.ceil(p * len(sizes)) - 1))]
 
         row = (len(sizes), sizes[0], pct(0.1), pct(0.5), pct(0.9),
                sizes[-1], int(sum(sizes) / len(sizes)), sum(sizes))

@@ -494,9 +494,16 @@ class IncrementalDeduper:
             dst = os.path.join(self.dir, sub, f"gen-{new_g:06d}")
             # overwrite: a crashed prior compact may have left a partial
             # copy at this same generation (pointer never swapped to it)
+            # retained-row count observed INSIDE the write job (the fold
+            # runs exactly once per sub-store; a post-write count() would
+            # re-evaluate the whole groupBy over the old state)
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            folded = folded.observe(obs, F.count(F.lit(1)).alias("n"))
             (folded.repartition(F.col("bucket"))
              .write.partitionBy("bucket").mode("overwrite").parquet(dst))
-            total += folded.count()
+            total += obs.get["n"]
             self._gens[sub] = new_g
         self._publish_state(mark)  # the atomic pointer swap
         self._sweep_stale()

@@ -300,7 +300,13 @@ class Ingestor:
                         self._dedup_batches % self.compact_state_every == 0:
                     retain = None
                     if self.state_retention_instants:
-                        insts = self.table.timeline.completed()
+                        # DATA instants only: clean/rollback/savepoint
+                        # actions must not shrink the effective dedup
+                        # window (retention is documented as "N completed
+                        # data instants")
+                        from .. import timeline as tl
+                        insts = self.table.timeline.completed(
+                            tl.DATA_ACTIONS)
                         n = self.state_retention_instants
                         if len(insts) > n:
                             retain = insts[-n].timestamp

@@ -180,7 +180,8 @@ def test_custom_keygen_mixed_field_types(spark, orders, tmp_table_path):
 
 def test_custom_keygen_spec_validation():
     assert custom_partition_expr("") == "''"  # non-partitioned
-    assert custom_partition_expr("a:simple") == "cast(`a` as string)"
+    assert custom_partition_expr("a:simple") == \
+        "coalesce(cast(`a` as string), 'default')"  # NULL -> 'default'
     with pytest.raises(ValueError, match="field:type"):
         custom_partition_expr("just_a_field")
     with pytest.raises(ValueError, match="PartitionKeyType"):

@@ -5,8 +5,11 @@ upscale of a base sf dir and report per-row minima, so "designed for
 
 Usage::
 
-    python tools/scale_probe.py [base_sf_dir] [factor] [runs]
-    # defaults: /root/testdata/sf0.1  10  2
+    python tools/scale_probe.py [base_sf_dir] [factor] [runs] [rows_csv]
+    # defaults: /root/testdata/sf0.1  10  2  (all rows)
+    # rows_csv: comma list of row names to probe (e.g.
+    # "simhash_dedup,semantic_dedup" for the x100 near-linear-row probe)
+    # — only the tables those rows read are replicated/built.
 
 The upscale replicates each table ``factor`` times with shifted keys.
 Replica text is salted (every 7th word tagged with the replica index) so
@@ -32,18 +35,40 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def build_upscale(spark, base: str, factor: int, out: str) -> None:
+ALL_TABLES = ("documents", "embeddings", "orders", "lineitem")
+
+# which upscaled tables each probe row reads (rows not listed here only
+# need `documents`)
+ROW_TABLES = {
+    "bulk_insert": {"orders"}, "upsert": {"orders"},
+    "cow_snapshot": {"orders"}, "clustering": {"orders"},
+    "mor_snapshot": {"orders"}, "mor_compaction": {"orders"},
+    "mor_ro_read": {"orders"},
+    "tpch_q1": {"orders", "lineitem"}, "tpch_q6": {"orders", "lineitem"},
+    "tpch_q4": {"orders", "lineitem"},
+    "semantic_dedup": {"embeddings"}, "ann_int8": {"embeddings"},
+}
+
+
+def tables_for(only: set | None) -> set:
+    if only is None:
+        return set(ALL_TABLES)
+    need = set()
+    for row in only:
+        need |= ROW_TABLES.get(row, {"documents"})
+    return need
+
+
+def build_upscale(spark, base: str, factor: int, out: str,
+                  tables: set | None = None) -> None:
     from pyspark.sql import functions as F
 
     from hoodie_spark.sources import load_table
 
+    tables = set(ALL_TABLES) if tables is None else set(tables)
+    if "lineitem" in tables:
+        tables.add("orders")  # FK stride comes from the orders key space
     os.makedirs(out, exist_ok=True)
-    docs = load_table(spark, base, "documents")
-    emb = load_table(spark, base, "embeddings")
-    orders = load_table(spark, base, "orders")
-    n_docs = docs.agg(F.max("doc_id")).first()[0] + 1
-    n_emb = emb.agg(F.max("vec_id")).first()[0] + 1
-    n_ord = orders.agg(F.max("o_orderkey")).first()[0] + 1
 
     def replicas(df, key, n, mutate=None):
         parts = []
@@ -74,24 +99,35 @@ def build_upscale(spark, base: str, factor: int, out: str) -> None:
             F.transform(F.col("embedding"),
                         lambda x: x + F.lit(0.003 * ((i % 5) + 1))))
 
-    replicas(docs, "doc_id", n_docs, salt_text) \
-        .coalesce(8).write.mode("overwrite") \
-        .parquet(os.path.join(out, "documents.parquet"))
-    replicas(emb, "vec_id", n_emb, perturb_emb) \
-        .coalesce(8).write.mode("overwrite") \
-        .parquet(os.path.join(out, "embeddings.parquet"))
-    replicas(orders, "o_orderkey", n_ord) \
-        .coalesce(8).write.mode("overwrite") \
-        .parquet(os.path.join(out, "orders.parquet"))
-    # lineitem shifts l_orderkey by the SAME stride as orders so the
-    # orders<->lineitem FK alignment (TPC-H joins) survives the upscale
-    lineitem = load_table(spark, base, "lineitem")
-    replicas(lineitem, "l_orderkey", n_ord) \
-        .coalesce(16).write.mode("overwrite") \
-        .parquet(os.path.join(out, "lineitem.parquet"))
+    nparts = max(8, factor)  # keep partitions executor-memory-sized at x100
+    if "documents" in tables:
+        docs = load_table(spark, base, "documents")
+        n_docs = docs.agg(F.max("doc_id")).first()[0] + 1
+        replicas(docs, "doc_id", n_docs, salt_text) \
+            .coalesce(nparts).write.mode("overwrite") \
+            .parquet(os.path.join(out, "documents.parquet"))
+    if "embeddings" in tables:
+        emb = load_table(spark, base, "embeddings")
+        n_emb = emb.agg(F.max("vec_id")).first()[0] + 1
+        replicas(emb, "vec_id", n_emb, perturb_emb) \
+            .coalesce(nparts).write.mode("overwrite") \
+            .parquet(os.path.join(out, "embeddings.parquet"))
+    if "orders" in tables:
+        orders = load_table(spark, base, "orders")
+        n_ord = orders.agg(F.max("o_orderkey")).first()[0] + 1
+        replicas(orders, "o_orderkey", n_ord) \
+            .coalesce(nparts).write.mode("overwrite") \
+            .parquet(os.path.join(out, "orders.parquet"))
+    if "lineitem" in tables:
+        # lineitem shifts l_orderkey by the SAME stride as orders so the
+        # orders<->lineitem FK alignment (TPC-H joins) survives the upscale
+        lineitem = load_table(spark, base, "lineitem")
+        replicas(lineitem, "l_orderkey", n_ord) \
+            .coalesce(2 * nparts).write.mode("overwrite") \
+            .parquet(os.path.join(out, "lineitem.parquet"))
 
 
-def probe_once(spark, sf_dir: str) -> dict:
+def probe_once(spark, sf_dir: str, only: set | None = None) -> dict:
     from pyspark.sql import functions as F
 
     from hoodie_spark import HoodieTable
@@ -101,7 +137,12 @@ def probe_once(spark, sf_dir: str) -> dict:
 
     timings: dict[str, float] = {}
 
+    def want(*names):
+        return only is None or any(n in only for n in names)
+
     def timed(name, fn):
+        if not want(name):
+            return None
         # isolate rows from each other: the dedup/ANN operators pin
         # intermediates (persist) that otherwise accumulate across rows
         # and skew later rows via memory pressure (measured: second-run
@@ -112,60 +153,78 @@ def probe_once(spark, sf_dir: str) -> dict:
         timings[name] = round(time.time() - t0, 3)
         return out
 
-    orders = load_table(spark, sf_dir, "orders")
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    emb = load_table(spark, sf_dir, "embeddings")
+    docs = None
+    if want("exact_dedup", "minhash_dedup", "simhash_dedup",
+            "containment_dedup", "dsir_select", "incremental_dedup"):
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text")
     work = tempfile.mkdtemp(prefix="scale_probe_")
     try:
-        tbl = HoodieTable.create(
-            spark, os.path.join(work, "orders"), "orders_sp",
-            ["o_orderkey"], "o_orderdate",
-            partition_expr="cast(year(o_orderdate) as string)")
-        timed("bulk_insert", lambda: tbl.bulk_insert(orders))
-        upd = (orders.filter(F.col("o_orderkey") % 10 == 0)
-               .withColumn("o_orderstatus", F.lit("X")))
-        timed("upsert", lambda: tbl.upsert(upd))
-        # ---- reads + table services at scale (VERDICT r10 task #2):
-        # the read-side parity bar is the per-slice MOR merge
-        # (HoodieMergeOnReadRDD.scala:72-76) — snapshot cost must track
-        # the DIRTY slices, not the table size
-        timed("cow_snapshot", lambda: tbl.snapshot().count())
-        timed("clustering",
-              lambda: tbl.cluster(sort_cols=["o_orderkey"]))
-        from hoodie_spark import TableType
-        mor = HoodieTable.create(
-            spark, os.path.join(work, "orders_mor"), "orders_mor_sp",
-            ["o_orderkey"], "o_orderdate", table_type=TableType.MERGE_ON_READ,
-            partition_expr="cast(year(o_orderdate) as string)")
-        mor.bulk_insert(orders)
-        mor.upsert(upd)  # delta log -> dirty slices for the merge read
-        timed("mor_snapshot", lambda: mor.snapshot().count())
-        timed("mor_compaction", lambda: mor.compact())
-        timed("mor_ro_read", lambda: mor.read_optimized().count())
-        # ---- 3 representative TPC-H plans over the upscaled parquet:
-        # q1 (scan+agg), q6 (pushdown filter+agg), q4 (orders|x|lineitem
-        # exists-join). Plan scaling, same SQL the bench runs.
-        import __spark_entry__ as entry
-        lineitem = load_table(spark, sf_dir, "lineitem")
-        orders.createOrReplaceTempView("sp_orders")
-        lineitem.createOrReplaceTempView("sp_lineitem")
-        for qn in ("tpch_q1", "tpch_q6", "tpch_q4"):
-            sql = entry.TPCH_SQL[qn].format(l="sp_lineitem", o="sp_orders")
-            timed(qn, lambda s=sql: spark.sql(s).collect())
+        if want("bulk_insert", "upsert", "cow_snapshot", "clustering",
+                "mor_snapshot", "mor_compaction", "mor_ro_read",
+                "tpch_q1", "tpch_q6", "tpch_q4"):
+            orders = load_table(spark, sf_dir, "orders")
+            upd = (orders.filter(F.col("o_orderkey") % 10 == 0)
+                   .withColumn("o_orderstatus", F.lit("X")))
+        if want("bulk_insert", "upsert", "cow_snapshot", "clustering"):
+            tbl = HoodieTable.create(
+                spark, os.path.join(work, "orders"), "orders_sp",
+                ["o_orderkey"], "o_orderdate",
+                partition_expr="cast(year(o_orderdate) as string)")
+            timed("bulk_insert", lambda: tbl.bulk_insert(orders))
+            timed("upsert", lambda: tbl.upsert(upd))
+            # ---- reads + table services at scale (VERDICT r10 task #2):
+            # the read-side parity bar is the per-slice MOR merge
+            # (HoodieMergeOnReadRDD.scala:72-76) — snapshot cost must track
+            # the DIRTY slices, not the table size
+            timed("cow_snapshot", lambda: tbl.snapshot().count())
+            timed("clustering",
+                  lambda: tbl.cluster(sort_cols=["o_orderkey"]))
+        if want("mor_snapshot", "mor_compaction", "mor_ro_read"):
+            from hoodie_spark import TableType
+            mor = HoodieTable.create(
+                spark, os.path.join(work, "orders_mor"), "orders_mor_sp",
+                ["o_orderkey"], "o_orderdate",
+                table_type=TableType.MERGE_ON_READ,
+                partition_expr="cast(year(o_orderdate) as string)")
+            mor.bulk_insert(orders)
+            mor.upsert(upd)  # delta log -> dirty slices for the merge read
+            timed("mor_snapshot", lambda: mor.snapshot().count())
+            timed("mor_compaction", lambda: mor.compact())
+            timed("mor_ro_read", lambda: mor.read_optimized().count())
+        if want("tpch_q1", "tpch_q6", "tpch_q4"):
+            # ---- 3 representative TPC-H plans over the upscaled parquet:
+            # q1 (scan+agg), q6 (pushdown filter+agg), q4 (orders|x|
+            # lineitem exists-join). Plan scaling, same SQL the bench runs.
+            import __spark_entry__ as entry
+            lineitem = load_table(spark, sf_dir, "lineitem")
+            orders.createOrReplaceTempView("sp_orders")
+            lineitem.createOrReplaceTempView("sp_lineitem")
+            for qn in ("tpch_q1", "tpch_q6", "tpch_q4"):
+                sql = entry.TPCH_SQL[qn].format(
+                    l="sp_lineitem", o="sp_orders")
+                timed(qn, lambda s=sql: spark.sql(s).collect())
         timed("exact_dedup",
               lambda: HF.exact_dedup(docs, ["text"], "doc_id").count())
         timed("minhash_dedup", lambda: HF.minhash_candidate_pairs(
             docs, "doc_id", "text").count())
         timed("simhash_dedup", lambda: HF.simhash_dup_pairs(
             docs, "doc_id", "text", bits=32, max_distance=3).count())
-        # hold EXPECTED CLUSTER SIZE constant across scales (the operator's
-        # documented contract: n_clusters ~ corpus size / target cluster
-        # size) — a fixed n_clusters at 10x data would measure quadratic
-        # within-cluster growth, i.e. the documented anti-pattern
-        n_vec = emb.count()
-        timed("semantic_dedup", lambda: HF.semantic_dedup(
-            emb, "vec_id", "embedding", n_clusters=max(16, n_vec // 125),
-            threshold=0.99).count())
+        if want("semantic_dedup", "ann_int8"):
+            emb = load_table(spark, sf_dir, "embeddings")
+            # hold EXPECTED CLUSTER SIZE constant across scales (the
+            # operator's documented contract: n_clusters ~ corpus size /
+            # target cluster size) — a fixed n_clusters at 10x data would
+            # measure quadratic within-cluster growth, i.e. the documented
+            # anti-pattern
+            n_vec = emb.count()
+            timed("semantic_dedup", lambda: HF.semantic_dedup(
+                emb, "vec_id", "embedding",
+                n_clusters=max(16, n_vec // 125),
+                threshold=0.99).count())
+            queries = emb.filter(F.col("vec_id") % 997 == 0)  # ~n/1000
+            timed("ann_int8", lambda: HF.int8_topk(
+                emb, queries, "vec_id", "embedding", k=10).count())
         # guarded path: the EXACT join goes quadratic on the synthetic
         # template corpus (measured: 19.7 s at sf0.1 -> 558 s + OOM at
         # x10 — PLANS round 10); the hot-shingle cap is the documented
@@ -173,31 +232,30 @@ def probe_once(spark, sf_dir: str) -> dict:
         timed("containment_dedup", lambda: HF.containment_dedup_pairs(
             docs, "doc_id", "text", threshold=0.9,
             max_prefix_df=64).count())
-        queries = emb.filter(F.col("vec_id") % 997 == 0)  # ~n/1000 queries
-        timed("ann_int8", lambda: HF.int8_topk(
-            emb, queries, "vec_id", "embedding", k=10).count())
         # DSIR: target = a fixed slice of the corpus; cost model is two
         # bounded aggs + one broadcast scoring pass, so it must scale
         # like a pair of corpus scans
         timed("dsir_select", lambda: HF.dsir_select(
             docs, docs.filter(F.col("doc_id") % 10 == 0), "doc_id",
             "text", k=200).count())
-        inc_tbl = HoodieTable.create(
-            spark, os.path.join(work, "docs_inc"), "docs_inc_sp",
-            ["doc_id"], None)
-        dd = IncrementalDeduper(inc_tbl, "doc_id", "text", threshold=0.8)
-        seed = docs.filter(F.col("doc_id") % 2 == 0)
-        inc_tbl.insert(dd.filter_batch(seed))
-        dd.advance(seed)
-        batch2 = (docs.filter(F.col("doc_id") % 2 == 1)
-                  .unionByName(seed.select(
-                      (F.col("doc_id") + 100_000_000).alias("doc_id"),
-                      "text")))
+        if want("incremental_dedup"):
+            inc_tbl = HoodieTable.create(
+                spark, os.path.join(work, "docs_inc"), "docs_inc_sp",
+                ["doc_id"], None)
+            dd = IncrementalDeduper(inc_tbl, "doc_id", "text",
+                                    threshold=0.8)
+            seed = docs.filter(F.col("doc_id") % 2 == 0)
+            inc_tbl.insert(dd.filter_batch(seed))
+            dd.advance(seed)
+            batch2 = (docs.filter(F.col("doc_id") % 2 == 1)
+                      .unionByName(seed.select(
+                          (F.col("doc_id") + 100_000_000).alias("doc_id"),
+                          "text")))
 
-        def inc_round():
-            inc_tbl.insert(dd.filter_batch(batch2))
-            dd.advance(batch2)
-        timed("incremental_dedup", inc_round)
+            def inc_round():
+                inc_tbl.insert(dd.filter_batch(batch2))
+                dd.advance(batch2)
+            timed("incremental_dedup", inc_round)
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return timings
@@ -207,6 +265,8 @@ def main() -> None:
     base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     factor = int(sys.argv[2]) if len(sys.argv) > 2 else 10
     runs = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    only = (set(sys.argv[4].split(",")) if len(sys.argv) > 4
+            and sys.argv[4] else None)
 
     from pyspark.sql import SparkSession
 
@@ -219,20 +279,22 @@ def main() -> None:
              .config("spark.ui.enabled", "false").getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
 
+    need = tables_for(only)
     if factor == 1:
         sf_dir = base
     else:
         sf_dir = f"/tmp/scale_probe_{factor}x_{os.path.basename(base.rstrip('/'))}"
-        if not all(os.path.exists(os.path.join(sf_dir, f"{t}.parquet"))
-                   for t in ("orders", "lineitem", "documents",
-                             "embeddings")):
+        missing = {t for t in need
+                   if not os.path.exists(os.path.join(sf_dir,
+                                                      f"{t}.parquet"))}
+        if missing:
             t0 = time.time()
-            build_upscale(spark, base, factor, sf_dir)
-            print(json.dumps({"built": sf_dir,
+            build_upscale(spark, base, factor, sf_dir, tables=missing)
+            print(json.dumps({"built": sf_dir, "tables": sorted(missing),
                               "sec": round(time.time() - t0, 1)}))
     all_runs = []
     for r in range(runs):
-        t = probe_once(spark, sf_dir)
+        t = probe_once(spark, sf_dir, only=only)
         all_runs.append(t)
         print(json.dumps({"run": r, "timings": t}))
     minima = {k: min(t[k] for t in all_runs) for k in all_runs[0]}
