@@ -1451,6 +1451,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                               "doc_id", "text", k=200)
     q["dsir_select"] = _q_dsir
 
+    # ---- hard-negative mining (round 12, contrastive-training primitive):
+    # for each query vector, the k most-cosine-similar corpus vectors with
+    # a DIFFERENT label (functions/similarity.hard_negative_mine — exact
+    # baseline; hard_negative_mine_ivf is the inverted-list scale path).
+    # Defined at the END so existing window positions are untouched; the
+    # promote swap below rotates it in.
+    q["hard_negatives"] = lambda s, d: HF.hard_negative_mine(
+        load_table(s, d, "embeddings"),
+        load_table(s, d, "embeddings").filter(F.col("vec_id") < 10),
+        "vec_id", "embedding", "label", k=10).select(
+            "query_id", "neighbor_id", "neighbor_label", "rank")
+
     # ---- 50-row window curation: the driver records CORRECTNESS for the
     # FIRST 50 queries only. Swap this round's new UNIQUE operators into
     # the window in place of close variants of still-in-window rows
@@ -1599,6 +1611,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                # re-verified via tools/check_oracle.py (PLANS.md). After
                # this swap all 110 declared queries have driver records.
                "dsir_select": "tpch_q2",
+               # hard_negatives (new unique operator this round) enters
+               # against hash_sample, whose sampling family keeps
+               # stratified_sample + source_mix_sample in-window (all
+               # three got driver records in r11); displaced row
+               # re-verified via tools/check_oracle.py (PLANS.md)
+               "hard_negatives": "hash_sample",
                "tpch_q11": "events_window",
                "tpch_q16": "mor_compaction",
                "tpch_q20": "dedup_exact",
@@ -2749,6 +2767,28 @@ scored AS (
 )
 SELECT query_id, neighbor_id, rank FROM (
   SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 10
+"""
+    # hard-negative mining: the ann_brute_force shape with a cross-label
+    # filter; NULL labels excluded from both sides (unknown class can't
+    # be asserted negative); same (cos DESC, neighbor_id) tie-break
+    o["hard_negatives"] = f"""
+WITH {_vecs},
+lab AS (SELECT vec_id, label FROM embeddings WHERE label IS NOT NULL),
+c AS (SELECT n.vec_id, n.ve, n.nrm, l.label FROM n JOIN lab l USING (vec_id)),
+q AS (SELECT * FROM c WHERE vec_id < 10),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         c.label AS neighbor_label,
+         list_sum(list_transform(range(1, 65),
+           i -> c.ve[CAST(i AS INT)] * q.ve[CAST(i AS INT)])) / (c.nrm * q.nrm) AS cos
+  FROM c CROSS JOIN q WHERE c.label <> q.label
+)
+SELECT query_id, neighbor_id, neighbor_label, rank FROM (
+  SELECT query_id, neighbor_id, neighbor_label,
          row_number() OVER (PARTITION BY query_id
                             ORDER BY cos DESC, neighbor_id) AS rank
   FROM scored

@@ -166,6 +166,8 @@ def run_suite(spark, sf_dir: str) -> dict[str, float]:
         emb, queries_df, "vec_id", "embedding", k=10, shortlist=30).count())
     timed("ann_int8")(lambda: HF.int8_topk(
         emb, queries_df, "vec_id", "embedding", k=10).count())
+    timed("hard_negatives")(lambda: HF.hard_negative_mine(
+        emb, queries_df, "vec_id", "embedding", "label", k=10).count())
     int8_idx = os.path.join(work, "int8_idx")
     timed("ann_int8_build")(lambda: HF.write_int8_index(
         emb, "vec_id", "embedding", int8_idx))

@@ -64,6 +64,8 @@ from .similarity import (
     int8_topk_from_index,
     random_projection,
     brute_force_topk,
+    hard_negative_mine,
+    hard_negative_mine_ivf,
     lsh_bucket_topk,
     ivf_topk,
     pq_codebooks,
@@ -114,7 +116,8 @@ __all__ = [
     "seen_dedup", "doc_features", "min_sig_matches", "sig_agreement",
     "lsh_plan",
     "bounded_self_pairs",
-    "dot", "l2_norm", "cosine", "brute_force_topk", "lsh_bucket_topk",
+    "dot", "l2_norm", "cosine", "brute_force_topk", "hard_negative_mine",
+    "hard_negative_mine_ivf", "lsh_bucket_topk",
     "ivf_topk", "pq_codebooks", "pq_codebooks_trained", "pq_encode",
     "pq_reconstruct", "pq_topk", "write_pq_index", "write_ivfpq_index",
     "ivfpq_topk_from_index", "knn_classify", "cluster_balanced_sample",

@@ -40,6 +40,7 @@ __all__ = [
     "ivfpq_topk_from_index", "knn_classify",
     "quantize_embeddings", "int8_topk", "write_int8_index",
     "int8_topk_from_index",
+    "hard_negative_mine", "hard_negative_mine_ivf",
 ]
 
 
@@ -173,6 +174,95 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos")
     )
+
+
+def hard_negative_mine(corpus: DataFrame, queries: DataFrame, id_col: str,
+                       vec_col: str, label_col: str, k: int = 10,
+                       min_cos: float | None = None,
+                       max_cos: float | None = None) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    vector, the ``k`` most-cosine-similar corpus vectors whose
+    ``label_col`` DIFFERS from the query's — the negatives a contrastive
+    loss learns the most from. Returns ``(query_id, neighbor_id,
+    neighbor_label, rank, cos)``, rank 1 = hardest.
+
+    ``min_cos`` keeps only semi-hard negatives above a similarity floor
+    (easy negatives contribute ~zero gradient); ``max_cos`` drops
+    near-identical cross-label pairs (above ~0.95 they are usually
+    mislabeled positives — the standard false-negative guard). Rows with
+    a NULL label are excluded from BOTH sides: an unknown class can't be
+    asserted to be a negative.
+
+    Scale: same contract as :func:`brute_force_topk` — broadcast the
+    (bounded) query batch, map-side nested loop over the corpus, per-query
+    top-k via WindowGroupLimit (per-partition heaps; no global sort). For
+    full-corpus mining at 100 TB, run per query-shard or use
+    :func:`hard_negative_mine_ivf`, which probes inverted lists instead
+    of scanning the corpus per query."""
+    def prep(df, p):
+        v = F.col(vec_col).cast("array<double>")
+        return (df.filter(F.col(label_col).isNotNull())
+                .select(F.col(id_col).alias(f"{p}_id"),
+                        v.alias(f"{p}_v"), l2_norm(v).alias(f"{p}_n"),
+                        F.col(label_col).alias(f"{p}_lab")))
+
+    c, q = prep(corpus, "c"), prep(queries, "q")
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("c_lab") != F.col("q_lab"))
+        .select(F.col("q_id").alias("query_id"),
+                F.col("c_id").alias("neighbor_id"),
+                F.col("c_lab").alias("neighbor_label"),
+                (dot("c_v", "q_v")
+                 / (F.col("c_n") * F.col("q_n"))).alias("cos")))
+    if min_cos is not None:
+        scored = scored.filter(F.col("cos") >= min_cos)
+    if max_cos is not None:
+        scored = scored.filter(F.col("cos") <= max_cos)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"),
+                                               F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "neighbor_label",
+                    "rank", "cos"))
+
+
+def hard_negative_mine_ivf(corpus: DataFrame, queries: DataFrame,
+                           id_col: str, vec_col: str, label_col: str,
+                           k: int = 10, oversample: int = 4,
+                           n_centroids: int = 16, n_probe: int = 4,
+                           min_cos: float | None = None,
+                           max_cos: float | None = None,
+                           centroids: DataFrame | None = None) -> DataFrame:
+    """Approximate hard-negative mining at corpus scale: retrieve
+    ``k * oversample`` IVF candidates per query (inverted-list probes —
+    corpus work is one bucketed map pass, never a per-query scan), then
+    label-filter and re-rank to ``k``. Oversampling absorbs the
+    same-label candidates the filter removes; raise it if queries sit in
+    single-label-dominated clusters. Same output schema and tie-break as
+    :func:`hard_negative_mine` (the exact baseline for recall checks)."""
+    lab = lambda df, name, out: df.select(  # noqa: E731
+        F.col(id_col).alias(name), F.col(label_col).alias(out))
+    cand = ivf_topk(corpus, queries, id_col, vec_col, k=k * oversample,
+                    n_centroids=n_centroids, n_probe=n_probe,
+                    centroids=centroids)
+    scored = (
+        cand.join(lab(corpus, "neighbor_id", "neighbor_label"),
+                  "neighbor_id")
+        .join(F.broadcast(lab(queries, "query_id", "__qlab")), "query_id")
+        .filter(F.col("neighbor_label").isNotNull()
+                & F.col("__qlab").isNotNull()
+                & (F.col("neighbor_label") != F.col("__qlab"))))
+    if min_cos is not None:
+        scored = scored.filter(F.col("cos") >= min_cos)
+    if max_cos is not None:
+        scored = scored.filter(F.col("cos") <= max_cos)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"),
+                                               F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "neighbor_label",
+                    "rank", "cos"))
 
 
 def lsh_bucket_topk(corpus: DataFrame, queries: DataFrame, id_col: str,

@@ -435,3 +435,82 @@ def test_int8_index_probe_equals_direct(spark, emb, tmp_table_path):
                                    "embedding", k=10) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "int8_idx" in plan
+
+
+# ----------------------------------------------------- hard negatives
+
+
+def test_hard_negatives_all_cross_label_and_ranked(spark, emb):
+    """Every mined negative has a different label than its query, ranks
+    are 1..k dense per query, and rank order follows cosine DESC with
+    neighbor_id tie-break (the brute_force_topk contract)."""
+    queries = emb.filter(F.col("vec_id") < 6)
+    out = HF.hard_negative_mine(emb, queries, "vec_id", "embedding",
+                                "label", k=8).collect()
+    qlab = {r.vec_id: r.label for r in queries.collect()}
+    by_q = {}
+    for r in out:
+        assert r.neighbor_label != qlab[r.query_id]
+        by_q.setdefault(r.query_id, []).append((r.rank, r.cos,
+                                                r.neighbor_id))
+    for q, rows in by_q.items():
+        rows.sort()
+        assert [r[0] for r in rows] == list(range(1, len(rows) + 1))
+        coss = [r[1] for r in rows]
+        assert coss == sorted(coss, reverse=True)
+
+
+def test_hard_negatives_never_harder_than_unfiltered_top(spark, emb):
+    """The hardest negative can't beat the unfiltered top-1: mining is
+    brute_force_topk restricted to cross-label pairs."""
+    queries = emb.filter(F.col("vec_id") < 4)
+    neg = {r.query_id: r.cos for r in HF.hard_negative_mine(
+        emb, queries, "vec_id", "embedding", "label", k=1).collect()}
+    top = {r.query_id: r.cos for r in HF.brute_force_topk(
+        emb, queries, "vec_id", "embedding", k=1).collect()}
+    for q in neg:
+        assert neg[q] <= top[q] + 1e-12
+
+
+def test_hard_negatives_cos_band_and_null_labels(spark):
+    """min_cos/max_cos bound the mined band; NULL-label rows are
+    excluded from both sides (unknown class is not assertable)."""
+    rows = [(0, [1.0, 0.0], 0), (1, [0.99, 0.14], 1),
+            (2, [0.7, 0.71], 1), (3, [0.0, 1.0], 2),
+            (4, [0.95, 0.31], None)]
+    df = spark.createDataFrame(
+        rows, "vec_id int, embedding array<float>, label int")
+    out = HF.hard_negative_mine(df, df.filter("vec_id = 0"), "vec_id",
+                                "embedding", "label", k=10,
+                                min_cos=0.5, max_cos=0.98).collect()
+    got = {r.neighbor_id for r in out}
+    # 1 excluded by max_cos (~0.990), 3 by min_cos (0.0), 4 by NULL label
+    assert got == {2}
+    # and a NULL-label QUERY mines nothing
+    assert HF.hard_negative_mine(df, df.filter("vec_id = 4"), "vec_id",
+                                 "embedding", "label", k=10).count() == 0
+
+
+def test_hard_negatives_ivf_recall_vs_exact(spark, emb):
+    """The inverted-list scale path recovers most exact hard negatives
+    (oversampling absorbs the label filter) and obeys the same contract."""
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = {(r.query_id, r.neighbor_id) for r in HF.hard_negative_mine(
+        emb, queries, "vec_id", "embedding", "label", k=5).collect()}
+    approx_rows = HF.hard_negative_mine_ivf(
+        emb, queries, "vec_id", "embedding", "label", k=5, oversample=6,
+        n_centroids=8, n_probe=4).collect()
+    approx = {(r.query_id, r.neighbor_id) for r in approx_rows}
+    qlab = {r.vec_id: r.label for r in queries.collect()}
+    assert all(r.neighbor_label != qlab[r.query_id] for r in approx_rows)
+    assert len(approx & exact) / len(exact) >= 0.6
+
+
+def test_hard_negatives_plan_broadcasts_queries(spark, emb):
+    """The corpus side must never shuffle before scoring: queries are the
+    broadcast side of a map-side nested loop."""
+    queries = emb.filter(F.col("vec_id") < 4)
+    plan = HF.hard_negative_mine(emb, queries, "vec_id", "embedding",
+                                 "label", k=5) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
