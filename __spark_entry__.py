@@ -1463,6 +1463,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vec_id", "embedding", "label", k=10).select(
             "query_id", "neighbor_id", "neighbor_label", "rank")
 
+    # ---- cross-corpus overlap analytics (round 12): exact pairwise
+    # shingle-set Jaccard between sources (functions/dedup.corpus_overlap;
+    # corpus_overlap_minhash is the G×H-sketch scale path, also exact vs
+    # the oracle because the md5 minhash scheme is engine-portable).
+    # Defined at the END so existing window positions are untouched; the
+    # promote swaps below rotate the two uniques in.
+    q["corpus_overlap"] = lambda s, d: HF.corpus_overlap(
+        load_table(s, d, "documents"), "source", "text")
+    q["corpus_overlap_minhash"] = lambda s, d: HF.corpus_overlap_minhash(
+        load_table(s, d, "documents"), "source", "text", num_hashes=64)
+
+    # ---- deterministic epoch shuffle (round 12): seeded global training
+    # -order permutation + sharding (functions/pipeline.epoch_shuffle) —
+    # one hash shuffle + per-shard sort, pure function of (seed, epoch,
+    # id) so re-runs and repartitions give the identical order.
+    q["epoch_shuffle"] = lambda s, d: HF.epoch_shuffle(
+        load_table(s, d, "documents").select("doc_id", "text"),
+        "doc_id", num_shards=16, seed=7, epoch=1).select(
+            "doc_id", "shard", "position")
+
     # ---- 50-row window curation: the driver records CORRECTNESS for the
     # FIRST 50 queries only. Swap this round's new UNIQUE operators into
     # the window in place of close variants of still-in-window rows
@@ -1617,6 +1637,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                # three got driver records in r11); displaced row
                # re-verified via tools/check_oracle.py (PLANS.md)
                "hard_negatives": "hash_sample",
+               # corpus_overlap + corpus_overlap_minhash + epoch_shuffle
+               # (new uniques this round) enter against r11-recorded rows
+               # whose family keeps an in-window representative; all three
+               # displaced rows re-verified via tools/check_oracle.py
+               # (PLANS.md):
+               #   corpus_overlap <-> ngram_freq (n-gram text analytics
+               #     stays via text_tfidf + pii_redaction + bpe_tokenize)
+               "corpus_overlap": "ngram_freq",
+               #   corpus_overlap_minhash <-> corpus_filter (corpus
+               #     filtering stays via corpus_pipeline, whose quality
+               #     gate subsumes corpus_filter's predicate)
+               "corpus_overlap_minhash": "corpus_filter",
+               #   epoch_shuffle <-> source_mix_sample (sampling/mixing
+               #     stays via stratified_sample; temperature_mix and
+               #     hash_sample are its check_oracle-verified siblings)
+               "epoch_shuffle": "source_mix_sample",
                "tpch_q11": "events_window",
                "tpch_q16": "mor_compaction",
                "tpch_q20": "dedup_exact",
@@ -3020,6 +3056,64 @@ SELECT doc_id, count(*) AS n_grams,
 FROM bx JOIN lr USING (b)
 GROUP BY doc_id
 ORDER BY log_weight DESC, doc_id LIMIT 200
+"""
+
+    # Cross-corpus overlap: exact pairwise Jaccard of the per-source
+    # distinct 5-gram shingle SETS (same normalization as the minhash
+    # oracles), including zero-overlap pairs.
+    _corpus_sh0 = r"""
+norm AS (
+  SELECT source AS g,
+         trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+  FROM documents
+),
+sh0 AS (
+  SELECT g, unnest(CASE WHEN length(t) >= 5
+       THEN list_distinct(list_transform(range(1, length(t) - 3),
+                                         i -> substr(t, CAST(i AS INT), 5)))
+       ELSE CAST([] AS VARCHAR[]) END) AS sh
+  FROM norm
+)"""
+    o["corpus_overlap"] = f"""
+WITH {_corpus_sh0},
+sh AS (SELECT DISTINCT g, sh FROM sh0),
+sizes AS (SELECT g, count(*) AS n FROM sh GROUP BY g),
+inter AS (SELECT x.g AS ga, y.g AS gb, count(*) AS i
+          FROM sh x JOIN sh y ON x.sh = y.sh AND x.g < y.g GROUP BY 1, 2)
+SELECT a.g AS group_a, b.g AS group_b,
+       a.n AS shingles_a, b.n AS shingles_b,
+       coalesce(i.i, 0) AS intersection,
+       CAST(coalesce(i.i, 0) AS DOUBLE)
+         / (a.n + b.n - coalesce(i.i, 0)) AS jaccard
+FROM sizes a JOIN sizes b ON a.g < b.g
+LEFT JOIN inter i ON i.ga = a.g AND i.gb = b.g
+"""
+
+    # MinHash-sketch corpus overlap: the oracle recomputes the 64
+    # per-group md5 minima (the engine-portable hash plane shared with
+    # the dedup_minhash_lsh oracle) and the component-agreement fraction.
+    o["corpus_overlap_minhash"] = f"""
+WITH {_corpus_sh0},
+mins AS (
+  SELECT g, h, min(md5('h' || CAST(h AS VARCHAR) || ':' || sh)) AS m
+  FROM sh0 CROSS JOIN (SELECT unnest(range(0, 64)) AS h) hs GROUP BY g, h
+)
+SELECT a.g AS group_a, b.g AS group_b,
+       avg(CASE WHEN a.m = b.m THEN 1.0 ELSE 0.0 END) AS est_jaccard
+FROM mins a JOIN mins b ON a.h = b.h AND a.g < b.g
+GROUP BY 1, 2
+"""
+
+    # Deterministic epoch shuffle: order key md5('seed:epoch:id'), shard =
+    # top 16 bits (nibble arithmetic) mod 16, position = per-shard rank.
+    _okey = "md5('7:1:' || CAST(doc_id AS VARCHAR))"
+    o["epoch_shuffle"] = f"""
+WITH k AS (SELECT doc_id, {_okey} AS okey FROM documents),
+s AS (SELECT doc_id, okey, ({_hex4('okey', 1)}) % 16 AS shard FROM k)
+SELECT doc_id, shard,
+       row_number() OVER (PARTITION BY shard
+                          ORDER BY okey, doc_id) AS position
+FROM s
 """
     return o
 

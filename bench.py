@@ -225,6 +225,13 @@ def run_suite(spark, sf_dir: str) -> dict[str, float]:
         docs.select("doc_id", "text"),
         docs.filter(F.col("source") == "src0").select("doc_id", "text"),
         "doc_id", "text", k=200).count())
+    timed("corpus_overlap")(lambda: HF.corpus_overlap(
+        docs, "source", "text").count())
+    timed("corpus_overlap_minhash")(lambda: HF.corpus_overlap_minhash(
+        docs, "source", "text", num_hashes=64).count())
+    timed("epoch_shuffle")(lambda: HF.epoch_shuffle(
+        docs.select("doc_id", "text"), "doc_id",
+        num_shards=32, seed=7, epoch=1).count())
     timed("events_window")(lambda: events.groupBy(
         F.window("ts", "300 seconds"), "event_type")
         .agg(F.count("*"), F.sum("value")).count())

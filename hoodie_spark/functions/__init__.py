@@ -52,6 +52,8 @@ from .dedup import (
     min_sig_matches,
     sig_agreement,
     lsh_plan,
+    corpus_overlap,
+    corpus_overlap_minhash,
 )
 from .similarity import (
     dot,
@@ -103,6 +105,7 @@ from .pipeline import (
     stratified_sample, tfidf_terms, tfidf_vectors, corpus_pipeline,
     chunk_documents, unigram_logprob, source_weighted_sample,
     temperature_mix, column_histogram, dsir_logweights, dsir_select,
+    epoch_shuffle,
 )
 from .bpe import bpe_train, bpe_encode, bpe_token_count
 
@@ -114,7 +117,7 @@ __all__ = [
     "jaccard_dedup_pairs", "containment_dedup_pairs", "with_simhash", "simhash_sigs",
     "simhash_dup_pairs", "embedding_near_dup_pairs", "dedup_spans",
     "seen_dedup", "doc_features", "min_sig_matches", "sig_agreement",
-    "lsh_plan",
+    "lsh_plan", "corpus_overlap", "corpus_overlap_minhash", "epoch_shuffle",
     "bounded_self_pairs",
     "dot", "l2_norm", "cosine", "brute_force_topk", "hard_negative_mine",
     "hard_negative_mine_ivf", "lsh_bucket_topk",

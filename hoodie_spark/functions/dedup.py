@@ -36,7 +36,8 @@ __all__ = [
     "exact_dedup", "with_minhash", "minhash_candidate_pairs",
     "jaccard_dedup_pairs", "containment_dedup_pairs", "with_simhash",
     "simhash_sigs", "simhash_dup_pairs", "embedding_near_dup_pairs",
-    "semantic_dedup", "lsh_plan",
+    "semantic_dedup", "lsh_plan", "corpus_overlap",
+    "corpus_overlap_minhash",
 ]
 
 
@@ -341,6 +342,89 @@ def jaccard_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
         joined.select("id_a", "id_b", (inter / union).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def corpus_overlap(df: DataFrame, group_col: str, text_col: str,
+                   ngram: int = 5) -> DataFrame:
+    """Exact pairwise shingle-set Jaccard between corpora (sources).
+
+    Corpus-level contamination / redundancy analytics: for every pair of
+    ``group_col`` values (group_a < group_b), the Jaccard similarity of
+    their distinct character-n-gram SETS — "how much of source A's
+    content vocabulary is shared with source B". Returns one row per
+    group pair: (group_a, group_b, shingles_a, shingles_b, intersection,
+    jaccard), including zero-overlap pairs.
+
+    Plan shape: explode → distinct (partial map-side) keyed by
+    (group, shingle), then an equi-self-join on the shingle — fully
+    hash-partitioned, no single-point stage. Per-shingle fan-out is
+    bounded by the group count G (a shingle appears at most once per
+    group after the distinct), so the join output is ≤ G²/2 rows per
+    shingle — G is small by contract (data sources, not documents). The
+    final pair frame is G²/2 rows; group sizes broadcast onto it. For
+    corpora where even the distinct-shingle scan is too wide, use
+    :func:`corpus_overlap_minhash` — one shuffle of G×H rows total.
+    """
+    g = F.col(group_col).alias("__g")
+    sh = (df.select(g, F.explode(char_ngrams(F.col(text_col), ngram))
+                    .alias("__sh"))
+          .distinct())
+    sizes = sh.groupBy("__g").agg(F.count(F.lit(1)).alias("__n"))
+    inter = (sh.alias("x")
+             .join(sh.alias("y"), (F.col("x.__sh") == F.col("y.__sh"))
+                   & (F.col("x.__g") < F.col("y.__g")))
+             .groupBy(F.col("x.__g").alias("__ga"),
+                      F.col("y.__g").alias("__gb"))
+             .agg(F.count(F.lit(1)).alias("__i")))
+    a, b = sizes.alias("a"), sizes.alias("b")
+    pairs = (F.broadcast(a).crossJoin(F.broadcast(b))
+             .filter(F.col("a.__g") < F.col("b.__g")))
+    i = F.coalesce(F.col("__i"), F.lit(0)).cast("long")
+    return (pairs.join(inter, (F.col("a.__g") == F.col("__ga"))
+                       & (F.col("b.__g") == F.col("__gb")), "left")
+            .select(F.col("a.__g").alias("group_a"),
+                    F.col("b.__g").alias("group_b"),
+                    F.col("a.__n").alias("shingles_a"),
+                    F.col("b.__n").alias("shingles_b"),
+                    i.alias("intersection"),
+                    (i.cast("double")
+                     / (F.col("a.__n") + F.col("b.__n") - i).cast("double")
+                     ).alias("jaccard")))
+
+
+def corpus_overlap_minhash(df: DataFrame, group_col: str, text_col: str,
+                           num_hashes: int = 64,
+                           ngram: int = 5) -> DataFrame:
+    """Estimated pairwise corpus Jaccard from per-group MinHash sketches.
+
+    The 100 TB path for :func:`corpus_overlap`: each group's shingle SET
+    is sketched by ``num_hashes`` minima (same ``md5('h<i>:'||shingle)``
+    scheme as :func:`minhash_signature`, so the estimate is
+    engine-reproducible), and the estimated Jaccard of a pair is the
+    fraction of agreeing sketch components. One shuffle moves only
+    G × num_hashes × 32 B — the mins partially aggregate map-side, so
+    nothing corpus-sized crosses the wire; the pairing is a broadcast
+    cross of G sketch rows. Groups whose every document is shorter than
+    the n-gram have no shingles and drop out.
+
+    Standard error is ~sqrt(J(1-J)/num_hashes) (≈6 % at J=0.5, H=64);
+    raise ``num_hashes`` for tighter corpus-level estimates.
+    """
+    sh = df.select(F.col(group_col).alias("__g"),
+                   F.explode(char_ngrams(F.col(text_col), ngram))
+                   .alias("__sh"))
+    mins = [F.min(F.md5(F.concat(F.lit(f"h{i}:"), F.col("__sh"))))
+            .alias(f"__h{i}") for i in range(num_hashes)]
+    sigs = sh.groupBy("__g").agg(*mins)
+    a, b = sigs.alias("a"), sigs.alias("b")
+    matches = sum((F.col(f"a.__h{i}") == F.col(f"b.__h{i}")).cast("int")
+                  for i in range(num_hashes))
+    return (F.broadcast(a).crossJoin(F.broadcast(b))
+            .filter(F.col("a.__g") < F.col("b.__g"))
+            .select(F.col("a.__g").alias("group_a"),
+                    F.col("b.__g").alias("group_b"),
+                    (matches.cast("double") / F.lit(float(num_hashes)))
+                    .alias("est_jaccard")))
 
 
 def simhash_signature(col, bits: int = 16) -> Column:

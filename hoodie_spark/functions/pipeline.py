@@ -30,7 +30,8 @@ __all__ = ["redact_pii", "pii_hits", "deterministic_sample", "sample_hash",
            "pack_shards", "top_ngrams", "filter_corpus", "word_ngrams",
            "contaminated_ids", "decontaminate", "stratified_sample",
            "corpus_pipeline", "chunk_documents", "unigram_logprob",
-           "source_weighted_sample", "temperature_mix", "column_histogram"]
+           "source_weighted_sample", "temperature_mix", "column_histogram",
+           "epoch_shuffle"]
 
 
 # Plain character-class regexes only, so Java regex and DuckDB's RE2 agree.
@@ -330,6 +331,47 @@ def stratified_sample(df: DataFrame, group_col: str, key_col: str,
         F.md5(F.col(key_col).cast("string")), F.col(key_col))
     return (df.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") <= per_group).drop("__rn"))
+
+
+def epoch_shuffle(df: DataFrame, id_col: str, num_shards: int,
+                  seed: int = 0, epoch: int = 0) -> DataFrame:
+    """Deterministic training-order assignment: a seeded pseudo-random
+    global permutation of the corpus, materialized as ``(shard,
+    position)`` so a training job can stream shard files in position
+    order and every worker sees the same order on every re-run.
+
+    The order key is ``md5(seed:epoch:id)`` — a pure function of the row,
+    so retries, re-runs and different partition layouts all produce the
+    identical permutation, and bumping ``epoch`` yields a fresh
+    independent permutation without rewriting the corpus. The shard is
+    the key's top 16 bits mod ``num_shards`` (engine-portable: the oracle
+    reproduces it with nibble arithmetic, like :func:`sample_hash`).
+
+    Scale: one hash shuffle on ``shard`` plus a per-shard sort — the
+    floor for any global permutation. No global sort, no
+    Exchange SinglePartition; size ``num_shards`` well above the executor
+    count and each sort stays partition-local. Spark's WindowGroupLimit
+    does not apply (every row is kept), so the cost is exactly one
+    shuffle + sort of (row, 32 B key).
+
+    Reference parity: the reference delegates training-order shuffling to
+    its export layer; this is the engine-side equivalent of a seeded
+    shuffle + shard writer.
+    """
+    if num_shards < 1:
+        raise ValueError("num_shards must be >= 1")
+    okey = F.md5(F.concat_ws(
+        ":", F.lit(str(int(seed))), F.lit(str(int(epoch))),
+        F.col(id_col).cast("string")))
+    shard = (F.conv(F.substring(okey, 1, 4), 16, 10).cast("int")
+             % F.lit(int(num_shards))).cast("int")
+    w = Window.partitionBy("__shard").orderBy(F.col("__okey"),
+                                              F.col(id_col))
+    return (df.withColumn("__okey", okey).withColumn("__shard", shard)
+            .withColumn("__pos", F.row_number().over(w))
+            .withColumnRenamed("__shard", "shard")
+            .withColumnRenamed("__pos", "position")
+            .drop("__okey"))
 
 
 def source_weighted_sample(df: DataFrame, source_col: str, key_col: str,

@@ -517,3 +517,47 @@ def test_ingestor_state_retention_window(spark, tmp_table_path):
     got = {r.doc_id for r in tbl.snapshot().select("doc_id").collect()}
     # the aged-out duplicates (1000-1002) were ADMITTED; b1 rows kept
     assert {1000, 1001, 1002} <= got and {10, 11, 12} <= got
+
+
+def test_restore_across_retention_eviction_rebuilds(spark, tmp_table_path):
+    """Restore to a savepoint taken BEFORE a compact_state(retain_after=)
+    eviction horizon: the restore re-runs _rebuild_from_table, and the
+    rebuilt state must match the RESTORED table content — the evicted
+    batch-0 signatures come back (their docs are in the restored table, so
+    their duplicates drop again) and the restored-away docs are re-admitted
+    (never falsely dropped). This pins the one untested caller of the
+    rebuild path: the restore chain interacting with retention eviction."""
+    tbl = HoodieTable.create(spark, tmp_table_path, "ret_restore",
+                             ["doc_id"], None)
+    dd = IncrementalDeduper(tbl, "doc_id", "text", threshold=0.8)
+    b0 = spark.createDataFrame(
+        [(i, _DISTINCT[i]) for i in range(3)], "doc_id int, text string")
+    b1 = spark.createDataFrame(
+        [(10 + i, _DISTINCT[3 + i]) for i in range(3)],
+        "doc_id int, text string")
+    tbl.upsert(dd.filter_batch(b0))
+    dd.advance(b0)
+    sp = tbl.timeline.last_completed().timestamp
+    tbl.savepoint(sp)
+    tbl.upsert(dd.filter_batch(b1))
+    dd.advance(b1)
+    t1 = tbl.timeline.last_completed().timestamp
+    dd.compact_state(retain_after=t1)  # horizon AFTER the savepoint
+    # eviction really happened: b0's signatures aged out, its dups re-admit
+    copy0 = b0.withColumn("doc_id", F.col("doc_id") + 1000)
+    assert dd.filter_batch(copy0).count() == 3
+    dd._release_pins()
+    tbl.restore(sp)  # b1 gone from the table; state says b1 seen, b0 not
+    dd2 = IncrementalDeduper(tbl, "doc_id", "text", threshold=0.8)
+    # catch_up detects restore > watermark and rebuilds from the restored
+    # table: b0 (in the restored table) is seen again despite the earlier
+    # eviction, so its duplicates drop...
+    assert dd2.filter_batch(copy0).count() == 0
+    dd2._release_pins()
+    # ...and b1 (restored away) is re-admitted — kept, never false-dropped
+    kept1 = dd2.filter_batch(b1)
+    assert kept1.count() == 3
+    tbl.upsert(kept1)
+    dd2.advance(b1)
+    got = {r.doc_id for r in tbl.snapshot().select("doc_id").collect()}
+    assert got == {0, 1, 2, 10, 11, 12}

@@ -621,3 +621,105 @@ def test_dsir_self_target_is_identity(spark):
     out = HF.dsir_logweights(df, df, "doc_id", "text", buckets=256).collect()
     assert len(out) == 3
     assert all(r["log_weight"] == 0.0 for r in out)
+
+
+# ---------------------------------------------------- corpus overlap (r12)
+def test_corpus_overlap_matches_python_model(spark):
+    """Exact pairwise Jaccard against a hand-computed shingle-set model,
+    including the zero-overlap pair."""
+    rows = [(1, "aaaaabbbbb", "A"), (2, "bbbbbccccc", "A"),
+            (3, "aaaaaccccc", "B"), (4, "zzzzzyyyyy", "C")]
+    df = spark.createDataFrame(rows, "doc_id int, text string, src string")
+
+    def sh5(t):
+        return {t[i:i + 5] for i in range(len(t) - 4)}
+
+    sets = {"A": sh5("aaaaabbbbb") | sh5("bbbbbccccc"),
+            "B": sh5("aaaaaccccc"), "C": sh5("zzzzzyyyyy")}
+    got = {(r.group_a, r.group_b):
+           (r.shingles_a, r.shingles_b, r.intersection, r.jaccard)
+           for r in HF.corpus_overlap(df, "src", "text").collect()}
+    assert set(got) == {("A", "B"), ("A", "C"), ("B", "C")}
+    for (ga, gb), (na, nb, i, j) in got.items():
+        a, b = sets[ga], sets[gb]
+        assert (na, nb, i) == (len(a), len(b), len(a & b))
+        assert j == pytest.approx(len(a & b) / len(a | b))
+    assert got[("A", "C")][3] == 0.0  # zero-overlap pair is present
+
+
+def test_corpus_overlap_minhash_tracks_exact(docs):
+    """The 64-hash sketch estimate stays within ~3 standard errors of the
+    exact Jaccard on every source pair of the real corpus, and is
+    deterministic across runs."""
+    exact = {(r.group_a, r.group_b): r.jaccard
+             for r in HF.corpus_overlap(docs, "source", "text").collect()}
+    est1 = {(r.group_a, r.group_b): r.est_jaccard
+            for r in HF.corpus_overlap_minhash(
+                docs, "source", "text", num_hashes=64).collect()}
+    est2 = {(r.group_a, r.group_b): r.est_jaccard
+            for r in HF.corpus_overlap_minhash(
+                docs.repartition(7), "source", "text",
+                num_hashes=64).collect()}
+    assert est1 == est2  # pure function of the data
+    assert set(est1) == set(exact)
+    for pair, j in exact.items():
+        se = (max(j * (1 - j), 0.01) / 64) ** 0.5
+        assert abs(est1[pair] - j) <= 3.5 * se, (pair, j, est1[pair])
+
+
+def test_corpus_overlap_minhash_plan_one_shuffle(docs):
+    """The sketch path shuffles exactly once (the G-row partial-agg
+    exchange); the G×G pairing is broadcast, never a shuffled join."""
+    out = HF.corpus_overlap_minhash(docs, "source", "text", num_hashes=16)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the static plan prints the G-row sketch subtree once per join side
+    # (AQE's exchange reuse collapses them at runtime); the point is that
+    # every exchange is the group-keyed partial-agg one — no global
+    # collapse, no shuffled join
+    assert 1 <= plan.count("Exchange hashpartitioning(__g") <= 2
+    assert "Exchange SinglePartition" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+# ------------------------------------------------------ epoch shuffle (r12)
+def test_epoch_shuffle_permutation_and_determinism(docs):
+    """(shard, position) is a partition of the corpus into contiguous
+    1..n_s runs; the assignment is a pure function of (seed, epoch, id) —
+    stable across repartition — and a different epoch reorders."""
+    base = docs.select("doc_id", "text")
+    out = HF.epoch_shuffle(base, "doc_id", num_shards=8, seed=3, epoch=0)
+    rows = out.select("doc_id", "shard", "position").collect()
+    assert len(rows) == base.count()
+    assert len({r.doc_id for r in rows}) == len(rows)  # no dup/drop
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r.position)
+    assert set(by_shard) <= set(range(8))
+    for ps in by_shard.values():
+        assert sorted(ps) == list(range(1, len(ps) + 1))  # contiguous
+    again = HF.epoch_shuffle(base.repartition(13), "doc_id",
+                             num_shards=8, seed=3, epoch=0) \
+        .select("doc_id", "shard", "position").collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
+    other = HF.epoch_shuffle(base, "doc_id", num_shards=8, seed=3,
+                             epoch=1).select("doc_id", "shard",
+                                             "position").collect()
+    assert sorted(map(tuple, other)) != sorted(map(tuple, rows))
+
+
+def test_epoch_shuffle_plan_one_shuffle_no_global_sort(docs):
+    """One hash exchange on the shard key, per-shard local sort only —
+    the floor for a global permutation. No Exchange SinglePartition, no
+    rangepartitioning (global sort)."""
+    out = HF.epoch_shuffle(docs.select("doc_id", "text"), "doc_id",
+                           num_shards=32, seed=1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange SinglePartition" not in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_epoch_shuffle_validates_shards(docs):
+    with pytest.raises(ValueError):
+        HF.epoch_shuffle(docs, "doc_id", num_shards=0)
