@@ -12,12 +12,14 @@ Usage::
     # — only the tables those rows read are replicated/built.
 
 The upscale replicates each table ``factor`` times with shifted keys.
-Replica text is salted (every 7th word tagged with the replica index) so
-replicas are NOT near-duplicates of each other — duplicate density stays
-comparable to the base corpus instead of exploding ×factor, which would
-change WHAT is measured, not just how much. Embeddings get a small
-deterministic per-replica perturbation for the same reason. The upscaled
-parquet is cached under /tmp/scale_probe_<factor>x and reused.
+Replica text is salted (every 2nd word tagged with the replica index) so
+replicas are NOT near-duplicates of each other under ANY measured metric
+(5-gram Jaccard AND token simhash) — duplicate density stays comparable
+to the base corpus instead of exploding ×factor, which would change WHAT
+is measured, not just how much. Embeddings get a small deterministic
+componentwise per-replica perturbation for the same reason (replica
+cosine ≈0.958, never ≥0.99). The upscaled parquet is cached under
+/tmp/scale_probe_v2_<factor>x_<base> and reused.
 
 Output: one JSON line per run plus a final ``minima`` line with
 seconds-per-row; compare against the same rows probed at factor=1.
@@ -83,21 +85,37 @@ def build_upscale(spark, base: str, factor: int, out: str,
         return u
 
     def salt_text(df, i):
-        # tag every 7th word with the replica index: replicas stop being
-        # near-duplicates (char-5-gram Jaccard drops far below 0.8) while
-        # length/token statistics stay realistic
+        # tag every 2nd word with the replica index: replicas stop being
+        # near-duplicates under EVERY dedup metric the probe measures —
+        # char-5-gram Jaccard far below 0.8 AND 32-bit token simhash
+        # hamming >> 3 (measured on the real corpus: stride 7 left the
+        # replica-pair hamming at median 3, i.e. 57% of replica pairs
+        # were still simhash near-dups, so ×100 inflated duplicate
+        # density ~2700× and the probe measured answer growth, not plan
+        # scaling; stride 2 → median 8, 2.4% ≤ 3) — while token counts
+        # stay realistic
         words = F.split(F.col("text"), " ")
         salted = F.zip_with(
             words, F.sequence(F.lit(0), F.size(words) - 1),
-            lambda w, j: F.when(j % 7 == i % 7,
+            lambda w, j: F.when(j % 2 == i % 2,
                                 F.concat(w, F.lit(f"_{i}"))).otherwise(w))
         return df.withColumn("text", F.concat_ws(" ", salted))
 
     def perturb_emb(df, i):
+        # componentwise deterministic perturbation that varies per
+        # (replica, component) — a per-replica CONSTANT shift barely
+        # rotates a unit vector (cosine stays ≈1, and replicas i, i+5
+        # were byte-identical), so ×factor multiplied semantic-dup
+        # density instead of holding it; amp 0.01 on the unit-norm
+        # embeddings gives replica cosine ≈0.958, 0% of pairs ≥0.99
+        # (measured) — far from dedup thresholds, near enough for
+        # realistic cluster geometry
+        idx = F.sequence(F.lit(0), F.size(F.col("embedding")) - 1)
         return df.withColumn(
             "embedding",
-            F.transform(F.col("embedding"),
-                        lambda x: x + F.lit(0.003 * ((i % 5) + 1))))
+            F.zip_with(F.col("embedding"), idx,
+                       lambda x, j: x + F.lit(0.01)
+                       * ((F.lit(i * 31) + j * 17) % 13 - 6)))
 
     nparts = max(8, factor)  # keep partitions executor-memory-sized at x100
     if "documents" in tables:
@@ -283,7 +301,10 @@ def main() -> None:
     if factor == 1:
         sf_dir = base
     else:
-        sf_dir = f"/tmp/scale_probe_{factor}x_{os.path.basename(base.rstrip('/'))}"
+        # v2: density-matched salting (stride-2 words, componentwise
+        # embedding perturbation) — the v1 cache would poison results
+        sf_dir = (f"/tmp/scale_probe_v2_{factor}x_"
+                  f"{os.path.basename(base.rstrip('/'))}")
         missing = {t for t in need
                    if not os.path.exists(os.path.join(sf_dir,
                                                       f"{t}.parquet"))}
