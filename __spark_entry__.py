@@ -579,6 +579,29 @@ def _fx_orders_si(spark, sf_dir, path):
     return {"tbl": tbl}
 
 
+def _fx_ivf_incr(spark, sf_dir, path):
+    """Incrementally-maintained persisted IVF index: build the inverted
+    lists from the EVEN vec_ids, append the odd ones against the same
+    frozen centroid set (first-16 vectors, matching the ann_ivf oracle's
+    centroid derivation), then delete + re-append a slice so the
+    maintenance path (append → delete → append → compact) is what the
+    oracle actually exercises. The final index content must equal a full
+    rebuild over the whole corpus — which is what the DuckDB oracle
+    computes from the raw table."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 16)
+    idx = os.path.join(path, "ivf")
+    HF.write_ivf_index(emb.filter(F.col("vec_id") % 2 == 0), cents,
+                       "vec_id", "embedding", idx)
+    HF.append_ivf_index(emb.filter(F.col("vec_id") % 2 == 1), cents,
+                        "vec_id", "embedding", idx)
+    sl = emb.filter(F.col("vec_id") % 5 == 2)
+    HF.delete_from_ivf_index(spark, idx, sl.select("vec_id"), "vec_id")
+    HF.append_ivf_index(sl, cents, "vec_id", "embedding", idx)
+    HF.compact_ivf_index(spark, idx)
+    return {"index": idx, "centroids": cents}
+
+
 def _fx_docs_incdedup(spark, sf_dir, path):
     """Incremental dedup-against-state: three micro-batches (originals,
     exact copies +10000, near copies +20000 with ' zz' appended) ingested
@@ -623,6 +646,7 @@ _BUILDERS = {
     "orders_analyze": _fx_orders_analyze,
     "orders_logcompact": _fx_orders_logcompact,
     "docs_incdedup": _fx_docs_incdedup,
+    "ivf_incr": _fx_ivf_incr,
 }
 
 _ORDER_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
@@ -1483,6 +1507,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_id", num_shards=16, seed=7, epoch=1).select(
             "doc_id", "shard", "position")
 
+    # ---- incrementally-maintained IVF index (round 12): the fixture
+    # builds evens, appends odds, deletes + re-appends a slice, compacts
+    # (functions/similarity.append/delete_from/compact_ivf_index); the
+    # probe result must equal a probe of a FULL rebuild — the oracle
+    # recomputes assignment + probing over the whole raw table.
+    def _q_ivf_incr(s, d):
+        fx = _fixture(s, d, "ivf_incr")
+        return HF.ivf_topk_from_index(
+            s, fx["index"], fx["centroids"],
+            load_table(s, d, "embeddings").filter(F.col("vec_id") < 10),
+            "vec_id", "embedding", k=10, n_probe=4).select(
+                "query_id", "neighbor_id", "rank")
+    q["ann_ivf_incremental"] = _q_ivf_incr
+
     # ---- 50-row window curation: the driver records CORRECTNESS for the
     # FIRST 50 queries only. Swap this round's new UNIQUE operators into
     # the window in place of close variants of still-in-window rows
@@ -1653,6 +1691,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                #     stays via stratified_sample; temperature_mix and
                #     hash_sample are its check_oracle-verified siblings)
                "epoch_shuffle": "source_mix_sample",
+               #   ann_ivf_incremental <-> knn_classify (r11-recorded;
+               #     ANN stays via ann_brute_force + ann_pq_rerank +
+               #     hard_negatives; knn re-verified via check_oracle)
+               "ann_ivf_incremental": "knn_classify",
                "tpch_q11": "events_window",
                "tpch_q16": "mor_compaction",
                "tpch_q20": "dedup_exact",
@@ -3115,6 +3157,14 @@ SELECT doc_id, shard,
                           ORDER BY okey, doc_id) AS position
 FROM s
 """
+
+    # The incrementally-maintained IVF index (build evens → append odds →
+    # delete+re-append a slice → compact) must be content-identical to a
+    # full rebuild over the whole corpus, so its oracle IS ann_ivf's:
+    # same corpus, same first-16 centroid derivation, same n_probe/k and
+    # tie-breaks. Any drift in the maintenance path (lost rows, double
+    # rows, stale deletes) breaks the hash match.
+    o["ann_ivf_incremental"] = o["ann_ivf"]
     return o
 
 

@@ -225,6 +225,16 @@ def run_suite(spark, sf_dir: str) -> dict[str, float]:
         docs.select("doc_id", "text"),
         docs.filter(F.col("source") == "src0").select("doc_id", "text"),
         "doc_id", "text", k=200).count())
+    ivf_idx = os.path.join(work, "ivf_incr")
+    _cents = emb.filter(F.col("vec_id") < 16)
+    HF.write_ivf_index(emb.filter(F.col("vec_id") % 2 == 0), _cents,
+                       "vec_id", "embedding", ivf_idx)
+    timed("ann_ivf_incr_append")(lambda: HF.append_ivf_index(
+        emb.filter(F.col("vec_id") % 2 == 1), _cents,
+        "vec_id", "embedding", ivf_idx))
+    timed("ann_ivf_incr_probe")(lambda: HF.ivf_topk_from_index(
+        spark, ivf_idx, _cents, queries_df, "vec_id", "embedding",
+        k=10, n_probe=4).count())
     timed("corpus_overlap")(lambda: HF.corpus_overlap(
         docs, "source", "text").count())
     timed("corpus_overlap_minhash")(lambda: HF.corpus_overlap_minhash(

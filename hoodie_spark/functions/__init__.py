@@ -84,6 +84,9 @@ from .similarity import (
     cluster_balanced_sample,
     write_ivf_index,
     ivf_topk_from_index,
+    append_ivf_index,
+    delete_from_ivf_index,
+    compact_ivf_index,
 )
 from .multimodal import (
     MEDIA_META_SCHEMA,
@@ -121,6 +124,7 @@ __all__ = [
     "bounded_self_pairs",
     "dot", "l2_norm", "cosine", "brute_force_topk", "hard_negative_mine",
     "hard_negative_mine_ivf", "lsh_bucket_topk",
+    "append_ivf_index", "delete_from_ivf_index", "compact_ivf_index",
     "ivf_topk", "pq_codebooks", "pq_codebooks_trained", "pq_encode",
     "pq_reconstruct", "pq_topk", "write_pq_index", "write_ivfpq_index",
     "ivfpq_topk_from_index", "knn_classify", "cluster_balanced_sample",

@@ -34,7 +34,8 @@ __all__ = [
     "sign_lsh_key",
     "brute_force_topk", "lsh_bucket_topk", "ivf_topk",
     "kmeans_centroids", "cluster_balanced_sample",
-    "write_ivf_index", "ivf_topk_from_index",
+    "write_ivf_index", "ivf_topk_from_index", "append_ivf_index",
+    "delete_from_ivf_index", "compact_ivf_index",
     "pq_codebooks", "pq_codebooks_trained", "pq_encode", "pq_reconstruct",
     "pq_topk", "pq_topk_rerank", "write_pq_index", "write_ivfpq_index",
     "ivfpq_topk_from_index", "knn_classify",
@@ -433,6 +434,88 @@ def ivf_topk_from_index(spark, index_path: str, centroids: DataFrame,
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "rank", "cos"))
+
+
+def append_ivf_index(corpus_delta: DataFrame, centroids: DataFrame,
+                     id_col: str, vec_col: str, path: str) -> None:
+    """Incrementally add vectors to a persisted :func:`write_ivf_index`
+    layout — the daily-embedding-upsert path: assign the DELTA against
+    the index's frozen centroid set and append into the
+    ``partitionBy(centroid)`` directories. Work is delta-sized (one map
+    pass over the new vectors + one append write); the existing inverted
+    lists are never read or rewritten, so a 100 TB index absorbs a
+    per-batch trickle at per-batch cost. The probe path is unchanged —
+    an appended index is content-identical to a full rebuild over the
+    union corpus (same centroids), which is exactly what the oracle and
+    tests pin. Small files accumulate per list; fold them periodically
+    with :func:`compact_ivf_index`.
+    """
+    c = _prep(corpus_delta, id_col, vec_col, "c")
+    cent = _prep(centroids, id_col, vec_col, "k")
+    (_assign_centroids(c, cent)
+     .select(F.col("c_id").alias(id_col), F.col("c_v").alias(vec_col),
+             F.col("c_n").alias("__norm"), "centroid")
+     .write.partitionBy("centroid").mode("append").parquet(path))
+
+
+def delete_from_ivf_index(spark, index_path: str, ids: DataFrame,
+                          id_col: str) -> int:
+    """Remove vectors from a persisted IVF index by id. Delta-sized: a
+    broadcast semi-join over the index finds the TOUCHED inverted lists
+    (bounded by |ids|), and a dynamic-partition overwrite rewrites only
+    those lists with the survivors; every untouched ``centroid=`` dir is
+    left byte-identical. Lists emptied entirely are removed via the
+    Hadoop FileSystem API (works on posix and object stores alike —
+    dynamic overwrite cannot replace a partition with zero rows).
+    Returns the number of rows deleted. Not transactional: run it from
+    the table-service seat (like compaction), and rebuild the touched
+    lists from the source table if a run dies mid-write.
+    """
+    idx = spark.read.parquet(index_path)
+    dels = F.broadcast(ids.select(F.col(id_col).alias("__del")).distinct())
+    hit = (idx.join(dels, F.col(id_col) == F.col("__del"))
+           .groupBy("centroid").agg(F.count(F.lit(1)).alias("__n"))
+           .collect())
+    if not hit:
+        return 0
+    touched = [r["centroid"] for r in hit]
+    n_deleted = sum(r["__n"] for r in hit)
+    kept = (idx.filter(F.col("centroid").isin(touched))
+            .join(dels, F.col(id_col) == F.col("__del"), "left_anti"))
+    survivors = {r["centroid"] for r in
+                 kept.select("centroid").distinct().collect()}
+    if survivors:
+        (kept.filter(F.col("centroid").isin(list(survivors)))
+         .repartition(F.col("centroid"))
+         .write.partitionBy("centroid")
+         .option("partitionOverwriteMode", "dynamic")
+         .mode("overwrite").parquet(index_path))
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    for c in set(touched) - survivors:
+        p = jvm.org.apache.hadoop.fs.Path(f"{index_path}/centroid={c}")
+        p.getFileSystem(conf).delete(p, True)
+    return int(n_deleted)
+
+
+def compact_ivf_index(spark, index_path: str,
+                      centroids: list | None = None) -> None:
+    """Fold the small files :func:`append_ivf_index` accumulates into ONE
+    file per inverted list. ``repartition(centroid)`` lands each list in
+    exactly one task, so the ``partitionBy`` writer emits one file per
+    ``centroid=`` dir; dynamic-partition overwrite replaces only the
+    lists actually written. Pass ``centroids`` to compact just the hot
+    lists (partition-pruned read — the rest of the index is not
+    scanned). Same non-transactional caveat as
+    :func:`delete_from_ivf_index`.
+    """
+    idx = spark.read.parquet(index_path)
+    if centroids is not None:
+        idx = idx.filter(F.col("centroid").isin(list(centroids)))
+    (idx.repartition(F.col("centroid"))
+     .write.partitionBy("centroid")
+     .option("partitionOverwriteMode", "dynamic")
+     .mode("overwrite").parquet(index_path))
 
 
 def ivf_topk(corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str,

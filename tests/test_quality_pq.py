@@ -514,3 +514,91 @@ def test_hard_negatives_plan_broadcasts_queries(spark, emb):
                                  "label", k=5) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+# ------------------------------------------- IVF index maintenance (r12)
+def _probe(spark, path, emb, cents, k=10, n_probe=4):
+    return sorted(map(tuple, HF.ivf_topk_from_index(
+        spark, path, cents, emb.filter(F.col("vec_id") < 10),
+        "vec_id", "embedding", k=k, n_probe=n_probe)
+        .select("query_id", "neighbor_id", "rank").collect()))
+
+
+def test_ivf_append_equals_full_rebuild(spark, emb, tmp_table_path):
+    """build(evens) + append(odds) must probe EXACTLY like a full rebuild
+    over the union corpus with the same frozen centroid set — the
+    incremental path is content-identical, only delta-sized."""
+    cents = emb.filter(F.col("vec_id") < 16)
+    inc, full = f"{tmp_table_path}/inc", f"{tmp_table_path}/full"
+    HF.write_ivf_index(emb.filter(F.col("vec_id") % 2 == 0), cents,
+                       "vec_id", "embedding", inc)
+    HF.append_ivf_index(emb.filter(F.col("vec_id") % 2 == 1), cents,
+                        "vec_id", "embedding", inc)
+    HF.write_ivf_index(emb, cents, "vec_id", "embedding", full)
+    assert _probe(spark, inc, emb, cents) == _probe(spark, full, emb, cents)
+
+
+def test_ivf_delete_is_partition_pruned_and_exact(spark, emb,
+                                                  tmp_table_path):
+    """Deleting ids rewrites ONLY the touched inverted lists (untouched
+    centroid dirs stay byte-identical) and the surviving index probes
+    exactly like a fresh build over the surviving corpus; an entirely
+    emptied list's directory is removed."""
+    import os
+
+    cents = emb.filter(F.col("vec_id") < 16)
+    path = f"{tmp_table_path}/idx"
+    HF.write_ivf_index(emb, cents, "vec_id", "embedding", path)
+    idx = spark.read.parquet(path)
+    # pick one whole list to empty and a few ids from another
+    by_c = [(r["centroid"], r["n"]) for r in
+            idx.groupBy("centroid").agg(F.count("*").alias("n")).collect()]
+    victim_c = min(by_c, key=lambda t: t[1])[0]
+    victim_ids = [r.vec_id for r in
+                  idx.filter(F.col("centroid") == victim_c)
+                  .select("vec_id").collect()]
+    other_c = max(by_c, key=lambda t: t[1])[0]
+    extra = [r.vec_id for r in idx.filter(F.col("centroid") == other_c)
+             .select("vec_id").limit(3).collect()]
+    untouched = [c for c, _ in by_c if c not in (victim_c, other_c)][0]
+    udir = os.path.join(path, f"centroid={untouched}")
+    before = {f: os.path.getmtime(os.path.join(udir, f))
+              for f in os.listdir(udir)}
+    dels = spark.createDataFrame([(i,) for i in victim_ids + extra],
+                                 "vec_id long")
+    n = HF.delete_from_ivf_index(spark, path, dels, "vec_id")
+    assert n == len(victim_ids) + 3
+    after = {f: os.path.getmtime(os.path.join(udir, f))
+             for f in os.listdir(udir)}
+    assert after == before  # untouched list not rewritten
+    assert not os.path.exists(os.path.join(path, f"centroid={victim_c}"))
+    survivors = emb.join(dels, "vec_id", "left_anti")
+    fresh = f"{tmp_table_path}/fresh"
+    HF.write_ivf_index(survivors, cents, "vec_id", "embedding", fresh)
+    assert _probe(spark, path, emb, cents) == \
+        _probe(spark, fresh, emb, cents)
+
+
+def test_ivf_compact_folds_append_files(spark, emb, tmp_table_path):
+    """Three appends leave multiple files per list; compact folds each
+    list to ONE file without changing probe results."""
+    import glob
+    import os
+
+    cents = emb.filter(F.col("vec_id") < 16)
+    path = f"{tmp_table_path}/idx"
+    HF.write_ivf_index(emb.filter(F.col("vec_id") % 3 == 0), cents,
+                       "vec_id", "embedding", path)
+    for m in (1, 2):
+        HF.append_ivf_index(emb.filter(F.col("vec_id") % 3 == m), cents,
+                            "vec_id", "embedding", path)
+    def files_per_list():
+        return {d: len(glob.glob(os.path.join(path, d, "*.parquet")))
+                for d in os.listdir(path) if d.startswith("centroid=")}
+    assert max(files_per_list().values()) >= 3
+    before = _probe(spark, path, emb, cents)
+    HF.compact_ivf_index(spark, path)
+    assert max(files_per_list().values()) == 1
+    assert _probe(spark, path, emb, cents) == before
+    total = spark.read.parquet(path).count()
+    assert total == emb.count()
