@@ -79,6 +79,7 @@ from .similarity import (
     write_pq_index,
     write_ivfpq_index,
     ivfpq_topk_from_index,
+    append_ivfpq_index,
     knn_classify,
     kmeans_centroids,
     cluster_balanced_sample,
@@ -125,6 +126,7 @@ __all__ = [
     "dot", "l2_norm", "cosine", "brute_force_topk", "hard_negative_mine",
     "hard_negative_mine_ivf", "lsh_bucket_topk",
     "append_ivf_index", "delete_from_ivf_index", "compact_ivf_index",
+    "append_ivfpq_index",
     "ivf_topk", "pq_codebooks", "pq_codebooks_trained", "pq_encode",
     "pq_reconstruct", "pq_topk", "write_pq_index", "write_ivfpq_index",
     "ivfpq_topk_from_index", "knn_classify", "cluster_balanced_sample",

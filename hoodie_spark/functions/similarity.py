@@ -38,7 +38,7 @@ __all__ = [
     "delete_from_ivf_index", "compact_ivf_index",
     "pq_codebooks", "pq_codebooks_trained", "pq_encode", "pq_reconstruct",
     "pq_topk", "pq_topk_rerank", "write_pq_index", "write_ivfpq_index",
-    "ivfpq_topk_from_index", "knn_classify",
+    "ivfpq_topk_from_index", "append_ivfpq_index", "knn_classify",
     "quantize_embeddings", "int8_topk", "write_int8_index",
     "int8_topk_from_index",
     "hard_negative_mine", "hard_negative_mine_ivf",
@@ -943,6 +943,31 @@ def write_ivfpq_index(corpus: DataFrame, centroids: DataFrame, books,
              pq_encode(F.col("c_v"), books).alias("codes"), "centroid")
      .withColumn("__rnorm", _pq_code_norm(books))
      .write.partitionBy("centroid").mode("overwrite").parquet(path))
+
+
+def append_ivfpq_index(corpus_delta: DataFrame, centroids: DataFrame,
+                       books, id_col: str, vec_col: str,
+                       path: str) -> None:
+    """Incrementally add vectors to a persisted :func:`write_ivfpq_index`
+    layout: the delta is assigned against the index's frozen centroid
+    set and PQ-encoded with its frozen codebooks, then appended into the
+    ``partitionBy(centroid)`` code lists. Same contract as
+    :func:`append_ivf_index` — delta-sized work, existing lists never
+    read, the result content-identical to a full rebuild over the union
+    corpus (pinned by test). Codebooks and centroids must be the ones
+    the index was built with: quantization drift is a REBUILD, not an
+    append. Deletes and small-file folding reuse
+    :func:`delete_from_ivf_index` / :func:`compact_ivf_index` — both
+    operate on the shared (id, centroid) layout and carry the code
+    columns through untouched.
+    """
+    c = _prep(corpus_delta, id_col, vec_col, "c")
+    cent = _prep(centroids, id_col, vec_col, "k")
+    (_assign_centroids(c, cent)
+     .select(F.col("c_id").alias(id_col),
+             pq_encode(F.col("c_v"), books).alias("codes"), "centroid")
+     .withColumn("__rnorm", _pq_code_norm(books))
+     .write.partitionBy("centroid").mode("append").parquet(path))
 
 
 def ivfpq_topk_from_index(spark, index_path: str, centroids: DataFrame,

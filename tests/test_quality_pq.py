@@ -602,3 +602,36 @@ def test_ivf_compact_folds_append_files(spark, emb, tmp_table_path):
     assert _probe(spark, path, emb, cents) == before
     total = spark.read.parquet(path).count()
     assert total == emb.count()
+
+
+def test_ivfpq_append_equals_full_rebuild(spark, emb, tmp_table_path):
+    """build(evens) + append(odds) with the SAME frozen centroids AND
+    codebooks must probe exactly like a full IVF-PQ rebuild over the
+    union — both codes-only ADC and the exact-rerank serving combo."""
+    cents = emb.filter(F.col("vec_id") < 16)
+    books = HF.pq_codebooks(emb, "vec_id", "embedding", m=8, k=16)
+    inc, full = f"{tmp_table_path}/inc", f"{tmp_table_path}/full"
+    HF.write_ivfpq_index(emb.filter(F.col("vec_id") % 2 == 0), cents,
+                         books, "vec_id", "embedding", inc)
+    HF.append_ivfpq_index(emb.filter(F.col("vec_id") % 2 == 1), cents,
+                          books, "vec_id", "embedding", inc)
+    HF.write_ivfpq_index(emb, cents, books, "vec_id", "embedding", full)
+    q = emb.filter(F.col("vec_id") < 10)
+
+    def probe(path, **kw):
+        return sorted(map(tuple, HF.ivfpq_topk_from_index(
+            spark, path, cents, books, q, "vec_id", "embedding",
+            k=10, n_probe=4, **kw)
+            .select("query_id", "neighbor_id", "rank").collect()))
+    assert probe(inc) == probe(full)
+    assert probe(inc, rerank_corpus=emb, shortlist=30) == \
+        probe(full, rerank_corpus=emb, shortlist=30)
+    # maintenance ops share the layout: delete + compact keep ADC parity
+    dels = spark.createDataFrame([(i,) for i in range(20, 40)],
+                                 "vec_id long")
+    assert HF.delete_from_ivf_index(spark, inc, dels, "vec_id") == 20
+    HF.compact_ivf_index(spark, inc)
+    fresh = f"{tmp_table_path}/fresh"
+    HF.write_ivfpq_index(emb.join(dels, "vec_id", "left_anti"), cents,
+                         books, "vec_id", "embedding", fresh)
+    assert probe(inc) == probe(fresh)
