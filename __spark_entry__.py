@@ -602,6 +602,45 @@ def _fx_ivf_incr(spark, sf_dir, path):
     return {"index": idx, "centroids": cents}
 
 
+def _fx_ivf_maint(spark, sf_dir, path):
+    """ANN index maintained as a table service: three embedding
+    micro-batches ingested through Ingestor(index_maintainers=[...]),
+    then a vector UPDATE batch (delete-then-append moves it between
+    lists). The maintained index must be content-identical to a full
+    rebuild over the final table — the ann_ivf oracle over the raw
+    embeddings table, because the update batch re-writes original
+    vectors unchanged."""
+    from hoodie_spark.streaming import Ingestor, IvfIndexMaintainer
+    from hoodie_spark.streaming.ingest import Source
+
+    class _Batches(Source):
+        def __init__(self, dfs):
+            self.dfs = dfs
+
+        def fetch(self, s, ck):
+            i = int(ck) if ck else 0
+            if i >= len(self.dfs):
+                return None, ck
+            return self.dfs[i], str(i + 1)
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding")
+    tbl = HoodieTable.create(spark, os.path.join(path, "t"),
+                             "emb_maint", ["vec_id"], None)
+    cents = emb.filter(F.col("vec_id") < 16)
+    idx = os.path.join(path, "ivf")
+    m = IvfIndexMaintainer(tbl, idx, cents, "vec_id", "embedding",
+                           compact_every=2)
+    batches = [emb.filter(F.col("vec_id") % 3 == k) for k in range(3)]
+    # batch 4 re-upserts a slice UNCHANGED: exercises the index
+    # delete-then-append path while keeping the final content equal to
+    # the raw table (what the shared oracle computes)
+    batches.append(emb.filter(F.col("vec_id") % 7 == 1))
+    Ingestor(tbl, _Batches(batches),
+             index_maintainers=[m]).run_continuous(4)
+    return {"index": idx, "centroids": cents}
+
+
 def _fx_docs_incdedup(spark, sf_dir, path):
     """Incremental dedup-against-state: three micro-batches (originals,
     exact copies +10000, near copies +20000 with ' zz' appended) ingested
@@ -647,6 +686,7 @@ _BUILDERS = {
     "orders_logcompact": _fx_orders_logcompact,
     "docs_incdedup": _fx_docs_incdedup,
     "ivf_incr": _fx_ivf_incr,
+    "ivf_maint": _fx_ivf_maint,
 }
 
 _ORDER_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
@@ -1521,6 +1561,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "query_id", "neighbor_id", "rank")
     q["ann_ivf_incremental"] = _q_ivf_incr
 
+    # ---- ANN index maintained as a table service (round 12): the
+    # fixture ingests the embeddings in micro-batches through
+    # Ingestor(index_maintainers=[IvfIndexMaintainer]) — watermark +
+    # incremental catch-up, delete-then-append on updates — and the
+    # probe must hash-match the full-rebuild oracle.
+    def _q_ivf_maint(s, d):
+        fx = _fixture(s, d, "ivf_maint")
+        return HF.ivf_topk_from_index(
+            s, fx["index"], fx["centroids"],
+            load_table(s, d, "embeddings").filter(F.col("vec_id") < 10),
+            "vec_id", "embedding", k=10, n_probe=4).select(
+                "query_id", "neighbor_id", "rank")
+    q["ann_index_maintained"] = _q_ivf_maint
+
     # ---- 50-row window curation: the driver records CORRECTNESS for the
     # FIRST 50 queries only. Swap this round's new UNIQUE operators into
     # the window in place of close variants of still-in-window rows
@@ -1695,6 +1749,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                #     ANN stays via ann_brute_force + ann_pq_rerank +
                #     hard_negatives; knn re-verified via check_oracle)
                "ann_ivf_incremental": "knn_classify",
+               #   ann_index_maintained <-> embedding_projection (r11-
+               #     recorded; embedding family stays via semantic_dedup
+               #     + the in-window ANN rows; displaced row re-verified)
+               "ann_index_maintained": "embedding_projection",
                "tpch_q11": "events_window",
                "tpch_q16": "mor_compaction",
                "tpch_q20": "dedup_exact",
@@ -3165,6 +3223,10 @@ FROM s
     # tie-breaks. Any drift in the maintenance path (lost rows, double
     # rows, stale deletes) breaks the hash match.
     o["ann_ivf_incremental"] = o["ann_ivf"]
+    # ...and the ingest-maintained index has the same content-identity
+    # contract, so the same oracle: any maintainer drift (missed batch,
+    # doubled replay, stale update version) breaks the hash match.
+    o["ann_index_maintained"] = o["ann_ivf"]
     return o
 
 

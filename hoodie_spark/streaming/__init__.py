@@ -3,6 +3,7 @@ from .ingest import (CsvDFSSource, OrcDFSSource, HoodieIncrSource, Ingestor, Jdb
                      ParquetDFSSource, SqlSource)
 from .async_services import AsyncTableServices
 from .incremental_dedup import IncrementalDeduper
+from .index_maintainer import IvfIndexMaintainer
 from .schema import (FileBasedSchemaProvider, RowBasedSchemaProvider,
                      SchemaProvider, SchemaRegistryProvider,
                      StaticSchemaProvider)
@@ -21,6 +22,7 @@ __all__ = ["foreach_batch_writer", "write_stream", "incremental_batches",
            "CsvDFSSource", "OrcDFSSource", "JdbcSource", "KafkaSource", "SqlSource",
            "HoodieIncrSource", "MultiTableIngestor", "AsyncTableServices",
            "stateful_dedup", "stateful_session_counts", "IncrementalDeduper",
+           "IvfIndexMaintainer",
            "SchemaProvider",
            "StaticSchemaProvider", "FileBasedSchemaProvider",
            "SchemaRegistryProvider", "RowBasedSchemaProvider",

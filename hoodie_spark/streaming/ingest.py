@@ -227,7 +227,8 @@ class Ingestor:
                  initial_checkpoint: str | None = None,
                  deduper=None,
                  compact_state_every: int | None = 16,
-                 state_retention_instants: int | None = None):
+                 state_retention_instants: int | None = None,
+                 index_maintainers: list | None = None):
         self.table = table
         self.source = source
         self.transformer_sql = transformer_sql
@@ -254,6 +255,12 @@ class Ingestor:
         # instants ago (old duplicates become re-admittable — the
         # allowed direction; state size stays bounded by the window)
         self.state_retention_instants = state_retention_instants
+        # optional IvfIndexMaintainer list: after each successful commit
+        # every maintainer catches its ANN index up to the new instant
+        # (watermark + incremental read, so a crash between commit and
+        # hook is repaired on the next sync — same contract as the
+        # deduper's catch_up)
+        self.index_maintainers = list(index_maintainers or [])
         self._dedup_batches = 0
 
     def checkpoint(self) -> str | None:
@@ -320,6 +327,8 @@ class Ingestor:
                 batch.unpersist()
                 self.deduper._release_pins()
             raise
+        for m in self.index_maintainers:
+            m.on_commit()
         self._maybe_compact()
         return res
 
