@@ -135,8 +135,13 @@ class IvfIndexMaintainer:
             if mark is None:
                 self._publish_mark(None)
             return 0
-        if mark is None and not self.fs.exists(self._wm_path):
-            # first sync of a pre-existing table: index everything once
+        if not any(e.startswith("centroid=")
+                   for e in self.fs.listdir(self.path)):
+            # no inverted lists yet — first sync of a pre-existing table,
+            # or the table was empty when the watermark was first
+            # published (the dir holds only _watermark.json, which the
+            # delta fold's index read could not even schema-infer):
+            # build everything once from the snapshot
             return self._rebuild()
         spark = self.table.spark
         if self.track_deletes:

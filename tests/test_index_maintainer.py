@@ -175,3 +175,24 @@ def test_rollback_triggers_rebuild(spark, emb, tmp_table_path):
     b1_ids = {r.vec_id for r in b1.select("vec_id").collect()}
     assert not (idx_ids & b1_ids)  # rolled-back vectors really gone
     assert c1 is not None
+
+
+def test_maintainer_attached_before_first_commit(spark, emb,
+                                                 tmp_table_path):
+    """A maintainer attached to an EMPTY table: the first sync publishes
+    a null watermark (the index dir holds only _watermark.json); the
+    sync after the first commit must build the lists instead of trying
+    to delta-fold into a list-less directory."""
+    tbl = HoodieTable.create(spark, f"{tmp_table_path}/t", "emb_empty",
+                             ["vec_id"], None)
+    cents = emb.filter(F.col("vec_id") < 16)
+    idx = f"{tmp_table_path}/idx"
+    m = IvfIndexMaintainer(tbl, idx, cents, "vec_id", "embedding")
+    assert m.catch_up() == 0  # empty table: watermark published, no lists
+    assert os.path.exists(os.path.join(idx, "_watermark.json"))
+    b0, b1, _ = _batches(emb)
+    tbl.bulk_insert(b0)
+    assert m.catch_up() == b0.count()
+    tbl.upsert(b1)
+    assert m.catch_up() == b1.count()  # and the delta path works after
+    assert spark.read.parquet(idx).count() == b0.count() + b1.count()
