@@ -641,6 +641,26 @@ def _fx_ivf_maint(spark, sf_dir, path):
     return {"index": idx, "centroids": cents}
 
 
+def _fx_sketch_maint(spark, sf_dir, path):
+    """Corpus-overlap sketches as maintained state: ingest the documents
+    in three batches through CorpusSketchMaintainer.catch_up(); min-merge
+    is a monoid, so the maintained state's overlap must be BIT-IDENTICAL
+    to the one-pass corpus_overlap_minhash over the raw table (the shared
+    oracle)."""
+    from hoodie_spark.streaming import CorpusSketchMaintainer
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source")
+    tbl = HoodieTable.create(spark, os.path.join(path, "t"),
+                             "docs_sketch", ["doc_id"], None)
+    m = CorpusSketchMaintainer(tbl, os.path.join(path, "sk"),
+                               "source", "text", num_hashes=64)
+    for k in range(3):
+        tbl.upsert(docs.filter(F.col("doc_id") % 3 == k))
+        m.catch_up()
+    return {"m": m}
+
+
 def _fx_docs_incdedup(spark, sf_dir, path):
     """Incremental dedup-against-state: three micro-batches (originals,
     exact copies +10000, near copies +20000 with ' zz' appended) ingested
@@ -687,6 +707,7 @@ _BUILDERS = {
     "docs_incdedup": _fx_docs_incdedup,
     "ivf_incr": _fx_ivf_incr,
     "ivf_maint": _fx_ivf_maint,
+    "sketch_maint": _fx_sketch_maint,
 }
 
 _ORDER_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
@@ -1574,6 +1595,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "vec_id", "embedding", k=10, n_probe=4).select(
                 "query_id", "neighbor_id", "rank")
     q["ann_index_maintained"] = _q_ivf_maint
+
+    # ---- maintained corpus-overlap sketches (round 12): overlap()
+    # computed from the batch-by-batch min-merged state; registered PAST
+    # the window as a variant of in-window corpus_overlap_minhash (the
+    # policy precedent: ANN variants), verified via check_oracle.
+    q["corpus_overlap_incremental"] = lambda s, d: _fixture(
+        s, d, "sketch_maint")["m"].overlap()
 
     # ---- 50-row window curation: the driver records CORRECTNESS for the
     # FIRST 50 queries only. Swap this round's new UNIQUE operators into
@@ -3227,6 +3255,10 @@ FROM s
     # contract, so the same oracle: any maintainer drift (missed batch,
     # doubled replay, stale update version) breaks the hash match.
     o["ann_index_maintained"] = o["ann_ivf"]
+    # The maintained corpus sketch is a min-monoid fold: batch-split and
+    # replay invariant, so its overlap is BIT-IDENTICAL to the one-pass
+    # sketch — the corpus_overlap_minhash oracle verbatim.
+    o["corpus_overlap_incremental"] = o["corpus_overlap_minhash"]
     return o
 
 

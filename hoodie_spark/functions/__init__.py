@@ -54,6 +54,9 @@ from .dedup import (
     lsh_plan,
     corpus_overlap,
     corpus_overlap_minhash,
+    group_sketches,
+    merge_sketches,
+    sketch_overlap,
 )
 from .similarity import (
     dot,
@@ -122,6 +125,7 @@ __all__ = [
     "simhash_dup_pairs", "embedding_near_dup_pairs", "dedup_spans",
     "seen_dedup", "doc_features", "min_sig_matches", "sig_agreement",
     "lsh_plan", "corpus_overlap", "corpus_overlap_minhash", "epoch_shuffle",
+    "group_sketches", "merge_sketches", "sketch_overlap",
     "bounded_self_pairs",
     "dot", "l2_norm", "cosine", "brute_force_topk", "hard_negative_mine",
     "hard_negative_mine_ivf", "lsh_bucket_topk",

@@ -37,7 +37,8 @@ __all__ = [
     "jaccard_dedup_pairs", "containment_dedup_pairs", "with_simhash",
     "simhash_sigs", "simhash_dup_pairs", "embedding_near_dup_pairs",
     "semantic_dedup", "lsh_plan", "corpus_overlap",
-    "corpus_overlap_minhash",
+    "corpus_overlap_minhash", "group_sketches", "merge_sketches",
+    "sketch_overlap",
 ]
 
 
@@ -410,12 +411,36 @@ def corpus_overlap_minhash(df: DataFrame, group_col: str, text_col: str,
     Standard error is ~sqrt(J(1-J)/num_hashes) (≈6 % at J=0.5, H=64);
     raise ``num_hashes`` for tighter corpus-level estimates.
     """
+    return sketch_overlap(group_sketches(df, group_col, text_col,
+                                         num_hashes, ngram), num_hashes)
+
+
+def group_sketches(df: DataFrame, group_col: str, text_col: str,
+                   num_hashes: int = 64, ngram: int = 5) -> DataFrame:
+    """Per-group MinHash sketch rows ``(__g, __h0..__h<H-1>)``.
+
+    The sketch is a MONOID under componentwise min: sketches of two
+    batches merge into the sketch of their union by ``min`` per
+    component — which is what makes the maintained/incremental form
+    (streaming.CorpusSketchMaintainer) EXACTLY equal to the batch form,
+    not an approximation of it."""
     sh = df.select(F.col(group_col).alias("__g"),
                    F.explode(char_ngrams(F.col(text_col), ngram))
                    .alias("__sh"))
     mins = [F.min(F.md5(F.concat(F.lit(f"h{i}:"), F.col("__sh"))))
             .alias(f"__h{i}") for i in range(num_hashes)]
-    sigs = sh.groupBy("__g").agg(*mins)
+    return sh.groupBy("__g").agg(*mins)
+
+
+def merge_sketches(a: DataFrame, b: DataFrame,
+                   num_hashes: int = 64) -> DataFrame:
+    """Monoid merge: componentwise min per group over the union."""
+    mins = [F.min(f"__h{i}").alias(f"__h{i}") for i in range(num_hashes)]
+    return a.unionByName(b).groupBy("__g").agg(*mins)
+
+
+def sketch_overlap(sigs: DataFrame, num_hashes: int = 64) -> DataFrame:
+    """Pairwise estimated Jaccard from :func:`group_sketches` rows."""
     a, b = sigs.alias("a"), sigs.alias("b")
     matches = sum((F.col(f"a.__h{i}") == F.col(f"b.__h{i}")).cast("int")
                   for i in range(num_hashes))

@@ -4,6 +4,7 @@ from .ingest import (CsvDFSSource, OrcDFSSource, HoodieIncrSource, Ingestor, Jdb
 from .async_services import AsyncTableServices
 from .incremental_dedup import IncrementalDeduper
 from .index_maintainer import IvfIndexMaintainer
+from .corpus_sketch import CorpusSketchMaintainer
 from .schema import (FileBasedSchemaProvider, RowBasedSchemaProvider,
                      SchemaProvider, SchemaRegistryProvider,
                      StaticSchemaProvider)
@@ -22,7 +23,7 @@ __all__ = ["foreach_batch_writer", "write_stream", "incremental_batches",
            "CsvDFSSource", "OrcDFSSource", "JdbcSource", "KafkaSource", "SqlSource",
            "HoodieIncrSource", "MultiTableIngestor", "AsyncTableServices",
            "stateful_dedup", "stateful_session_counts", "IncrementalDeduper",
-           "IvfIndexMaintainer",
+           "IvfIndexMaintainer", "CorpusSketchMaintainer",
            "SchemaProvider",
            "StaticSchemaProvider", "FileBasedSchemaProvider",
            "SchemaRegistryProvider", "RowBasedSchemaProvider",

@@ -196,3 +196,68 @@ def test_maintainer_attached_before_first_commit(spark, emb,
     tbl.upsert(b1)
     assert m.catch_up() == b1.count()  # and the delta path works after
     assert spark.read.parquet(idx).count() == b0.count() + b1.count()
+
+
+# ------------------------------------------ corpus sketch maintainer (r12)
+@pytest.fixture(scope="module")
+def docs(spark):
+    return (spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .select("doc_id", "text", "source").cache())
+
+
+def test_sketch_incremental_equals_batch(spark, docs, tmp_table_path):
+    """Min-merge is a monoid: folding three ingest batches yields a state
+    whose overlap is BIT-IDENTICAL to corpus_overlap_minhash over the
+    whole corpus in one pass."""
+    from hoodie_spark.streaming import CorpusSketchMaintainer
+
+    tbl = HoodieTable.create(spark, f"{tmp_table_path}/t", "docs_sk",
+                             ["doc_id"], None)
+    m = CorpusSketchMaintainer(tbl, f"{tmp_table_path}/sk", "source",
+                               "text", num_hashes=32)
+    for k in range(3):
+        tbl.upsert(docs.filter(F.col("doc_id") % 3 == k))
+        m.catch_up()
+    got = sorted(map(tuple, m.overlap().collect()))
+    want = sorted(map(tuple, HF.corpus_overlap_minhash(
+        docs, "source", "text", num_hashes=32).collect()))
+    assert got == want
+    # replay idempotence: folding the last batch again changes nothing
+    m.update(docs.filter(F.col("doc_id") % 3 == 2))
+    assert sorted(map(tuple, m.overlap().collect())) == want
+
+
+def test_sketch_rollback_rebuilds(spark, docs, tmp_table_path):
+    """A rollback past the watermark re-sketches the snapshot — rolled-
+    back shingles leave the state (min can't be un-merged, so this is the
+    one path that re-reads the table)."""
+    from hoodie_spark.streaming import CorpusSketchMaintainer
+
+    tbl = HoodieTable.create(spark, f"{tmp_table_path}/t", "docs_skrb",
+                             ["doc_id"], None)
+    m = CorpusSketchMaintainer(tbl, f"{tmp_table_path}/sk", "source",
+                               "text", num_hashes=32)
+    b0 = docs.filter(F.col("doc_id") % 3 == 0)
+    tbl.upsert(b0)
+    m.catch_up()
+    want = sorted(map(tuple, m.overlap().collect()))
+    tbl.upsert(docs.filter(F.col("doc_id") % 3 == 1))
+    m.catch_up()
+    assert sorted(map(tuple, m.overlap().collect())) != want
+    tbl.rollback(tbl.timeline.last_completed().timestamp)
+    assert m.catch_up() == b0.count()  # rebuild from the snapshot
+    assert sorted(map(tuple, m.overlap().collect())) == want
+
+
+def test_sketch_param_mismatch_raises(spark, docs, tmp_table_path):
+    from hoodie_spark.streaming import CorpusSketchMaintainer
+
+    tbl = HoodieTable.create(spark, f"{tmp_table_path}/t", "docs_skp",
+                             ["doc_id"], None)
+    m = CorpusSketchMaintainer(tbl, f"{tmp_table_path}/sk", "source",
+                               "text", num_hashes=32)
+    tbl.upsert(docs.limit(10))
+    m.catch_up()
+    with pytest.raises(ValueError):
+        CorpusSketchMaintainer(tbl, f"{tmp_table_path}/sk", "source",
+                               "text", num_hashes=16)
