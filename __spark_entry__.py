@@ -1603,6 +1603,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["corpus_overlap_incremental"] = lambda s, d: _fixture(
         s, d, "sketch_maint")["m"].overlap()
 
+    # ---- bigram-LM perplexity (round 12, CCNet-style quality signal):
+    # add-one-smoothed bigram LM over the top-64-unigram vocabulary
+    # (<unk>-collapsed), per-doc logprob + perplexity
+    # (functions/lm.bigram_perplexity). Defined at the END so existing
+    # window positions are untouched; the promote swap rotates it in.
+    q["lm_perplexity"] = lambda s, d: HF.bigram_perplexity(
+        load_table(s, d, "documents").select("doc_id", "text"),
+        "doc_id", "text", vocab_size=64)
+
+    # ---- trainable quality classifier (round 12): hashed-feature
+    # logistic regression fit by 3 full-batch distributed-GD steps
+    # (functions/classifier.quality_classifier) — every iteration is one
+    # Spark aggregation with DECIMAL-exact gradient sums, so training is
+    # bit-reproducible and the DuckDB oracle replays it exactly.
+    q["quality_classifier"] = lambda s, d: HF.quality_classifier(
+        load_table(s, d, "documents").select(
+            "doc_id", "text",
+            (F.col("lang") == "en").cast("int").alias("y")),
+        "doc_id", "text", "y", dim=64, iters=3, lr=1.0)
+
     # ---- 50-row window curation: the driver records CORRECTNESS for the
     # FIRST 50 queries only. Swap this round's new UNIQUE operators into
     # the window in place of close variants of still-in-window rows
@@ -1784,7 +1804,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                "tpch_q11": "events_window",
                "tpch_q16": "mor_compaction",
                "tpch_q20": "dedup_exact",
-               "tpch_q21": "cow_filter_exists"}
+               "tpch_q21": "cow_filter_exists",
+               # Round-12 late additions (new uniques this round) enter
+               # against r11-recorded rows whose family keeps an
+               # in-window representative; displaced rows re-verified via
+               # tools/check_oracle.py (PLANS.md):
+               #   lm_perplexity <-> text_tfidf (text analytics stays
+               #     via pii_redaction + bpe_tokenize + corpus_pipeline;
+               #     unigram_logprob is lm's check_oracle-verified
+               #     sibling)
+               "lm_perplexity": "text_tfidf",
+               #   quality_classifier <-> decontaminate (the corpus
+               #     gating family stays via corpus_pipeline, which
+               #     chains the gopher gate AND 4-gram decontamination)
+               "quality_classifier": "decontaminate"}
     keys = list(q)
     for new, old in promote.items():
         i, j = keys.index(old), keys.index(new)
@@ -1811,6 +1844,73 @@ corpus AS (
   SELECT doc_id + 10000 AS doc_id, text || ' zz' AS text FROM documents
 )
 """
+
+
+def _lr_oracle_sql(dim: int, iters: int, lr: float, label_expr: str) -> str:
+    """DuckDB replay of functions/classifier.train_hashed_lr +
+    quality_classifier: one CTE block per gradient-descent iteration,
+    unrolled. Deterministic by the same rounding/DECIMAL discipline as
+    the Spark side (see functions/classifier.py module docstring)."""
+    setup = rf"""
+WITH tok AS (
+  SELECT doc_id, {label_expr} AS y,
+         string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
+  FROM documents
+),
+ft AS (
+  SELECT doc_id, y,
+         list_transform(t, x -> CAST({_hex4('md5(x)', 1)} % {dim} AS INT)) AS bk,
+         len(t) AS n
+  FROM tok WHERE len(t) >= 1
+),
+nd AS (SELECT count(*) AS n_docs FROM ft),
+w0 AS (SELECT CAST(b AS INT) AS b, CAST(0 AS DECIMAL(18,12)) AS wt
+       FROM range(0, {dim + 1}) t(b))"""
+    steps = []
+    for k in range(1, iters + 1):
+        p = k - 1
+        steps.append(rf""",
+wl{k} AS (SELECT list(wt ORDER BY b) AS wv FROM w{p} WHERE b < {dim}),
+wb{k} AS (SELECT CAST(wt AS DOUBLE) AS bias FROM w{p} WHERE b = {dim}),
+d{k} AS (
+  SELECT f.doc_id, f.y, f.n, f.bk,
+         round(1.0 / (1.0 + exp(-round(
+             CAST(list_sum(list_transform(f.bk, b -> wl{k}.wv[b + 1])) AS DOUBLE)
+             / f.n + wb{k}.bias, 6))), 6) - f.y AS r
+  FROM ft f, wl{k}, wb{k}
+),
+g{k} AS (
+  SELECT b, SUM(c) AS g FROM (
+    SELECT unnest(d.bk) AS b,
+           CAST(round(d.r / d.n, 12) AS DECIMAL(28,12)) AS c FROM d{k} d
+    UNION ALL
+    SELECT {dim} AS b,
+           CAST(round(d.r, 12) AS DECIMAL(28,12)) AS c FROM d{k} d
+  ) GROUP BY b
+),
+w{k} AS (
+  SELECT w.b,
+         CAST(round(CAST(w.wt AS DOUBLE)
+                    - {lr} * CAST(coalesce(g.g, 0) AS DOUBLE) / nd.n_docs,
+                    12) AS DECIMAL(18,12)) AS wt
+  FROM w{p} w LEFT JOIN g{k} g ON w.b = g.b, nd
+)""")
+    final = rf""",
+wlF AS (SELECT list(wt ORDER BY b) AS wv FROM w{iters} WHERE b < {dim}),
+wbF AS (SELECT CAST(wt AS DOUBLE) AS bias FROM w{iters} WHERE b = {dim}),
+sc AS (
+  SELECT t.doc_id, CAST(t.y AS BIGINT) AS label,
+         round(1.0 / (1.0 + exp(-round(
+             CAST(coalesce(list_sum(list_transform(
+                 list_transform(t.t, x -> CAST({_hex4('md5(x)', 1)} % {dim} AS INT)),
+                 b -> wlF.wv[b + 1])), 0) AS DOUBLE)
+             / greatest(len(t.t), 1) + wbF.bias, 6))), 6) AS score
+  FROM tok t, wlF, wbF
+)
+SELECT doc_id, label, score,
+       CAST(score >= 0.5 AS BIGINT) AS predicted FROM sc
+"""
+    return setup + "".join(steps) + final
 
 _MINHASH_SIG = """
 norm AS (
@@ -3259,6 +3359,57 @@ FROM s
     # replay invariant, so its overlap is BIT-IDENTICAL to the one-pass
     # sketch — the corpus_overlap_minhash oracle verbatim.
     o["corpus_overlap_incremental"] = o["corpus_overlap_minhash"]
+
+    # bigram-LM perplexity: vocab = top-64 unigrams (desc count, asc term
+    # — deterministic), OOV collapses to <unk>, lp(w1,w2) =
+    # ln((c(w1,w2)+1)/(c(w1)+65)) rounded to 6 at the MODEL; per-doc sum
+    # in DECIMAL(18,6) — the exact unigram_logprob parity recipe one
+    # model-order up. ppl applies exp to an identical double in both
+    # engines, rounded to 6.
+    o["lm_perplexity"] = f"""
+WITH {_TOK_CTE},
+ex AS (SELECT unnest(t) AS term FROM tok),
+vc AS (SELECT term, count(*) AS c FROM ex GROUP BY term
+       ORDER BY c DESC, term LIMIT 64),
+vl AS (SELECT list(term) AS v FROM vc),
+mt AS (SELECT doc_id,
+              list_transform(t, x -> CASE WHEN list_contains(vl.v, x)
+                                          THEN x ELSE '<unk>' END) AS t
+       FROM tok, vl),
+bg AS (SELECT doc_id,
+              unnest(CASE WHEN len(t) >= 2
+                     THEN list_transform(range(1, CAST(len(t) AS BIGINT)),
+                          i -> struct_pack(w1 := t[CAST(i AS INT)],
+                                           w2 := t[CAST(i + 1 AS INT)]))
+                     ELSE CAST([] AS STRUCT(w1 VARCHAR, w2 VARCHAR)[])
+                     END) AS p
+       FROM mt),
+pairs AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM bg),
+pc AS (SELECT w1, w2, count(*) AS cb FROM pairs GROUP BY w1, w2),
+ctx AS (SELECT w1, sum(cb) AS cw FROM pc GROUP BY w1),
+lp AS (SELECT pc.w1, pc.w2,
+              round(ln((pc.cb + 1.0) / (ctx.cw + 65.0)), 6) AS lp
+       FROM pc JOIN ctx USING (w1)),
+scored AS (SELECT pr.doc_id, l.lp FROM pairs pr JOIN lp l USING (w1, w2)),
+agg AS (SELECT doc_id, count(*) AS n_bigrams,
+               CAST(SUM(CAST(lp AS DECIMAL(18,6))) AS DOUBLE) AS logprob
+        FROM scored GROUP BY doc_id)
+SELECT doc_id, n_bigrams, logprob,
+       round(exp(-logprob / n_bigrams), 6) AS ppl
+FROM agg
+"""
+
+    # trainable hashed-LR quality classifier: the oracle REPLAYS the
+    # 3-step full-batch gradient descent exactly — per-iteration CTEs
+    # recompute logits against the previous weight table, gradients as
+    # DECIMAL(28,12) sums of 12-decimal-rounded contributions (order-
+    # free), weights re-rounded to 12; the logit and sigmoid round to 6
+    # in both engines, leaving ~10 orders of magnitude between rounding
+    # grain and float error. Bucket = int(md5(token)[:4],16) % 64 — the
+    # same portable hash plane as DSIR/hash_sample.
+    o["quality_classifier"] = _lr_oracle_sql(
+        dim=64, iters=3, lr=1.0,
+        label_expr="CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END")
     return o
 
 

@@ -221,6 +221,12 @@ def run_suite(spark, sf_dir: str) -> dict[str, float]:
         "w", 256, ["doc_id"]).count())
     timed("unigram_logprob")(lambda: HF.unigram_logprob(
         docs, "doc_id", "text", vocab_size=64).count())
+    timed("lm_perplexity")(lambda: HF.bigram_perplexity(
+        docs, "doc_id", "text", vocab_size=64).count())
+    timed("quality_classifier")(lambda: HF.quality_classifier(
+        docs.select("doc_id", "text",
+                    (F.col("lang") == "en").cast("int").alias("y")),
+        "doc_id", "text", "y", dim=64, iters=3, lr=1.0).count())
     timed("dsir_select")(lambda: HF.dsir_select(
         docs.select("doc_id", "text"),
         docs.filter(F.col("source") == "src0").select("doc_id", "text"),

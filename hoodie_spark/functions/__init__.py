@@ -105,6 +105,17 @@ from .components import duplicate_groups, dedup_by_groups
 from .asof import asof_join
 from .ranges import range_join
 from .sessions import sessionize
+from .classifier import (
+    hashed_buckets,
+    train_hashed_lr,
+    score_hashed_lr,
+    quality_classifier,
+)
+from .lm import (
+    BigramLM,
+    train_bigram_lm,
+    bigram_perplexity,
+)
 from .pipeline import (
     redact_pii, pii_hits, deterministic_sample, sample_hash, pack_shards,
     pack_sequences,

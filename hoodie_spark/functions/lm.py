@@ -1,0 +1,168 @@
+"""Bigram language-model perplexity scoring (CCNet-style quality signal).
+
+CCNet (Wenzek et al., *CCNet: Extracting High Quality Monolingual Datasets
+from Web Crawl Data*, LREC 2020) ranks web documents by the perplexity of a
+small LM trained on a trusted corpus and keeps the low-perplexity "head".
+The reference engine has no LM stage — this is part of the
+beyond-the-reference training-data family (SURVEY.md §7 step 11), sitting
+one rung above :func:`~hoodie_spark.functions.pipeline.unigram_logprob`:
+the model conditions on the previous token, so repetitive boilerplate and
+shuffled-word gibberish separate even when their unigram bags are identical.
+
+Model: tokens outside the top-``vocab_size`` unigrams collapse to a single
+``<unk>`` symbol; the LM is the add-one-smoothed conditional
+
+    p(w2 | w1) = (c(w1, w2) + 1) / (c(w1) + V + 1)
+
+over the (V+1)-symbol alphabet, where ``c(w1)`` counts bigrams whose first
+symbol is ``w1``. A document's score is the sum of ``ln p`` over its
+bigrams and its perplexity ``exp(-logprob / n_bigrams)``.
+
+Engine-parity discipline (the exact recipe unigram_logprob pins): each
+distinct ``ln p`` is rounded to 6 decimals at the MODEL (≤ (V+1)^2 values,
+never per token), and per-document sums run in DECIMAL(18,6) — exact and
+order-independent, so Spark's partial aggregation and an independent SQL
+engine's grouped SUM cannot drift; the final ``exp`` is applied to an
+identical double in both engines and rounded to 6.
+
+Scale shape (100 TB): the unigram census and the bigram census are both
+map-side-combined aggregations whose OUTPUT is bounded (the term universe,
+then ≤ (V+1)^2 mapped pairs) — the shuffle carries partial counts, not
+rows. The model is broadcast for scoring; the scoring pass is one
+explode + two broadcast left-joins + one aggregation, and its joins never
+shuffle (plan-pinned in tests). The production shape at 100 TB is CCNet's:
+train on a small TRUSTED corpus (two passes over the small side), then
+score the full corpus with the explicit ``lm=`` — exactly ONE pass over
+the big data. The self-scored convenience path (``lm=None``) pays two
+extra census passes over the same corpus — fine for curation runs, wasteful
+if you already have a reference model. Everything is Column expressions —
+no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["BigramLM", "train_bigram_lm", "bigram_perplexity"]
+
+UNK = "<unk>"
+
+# in-row vocab mapping uses an isin literal per token; beyond this the
+# mapping should move to a post-explode broadcast join instead
+_MAX_LITERAL_VOCAB = 4096
+
+
+@dataclass
+class BigramLM:
+    """A trained bigram LM: the vocabulary (top-V unigrams) and two
+    bounded, broadcastable tables — ``pair_lp (w1, w2, lp)`` for observed
+    bigrams and ``ctx_lp (w1, unseen_lp)`` for unseen continuations of a
+    known context. ``oov_lp`` covers a context never seen at all
+    (impossible when scoring the training corpus itself)."""
+
+    vocab: list[str]
+    pair_lp: DataFrame
+    ctx_lp: DataFrame
+    oov_lp: float
+
+
+def _mapped_tokens(text_col: str | Column, vocab: list[str]) -> Column:
+    """Token array with out-of-vocabulary tokens collapsed to <unk> —
+    map-only (one isin against the vocab literal per token)."""
+    from .quality import words
+
+    return F.transform(
+        words(text_col),
+        lambda t: F.when(t.isin(*vocab), t).otherwise(F.lit(UNK)))
+
+
+def _pairs(df: DataFrame, id_col: str | None, text_col: str,
+           vocab: list[str]) -> DataFrame:
+    """Exploded (id?, w1, w2) bigram stream over the <unk>-mapped tokens.
+    Documents with fewer than two tokens contribute nothing; ``id_col``
+    None (the census path) drops the carrier column before the shuffle."""
+    m = _mapped_tokens(text_col, vocab)
+    pair = F.zip_with(
+        F.slice(m, 1, F.greatest(F.size(m) - 1, F.lit(0))),
+        F.slice(m, 2, F.greatest(F.size(m) - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")))
+    carry = [F.col(id_col)] if id_col else []
+    ex = df.select(*carry, F.explode(pair).alias("__p"))
+    return ex.select(*([id_col] if id_col else []),
+                     F.col("__p.w1").alias("w1"),
+                     F.col("__p.w2").alias("w2"))
+
+
+def train_bigram_lm(corpus: DataFrame, text_col: str,
+                    vocab_size: int = 64) -> BigramLM:
+    """Train the smoothed bigram LM on ``corpus``.
+
+    Two bounded aggregations: the unigram census picks the top-``V``
+    vocabulary (desc count, asc term tie-break — deterministic), then the
+    bigram census over <unk>-mapped pairs yields at most (V+1)^2 rows.
+    Both collects are model-sized, never corpus-sized.
+    """
+    if not 2 <= vocab_size <= _MAX_LITERAL_VOCAB:
+        raise ValueError(f"vocab_size must be in [2, {_MAX_LITERAL_VOCAB}],"
+                         f" got {vocab_size}")
+    from .quality import words
+
+    spark = corpus.sparkSession
+    uni = (corpus.select(F.explode(words(text_col)).alias("term"))
+           .groupBy("term").agg(F.count(F.lit(1)).alias("c")))
+    vocab = [r["term"] for r in
+             uni.orderBy(F.desc("c"), F.asc("term")).limit(vocab_size)
+             .collect()]
+    denom_slots = float(vocab_size + 1)  # V in-vocab symbols + <unk>
+
+    pc = (_pairs(corpus, None, text_col, vocab)
+          .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb")))
+    ctx = pc.groupBy("w1").agg(F.sum("cb").alias("cw"))
+    lp = (pc.join(ctx, "w1")
+          .select("w1", "w2",
+                  F.round(F.log((F.col("cb") + F.lit(1.0))
+                                / (F.col("cw") + F.lit(denom_slots))), 6)
+                  .alias("lp")))
+    unseen = ctx.select(
+        "w1",
+        F.round(F.log(F.lit(1.0) / (F.col("cw") + F.lit(denom_slots))), 6)
+        .alias("unseen_lp"))
+    # sever lineage: the model is bounded (≤ (V+1)^2 + (V+1) rows), so the
+    # scoring plan should embed a local relation, not re-run the census
+    pair_lp = spark.createDataFrame(lp.collect(), lp.schema)
+    ctx_lp = spark.createDataFrame(unseen.collect(), unseen.schema)
+    import math
+    return BigramLM(vocab=vocab, pair_lp=pair_lp, ctx_lp=ctx_lp,
+                    oov_lp=round(math.log(1.0 / denom_slots), 6))
+
+
+def bigram_perplexity(df: DataFrame, id_col: str, text_col: str,
+                      lm: BigramLM | None = None,
+                      vocab_size: int = 64) -> DataFrame:
+    """Score each document under the bigram LM (trained on ``df`` itself
+    when ``lm`` is None — the CCNet self-perplexity signal).
+
+    Returns ``(id_col, n_bigrams, logprob, ppl)``; documents with fewer
+    than two tokens (no bigrams) are dropped. ``ppl`` is
+    ``round(exp(-logprob / n_bigrams), 6)`` — low = head (fluent under the
+    corpus's own statistics), high = tail (gibberish / rare constructions).
+    """
+    if lm is None:
+        lm = train_bigram_lm(df, text_col, vocab_size=vocab_size)
+    scored = (_pairs(df, id_col, text_col, lm.vocab)
+              .join(F.broadcast(lm.pair_lp), ["w1", "w2"], "left")
+              .join(F.broadcast(lm.ctx_lp), ["w1"], "left")
+              .select(F.col(id_col),
+                      F.coalesce(F.col("lp"), F.col("unseen_lp"),
+                                 F.lit(lm.oov_lp)).alias("__lp")))
+    agg = (scored.groupBy(id_col)
+           .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                F.sum(F.col("__lp").cast("decimal(18,6)"))
+                .cast("double").alias("logprob")))
+    return agg.select(
+        id_col, "n_bigrams", "logprob",
+        F.round(F.exp(-F.col("logprob") / F.col("n_bigrams")), 6)
+        .alias("ppl"))
