@@ -1,3 +1,5 @@
+from .admin import (pending_instants, unschedule_pending,
+                    validate_compaction_plan, validate_pending)
 from .clean import CleaningPolicy, clean
 from .cluster import cluster, rescale_buckets
 from .compact import compact, logcompact, schedule_compaction
@@ -13,4 +15,6 @@ __all__ = ["clean", "CleaningPolicy", "cluster", "rescale_buckets",
            "restore", "savepoint",
            "archive", "find_duplicates", "repair_deduplicate",
            "upgrade", "downgrade", "CURRENT_VERSION",
-           "apply_ttl", "expired_partitions"]
+           "apply_ttl", "expired_partitions",
+           "pending_instants", "validate_pending",
+           "validate_compaction_plan", "unschedule_pending"]

@@ -785,6 +785,29 @@ def _exec_call(spark, sql: str, tables: dict):
         return spark.createDataFrame(
             [row], "num_files long, min long, p10 long, p50 long, "
                    "p90 long, max long, avg long, total long")
+    if proc == "show_pending_instants":
+        # hudi-cli `compactions show all` generalized to every pending
+        # service/write instant, with heartbeat liveness
+        from ..services.admin import pending_instants
+        rows = [(p.timestamp, p.action, p.heartbeat_live)
+                for p in pending_instants(tbl)]
+        return spark.createDataFrame(
+            rows, "instant string, action string, heartbeat_live boolean")
+    if proc == "validate_pending":
+        # HoodieCompactionAdminTool VALIDATE
+        from ..services.admin import validate_pending as _vp
+        rows = [(r.timestamp, r.valid, "; ".join(r.issues))
+                for r in _vp(tbl)]
+        return spark.createDataFrame(
+            rows, "instant string, valid boolean, issues string")
+    if proc == "unschedule_pending":
+        # HoodieCompactionAdminTool UNSCHEDULE_PLAN / REPAIR
+        from ..services.admin import unschedule_pending as _up
+        deleted = _up(tbl, str(args["instant"]),
+                      force=bool(args.get("force", False)),
+                      dry_run=bool(args.get("dry_run", False)))
+        return spark.createDataFrame(
+            [(p,) for p in deleted], "deleted_file string")
     raise ValueError(f"unknown procedure {proc!r}")
 
 
