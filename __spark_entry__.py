@@ -661,6 +661,31 @@ def _fx_sketch_maint(spark, sf_dir, path):
     return {"m": m}
 
 
+def _fx_drift_maint(spark, sf_dir, path):
+    """Token-distribution drift as maintained state: three insert batches
+    plus one UNCHANGED re-upsert batch ingested with track_changes=True —
+    the CDC un-merge must keep the maintained histogram exactly equal to
+    a fresh census of the final table (which equals the raw documents
+    table), so shift() against the even-doc reference must hash-match the
+    batch distribution_shift oracle."""
+    from hoodie_spark.streaming import DriftMonitor
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tbl = HoodieTable.create(spark, os.path.join(path, "t"),
+                             "docs_drift", ["doc_id"], None)
+    m = DriftMonitor(tbl, os.path.join(path, "drift"), "text",
+                     buckets=64, track_changes=True)
+    m.set_reference(docs.filter(F.col("doc_id") % 2 == 0))
+    for k in range(3):
+        tbl.upsert(docs.filter(F.col("doc_id") % 3 == k))
+        m.catch_up()
+    # re-upsert a slice unchanged: exercises the CDC subtract-then-add
+    # path without changing the final content
+    tbl.upsert(docs.filter(F.col("doc_id") % 7 == 1))
+    m.catch_up()
+    return {"m": m}
+
+
 def _fx_docs_incdedup(spark, sf_dir, path):
     """Incremental dedup-against-state: three micro-batches (originals,
     exact copies +10000, near copies +20000 with ' zz' appended) ingested
@@ -708,6 +733,7 @@ _BUILDERS = {
     "ivf_incr": _fx_ivf_incr,
     "ivf_maint": _fx_ivf_maint,
     "sketch_maint": _fx_sketch_maint,
+    "drift_maint": _fx_drift_maint,
 }
 
 _ORDER_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
@@ -1612,6 +1638,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         load_table(s, d, "documents").select("doc_id", "text"),
         "doc_id", "text", vocab_size=64)
 
+    # ---- distribution-shift diagnostics (round 12): per-bucket PSI/KL
+    # of the odd-doc token distribution vs the even-doc reference over
+    # the 64-bucket portable hash plane (functions/drift.py).
+    q["distribution_shift"] = lambda s, d: HF.distribution_shift(
+        load_table(s, d, "documents").filter(F.col("doc_id") % 2 == 0)
+        .select("doc_id", "text"),
+        load_table(s, d, "documents").filter(F.col("doc_id") % 2 == 1)
+        .select("doc_id", "text"),
+        "text", buckets=64)
+
+    # ---- drift as maintained streaming state (round 12): the histogram
+    # is a SUM monoid maintained through CDC subtract-then-add, so the
+    # maintained shift() must hash-match the batch statistic over the
+    # final table (streaming/drift.DriftMonitor).
+    q["drift_incremental"] = lambda s, d: _fixture(
+        s, d, "drift_maint")["m"].shift()
+
     # ---- trainable quality classifier (round 12): hashed-feature
     # logistic regression fit by 3 full-batch distributed-GD steps
     # (functions/classifier.quality_classifier) — every iteration is one
@@ -1817,7 +1860,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                #   quality_classifier <-> decontaminate (the corpus
                #     gating family stays via corpus_pipeline, which
                #     chains the gopher gate AND 4-gram decontamination)
-               "quality_classifier": "decontaminate"}
+               "quality_classifier": "decontaminate",
+               #   distribution_shift <-> analyze_skipping (the skipping
+               #     family keeps expr_data_skipping in-window;
+               #     data_skipping is its check_oracle-verified sibling)
+               "distribution_shift": "analyze_skipping",
+               #   drift_incremental <-> mor_logcompaction (MOR stays via
+               #     mor_snapshot in-window; compaction recorded r≤10 and
+               #     re-verified via check_oracle)
+               "drift_incremental": "mor_logcompaction"}
     keys = list(q)
     for new, old in promote.items():
         i, j = keys.index(old), keys.index(new)
@@ -3398,6 +3449,54 @@ SELECT doc_id, n_bigrams, logprob,
        round(exp(-logprob / n_bigrams), 6) AS ppl
 FROM agg
 """
+
+    # distribution shift: add-one-smoothed bucket probabilities over the
+    # portable md5 hash plane; log-ratio rounded to 6 at the bucket, the
+    # PSI/KL terms multiply the ROUNDED ratio and round to 9 — identical
+    # parenthesization to functions/drift.shift_from_counts, so every
+    # double operation is the same IEEE op in both engines.
+    def _drift_sql(cur_where: str) -> str:
+        return f"""
+WITH tokr AS (
+  SELECT string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS t
+  FROM documents WHERE doc_id % 2 = 0
+),
+tokc AS (
+  SELECT string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS t
+  FROM documents {cur_where}
+),
+exr AS (SELECT unnest(list_transform(t,
+            x -> CAST({_hex4('md5(x)', 1)} % 64 AS INT))) AS b FROM tokr),
+exc AS (SELECT unnest(list_transform(t,
+            x -> CAST({_hex4('md5(x)', 1)} % 64 AS INT))) AS b FROM tokc),
+cr AS (SELECT b, count(*) AS c FROM exr GROUP BY b),
+cc AS (SELECT b, count(*) AS c FROM exc GROUP BY b),
+nr AS (SELECT count(*) AS n FROM exr),
+nc AS (SELECT count(*) AS n FROM exc),
+spine AS (SELECT CAST(b AS INT) AS bucket FROM range(0, 64) t(b)),
+j AS (SELECT bucket, coalesce(cr.c, 0) AS ref_cnt,
+             coalesce(cc.c, 0) AS cur_cnt
+      FROM spine LEFT JOIN cr ON bucket = cr.b
+                 LEFT JOIN cc ON bucket = cc.b),
+k AS (SELECT bucket, ref_cnt, cur_cnt,
+             (ref_cnt + 1.0) / (nr.n + 64.0) AS pr,
+             (cur_cnt + 1.0) / (nc.n + 64.0) AS pc
+      FROM j, nr, nc),
+l AS (SELECT bucket, ref_cnt, cur_cnt, pr, pc,
+             round(ln(pc / pr), 6) AS log_ratio FROM k)
+SELECT bucket, ref_cnt, cur_cnt, log_ratio,
+       round((pc - pr) * log_ratio, 9) AS psi,
+       round(pc * log_ratio, 9) AS kl
+FROM l
+"""
+
+    o["distribution_shift"] = _drift_sql("WHERE doc_id % 2 = 1")
+    # The maintained histogram is a SUM monoid kept exact under re-upserts
+    # by CDC subtract-then-add; the fixture's final table content equals
+    # the WHOLE raw documents table, so the maintained shift() (vs the
+    # even-doc reference) must hash-match the batch statistic with the
+    # full table as the current side.
+    o["drift_incremental"] = _drift_sql("")
 
     # trainable hashed-LR quality classifier: the oracle REPLAYS the
     # 3-step full-batch gradient descent exactly — per-iteration CTEs

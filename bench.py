@@ -223,6 +223,10 @@ def run_suite(spark, sf_dir: str) -> dict[str, float]:
         docs, "doc_id", "text", vocab_size=64).count())
     timed("lm_perplexity")(lambda: HF.bigram_perplexity(
         docs, "doc_id", "text", vocab_size=64).count())
+    timed("distribution_shift")(lambda: HF.distribution_shift(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        "text", buckets=64).agg(F.sum("psi"), F.sum("kl")).collect())
     timed("quality_classifier")(lambda: HF.quality_classifier(
         docs.select("doc_id", "text",
                     (F.col("lang") == "en").cast("int").alias("y")),

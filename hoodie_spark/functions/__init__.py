@@ -111,6 +111,11 @@ from .classifier import (
     score_hashed_lr,
     quality_classifier,
 )
+from .drift import (
+    token_histogram,
+    distribution_shift,
+    shift_from_counts,
+)
 from .lm import (
     BigramLM,
     train_bigram_lm,
@@ -162,4 +167,8 @@ __all__ = [
     "tfidf_terms", "tfidf_vectors",
     "bpe_train", "bpe_encode", "bpe_token_count",
     "normalize", "random_projection",
+    "BigramLM", "train_bigram_lm", "bigram_perplexity",
+    "hashed_buckets", "train_hashed_lr", "score_hashed_lr",
+    "quality_classifier",
+    "token_histogram", "distribution_shift", "shift_from_counts",
 ]

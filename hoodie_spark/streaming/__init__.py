@@ -5,6 +5,7 @@ from .async_services import AsyncTableServices
 from .incremental_dedup import IncrementalDeduper
 from .index_maintainer import IvfIndexMaintainer
 from .corpus_sketch import CorpusSketchMaintainer
+from .drift import DriftMonitor
 from .schema import (FileBasedSchemaProvider, RowBasedSchemaProvider,
                      SchemaProvider, SchemaRegistryProvider,
                      StaticSchemaProvider)
@@ -24,6 +25,7 @@ __all__ = ["foreach_batch_writer", "write_stream", "incremental_batches",
            "HoodieIncrSource", "MultiTableIngestor", "AsyncTableServices",
            "stateful_dedup", "stateful_session_counts", "IncrementalDeduper",
            "IvfIndexMaintainer", "CorpusSketchMaintainer",
+           "DriftMonitor",
            "SchemaProvider",
            "StaticSchemaProvider", "FileBasedSchemaProvider",
            "SchemaRegistryProvider", "RowBasedSchemaProvider",

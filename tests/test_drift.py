@@ -1,0 +1,145 @@
+"""Distribution-shift diagnostics (functions/drift.py) and the maintained
+DriftMonitor (streaming/drift.py)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from hoodie_spark import HoodieTable, TableType, functions as HF
+from hoodie_spark.streaming import DriftMonitor
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_token_histogram_full_spine_and_counts(spark):
+    df = _docs(spark, [(1, "a a b"), (2, "a")])
+    hist = HF.token_histogram(df, "text", buckets=8).collect()
+    assert len(hist) == 8
+    assert sum(r["cnt"] for r in hist) == 4  # total tokens
+    assert {r["bucket"] for r in hist} == set(range(8))
+
+
+def test_shift_zero_on_identical_distribution(spark):
+    df = _docs(spark, [(i, "alpha beta gamma") for i in range(10)])
+    out = HF.distribution_shift(df, df, "text", buckets=16).collect()
+    assert len(out) == 16
+    assert all(r["psi"] == 0.0 and r["kl"] == 0.0 and r["log_ratio"] == 0.0
+               for r in out)
+
+
+def test_shift_detects_drift(spark):
+    ref = _docs(spark, [(i, "common words shared tokens") for i in range(50)])
+    cur = _docs(spark, [(i, "totally different vocabulary here")
+                        for i in range(50)])
+    out = HF.distribution_shift(ref, cur, "text", buckets=32)
+    psi = out.agg(F.sum("psi")).first()[0]
+    assert psi > 0.25  # "investigate" threshold
+    same = HF.distribution_shift(ref, ref.limit(25), "text", buckets=32) \
+        .agg(F.sum("psi")).first()[0]
+    assert same < psi  # same distribution at half volume drifts far less
+
+
+def test_histogram_bucket_bounds(spark):
+    df = _docs(spark, [(1, "a")])
+    with pytest.raises(ValueError):
+        HF.token_histogram(df, "text", buckets=1)
+    with pytest.raises(ValueError):
+        HF.token_histogram(df, "text", buckets=10 ** 6)
+
+
+def _table(spark, path, **kw):
+    return HoodieTable.create(spark, path, "docs", ["doc_id"], "doc_id",
+                              partition_expr="'p0'", **kw)
+
+
+def test_monitor_maintained_equals_batch(spark, tmp_table_path):
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text"))
+    tbl = _table(spark, tmp_table_path)
+    state = os.path.join(tmp_table_path, "_drift")
+    mon = DriftMonitor(tbl, state, "text", buckets=32)
+    ref = docs.filter("doc_id % 2 = 0")
+    mon.set_reference(ref)
+    # three append batches
+    for k in range(3):
+        tbl.insert(docs.filter(f"doc_id % 3 = {k}"))
+        mon.catch_up()
+    got = sorted(map(tuple, mon.shift().collect()))
+    want = sorted(map(tuple, HF.distribution_shift(
+        ref, tbl.snapshot().select("doc_id", "text"), "text",
+        buckets=32).collect()))
+    assert got == want  # maintained ≡ one-pass, bit-identical
+
+
+def test_monitor_track_changes_exact_under_upsert_delete(
+        spark, tmp_table_path):
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text").limit(100))
+    tbl = _table(spark, tmp_table_path)
+    state = os.path.join(tmp_table_path, "_drift")
+    mon = DriftMonitor(tbl, state, "text", buckets=32, track_changes=True)
+    tbl.insert(docs)
+    mon.catch_up()
+    # update 30 docs' text, delete 10 — the maintained histogram must
+    # un-merge the before-images exactly
+    tbl.upsert(docs.filter("doc_id % 3 = 0")
+               .withColumn("text", F.concat(F.col("text"),
+                                            F.lit(" extra extra"))))
+    tbl.delete(docs.filter("doc_id % 10 = 0").select("doc_id"))
+    mon.catch_up()
+    st = mon._load()
+    fresh = DriftMonitor(tbl, state + "2", "text", buckets=32)
+    fresh_counts = fresh._census(tbl.snapshot().select("text"))
+    assert st["counts"] == fresh_counts
+
+
+def test_monitor_plain_mode_append_only_caveat(spark, tmp_table_path):
+    # WITHOUT track_changes an update double-counts: rebuild() repairs
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text").limit(50))
+    tbl = _table(spark, tmp_table_path)
+    mon = DriftMonitor(tbl, os.path.join(tmp_table_path, "_drift"),
+                       "text", buckets=16)
+    tbl.insert(docs)
+    mon.catch_up()
+    tbl.upsert(docs.limit(10))  # same text rewritten
+    mon.catch_up()
+    snap_census = mon._census(tbl.snapshot().select("text"))
+    assert sum(mon._load()["counts"]) > sum(snap_census)  # double-counted
+    mon.rebuild()
+    assert mon._load()["counts"] == snap_census
+
+
+def test_monitor_rollback_triggers_rebuild(spark, tmp_table_path):
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text").limit(60))
+    tbl = _table(spark, tmp_table_path)
+    mon = DriftMonitor(tbl, os.path.join(tmp_table_path, "_drift"),
+                       "text", buckets=16)
+    tbl.insert(docs.filter("doc_id % 2 = 0"))
+    mon.catch_up()
+    r2 = tbl.insert(docs.filter("doc_id % 2 = 1"))
+    mon.catch_up()
+    tbl.rollback(r2.instant)
+    mon.catch_up()  # watermark is newer than the rollback point → rebuild
+    assert mon._load()["counts"] == mon._census(
+        tbl.snapshot().select("text"))
+
+
+def test_monitor_requires_reference_for_shift(spark, tmp_table_path):
+    tbl = _table(spark, tmp_table_path)
+    mon = DriftMonitor(tbl, os.path.join(tmp_table_path, "_drift"),
+                       "text", buckets=16)
+    with pytest.raises(ValueError, match="no reference"):
+        mon.shift()
+
+
+def test_monitor_state_config_guard(spark, tmp_table_path):
+    tbl = _table(spark, tmp_table_path)
+    state = os.path.join(tmp_table_path, "_drift")
+    DriftMonitor(tbl, state, "text", buckets=16).catch_up()
+    with pytest.raises(ValueError, match="was built with"):
+        DriftMonitor(tbl, state, "text", buckets=32)
