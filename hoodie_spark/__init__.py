@@ -9,6 +9,7 @@ from .config import (BootstrapMode, IndexType, MergePolicy, TableConfig,
                      WriteOperation)
 from .cdc import apply_cdc
 from .export import export_snapshot
+from .importer import import_parquet
 from .keygen import custom_partition_expr
 from .table import HoodieTable
 from .writer import WriteConflictError
@@ -17,5 +18,6 @@ __all__ = [
     "HoodieTable", "TableConfig", "WriteConfig", "TableType", "MergePolicy",
     "IndexType", "WriteOperation", "BootstrapMode", "WriteConcurrencyMode",
     "WriteConflictError", "apply_cdc", "export_snapshot",
+    "import_parquet",
     "custom_partition_expr",
 ]

@@ -173,7 +173,8 @@ def probe_once(spark, sf_dir: str, only: set | None = None) -> dict:
 
     docs = None
     if want("exact_dedup", "minhash_dedup", "simhash_dedup",
-            "containment_dedup", "dsir_select", "incremental_dedup"):
+            "containment_dedup", "dsir_select", "incremental_dedup",
+            "lm_perplexity", "quality_classifier", "distribution_shift"):
         docs = load_table(spark, sf_dir, "documents").select(
             "doc_id", "text")
     work = tempfile.mkdtemp(prefix="scale_probe_")
@@ -256,6 +257,19 @@ def probe_once(spark, sf_dir: str, only: set | None = None) -> dict:
         timed("dsir_select", lambda: HF.dsir_select(
             docs, docs.filter(F.col("doc_id") % 10 == 0), "doc_id",
             "text", k=200).count())
+        # round-12 text-statistics family: all bounded-output censuses +
+        # broadcast scoring — each must scale like a fixed number of
+        # corpus scans
+        timed("lm_perplexity", lambda: HF.bigram_perplexity(
+            docs, "doc_id", "text", vocab_size=64).count())
+        timed("quality_classifier", lambda: HF.quality_classifier(
+            docs.select("doc_id", "text",
+                        (F.col("doc_id") % 2).alias("y")),
+            "doc_id", "text", "y", dim=64, iters=3).count())
+        timed("distribution_shift", lambda: HF.distribution_shift(
+            docs.filter(F.col("doc_id") % 2 == 0),
+            docs.filter(F.col("doc_id") % 2 == 1),
+            "text", buckets=64).agg(F.sum("psi")).collect())
         if want("incremental_dedup"):
             inc_tbl = HoodieTable.create(
                 spark, os.path.join(work, "docs_inc"), "docs_inc_sp",
