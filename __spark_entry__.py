@@ -1655,6 +1655,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["drift_incremental"] = lambda s, d: _fixture(
         s, d, "drift_maint")["m"].shift()
 
+    # ---- exact-substring dedup (round 12, Lee et al. ACL 2022 via
+    # content-defined chunking): duplicated >=20-char chunks cut
+    # everywhere but their first (doc_id, idx) occurrence, documents
+    # reassembled (functions/dedup.exact_substring_dedup).
+    q["substring_dedup"] = lambda s, d: HF.exact_substring_dedup(
+        load_table(s, d, "documents").select("doc_id", "text"),
+        "doc_id", "text")
+
     # ---- trainable quality classifier (round 12): hashed-feature
     # logistic regression fit by 3 full-batch distributed-GD steps
     # (functions/classifier.quality_classifier) — every iteration is one
@@ -1868,7 +1876,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                #   drift_incremental <-> mor_logcompaction (MOR stays via
                #     mor_snapshot in-window; compaction recorded r≤10 and
                #     re-verified via check_oracle)
-               "drift_incremental": "mor_logcompaction"}
+               "drift_incremental": "mor_logcompaction",
+               #   substring_dedup <-> dedup_groups (the near-dup family
+               #     keeps dedup_minhash_lsh + semantic_dedup +
+               #     incremental_dedup in-window; displaced row
+               #     re-verified via check_oracle)
+               "substring_dedup": "dedup_groups"}
     keys = list(q)
     for new, old in promote.items():
         i, j = keys.index(old), keys.index(new)
@@ -3448,6 +3461,63 @@ agg AS (SELECT doc_id, count(*) AS n_bigrams,
 SELECT doc_id, n_bigrams, logprob,
        round(exp(-logprob / n_bigrams), 6) AS ppl
 FROM agg
+"""
+
+    # exact-substring dedup: content-defined chunk boundaries (md5 of the
+    # trailing 8 chars ≡ 0 mod 16 — a purely local decision, so copies
+    # chunk identically at any offset), keep-first by (doc_id, idx),
+    # ordered reassembly. All-integer/string arithmetic — engine-exact.
+    o["substring_dedup"] = f"""
+WITH norm AS (
+  SELECT doc_id,
+         lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
+  FROM documents
+),
+bp AS (
+  SELECT doc_id, t, length(t) AS n,
+         CASE WHEN length(t) - 1 >= 8 THEN
+           list_filter(range(8, CAST(length(t) AS BIGINT)),
+             i -> ({_hex4("md5(substr(t, CAST(i - 7 AS INT), 8))", 1)})
+                  % 16 = 0)
+         ELSE CAST([] AS BIGINT[]) END AS bpos
+  FROM norm
+),
+ch AS (
+  SELECT doc_id, t,
+         list_concat(list_concat([CAST(1 AS BIGINT)],
+                                 list_transform(bpos, i -> i + 1)),
+                     [CAST(n + 1 AS BIGINT)]) AS bounds
+  FROM bp
+),
+ck AS (
+  SELECT doc_id,
+         list_transform(range(1, CAST(len(bounds) AS BIGINT)),
+           k -> substr(t, CAST(bounds[CAST(k AS INT)] AS INT),
+                       CAST(bounds[CAST(k AS INT) + 1]
+                            - bounds[CAST(k AS INT)] AS INT))) AS chunks
+  FROM ch
+),
+ex AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS idx,
+         chunks[CAST(i + 1 AS INT)] AS chunk
+  FROM ck, unnest(range(0, CAST(len(chunks) AS BIGINT))) AS u(i)
+  WHERE length(chunks[CAST(i + 1 AS INT)]) > 0
+),
+mk AS (
+  SELECT doc_id, idx, chunk,
+         (length(chunk) >= 20)
+         AND (count(DISTINCT doc_id) OVER (PARTITION BY chunk) >= 2)
+         AND (row_number() OVER (PARTITION BY chunk
+                                 ORDER BY doc_id, idx) > 1) AS dup
+  FROM ex
+)
+SELECT doc_id,
+       coalesce(string_agg(chunk, '' ORDER BY idx)
+                FILTER (WHERE NOT dup), '') AS text,
+       count(*) FILTER (WHERE NOT dup) AS n_chunks_kept,
+       count(*) AS n_chunks_total
+FROM mk GROUP BY doc_id
+HAVING count(*) FILTER (WHERE NOT dup) > 0
 """
 
     # distribution shift: add-one-smoothed bucket probabilities over the

@@ -195,6 +195,8 @@ def run_suite(spark, sf_dir: str) -> dict[str, float]:
         docs, "text", keep_col="keep").groupBy("keep").count().collect())
     timed("dedup_spans")(lambda: HF.dedup_spans(
         docs, "doc_id", "text").count())
+    timed("substring_dedup")(lambda: HF.exact_substring_dedup(
+        docs, "doc_id", "text").count())
     timed("corpus_pipeline")(lambda: HF.corpus_pipeline(
         docs.filter(F.col("doc_id") % 20 != 0),
         docs.filter(F.col("doc_id") % 20 == 0)).count())

@@ -47,6 +47,7 @@ from .dedup import (
     embedding_near_dup_pairs,
     semantic_dedup,
     dedup_spans,
+    exact_substring_dedup,
     seen_dedup,
     doc_features,
     min_sig_matches,
@@ -139,6 +140,7 @@ __all__ = [
     "quantize_embeddings", "int8_topk", "write_int8_index", "int8_topk_from_index",
     "jaccard_dedup_pairs", "containment_dedup_pairs", "with_simhash", "simhash_sigs",
     "simhash_dup_pairs", "embedding_near_dup_pairs", "dedup_spans",
+    "exact_substring_dedup",
     "seen_dedup", "doc_features", "min_sig_matches", "sig_agreement",
     "lsh_plan", "corpus_overlap", "corpus_overlap_minhash", "epoch_shuffle",
     "group_sketches", "merge_sketches", "sketch_overlap",

@@ -38,7 +38,7 @@ __all__ = [
     "simhash_sigs", "simhash_dup_pairs", "embedding_near_dup_pairs",
     "semantic_dedup", "lsh_plan", "corpus_overlap",
     "corpus_overlap_minhash", "group_sketches", "merge_sketches",
-    "sketch_overlap",
+    "sketch_overlap", "exact_substring_dedup",
 ]
 
 
@@ -712,6 +712,81 @@ def dedup_spans(df: DataFrame, id_col: str, text_col: str,
                  F.size(kept_structs).cast("long").alias("n_spans_kept"),
                  F.count(F.lit(1)).alias("n_spans_total"))
             .filter(F.col("n_spans_kept") > 0))
+
+
+def exact_substring_dedup(df: DataFrame, id_col: str, text_col: str,
+                          window: int = 8, mask: int = 16,
+                          min_dup_len: int = 20,
+                          min_docs: int = 2) -> DataFrame:
+    """Corpus-global exact-substring deduplication via content-defined
+    chunking — the alignment-robust char-level complement to
+    :func:`dedup_spans` (Lee et al., *Deduplicating Training Data Makes
+    Language Models Better*, ACL 2022, approximated without the suffix
+    array).
+
+    Why content-defined: a duplicated passage usually sits at DIFFERENT
+    offsets in each document, so fixed-position blocks (dedup_spans'
+    word windows) never line up across copies. Here a chunk boundary is
+    declared wherever the md5 of the trailing ``window`` chars hits
+    ``0 mod mask`` — a purely LOCAL decision, so identical passages chunk
+    identically wherever they start (away from the first ``window-1``
+    chars of the copy). Expected chunk length is ~``mask`` chars.
+
+    A chunk participates in deduplication only if it is at least
+    ``min_dup_len`` chars (shared SHORT strings are normal language, not
+    plagiarism); among the ≥``min_docs``-document duplicates the FIRST
+    occurrence (smallest ``(id, chunk_idx)``) is kept and the rest are
+    cut, then each document is reassembled from its surviving chunks in
+    order — exactly the reference algorithm's keep-one semantics.
+
+    Returns ``(id_col, text_col, n_chunks_kept, n_chunks_total)``;
+    documents whose every chunk was cut disappear.
+
+    Scale shape (100 TB): boundary detection and chunk building are
+    in-row Column transforms (one md5 per char position — CPU-heavy but
+    embarrassingly parallel, no shuffle); the dedup itself is one window
+    shuffle keyed on chunk content (row_number over (id, idx) — keep
+    rank 1) and one reassembly shuffle keyed on id. Same two-shuffle
+    floor as dedup_spans. No UDFs, no driver state.
+    """
+    t = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    n = F.length(t)
+    # boundary AFTER position i when md5(t[i-window+1 .. i]) % mask == 0
+    # (positions window..len-1; never split at the very end). Guard the
+    # short-doc case: F.sequence(a, b) with b < a counts DOWN.
+    bpos = F.when(n - 1 >= window, F.filter(
+        F.sequence(F.lit(window), n - 1),
+        lambda i: F.conv(F.substring(F.md5(
+            t.substr(i - window + 1, F.lit(window))), 1, 4), 16, 10)
+        .cast("int") % mask == 0)).otherwise(
+        F.array().cast("array<int>"))
+    bounds = F.concat(F.array(F.lit(1)), F.transform(bpos, lambda i: i + 1),
+                      F.array(n + 1))
+    nb = F.size(bounds)
+    chunks = F.zip_with(
+        F.slice(bounds, 1, nb - 1), F.slice(bounds, 2, nb - 1),
+        lambda a, b: t.substr(a, b - a))
+    ex = (df.select(F.col(id_col), F.posexplode(chunks)
+                    .alias("__idx", "__chunk"))
+          .filter(F.length("__chunk") > 0))
+    w = Window.partitionBy("__chunk").orderBy(id_col, "__idx")
+    cnt = Window.partitionBy("__chunk")
+    marked = (ex.withColumn(
+        "__dup",
+        (F.length("__chunk") >= min_dup_len)
+        & (F.size(F.collect_set(F.col(id_col)).over(cnt)) >= min_docs)
+        & (F.row_number().over(w) > 1)))
+    kept_structs = F.filter(
+        F.array_sort(F.collect_list(
+            F.struct(F.col("__idx"), F.col("__chunk"), F.col("__dup")))),
+        lambda s: ~s["__dup"])
+    return (marked.groupBy(id_col)
+            .agg(F.array_join(F.transform(kept_structs,
+                                          lambda s: s["__chunk"]), "")
+                 .alias(text_col),
+                 F.size(kept_structs).cast("long").alias("n_chunks_kept"),
+                 F.count(F.lit(1)).alias("n_chunks_total"))
+            .filter(F.col("n_chunks_kept") > 0))
 
 
 def containment_dedup_pairs(df: DataFrame, id_col: str, text_col: str,

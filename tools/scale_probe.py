@@ -174,7 +174,8 @@ def probe_once(spark, sf_dir: str, only: set | None = None) -> dict:
     docs = None
     if want("exact_dedup", "minhash_dedup", "simhash_dedup",
             "containment_dedup", "dsir_select", "incremental_dedup",
-            "lm_perplexity", "quality_classifier", "distribution_shift"):
+            "lm_perplexity", "quality_classifier", "distribution_shift",
+            "substring_dedup"):
         docs = load_table(spark, sf_dir, "documents").select(
             "doc_id", "text")
     work = tempfile.mkdtemp(prefix="scale_probe_")
@@ -270,6 +271,10 @@ def probe_once(spark, sf_dir: str, only: set | None = None) -> dict:
             docs.filter(F.col("doc_id") % 2 == 0),
             docs.filter(F.col("doc_id") % 2 == 1),
             "text", buckets=64).agg(F.sum("psi")).collect())
+        # CDC-chunked substring dedup: in-row md5-per-position boundary
+        # detection (CPU-linear, no shuffle) + two chunk-keyed shuffles
+        timed("substring_dedup", lambda: HF.exact_substring_dedup(
+            docs, "doc_id", "text").count())
         if want("incremental_dedup"):
             inc_tbl = HoodieTable.create(
                 spark, os.path.join(work, "docs_inc"), "docs_inc_sp",
