@@ -1637,6 +1637,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["lm_perplexity"] = lambda s, d: HF.bigram_perplexity(
         load_table(s, d, "documents").select("doc_id", "text"),
         "doc_id", "text", vocab_size=64)
+    # CCNet head/middle/tail: exact equal-population perplexity terciles
+    # via the pack_shards distributed-rank recipe (no single-task window)
+    q["ppl_buckets"] = lambda s, d: HF.perplexity_buckets(
+        load_table(s, d, "documents").select("doc_id", "text"),
+        "doc_id", "text", n_buckets=3)
 
     # ---- distribution-shift diagnostics (round 12): per-bucket PSI/KL
     # of the odd-doc token distribution vs the even-doc reference over
@@ -1881,7 +1886,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                #     keeps dedup_minhash_lsh + semantic_dedup +
                #     incremental_dedup in-window; displaced row
                #     re-verified via check_oracle)
-               "substring_dedup": "dedup_groups"}
+               "substring_dedup": "dedup_groups",
+               #   ppl_buckets <-> shard_packing (the distributed-rank /
+               #     prefix-sum family keeps pack_sequences-verified
+               #     siblings; shard_packing recorded r11 and re-verified
+               #     via check_oracle)
+               "ppl_buckets": "shard_packing"}
     keys = list(q)
     for new, old in promote.items():
         i, j = keys.index(old), keys.index(new)
@@ -3430,7 +3440,7 @@ FROM s
     # in DECIMAL(18,6) — the exact unigram_logprob parity recipe one
     # model-order up. ppl applies exp to an identical double in both
     # engines, rounded to 6.
-    o["lm_perplexity"] = f"""
+    _LM_CTE = f"""
 WITH {_TOK_CTE},
 ex AS (SELECT unnest(t) AS term FROM tok),
 vc AS (SELECT term, count(*) AS c FROM ex GROUP BY term
@@ -3457,10 +3467,24 @@ lp AS (SELECT pc.w1, pc.w2,
 scored AS (SELECT pr.doc_id, l.lp FROM pairs pr JOIN lp l USING (w1, w2)),
 agg AS (SELECT doc_id, count(*) AS n_bigrams,
                CAST(SUM(CAST(lp AS DECIMAL(18,6))) AS DOUBLE) AS logprob
-        FROM scored GROUP BY doc_id)
-SELECT doc_id, n_bigrams, logprob,
-       round(exp(-logprob / n_bigrams), 6) AS ppl
-FROM agg
+        FROM scored GROUP BY doc_id),
+ppl AS (SELECT doc_id, n_bigrams, logprob,
+               round(exp(-logprob / n_bigrams), 6) AS ppl
+        FROM agg)"""
+
+    o["lm_perplexity"] = _LM_CTE + """
+SELECT doc_id, n_bigrams, logprob, ppl FROM ppl
+"""
+    # head/middle/tail: bucket = (rank * 3) DIV N over the exact global
+    # (ppl, doc_id) order — pure integer arithmetic on top of the shared
+    # LM CTE, so the distributed-rank path must agree bit-for-bit with
+    # this single-window reference
+    o["ppl_buckets"] = _LM_CTE + """
+, rk AS (SELECT doc_id, ppl,
+                row_number() OVER (ORDER BY ppl, doc_id) - 1 AS r,
+                count(*) OVER () AS n
+         FROM ppl)
+SELECT doc_id, ppl, CAST((r * 3) // n AS BIGINT) AS bucket FROM rk
 """
 
     # exact-substring dedup: content-defined chunk boundaries (md5 of the

@@ -121,6 +121,7 @@ from .lm import (
     BigramLM,
     train_bigram_lm,
     bigram_perplexity,
+    perplexity_buckets,
 )
 from .pipeline import (
     redact_pii, pii_hits, deterministic_sample, sample_hash, pack_shards,
@@ -170,6 +171,7 @@ __all__ = [
     "bpe_train", "bpe_encode", "bpe_token_count",
     "normalize", "random_projection",
     "BigramLM", "train_bigram_lm", "bigram_perplexity",
+    "perplexity_buckets",
     "hashed_buckets", "train_hashed_lr", "score_hashed_lr",
     "quality_classifier",
     "token_histogram", "distribution_shift", "shift_from_counts",

@@ -46,7 +46,8 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["BigramLM", "train_bigram_lm", "bigram_perplexity"]
+__all__ = ["BigramLM", "train_bigram_lm", "bigram_perplexity",
+           "perplexity_buckets"]
 
 UNK = "<unk>"
 
@@ -166,3 +167,60 @@ def bigram_perplexity(df: DataFrame, id_col: str, text_col: str,
         id_col, "n_bigrams", "logprob",
         F.round(F.exp(-F.col("logprob") / F.col("n_bigrams")), 6)
         .alias("ppl"))
+
+
+def perplexity_buckets(df: DataFrame, id_col: str, text_col: str,
+                       n_buckets: int = 3,
+                       lm: BigramLM | None = None,
+                       vocab_size: int = 64,
+                       num_bins: int = 256) -> DataFrame:
+    """CCNet's head/middle/tail split: exact equal-population perplexity
+    buckets — ``(id_col, ppl, bucket)`` with bucket 0 = head (most fluent
+    under the LM) through ``n_buckets - 1`` = tail.
+
+    ``bucket = (rank * n_buckets) DIV N`` over the global (ppl, id) order
+    — exact integer arithmetic, so any engine reproduces it. The global
+    rank uses the pack_shards recipe instead of a single-task window:
+    equal-width ppl bins (min/max from one aggregate), per-bin
+    row-counting windows in parallel, driver folds ONE count per bin into
+    broadcast integer offsets. Documents with no bigrams are dropped
+    (bigram_perplexity's contract).
+    """
+    from pyspark.sql import Window
+
+    scored = bigram_perplexity(df, id_col, text_col, lm=lm,
+                               vocab_size=vocab_size)
+    lo, hi = scored.agg(F.min("ppl"), F.max("ppl")).first()
+    if lo is None:
+        return scored.select(id_col, "ppl",
+                             F.lit(None).cast("long").alias("bucket"))
+    span = float(hi) - float(lo)
+    if span <= 0 or num_bins <= 1:
+        binc = F.lit(0)
+    else:
+        binc = F.least(
+            F.lit(num_bins - 1),
+            F.floor((F.col("ppl") - F.lit(float(lo)))
+                    / F.lit(span) * F.lit(num_bins)).cast("int"))
+    staged = scored.withColumn("__bin", binc)
+    counts = {r["__bin"]: r["__c"] for r in
+              staged.groupBy("__bin").agg(F.count(F.lit(1)).alias("__c"))
+              .collect()}
+    total = sum(counts.values())
+    offsets, acc = {}, 0
+    for b in sorted(counts):
+        offsets[b] = acc
+        acc += counts[b]
+    off_df = F.broadcast(df.sparkSession.createDataFrame(
+        [(int(b), int(o)) for b, o in offsets.items()],
+        "__bin int, __off long"))
+    win = (Window.partitionBy("__bin").orderBy("ppl", id_col)
+           .rowsBetween(Window.unboundedPreceding, -1))
+    rank = F.col("__off") + F.coalesce(
+        F.count(F.lit(1)).over(win), F.lit(0))
+    return (staged.join(off_df, "__bin")
+            .withColumn("__rank", rank)
+            .withColumn("bucket", F.expr(
+                f"CAST(__rank * {int(n_buckets)} DIV {int(total)} "
+                f"AS BIGINT)"))
+            .select(id_col, "ppl", "bucket"))

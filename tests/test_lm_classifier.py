@@ -154,3 +154,43 @@ def test_classifier_scoring_plan_is_map_only(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan  # one pass, no shuffle
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_perplexity_buckets_equal_population(spark):
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text"))
+    out = HF.perplexity_buckets(docs, "doc_id", "text", n_buckets=3)
+    counts = {r["bucket"]: r["cnt"] for r in
+              out.groupBy("bucket").agg(F.count("*").alias("cnt"))
+              .collect()}
+    assert set(counts) == {0, 1, 2}
+    assert max(counts.values()) - min(counts.values()) <= 1  # equal pop
+    # bucket order tracks perplexity: every head ppl <= every tail ppl
+    rows = out.collect()
+    head = max(r["ppl"] for r in rows if r["bucket"] == 0)
+    tail = min(r["ppl"] for r in rows if r["bucket"] == 2)
+    assert head <= tail
+
+
+def test_perplexity_buckets_matches_global_rank(spark):
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text"))
+    out = {r["doc_id"]: r["bucket"] for r in
+           HF.perplexity_buckets(docs, "doc_id", "text",
+                                 n_buckets=4).collect()}
+    # reference: single-partition exact rank
+    scored = sorted(
+        HF.bigram_perplexity(docs, "doc_id", "text").collect(),
+        key=lambda r: (r["ppl"], r["doc_id"]))
+    n = len(scored)
+    for rank, r in enumerate(scored):
+        assert out[r["doc_id"]] == rank * 4 // n
+
+
+def test_perplexity_buckets_partitioning_invariant(spark):
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text"))
+    a = HF.perplexity_buckets(docs.repartition(1), "doc_id", "text")
+    b = HF.perplexity_buckets(docs.repartition(11, "doc_id"),
+                              "doc_id", "text")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
