@@ -143,3 +143,33 @@ def test_monitor_state_config_guard(spark, tmp_table_path):
     DriftMonitor(tbl, state, "text", buckets=16).catch_up()
     with pytest.raises(ValueError, match="was built with"):
         DriftMonitor(tbl, state, "text", buckets=32)
+
+
+def test_monitor_through_ingestor_hook(spark, tmp_table_path):
+    """DriftMonitor rides the Ingestor's post-commit maintainer hook like
+    the other maintained services — per-batch catch-up, end state equals
+    a fresh census of the ingested table."""
+    from hoodie_spark.streaming import DriftMonitor, Ingestor
+    from hoodie_spark.streaming.ingest import Source
+
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text"))
+
+    class _Batches(Source):
+        def __init__(self, dfs):
+            self.dfs = dfs
+
+        def fetch(self, s, ck):
+            i = int(ck) if ck else 0
+            if i >= len(self.dfs):
+                return None, ck
+            return self.dfs[i], str(i + 1)
+
+    tbl = _table(spark, tmp_table_path)
+    mon = DriftMonitor(tbl, os.path.join(tmp_table_path, "_drift"),
+                       "text", buckets=16)
+    batches = [docs.filter(f"doc_id % 3 = {k}") for k in range(3)]
+    Ingestor(tbl, _Batches(batches),
+             index_maintainers=[mon]).run_continuous(3)
+    assert mon._load()["counts"] == mon._census(
+        tbl.snapshot().select("text"))
