@@ -26,14 +26,20 @@ def _last_batch_id(table) -> int:
 
 
 def foreach_batch_writer(table, operation: str = WriteOperation.UPSERT,
-                         compact_every: int | None = None, services=None):
+                         compact_every: int | None = None, services=None,
+                         maintainers=None):
     """Returns fn(batch_df, batch_id) for ``writeStream.foreachBatch``.
 
     ``services`` (an :class:`~hoodie_spark.streaming.AsyncTableServices`)
     moves compaction/cleaning to a background thread — the batch write
     serializes with them on the services' write lock, everything else
     overlaps. Without it, ``compact_every`` triggers inline compaction
-    (HoodieStreamingSink's sync mode)."""
+    (HoodieStreamingSink's sync mode). ``maintainers`` (anything with
+    ``on_commit`` — IvfIndexMaintainer, CorpusSketchMaintainer,
+    DriftMonitor) catch up after each committed batch, the same
+    post-commit seat the Ingestor gives them; replayed batches are
+    skipped BEFORE the maintainers run, so their watermarks never see a
+    duplicate."""
 
     def fn(batch_df: DataFrame, batch_id: int):
         if batch_id <= _last_batch_id(table):
@@ -54,6 +60,8 @@ def foreach_batch_writer(table, operation: str = WriteOperation.UPSERT,
                     table.compact()
         if services is not None:
             services.after_commit()
+        for m in (maintainers or []):
+            m.on_commit(batch_df)
 
     return fn
 

@@ -173,3 +173,22 @@ def test_monitor_through_ingestor_hook(spark, tmp_table_path):
              index_maintainers=[mon]).run_continuous(3)
     assert mon._load()["counts"] == mon._census(
         tbl.snapshot().select("text"))
+
+
+def test_monitor_through_writestream_sink(spark, tmp_table_path):
+    """The foreachBatch sink gives maintainers the same post-commit seat
+    as the Ingestor — and batch replays are skipped before they run."""
+    from hoodie_spark.streaming import DriftMonitor
+    from hoodie_spark.streaming.sink import foreach_batch_writer
+
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text"))
+    tbl = _table(spark, tmp_table_path)
+    mon = DriftMonitor(tbl, os.path.join(tmp_table_path, "_drift"),
+                       "text", buckets=16)
+    fn = foreach_batch_writer(tbl, maintainers=[mon])
+    fn(docs.filter("doc_id % 2 = 0"), 0)
+    fn(docs.filter("doc_id % 2 = 1"), 1)
+    fn(docs.filter("doc_id % 2 = 1"), 1)  # replay: no write, no re-fold
+    assert mon._load()["counts"] == mon._census(
+        tbl.snapshot().select("text"))
