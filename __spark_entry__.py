@@ -1660,6 +1660,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["drift_incremental"] = lambda s, d: _fixture(
         s, d, "drift_maint")["m"].shift()
 
+    # ---- corpus data card (round 12): per-source doc/dup/token
+    # statistics from ONE (group, text-hash) census
+    # (functions/pipeline.corpus_report).
+    q["corpus_report"] = lambda s, d: HF.corpus_report(
+        load_table(s, d, "documents"), "text", "source")
+
     # ---- exact-substring dedup (round 12, Lee et al. ACL 2022 via
     # content-defined chunking): duplicated >=20-char chunks cut
     # everywhere but their first (doc_id, idx) occurrence, documents
@@ -1891,7 +1897,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                #     prefix-sum family keeps pack_sequences-verified
                #     siblings; shard_packing recorded r11 and re-verified
                #     via check_oracle)
-               "ppl_buckets": "shard_packing"}
+               "ppl_buckets": "shard_packing",
+               #   corpus_report <-> events_json_agg (events family keeps
+               #     sessionize in-window; displaced row recorded r11 and
+               #     re-verified via check_oracle)
+               "corpus_report": "events_json_agg"}
     keys = list(q)
     for new, old in promote.items():
         i, j = keys.index(old), keys.index(new)
@@ -3485,6 +3495,34 @@ SELECT doc_id, n_bigrams, logprob, ppl FROM ppl
                 count(*) OVER () AS n
          FROM ppl)
 SELECT doc_id, ppl, CAST((r * 3) // n AS BIGINT) AS bucket FROM rk
+"""
+
+    # corpus data card: one (group, text-hash) census folded per group;
+    # all-integer except mean_tokens (one double division + round — the
+    # same op in both engines)
+    o["corpus_report"] = r"""
+WITH n AS (
+  SELECT source AS grp,
+         lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+  FROM documents
+),
+m AS (
+  SELECT grp, md5(t) AS h,
+         CASE WHEN length(t) = 0 THEN 0
+              ELSE len(string_split(t, ' ')) END AS nt,
+         length(t) = 0 AS e
+  FROM n
+),
+c AS (SELECT grp, h, count(*) AS c, min(nt) AS nt, max(e) AS e
+      FROM m GROUP BY grp, h)
+SELECT grp, CAST(sum(c) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN e THEN c ELSE 0 END) AS BIGINT) AS n_empty,
+       count(*) AS distinct_texts,
+       CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup_docs,
+       CAST(sum(c * nt) AS BIGINT) AS total_tokens,
+       round(CAST(sum(c * nt) AS BIGINT) / CAST(sum(c) AS BIGINT), 6)
+           AS mean_tokens
+FROM c GROUP BY grp
 """
 
     # exact-substring dedup: content-defined chunk boundaries (md5 of the

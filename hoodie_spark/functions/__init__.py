@@ -130,7 +130,7 @@ from .pipeline import (
     stratified_sample, tfidf_terms, tfidf_vectors, corpus_pipeline,
     chunk_documents, unigram_logprob, source_weighted_sample,
     temperature_mix, column_histogram, dsir_logweights, dsir_select,
-    epoch_shuffle,
+    epoch_shuffle, corpus_report,
 )
 from .bpe import bpe_train, bpe_encode, bpe_token_count
 
@@ -165,7 +165,7 @@ __all__ = [
     "word_ngrams", "contaminated_ids", "decontaminate", "stratified_sample",
     "corpus_pipeline", "chunk_documents", "unigram_logprob",
     "source_weighted_sample", "temperature_mix", "column_histogram",
-    "dsir_logweights", "dsir_select",
+    "dsir_logweights", "dsir_select", "corpus_report",
     "char_entropy",
     "tfidf_terms", "tfidf_vectors",
     "bpe_train", "bpe_encode", "bpe_token_count",

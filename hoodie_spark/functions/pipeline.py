@@ -825,3 +825,48 @@ def tfidf_vectors(df: DataFrame, id_col: str, text_col: str,
     return df.select(F.col(id_col),
                      F.array(*[F.round(c, 6) for c in comps])
                      .alias("tfidf"))
+
+
+def corpus_report(df: DataFrame, text_col: str,
+                  group_col: str | None = None) -> DataFrame:
+    """Data-card summary per ``group_col`` value (or one ``'all'`` row):
+    ``(grp, n_docs, n_empty, distinct_texts, dup_docs, total_tokens,
+    mean_tokens)`` — the per-source corpus statistics a training-data
+    run publishes before mixing (doc counts, exact-duplicate mass,
+    token budget).
+
+    ``dup_docs`` counts documents whose whitespace-normalized text is
+    byte-identical to at least one other document in the SAME group —
+    the exact-dup mass the dedup stage would remove.
+
+    Scale shape: ONE (group, text-hash) census with map-side partial
+    counts (token count and emptiness ride the census — they are
+    functions of the text, so min() per hash is exact), then a
+    group-level fold of the census — output is bounded by
+    groups × distinct texts, shuffles carry 48-byte census rows, and no
+    second corpus scan.
+    """
+    t = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    grp = (F.coalesce(F.col(group_col).cast("string"), F.lit("null"))
+           if group_col else F.lit("all"))
+    nt = F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, " ")))
+    census = (df.select(grp.alias("grp"), F.md5(t).alias("__h"),
+                        nt.alias("__nt"),
+                        (F.length(t) == 0).alias("__e"))
+              .groupBy("grp", "__h")
+              .agg(F.count(F.lit(1)).alias("__c"),
+                   F.min("__nt").alias("__nt"),
+                   F.max("__e").alias("__e")))
+    return (census.groupBy("grp")
+            .agg(F.sum("__c").alias("n_docs"),
+                 F.sum(F.when(F.col("__e"), F.col("__c"))
+                       .otherwise(F.lit(0))).alias("n_empty"),
+                 F.count(F.lit(1)).alias("distinct_texts"),
+                 F.sum(F.when(F.col("__c") >= 2, F.col("__c"))
+                       .otherwise(F.lit(0))).alias("dup_docs"),
+                 F.sum(F.col("__c") * F.col("__nt"))
+                 .alias("total_tokens"))
+            .withColumn("mean_tokens",
+                        F.round(F.col("total_tokens")
+                                / F.col("n_docs"), 6)))

@@ -723,3 +723,20 @@ def test_epoch_shuffle_plan_one_shuffle_no_global_sort(docs):
 def test_epoch_shuffle_validates_shards(docs):
     with pytest.raises(ValueError):
         HF.epoch_shuffle(docs, "doc_id", num_shards=0)
+
+
+def test_corpus_report_hand_computed(spark):
+    rows = [(1, "a b c", "s1"), (2, "a b c", "s1"), (3, "x y", "s1"),
+            (4, "", "s2"), (5, "solo doc here", "s2")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, src string")
+    from hoodie_spark.functions.pipeline import corpus_report
+    out = {r["grp"]: r for r in corpus_report(df, "text", "src").collect()}
+    s1, s2 = out["s1"], out["s2"]
+    assert (s1["n_docs"], s1["distinct_texts"], s1["dup_docs"]) == (3, 2, 2)
+    assert s1["total_tokens"] == 8 and s1["n_empty"] == 0
+    assert s1["mean_tokens"] == round(8 / 3, 6)
+    assert (s2["n_docs"], s2["n_empty"], s2["dup_docs"]) == (2, 1, 0)
+    assert s2["total_tokens"] == 3
+    # global single-row mode
+    g = corpus_report(df, "text").collect()
+    assert len(g) == 1 and g[0]["grp"] == "all" and g[0]["n_docs"] == 5
