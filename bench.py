@@ -225,6 +225,11 @@ def run_suite(spark, sf_dir: str) -> dict[str, float]:
         docs, "doc_id", "text", vocab_size=64).count())
     timed("lm_perplexity")(lambda: HF.bigram_perplexity(
         docs, "doc_id", "text", vocab_size=64).count())
+    timed("ppl_buckets")(lambda: HF.perplexity_buckets(
+        docs.select("doc_id", "text"), "doc_id", "text",
+        n_buckets=3).groupBy("bucket").count().collect())
+    timed("corpus_report")(lambda: HF.corpus_report(
+        docs, "text", "source").collect())
     timed("distribution_shift")(lambda: HF.distribution_shift(
         docs.filter(F.col("doc_id") % 2 == 0),
         docs.filter(F.col("doc_id") % 2 == 1),
