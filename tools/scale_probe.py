@@ -175,7 +175,7 @@ def probe_once(spark, sf_dir: str, only: set | None = None) -> dict:
     if want("exact_dedup", "minhash_dedup", "simhash_dedup",
             "containment_dedup", "dsir_select", "incremental_dedup",
             "lm_perplexity", "quality_classifier", "distribution_shift",
-            "substring_dedup"):
+            "substring_dedup", "ppl_buckets", "corpus_report"):
         docs = load_table(spark, sf_dir, "documents").select(
             "doc_id", "text")
     work = tempfile.mkdtemp(prefix="scale_probe_")
@@ -275,6 +275,11 @@ def probe_once(spark, sf_dir: str, only: set | None = None) -> dict:
         # detection (CPU-linear, no shuffle) + two chunk-keyed shuffles
         timed("substring_dedup", lambda: HF.exact_substring_dedup(
             docs, "doc_id", "text").count())
+        timed("ppl_buckets", lambda: HF.perplexity_buckets(
+            docs, "doc_id", "text", n_buckets=3)
+            .groupBy("bucket").count().collect())
+        timed("corpus_report", lambda: HF.corpus_report(
+            docs, "text").collect())
         if want("incremental_dedup"):
             inc_tbl = HoodieTable.create(
                 spark, os.path.join(work, "docs_inc"), "docs_inc_sp",
