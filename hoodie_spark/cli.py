@@ -86,6 +86,13 @@ def _build_parser() -> argparse.ArgumentParser:
     sub.add_parser("reclaim")
     sub.add_parser("upgrade")
     sub.add_parser("downgrade")
+    # service administration (HoodieCompactionAdminTool parity)
+    sub.add_parser("pending")
+    sub.add_parser("validate-pending")
+    up = sub.add_parser("unschedule")
+    up.add_argument("instant")
+    up.add_argument("--force", action="store_true")
+    up.add_argument("--dry-run", action="store_true")
     return p
 
 
@@ -179,6 +186,20 @@ def main(argv: list[str] | None = None, spark=None) -> dict:
         from .services.rollback import rollback_failed_writes
 
         out = {"reclaimed": rollback_failed_writes(tbl)}
+    elif args.cmd == "pending":
+        from .services.admin import pending_instants
+
+        out = {"pending": [vars(p) for p in pending_instants(tbl)]}
+    elif args.cmd == "validate-pending":
+        from .services.admin import validate_pending
+
+        out = {"results": [vars(r) for r in validate_pending(tbl)]}
+    elif args.cmd == "unschedule":
+        from .services.admin import unschedule_pending
+
+        deleted = unschedule_pending(tbl, args.instant, force=args.force,
+                                     dry_run=args.dry_run)
+        out = {"deleted_files": deleted, "dry_run": args.dry_run}
     elif args.cmd == "upgrade":
         out = {"stats_touched": tbl.upgrade(),
                "version": tbl.config.version}

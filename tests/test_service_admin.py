@@ -147,3 +147,25 @@ def test_admin_sql_procedures(spark, orders, tmp_table_path):
     run_sql(spark, f"CALL unschedule_pending(table => 'orders_adm', "
                    f"instant => '{ts}')", tables)
     assert pending_instants(tbl) == []
+
+
+def test_admin_cli_commands(spark, orders, tmp_table_path):
+    from hoodie_spark.cli import main as cli_main
+    tbl = make_orders(spark, tmp_table_path,
+                      write_config=WriteConfig(heartbeat_expiry_s=0.2,
+                                               failed_writes_policy="lazy"))
+    tbl.bulk_insert(orders.limit(50))
+    assert cli_main([tmp_table_path, "pending"], spark)["pending"] == []
+    # a beatless pending instant is expired under ANY expiry — the CLI
+    # loads the table with default write_config, so don't rely on the
+    # test table's short expiry
+    ts = tbl.timeline.new_instant_time()
+    tbl.timeline.create_requested(tl.COMMIT, ts)
+    tbl.timeline.transition_inflight(tl.COMMIT, ts)
+    pend = cli_main([tmp_table_path, "pending"], spark)["pending"]
+    assert len(pend) == 1 and pend[0]["timestamp"] == ts
+    res = cli_main([tmp_table_path, "validate-pending"], spark)["results"]
+    assert not res[0]["valid"]
+    out = cli_main([tmp_table_path, "unschedule", ts], spark)
+    assert out["dry_run"] is False
+    assert cli_main([tmp_table_path, "pending"], spark)["pending"] == []
