@@ -1660,6 +1660,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["drift_incremental"] = lambda s, d: _fixture(
         s, d, "drift_maint")["m"].shift()
 
+    # ---- near-duplicate decontamination (round 12): drop corpus docs
+    # whose exact shingle Jaccard vs ANY eval doc is >= 0.8, LSH-banded
+    # candidates (functions/pipeline.decontaminate_near) — the fuzzy
+    # complement to the exact-gram decontaminate row.
+    def _q_decon_near(s, d):
+        docs = load_table(s, d, "documents").select("doc_id", "text")
+        return HF.decontaminate_near(
+            docs.filter(F.col("doc_id") % 20 != 0),
+            docs.filter(F.col("doc_id") % 20 == 0),
+            "doc_id", "text", threshold=0.8)
+    q["decontaminate_near"] = _q_decon_near
+
     # ---- corpus data card (round 12): per-source doc/dup/token
     # statistics from ONE (group, text-hash) census
     # (functions/pipeline.corpus_report).
@@ -1901,7 +1913,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                #   corpus_report <-> events_json_agg (events family keeps
                #     sessionize in-window; displaced row recorded r11 and
                #     re-verified via check_oracle)
-               "corpus_report": "events_json_agg"}
+               "corpus_report": "events_json_agg",
+               #   decontaminate_near <-> pii_redaction (map-only text
+               #     family keeps bpe_tokenize + corpus_pipeline +
+               #     lm_perplexity in-window; displaced row recorded r11
+               #     and re-verified via check_oracle)
+               "decontaminate_near": "pii_redaction"}
     keys = list(q)
     for new, old in promote.items():
         i, j = keys.index(old), keys.index(new)
@@ -3495,6 +3512,32 @@ SELECT doc_id, n_bigrams, logprob, ppl FROM ppl
                 count(*) OVER () AS n
          FROM ppl)
 SELECT doc_id, ppl, CAST((r * 3) // n AS BIGINT) AS bucket FROM rk
+"""
+
+    # near-dup decontamination: the self-dedup family's signature/band
+    # machinery with a CROSS-side candidate join (corpus % 20 != 0 vs
+    # eval % 20 = 0) and exact shingle-Jaccard verification; the
+    # unreferenced self-join cand CTE in the shared fragment is never
+    # evaluated
+    o["decontaminate_near"] = f"""
+WITH corpus AS (SELECT doc_id, text FROM documents),
+{_MINHASH_SIG},
+xc AS (
+  SELECT DISTINCT a.doc_id AS cid, b.doc_id AS eid
+  FROM bands a JOIN bands b ON a.b = b.b AND a.bh = b.bh
+  WHERE a.doc_id % 20 <> 0 AND b.doc_id % 20 = 0
+),
+bad AS (
+  SELECT DISTINCT x.cid FROM xc x
+  JOIN sh sa ON sa.doc_id = x.cid
+  JOIN sh sb ON sb.doc_id = x.eid
+  WHERE len(list_distinct(list_concat(sa.shingles, sb.shingles))) > 0
+    AND len(list_intersect(sa.shingles, sb.shingles)) * 1.0
+        / len(list_distinct(list_concat(sa.shingles, sb.shingles)))
+        >= 0.8
+)
+SELECT doc_id, text FROM documents
+WHERE doc_id % 20 <> 0 AND doc_id NOT IN (SELECT cid FROM bad)
 """
 
     # corpus data card: one (group, text-hash) census folded per group;

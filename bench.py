@@ -230,6 +230,10 @@ def run_suite(spark, sf_dir: str) -> dict[str, float]:
         n_buckets=3).groupBy("bucket").count().collect())
     timed("corpus_report")(lambda: HF.corpus_report(
         docs, "text", "source").collect())
+    timed("decontaminate_near")(lambda: HF.decontaminate_near(
+        docs.filter(F.col("doc_id") % 20 != 0).select("doc_id", "text"),
+        docs.filter(F.col("doc_id") % 20 == 0).select("doc_id", "text"),
+        "doc_id", "text", threshold=0.8).count())
     timed("distribution_shift")(lambda: HF.distribution_shift(
         docs.filter(F.col("doc_id") % 2 == 0),
         docs.filter(F.col("doc_id") % 2 == 1),

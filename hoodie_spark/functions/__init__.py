@@ -126,7 +126,7 @@ from .lm import (
 from .pipeline import (
     redact_pii, pii_hits, deterministic_sample, sample_hash, pack_shards,
     pack_sequences,
-    top_ngrams, filter_corpus, word_ngrams, contaminated_ids, decontaminate,
+    top_ngrams, filter_corpus, word_ngrams, contaminated_ids, decontaminate, decontaminate_near,
     stratified_sample, tfidf_terms, tfidf_vectors, corpus_pipeline,
     chunk_documents, unigram_logprob, source_weighted_sample,
     temperature_mix, column_histogram, dsir_logweights, dsir_select,
@@ -162,7 +162,8 @@ __all__ = [
     "range_join",
     "redact_pii", "pii_hits", "deterministic_sample", "sample_hash",
     "pack_shards", "pack_sequences", "top_ngrams", "filter_corpus",
-    "word_ngrams", "contaminated_ids", "decontaminate", "stratified_sample",
+    "word_ngrams", "contaminated_ids", "decontaminate",
+    "decontaminate_near", "stratified_sample",
     "corpus_pipeline", "chunk_documents", "unigram_logprob",
     "source_weighted_sample", "temperature_mix", "column_histogram",
     "dsir_logweights", "dsir_select", "corpus_report",

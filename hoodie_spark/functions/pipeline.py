@@ -319,6 +319,60 @@ def decontaminate(corpus: DataFrame, test_set: DataFrame,
     return corpus.join(bad, id_col, "left_anti")
 
 
+def decontaminate_near(corpus: DataFrame, test_set: DataFrame,
+                       id_col: str = "doc_id", text_col: str = "text",
+                       threshold: float = 0.8, num_hashes: int = 16,
+                       bands: int = 4, ngram: int = 5) -> DataFrame:
+    """Near-duplicate decontamination: drop every corpus document whose
+    exact character-``ngram`` Jaccard against ANY test-set document is
+    ≥ ``threshold`` — the fuzzy complement to :func:`decontaminate`
+    (exact word-n-gram overlap misses paraphrase-level rewrites of a
+    benchmark item; shingle Jaccard catches them).
+
+    Contract: candidates come from MinHash-LSH banding (same signature
+    scheme and band math as the self-dedup family), then exact Jaccard
+    verification — identical semantics to ``jaccard_dedup_pairs`` but
+    CROSS-corpus, so there is no self-join anywhere.
+
+    Scale shape (100 TB corpus, bounded eval set): the test-set side is
+    small by contract — its banded signatures AND shingle sets broadcast;
+    the corpus side is one map pass (signature + band keys) feeding a
+    broadcast join, and per corpus row the candidate fan-out is bounded
+    by the eval docs sharing a band. Verification joins the candidate
+    list back to corpus shingles (one shuffle keyed on the corpus id)
+    and the final drop is a left-anti join on the contaminated-id set.
+    """
+    from .dedup import band_keys, minhash_sigs
+
+    rows_per_band = num_hashes // bands
+    from .text import char_ngrams
+
+    def _bands(df, alias):
+        sig = minhash_sigs(df, id_col, text_col, num_hashes, ngram)
+        return (sig.select(
+            F.col(id_col).alias(alias),
+            F.explode(band_keys("minhash", bands, rows_per_band))
+            .alias("bk"))
+            .select(alias, F.col("bk.band").alias("band"),
+                    F.col("bk.bh").alias("bh")))
+
+    cand = (_bands(corpus, "__cid")
+            .join(F.broadcast(_bands(test_set, "__eid")),
+                  ["band", "bh"])
+            .select("__cid", "__eid").distinct())
+    csh = corpus.select(F.col(id_col).alias("__cid"),
+                        char_ngrams(F.col(text_col), ngram).alias("__csh"))
+    esh = test_set.select(F.col(id_col).alias("__eid"),
+                          char_ngrams(F.col(text_col), ngram)
+                          .alias("__esh"))
+    inter = F.size(F.array_intersect("__csh", "__esh")).cast("double")
+    union = F.size(F.array_union("__csh", "__esh")).cast("double")
+    bad = (cand.join(csh, "__cid").join(F.broadcast(esh), "__eid")
+           .filter(inter / union >= threshold)
+           .select(F.col("__cid").alias(id_col)).distinct())
+    return corpus.join(bad, id_col, "left_anti")
+
+
 def stratified_sample(df: DataFrame, group_col: str, key_col: str,
                       per_group: int) -> DataFrame:
     """Exact per-stratum quota sampling (training-data mixing): keep at most

@@ -740,3 +740,43 @@ def test_corpus_report_hand_computed(spark):
     # global single-row mode
     g = corpus_report(df, "text").collect()
     assert len(g) == 1 and g[0]["grp"] == "all" and g[0]["n_docs"] == 5
+
+
+def test_decontaminate_near_drops_paraphrase_rewrites(spark):
+    from hoodie_spark import functions as HF
+    base = ("the quick brown fox jumps over the lazy dog while the rain "
+            "falls softly on the quiet rooftops of the sleeping town")
+    ev = spark.createDataFrame([(1, base)], "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [(10, base + " extra tail words"),             # near-copy: drop
+         (11, "completely unrelated text about spark joins and shuffles "
+              "partitions aggregation pushdown pruning codegen")],
+        "doc_id long, text string")
+    kept = HF.decontaminate_near(corpus, ev, "doc_id", "text",
+                                 threshold=0.8)
+    assert [r["doc_id"] for r in kept.collect()] == [11]
+    # the exact word-13-gram decontaminate ALSO catches this verbatim
+    # prefix — the near variant's value is robustness when the rewrite
+    # breaks every long exact gram:
+    shuffled = (base.split())
+    rewrite = " ".join(shuffled[:8] + ["basically"] + shuffled[8:16]
+                       + ["anyway"] + shuffled[16:])
+    corpus2 = spark.createDataFrame([(20, rewrite)],
+                                    "doc_id long, text string")
+    exact_kept = HF.decontaminate(corpus2, ev, "text", "doc_id", n=13)
+    near_kept = HF.decontaminate_near(corpus2, ev, "doc_id", "text",
+                                      threshold=0.7)
+    assert exact_kept.count() == 1   # 13-gram overlap broken by inserts
+    assert near_kept.count() == 0    # shingle Jaccard still sees it
+
+
+def test_decontaminate_near_eval_side_broadcasts(spark):
+    from hoodie_spark import functions as HF
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text"))
+    plan = (HF.decontaminate_near(docs.filter("doc_id % 20 != 0"),
+                                  docs.filter("doc_id % 20 = 0"),
+                                  "doc_id", "text")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan

@@ -175,7 +175,8 @@ def probe_once(spark, sf_dir: str, only: set | None = None) -> dict:
     if want("exact_dedup", "minhash_dedup", "simhash_dedup",
             "containment_dedup", "dsir_select", "incremental_dedup",
             "lm_perplexity", "quality_classifier", "distribution_shift",
-            "substring_dedup", "ppl_buckets", "corpus_report"):
+            "substring_dedup", "ppl_buckets", "corpus_report",
+            "decontaminate_near"):
         docs = load_table(spark, sf_dir, "documents").select(
             "doc_id", "text")
     work = tempfile.mkdtemp(prefix="scale_probe_")
@@ -280,6 +281,13 @@ def probe_once(spark, sf_dir: str, only: set | None = None) -> dict:
             .groupBy("bucket").count().collect())
         timed("corpus_report", lambda: HF.corpus_report(
             docs, "text").collect())
+        # eval side fixed-size (the production contract): the probe
+        # scales ONLY the corpus side
+        timed("decontaminate_near", lambda: HF.decontaminate_near(
+            docs.filter(F.col("doc_id") % 20 != 0),
+            docs.filter((F.col("doc_id") % 20 == 0)
+                        & (F.col("doc_id") < 10000)),
+            "doc_id", "text", threshold=0.8).count())
         if want("incremental_dedup"):
             inc_tbl = HoodieTable.create(
                 spark, os.path.join(work, "docs_inc"), "docs_inc_sp",
