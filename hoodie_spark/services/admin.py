@@ -155,6 +155,19 @@ def unschedule_pending(table, instant_ts: str, *, force: bool = False,
     with tl.LockProvider(table.base_path,
                          table.write_config.lock_timeout_s,
                          table.write_config.lock_expiry_s):
+        # re-check under the lock: an expired-heartbeat writer can still
+        # be ALIVE (a stale beat mid-write is legal) and may have
+        # published between the liveness probe and lock acquisition —
+        # sweeping its instant-stamped files then would delete COMMITTED
+        # data (the same TOCTOU rollback_failed_writes guards against)
+        if any(i.timestamp == instant_ts
+               for i in table.timeline.completed()):
+            raise RuntimeError(
+                f"instant {instant_ts} committed concurrently — nothing "
+                f"to unschedule (its files are live data now)")
+        if not any(i.timestamp == instant_ts
+                   for i in table.timeline.pending()):
+            raise ValueError(f"no pending instant {instant_ts!r}")
         deleted = _listing_rollback_files(table, instant_ts)
         for inst in table.timeline.pending():
             if inst.timestamp == instant_ts:

@@ -169,3 +169,28 @@ def test_admin_cli_commands(spark, orders, tmp_table_path):
     out = cli_main([tmp_table_path, "unschedule", ts], spark)
     assert out["dry_run"] is False
     assert cli_main([tmp_table_path, "pending"], spark)["pending"] == []
+
+
+def test_unschedule_refuses_concurrently_committed_instant(
+        spark, orders, tmp_table_path, monkeypatch):
+    """TOCTOU guard: if the target instant COMMITS between the liveness
+    probe and lock acquisition, unschedule must refuse — sweeping its
+    instant-stamped files would delete committed data."""
+    tbl = make_orders(spark, tmp_table_path,
+                      write_config=WriteConfig(heartbeat_expiry_s=0.2,
+                                               failed_writes_policy="lazy"))
+    tbl.bulk_insert(orders.limit(50))
+    ts = _dead_pending(tbl)
+    import hoodie_spark.services.admin as adm
+    real_lock = tl.LockProvider
+
+    class _RacingLock(real_lock):
+        def __enter__(self):
+            out = super().__enter__()
+            # the "dead" writer publishes just before we act
+            tbl.timeline.complete(tl.COMMIT, ts, {"write_stats": []})
+            return out
+
+    monkeypatch.setattr(adm.tl, "LockProvider", _RacingLock)
+    with pytest.raises(RuntimeError, match="committed concurrently"):
+        unschedule_pending(tbl, ts)
