@@ -14,9 +14,10 @@ files in place (metadata-only) or rewrites them keeping their layout;
 import is the plain "read whatever parquet is there and write a fresh,
 properly keyed/partitioned table" path.
 
-Scale shape: one distributed scan + the chosen write path; the null-key
-validation rides the same scan as a filter-count observation (no second
-pass).
+Scale shape: one validation scan (a pushed-down null-predicate count —
+it must FAIL BEFORE the write starts, or mis-keyed rows would land in
+the table; the reference throws per-record mid-conversion for the same
+reason) followed by the chosen write path's scan.
 """
 
 from __future__ import annotations
