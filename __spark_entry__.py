@@ -32,8 +32,42 @@ from hoodie_spark.config import (META_COLUMNS, IndexType, TableType,
 from hoodie_spark import functions as HF
 from hoodie_spark.sources import load_table
 
-_BASE = "/tmp/hoodie_spark_entry"
+# Fixture workspace. MUST be process-private: the fixture cache (_CACHE)
+# is in-process, so every process that imports this module rebuilds its
+# fixtures from scratch — a shared directory means two overlapping
+# processes (a correctness sweep racing a smoke check, or a timed-out but
+# still-flushing Spark JVM from a killed attempt) rmtree/rebuild each
+# other's tables MID-MUTATION-CHAIN, leaving phantom commits in the
+# rebuilt timeline. That is the exact "+2 duplicate rows once, clean on
+# every re-run" signature CORRECTNESS_r12 recorded for bloom_index_upsert.
+_ROOT = "/tmp/hoodie_spark_entry"
+_BASE = os.path.join(_ROOT, str(os.getpid()))
 _CACHE: dict = {}
+
+
+def _reap_stale_workspaces() -> None:
+    """Best-effort cleanup of fixture dirs left by dead processes (and the
+    pre-round-13 shared layout). Never touches a live pid's dir."""
+    try:
+        entries = os.listdir(_ROOT)
+    except OSError:
+        return
+    for d in entries:
+        p = os.path.join(_ROOT, d)
+        if d == str(os.getpid()):
+            continue
+        if d.isdigit():
+            try:
+                os.kill(int(d), 0)
+                continue  # owner still alive — leave it alone
+            except ProcessLookupError:
+                pass
+            except PermissionError:
+                continue
+        shutil.rmtree(p, ignore_errors=True)
+
+
+_reap_stale_workspaces()
 
 
 def _session(spark: SparkSession) -> SparkSession:
@@ -1955,7 +1989,8 @@ def _lr_oracle_sql(dim: int, iters: int, lr: float, label_expr: str) -> str:
     setup = rf"""
 WITH tok AS (
   SELECT doc_id, {label_expr} AS y,
-         string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
+         string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t,
+         lower(trim(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g'))) AS tn
   FROM documents
 ),
 ft AS (
@@ -2000,12 +2035,16 @@ w{k} AS (
 wlF AS (SELECT list(wt ORDER BY b) AS wv FROM w{iters} WHERE b < {dim}),
 wbF AS (SELECT CAST(wt AS DOUBLE) AS bias FROM w{iters} WHERE b = {dim}),
 sc AS (
+  -- empty/NULL/whitespace-only docs score at the bias alone (x = 0),
+  -- matching score_hashed_lr's documented contract
   SELECT t.doc_id, CAST(t.y AS BIGINT) AS label,
-         round(1.0 / (1.0 + exp(-round(
-             CAST(coalesce(list_sum(list_transform(
-                 list_transform(t.t, x -> CAST({_hex4('md5(x)', 1)} % {dim} AS INT)),
-                 b -> wlF.wv[b + 1])), 0) AS DOUBLE)
-             / greatest(len(t.t), 1) + wbF.bias, 6))), 6) AS score
+         CASE WHEN length(t.tn) = 0
+              THEN round(1.0 / (1.0 + exp(-round(wbF.bias, 6))), 6)
+              ELSE round(1.0 / (1.0 + exp(-round(
+                  CAST(coalesce(list_sum(list_transform(
+                      list_transform(t.t, x -> CAST({_hex4('md5(x)', 1)} % {dim} AS INT)),
+                      b -> wlF.wv[b + 1])), 0) AS DOUBLE)
+                  / len(t.t) + wbF.bias, 6))), 6) END AS score
   FROM tok t, wlF, wbF
 )
 SELECT doc_id, label, score,
@@ -3546,7 +3585,7 @@ WHERE doc_id % 20 <> 0 AND doc_id NOT IN (SELECT cid FROM bad)
     o["corpus_report"] = r"""
 WITH n AS (
   SELECT source AS grp,
-         lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+         lower(trim(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g'))) AS t
   FROM documents
 ),
 m AS (

@@ -130,13 +130,23 @@ def score_hashed_lr(df: DataFrame, id_col: str, text_col: str,
                     weights: list[float]) -> DataFrame:
     """Map-only scoring pass: ``(id_col, score)`` with
     ``score = round(sigmoid(round(w·x + bias, 6)), 6)``. Empty documents
-    score at the bias alone (x = 0)."""
+    (NULL, empty, or whitespace-only text) score at the bias alone
+    (x = 0): ``sigmoid(round(bias, 6))`` — never NULL.
+
+    The explicit branch matters because ``words('')`` is ``['']`` (one
+    phantom token that would hash into a real bucket and pull in that
+    bucket's weight) and aggregating over a NULL token array would make
+    the score NULL."""
     dim = len(weights) - 1
-    bkts = hashed_buckets(text_col, dim)
-    n = F.greatest(F.size(bkts), F.lit(1))
-    return df.select(
-        F.col(id_col),
-        _sigmoid6(_logit(bkts, n, weights, dim)).alias("score"))
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    bkts = hashed_buckets(txt, dim)
+    # \s-aware emptiness (trim() strips only spaces, but words()
+    # normalizes all whitespace — the two must agree on "empty")
+    empty = F.length(F.regexp_replace(txt, r"\s", "")) == 0
+    score = F.when(
+        empty, _sigmoid6(F.round(F.lit(weights[dim]), 6))).otherwise(
+        _sigmoid6(_logit(bkts, F.size(bkts), weights, dim)))
+    return df.select(F.col(id_col), score.alias("score"))
 
 
 def quality_classifier(df: DataFrame, id_col: str, text_col: str,

@@ -783,13 +783,29 @@ def exact_substring_dedup(df: DataFrame, id_col: str, text_col: str,
     ex = (withb.select(F.col(id_col), F.posexplode(chunks)
                        .alias("__idx", "__chunk"))
           .filter(F.length("__chunk") > 0))
-    w = Window.partitionBy("__chunk").orderBy(id_col, "__idx")
-    cnt = Window.partitionBy("__chunk")
-    marked = (ex.withColumn(
-        "__dup",
-        (F.length("__chunk") >= min_dup_len)
-        & (F.size(F.collect_set(F.col(id_col)).over(cnt)) >= min_docs)
-        & (F.row_number().over(w) > 1)))
+    # Dup-marking must NOT window over chunk content: a ubiquitous
+    # boilerplate chunk (license header, nav bar) would put every
+    # occurrence into ONE window task and collect_set(id) would
+    # materialize the full doc set PER ROW — O(N²) work / O(N) memory per
+    # row in that task at 100 TB. Instead aggregate once per chunk
+    # (map-side-combinable: count_distinct partials on (chunk, id),
+    # min(struct) is a plain monoid — the dedup_spans shape) and hash-join
+    # the single summary row back; the hot chunk streams through the join
+    # probe and AQE skew-split applies.
+    dup_chunks = (ex.filter(F.length("__chunk") >= min_dup_len)
+                  .groupBy("__chunk")
+                  .agg(F.count_distinct(F.col(id_col)).alias("__nd"),
+                       F.min(F.struct(F.col(id_col), F.col("__idx")))
+                       .alias("__keep"))
+                  .filter(F.col("__nd") >= min_docs)
+                  .select("__chunk", "__keep"))
+    marked = (ex.join(dup_chunks, "__chunk", "left")
+              .withColumn(
+                  "__dup",
+                  F.col("__keep").isNotNull()
+                  & ~((F.col(id_col) == F.col("__keep").getField(id_col))
+                      & (F.col("__idx") == F.col("__keep").getField("__idx"))))
+              .drop("__keep"))
     kept_structs = F.filter(
         F.array_sort(F.collect_list(
             F.struct(F.col("__idx"), F.col("__chunk"), F.col("__dup")))),

@@ -900,7 +900,13 @@ def corpus_report(df: DataFrame, text_col: str,
     groups × distinct texts, shuffles carry 48-byte census rows, and no
     second corpus scan.
     """
-    t = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    # NULL text counts exactly like empty text: without the coalesce,
+    # F.length(null)==0 is null, the when() falls through, and
+    # F.size(F.split(null)) = -1 (legacy sizeOfNull) SUBTRACTS one token
+    # per null doc, groups nulls under a null md5 (inflating dup_docs),
+    # and never counts n_empty — also diverging from the SQL oracle.
+    t = F.lower(F.trim(F.regexp_replace(
+        F.coalesce(F.col(text_col), F.lit("")), r"\s+", " ")))
     grp = (F.coalesce(F.col(group_col).cast("string"), F.lit("null"))
            if group_col else F.lit("all"))
     nt = F.when(F.length(t) == 0, F.lit(0)).otherwise(

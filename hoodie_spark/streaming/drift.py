@@ -113,10 +113,17 @@ class DriftMonitor:
 
     def rebuild(self) -> int:
         """Re-census the current snapshot (after deletes without
-        track_changes, or a rollback/restore past the watermark)."""
+        track_changes, or a rollback/restore past the watermark).
+
+        The watermark is captured FIRST and the census reads as-of that
+        instant: a commit landing between the two would otherwise be
+        counted now but post-date the published watermark, so the next
+        catch_up would fold it a second time (permanent double count in
+        a SUM monoid)."""
         st = self._load()
-        snap = self.table.snapshot().select(self.text_col)
         last = self.table.timeline.last_completed()
+        snap = self.table.snapshot(
+            as_of=last.timestamp if last else None).select(self.text_col)
         self._publish(self._census(snap),
                       last.timestamp if last else None,
                       st["reference"] if st else None)
@@ -142,8 +149,15 @@ class DriftMonitor:
             return 0
         counts = list(st["counts"]) if st else [0] * self.buckets
         ref = st["reference"] if st else None
+        # Bound every fold at the CAPTURED watermark: the census below is
+        # lazily evaluated across several Spark actions, so an unbounded
+        # incremental read would fold a commit that lands mid-evaluation
+        # while the published watermark (last.timestamp) predates it —
+        # the next catch_up would refold it, a permanent double count in
+        # a SUM monoid. With end= pinned, a concurrent commit is simply
+        # the next delta.
         if self.track_changes:
-            ev = self.table.incremental_cdc(begin=mark)
+            ev = self.table.incremental_cdc(begin=mark, end=last.timestamp)
             add = self._census(
                 ev.filter(F.col("op").isin("i", "u"))
                 .select(F.col(f"after.{self.text_col}")
@@ -155,7 +169,7 @@ class DriftMonitor:
             n = ev.count()
             counts = [c + a - s for c, a, s in zip(counts, add, sub)]
         else:
-            delta = self.table.incremental(begin=mark) \
+            delta = self.table.incremental(begin=mark, end=last.timestamp) \
                 .select(self.text_col)
             n = delta.count()
             if n:

@@ -1,6 +1,7 @@
 """Distribution-shift diagnostics (functions/drift.py) and the maintained
 DriftMonitor (streaming/drift.py)."""
 
+import json
 import os
 
 import pytest
@@ -192,3 +193,48 @@ def test_monitor_through_writestream_sink(spark, tmp_table_path):
     fn(docs.filter("doc_id % 2 = 1"), 1)  # replay: no write, no re-fold
     assert mon._load()["counts"] == mon._census(
         tbl.snapshot().select("text"))
+
+
+def test_monitor_commit_landing_mid_fold_not_double_counted(
+        spark, tmp_table_path):
+    """Round-12 advice (drift.py watermark gap): catch_up captures the
+    watermark, then lazily evaluates the delta census across several
+    Spark actions — a commit landing in between must NOT be folded under
+    the earlier watermark (it would be refolded next catch_up: a
+    permanent double count in the SUM monoid). The fold is now bounded
+    at end=watermark, so the mid-fold commit is simply the next delta."""
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text"))
+    tbl = _table(spark, tmp_table_path)
+    state = os.path.join(tmp_table_path, "_drift")
+    mon = DriftMonitor(tbl, state, "text", buckets=32)
+    tbl.insert(docs.filter("doc_id % 3 = 0"))
+    mon.catch_up()
+    tbl.insert(docs.filter("doc_id % 3 = 1"))
+
+    real_inc = tbl.incremental
+    fired = {"n": 0}
+
+    def racy_incremental(begin=None, end=None, **kw):
+        # a concurrent writer lands a commit AFTER the watermark was
+        # captured but BEFORE the census evaluates
+        if fired["n"] == 0:
+            fired["n"] = 1
+            tbl.insert(docs.filter("doc_id % 3 = 2"))
+        return real_inc(begin=begin, end=end, **kw)
+
+    tbl.incremental = racy_incremental
+    try:
+        mon.catch_up()
+    finally:
+        tbl.incremental = real_inc
+    assert fired["n"] == 1
+    mon.catch_up()  # folds the mid-fold commit exactly once
+
+    fresh = DriftMonitor(tbl, state + "_fresh", "text", buckets=32)
+    fresh.catch_up()
+    got = json.loads(tbl.storage.read_bytes(
+        os.path.join(state, "histogram.json")))["counts"]
+    want = json.loads(tbl.storage.read_bytes(
+        os.path.join(state + "_fresh", "histogram.json")))["counts"]
+    assert got == want  # maintained ≡ one-pass despite the race

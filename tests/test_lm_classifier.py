@@ -132,12 +132,19 @@ def test_classifier_generalizes_to_unseen_docs(spark):
 
 
 def test_classifier_empty_docs_score_at_bias(spark):
-    w = [0.0] * 16 + [2.0]  # dim=16, bias=2
-    out = HF.score_hashed_lr(_docs(spark, [(1, "")]), "doc_id", "text", w)
-    row = out.collect()[0]
-    # "" tokenizes to [""], one token hashed somewhere with weight 0 →
-    # logit = bias
-    assert row["score"] == round(1 / (1 + math.exp(-2.0)), 6)
+    # round-12 advice: the contract is x = 0 for empty docs even with
+    # NONZERO weights ('' must not hash a phantom token into a real
+    # bucket), and NULL text must score at the bias, never NULL
+    w = [0.5] * 16 + [2.0]  # dim=16, bias=2, nonzero bucket weights
+    out = {r["doc_id"]: r["score"] for r in HF.score_hashed_lr(
+        _docs(spark, [(1, ""), (2, None), (3, "   \t "), (4, "real words")]),
+        "doc_id", "text", w).collect()}
+    bias_score = round(1 / (1 + math.exp(-2.0)), 6)
+    assert out[1] == bias_score          # empty
+    assert out[2] == bias_score          # NULL — not NULL score
+    assert out[3] == bias_score          # whitespace-only
+    # a real doc: every token carries weight 0.5 → x sums to 0.5
+    assert out[4] == round(1 / (1 + math.exp(-2.5)), 6)
 
 
 def test_classifier_rejects_all_empty_training(spark):

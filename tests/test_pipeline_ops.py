@@ -742,6 +742,22 @@ def test_corpus_report_hand_computed(spark):
     assert len(g) == 1 and g[0]["grp"] == "all" and g[0]["n_docs"] == 5
 
 
+def test_corpus_report_null_text_counts_as_empty(spark):
+    """round-12 advice: NULL text must count exactly like empty text —
+    without the coalesce, size(split(null)) = -1 SUBTRACTED a token per
+    null doc, nulls grouped under a null hash (inflating dup_docs), and
+    n_empty missed them."""
+    rows = [(1, None, "s"), (2, None, "s"), (3, "", "s"), (4, "a b", "s")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, src string")
+    from hoodie_spark.functions.pipeline import corpus_report
+    r = corpus_report(df, "text", "src").collect()[0]
+    assert r["n_docs"] == 4
+    assert r["n_empty"] == 3          # both NULLs + ''
+    assert r["total_tokens"] == 2     # only "a b"; no -1 per null
+    assert r["distinct_texts"] == 2   # {'', 'a b'} — nulls fold into ''
+    assert r["dup_docs"] == 3         # the three empty-normalized docs
+
+
 def test_decontaminate_near_drops_paraphrase_rewrites(spark):
     from hoodie_spark import functions as HF
     base = ("the quick brown fox jumps over the lazy dog while the rain "

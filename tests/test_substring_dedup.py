@@ -99,3 +99,30 @@ def test_partitioning_invariant(spark):
     b = HF.exact_substring_dedup(docs.repartition(13, "doc_id"),
                                  "doc_id", "text")
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_hot_chunk_no_window_skew(spark):
+    """A boilerplate passage shared by most of the corpus (the 100 TB
+    skew case: license header / nav bar). The dup-marking must be a
+    per-chunk aggregate + join, NEVER a window over chunk content — a
+    window would buffer every occurrence of the hot chunk in one task
+    and collect a per-row doc set (round-12 verdict What's-wrong #2)."""
+    n = 300
+    rows = [(i, f"unique head {i} " + SHARED + f" unique tail {i}")
+            for i in range(n)]
+    rows += [(n + i, f"clean document number {n + i} with its own words")
+             for i in range(20)]
+    df = _docs(spark, rows)
+    out = HF.exact_substring_dedup(df, "doc_id", "text")
+    # plan shape: zero Window operators anywhere in the dedup
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, "dup-marking regressed to a window"
+    got = {r["doc_id"]: r for r in out.collect()}
+    # doc 0 (smallest id) keeps the boilerplate; every later copy cut
+    assert SHARED.lower() in got[0]["text"]
+    cut = sum(1 for i in range(1, n)
+              if i not in got or SHARED.lower() not in got[i]["text"])
+    assert cut == n - 1
+    # untouched clean docs survive whole
+    for i in range(n, n + 20):
+        assert got[i]["n_chunks_kept"] == got[i]["n_chunks_total"]
