@@ -1952,7 +1952,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                #     family keeps bpe_tokenize + corpus_pipeline +
                #     lm_perplexity in-window; displaced row recorded r11
                #     and re-verified via check_oracle)
-               "decontaminate_near": "pii_redaction"}
+               "decontaminate_near": "pii_redaction",
+               # Round-13 rotation: corpus_overlap_incremental was the
+               # only declared query with no driver record (added late
+               # r12, past the window). It shares its oracle SQL with
+               # corpus_overlap_minhash — the maintained-state row proves
+               # the identical sketch math PLUS the incremental fold — so
+               # displacing the minhash row loses no oracle coverage;
+               # corpus_overlap stays in-window for the family. Displaced
+               # row re-verified via check_oracle (PLANS.md).
+               "corpus_overlap_incremental": "corpus_overlap_minhash"}
     keys = list(q)
     for new, old in promote.items():
         i, j = keys.index(old), keys.index(new)

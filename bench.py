@@ -228,6 +228,15 @@ def run_suite(spark, sf_dir: str) -> dict[str, float]:
     timed("ppl_buckets")(lambda: HF.perplexity_buckets(
         docs.select("doc_id", "text"), "doc_id", "text",
         n_buckets=3).groupBy("bucket").count().collect())
+    # production CCNet shape: the LM is trained once on a trusted corpus
+    # and SUPPLIED — this row isolates the scoring+ranking cost from the
+    # train-included ppl_buckets row above
+    shared_lm = HF.train_bigram_lm(
+        docs.filter(F.col("doc_id") % 10 == 0).select("text"), "text",
+        vocab_size=64)
+    timed("ppl_buckets_shared_lm")(lambda: HF.perplexity_buckets(
+        docs.select("doc_id", "text"), "doc_id", "text",
+        n_buckets=3, lm=shared_lm).groupBy("bucket").count().collect())
     timed("corpus_report")(lambda: HF.corpus_report(
         docs, "text", "source").collect())
     timed("decontaminate_near")(lambda: HF.decontaminate_near(
@@ -306,6 +315,22 @@ def main():
                         if k.startswith("incremental_dedup_"))
     total = round(sum(v for k, v in timings.items()
                       if k not in stage_rows), 3)
+    # per-row variance ledger (tools/bench_history.py): flag rows outside
+    # their historical band so multi-round noise (ann_pq, events_window)
+    # is machine-checkable instead of re-audited every round
+    out_of_band: dict[str, dict] = {}
+    try:
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "tools"))
+        from bench_history import classify, history
+        hist = history()
+        for name, secs in timings.items():
+            c = classify(name, secs, hist)
+            if c is not None and not c["within_band"]:
+                out_of_band[name] = c
+    except Exception:
+        pass  # the ledger is observability, never a bench failure
+
     print(json.dumps({
         "metric": "hoodie_spark_headline_wall_seconds",
         "value": total,
@@ -316,6 +341,8 @@ def main():
         # non-headline decomposition rows: already included in the
         # incremental_dedup pipeline row, excluded from "value"
         "headline_excludes": stage_rows,
+        # rows whose timing left their all-rounds historical band
+        "vs_history_out_of_band": out_of_band,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
 

@@ -51,9 +51,10 @@ __all__ = ["BigramLM", "train_bigram_lm", "bigram_perplexity",
 
 UNK = "<unk>"
 
-# in-row vocab mapping uses an isin literal per token; beyond this the
-# mapping should move to a post-explode broadcast join instead
-_MAX_LITERAL_VOCAB = 4096
+# the vocab rides as a broadcast table (one string row per symbol) and as
+# a driver-held list on the BigramLM — ~MBs at this cap, far below any
+# broadcast budget; the real model-size bound is pair_lp's ≤ (V+1)^2 rows
+_MAX_VOCAB = 1 << 20
 
 
 @dataclass
@@ -70,31 +71,41 @@ class BigramLM:
     oov_lp: float
 
 
-def _mapped_tokens(text_col: str | Column, vocab: list[str]) -> Column:
-    """Token array with out-of-vocabulary tokens collapsed to <unk> —
-    map-only (one isin against the vocab literal per token)."""
-    from .quality import words
-
-    return F.transform(
-        words(text_col),
-        lambda t: F.when(t.isin(*vocab), t).otherwise(F.lit(UNK)))
-
-
 def _pairs(df: DataFrame, id_col: str | None, text_col: str,
            vocab: list[str]) -> DataFrame:
-    """Exploded (id?, w1, w2) bigram stream over the <unk>-mapped tokens.
-    Documents with fewer than two tokens contribute nothing; ``id_col``
-    None (the census path) drops the carrier column before the shuffle."""
-    m = _mapped_tokens(text_col, vocab)
+    """Exploded (id?, w1, w2) bigram stream with out-of-vocabulary tokens
+    collapsed to <unk>. Documents with fewer than two tokens contribute
+    nothing; ``id_col`` None (the census path) drops the carrier column
+    before the shuffle.
+
+    The vocab mapping runs AFTER the explode as two broadcast left-joins
+    against the V-row vocab table — whole-stage-codegen'd hash probes.
+    The previous shape (an ``isin`` literal inside an in-row transform
+    lambda) was an interpreted higher-order function that embedded a
+    vocab-sized literal per expression: invisible at V=64, the scoring
+    pass's hot loop at a 64k CCNet vocabulary."""
+    from .quality import words
+
+    spark = df.sparkSession
+    toks = words(text_col)
     pair = F.zip_with(
-        F.slice(m, 1, F.greatest(F.size(m) - 1, F.lit(0))),
-        F.slice(m, 2, F.greatest(F.size(m) - 1, F.lit(0))),
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
         lambda a, b: F.struct(a.alias("w1"), b.alias("w2")))
     carry = [F.col(id_col)] if id_col else []
-    ex = df.select(*carry, F.explode(pair).alias("__p"))
-    return ex.select(*([id_col] if id_col else []),
-                     F.col("__p.w1").alias("w1"),
-                     F.col("__p.w2").alias("w2"))
+    ex = df.select(*carry, F.explode(pair).alias("__p")) \
+        .select(*([id_col] if id_col else []),
+                F.col("__p.w1").alias("__r1"),
+                F.col("__p.w2").alias("__r2"))
+    v1 = F.broadcast(spark.createDataFrame([(v,) for v in vocab],
+                                           "__v1 string"))
+    v2 = F.broadcast(spark.createDataFrame([(v,) for v in vocab],
+                                           "__v2 string"))
+    return (ex.join(v1, ex["__r1"] == v1["__v1"], "left")
+            .join(v2, ex["__r2"] == v2["__v2"], "left")
+            .select(*([id_col] if id_col else []),
+                    F.coalesce("__v1", F.lit(UNK)).alias("w1"),
+                    F.coalesce("__v2", F.lit(UNK)).alias("w2")))
 
 
 def train_bigram_lm(corpus: DataFrame, text_col: str,
@@ -106,8 +117,8 @@ def train_bigram_lm(corpus: DataFrame, text_col: str,
     bigram census over <unk>-mapped pairs yields at most (V+1)^2 rows.
     Both collects are model-sized, never corpus-sized.
     """
-    if not 2 <= vocab_size <= _MAX_LITERAL_VOCAB:
-        raise ValueError(f"vocab_size must be in [2, {_MAX_LITERAL_VOCAB}],"
+    if not 2 <= vocab_size <= _MAX_VOCAB:
+        raise ValueError(f"vocab_size must be in [2, {_MAX_VOCAB}],"
                          f" got {vocab_size}")
     from .quality import words
 

@@ -6,6 +6,7 @@ from .incremental_dedup import IncrementalDeduper
 from .index_maintainer import IvfIndexMaintainer
 from .corpus_sketch import CorpusSketchMaintainer
 from .drift import DriftMonitor
+from .maintainer import ConcurrentMaintainerError, maintainer_lock
 from .schema import (FileBasedSchemaProvider, RowBasedSchemaProvider,
                      SchemaProvider, SchemaRegistryProvider,
                      StaticSchemaProvider)

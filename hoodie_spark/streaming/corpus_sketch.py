@@ -39,6 +39,7 @@ import os
 from pyspark.sql import DataFrame
 
 from ..functions.dedup import group_sketches, sketch_overlap
+from .maintainer import locked_fold
 
 __all__ = ["CorpusSketchMaintainer"]
 
@@ -52,6 +53,7 @@ class CorpusSketchMaintainer:
                  max_groups: int = 4096):
         self.table = table
         self.path = state_path
+        self._lock_dir = state_path  # single-maintainer fence (maintainer.py)
         self.group_col = group_col
         self.text_col = text_col
         self.num_hashes = int(num_hashes)
@@ -111,6 +113,7 @@ class CorpusSketchMaintainer:
         return out
 
     # ------------------------------------------------------------- folds
+    @locked_fold
     def update(self, batch: DataFrame,
                instant: str | None = None) -> None:
         """Fold one batch into the state (min-merge: idempotent, order-
@@ -124,6 +127,7 @@ class CorpusSketchMaintainer:
             instant = last.timestamp if last else None
         self._publish(merged, instant)
 
+    @locked_fold
     def rebuild(self) -> int:
         """Re-sketch the table's current snapshot (after deletes, or a
         rollback/restore past the watermark)."""
@@ -134,6 +138,7 @@ class CorpusSketchMaintainer:
                       last.timestamp if last else None)
         return current.count()
 
+    @locked_fold
     def catch_up(self) -> int:
         """Fold every table change since the watermark. Returns delta
         rows folded (snapshot rows on a rebuild)."""

@@ -40,6 +40,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.drift import _bucket_expr, shift_from_counts
+from .maintainer import locked_fold
 
 __all__ = ["DriftMonitor"]
 
@@ -58,6 +59,7 @@ class DriftMonitor:
         self.buckets = int(buckets)
         self.track_changes = bool(track_changes)
         self.fs = table.storage
+        self._lock_dir = state_path  # single-maintainer fence (maintainer.py)
         st = self._load()
         if st and (st["buckets"] != self.buckets
                    or st["text_col"] != self.text_col):
@@ -96,6 +98,7 @@ class DriftMonitor:
         return out
 
     # ------------------------------------------------------------- folds
+    @locked_fold
     def set_reference(self, ref: DataFrame | None = None) -> None:
         """Pin the reference distribution: an explicit trusted frame, or
         (None) the table's CURRENT maintained state — 'bless what we have
@@ -111,6 +114,7 @@ class DriftMonitor:
         cur = st["counts"] if st else [0] * self.buckets
         self._publish(cur, st["instant"] if st else None, reference)
 
+    @locked_fold
     def rebuild(self) -> int:
         """Re-census the current snapshot (after deletes without
         track_changes, or a rollback/restore past the watermark).
@@ -129,6 +133,7 @@ class DriftMonitor:
                       st["reference"] if st else None)
         return snap.count()
 
+    @locked_fold
     def catch_up(self) -> int:
         """Fold every table change since the watermark; returns change
         rows folded (snapshot rows on a rebuild)."""

@@ -73,6 +73,7 @@ from pyspark.sql import functions as F
 
 from ..functions.dedup import (bounded_self_pairs, doc_features,
                                min_sig_matches, sig_agreement)
+from .maintainer import locked_fold
 
 STATE_DIR = "dedup_state"
 
@@ -111,6 +112,7 @@ class IncrementalDeduper:
         self.warn_band_rows = warn_band_rows
         self.dir = os.path.join(table.base_path, ".hoodie", STATE_DIR)
         self.fs = table.storage  # Storage seam: object-store swappable
+        self._lock_dir = self.dir  # single-maintainer fence (maintainer.py)
         # feature reuse between filter_batch(df) and the advance(df) that
         # follows it: instance state, valid because a deduper is a
         # single-writer object (one ingest pipeline per table by OCC)
@@ -317,6 +319,7 @@ class IncrementalDeduper:
         return df.join(dropped, id_col, "left_anti")
 
     # ------------------------------------------------------------- advance
+    @locked_fold
     def advance(self, df: DataFrame, instant: str | None = None) -> None:
         """Register EVERY row of the batch (kept or dropped) as seen and
         publish the watermark. Call after the table commit succeeded."""
@@ -362,6 +365,7 @@ class IncrementalDeduper:
         self._publish_state(instant)
 
     # ------------------------------------------------------------ catch-up
+    @locked_fold
     def catch_up(self) -> int:
         """Repair state that fell behind the table (crash between commit
         and advance, or a pre-existing table): backfill features from the
@@ -455,6 +459,7 @@ class IncrementalDeduper:
             for suffix in (".old", ".compacting"):  # legacy crash siblings
                 self.fs.rmtree(base + suffix)
 
+    @locked_fold
     def compact_state(self, retain_after: str | None = None) -> int:
         """Fold per-batch appended files: one file per bucket, duplicates
         collapsed onto their LATEST sighting (EXISTS semantics make

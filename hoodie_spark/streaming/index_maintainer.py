@@ -42,6 +42,7 @@ from ..functions.similarity import (append_ivf_index, append_ivfpq_index,
                                     compact_ivf_index,
                                     delete_from_ivf_index, write_ivf_index,
                                     write_ivfpq_index)
+from .maintainer import locked_fold
 
 __all__ = ["IvfIndexMaintainer"]
 
@@ -72,6 +73,7 @@ class IvfIndexMaintainer:
         # (loud failure otherwise, same as time travel).
         self.track_deletes = bool(track_deletes)
         self.fs = table.storage  # Storage seam: object-store swappable
+        self._lock_dir = index_path  # single-maintainer fence (maintainer.py)
         self._syncs = 0
 
     # ------------------------------------------------------------ watermark
@@ -117,6 +119,7 @@ class IvfIndexMaintainer:
         return current.count()
 
     # ------------------------------------------------------------- catch-up
+    @locked_fold
     def catch_up(self) -> int:
         """Fold every table change since the watermark into the index.
         Returns the number of delta rows applied (or snapshot rows on a

@@ -238,3 +238,23 @@ def test_monitor_commit_landing_mid_fold_not_double_counted(
     want = json.loads(tbl.storage.read_bytes(
         os.path.join(state + "_fresh", "histogram.json")))["counts"]
     assert got == want  # maintained ≡ one-pass despite the race
+
+
+def test_monitor_second_concurrent_maintainer_fails_cleanly(
+        spark, tmp_table_path):
+    """Same single-maintainer fence as the deduper, on the DriftMonitor:
+    a held fold lock makes a rival's catch_up fail cleanly."""
+    from hoodie_spark.streaming import ConcurrentMaintainerError, \
+        maintainer_lock
+
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text").limit(50))
+    tbl = _table(spark, tmp_table_path)
+    tbl.insert(docs)
+    state = os.path.join(tmp_table_path, "_drift")
+    mon = DriftMonitor(tbl, state, "text", buckets=16)
+    with maintainer_lock(tbl.storage, state):
+        rival = DriftMonitor(tbl, state, "text", buckets=16)
+        with pytest.raises(ConcurrentMaintainerError):
+            rival.catch_up()
+    assert mon.catch_up() > 0

@@ -73,7 +73,29 @@ def test_bigram_lm_vocab_bounds(spark):
     with pytest.raises(ValueError):
         train_bigram_lm(df, "text", vocab_size=1)
     with pytest.raises(ValueError):
-        train_bigram_lm(df, "text", vocab_size=100000)
+        train_bigram_lm(df, "text", vocab_size=(1 << 20) + 1)
+
+
+def test_bigram_lm_64k_vocab_broadcast_mapping(spark):
+    """Round-12 advice: a 64k CCNet-sized vocabulary must work and the
+    vocab mapping must be a broadcast join (the old in-row isin literal
+    was interpreted per token and capped at 4096)."""
+    # > 64k distinct terms so the cap actually truncates the vocabulary
+    docs = spark.range(70_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("t"), F.col("id").cast("string"), F.lit(" t"),
+                 ((F.col("id") + 1) % 70_000).cast("string"), F.lit(" t"),
+                 ((F.col("id") * 7) % 70_000).cast("string"))
+        .alias("text"))
+    lm = train_bigram_lm(docs, "text", vocab_size=65536)
+    assert len(lm.vocab) == 65536
+    out = HF.bigram_perplexity(docs, "doc_id", "text", lm=lm)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert " IN (" not in plan and "isin" not in plan  # no vocab literal
+    assert "SortMergeJoin" not in plan
+    row = out.agg(F.count(F.lit(1)), F.min("ppl")).first()
+    assert row[0] == 70_000 and row[1] > 0
 
 
 def test_bigram_scoring_plan_is_broadcast_no_udf(spark):
