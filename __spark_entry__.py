@@ -1676,6 +1676,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ppl_buckets"] = lambda s, d: HF.perplexity_buckets(
         load_table(s, d, "documents").select("doc_id", "text"),
         "doc_id", "text", n_buckets=3)
+    # DoReMi-style domain mixture reweighting (round 13): per-source
+    # token-level NLL under the self-trained bigram LM → excess-loss
+    # exponential weights (functions/pipeline.domain_mixture_weights)
+    q["domain_mixture"] = lambda s, d: HF.domain_mixture_weights(
+        load_table(s, d, "documents").select("doc_id", "source", "text"),
+        "source", "doc_id", "text", vocab_size=64, eta=1.0)
 
     # ---- distribution-shift diagnostics (round 12): per-bucket PSI/KL
     # of the odd-doc token distribution vs the even-doc reference over
@@ -1961,7 +1967,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                # displacing the minhash row loses no oracle coverage;
                # corpus_overlap stays in-window for the family. Displaced
                # row re-verified via check_oracle (PLANS.md).
-               "corpus_overlap_incremental": "corpus_overlap_minhash"}
+               "corpus_overlap_incremental": "corpus_overlap_minhash",
+               #   domain_mixture <-> stratified_sample (round-13 new
+               #     unique; the sampling/mixing family keeps its
+               #     check_oracle-verified siblings source_mix_sample,
+               #     temperature_mix, hash_sample — and domain_mixture
+               #     itself is the mixing family's reweighting step;
+               #     displaced row re-verified via check_oracle)
+               "domain_mixture": "stratified_sample"}
     keys = list(q)
     for new, old in promote.items():
         i, j = keys.index(old), keys.index(new)
@@ -3549,6 +3562,30 @@ ppl AS (SELECT doc_id, n_bigrams, logprob,
 
     o["lm_perplexity"] = _LM_CTE + """
 SELECT doc_id, n_bigrams, logprob, ppl FROM ppl
+"""
+    # DoReMi-lite: the shared LM CTE's per-doc logprobs folded per source
+    # with the same DECIMAL/round-6 discipline as the Spark side
+    # (functions/pipeline.domain_mixture_weights, eta=1.0)
+    o["domain_mixture"] = _LM_CTE + """
+, per AS (
+  SELECT d.source AS source, count(*) AS n_docs,
+         CAST(SUM(a.n_bigrams) AS BIGINT) AS n_tokens,
+         CAST(SUM(CAST(a.logprob AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS slp
+  FROM agg a JOIN documents d USING (doc_id)
+  GROUP BY d.source),
+pn AS (SELECT source, n_docs, n_tokens,
+              round(-(CAST(slp AS DOUBLE)) / n_tokens, 6) AS nll
+       FROM per),
+tot AS (SELECT min(nll) AS mn, CAST(SUM(n_tokens) AS BIGINT) AS tt FROM pn),
+raw AS (
+  SELECT pn.source, pn.n_docs, pn.n_tokens, pn.nll,
+         round(round(pn.n_tokens * 1.0 / tot.tt, 6)
+               * round(exp(1.0 * round(pn.nll - tot.mn, 6)), 6), 6) AS r
+  FROM pn, tot),
+dn AS (SELECT CAST(SUM(CAST(r AS DECIMAL(18,6))) AS DOUBLE) AS d FROM raw)
+SELECT raw.source, raw.n_docs, raw.n_tokens, raw.nll,
+       round(raw.r / dn.d, 6) AS weight
+FROM raw, dn
 """
     # head/middle/tail: bucket = (rank * 3) DIV N over the exact global
     # (ppl, doc_id) order — pure integer arithmetic on top of the shared

@@ -237,6 +237,9 @@ def run_suite(spark, sf_dir: str) -> dict[str, float]:
     timed("ppl_buckets_shared_lm")(lambda: HF.perplexity_buckets(
         docs.select("doc_id", "text"), "doc_id", "text",
         n_buckets=3, lm=shared_lm).groupBy("bucket").count().collect())
+    timed("domain_mixture")(lambda: HF.domain_mixture_weights(
+        docs.select("doc_id", "source", "text"), "source", "doc_id",
+        "text", lm=shared_lm).collect())
     timed("corpus_report")(lambda: HF.corpus_report(
         docs, "text", "source").collect())
     timed("decontaminate_near")(lambda: HF.decontaminate_near(

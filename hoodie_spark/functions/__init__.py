@@ -130,7 +130,7 @@ from .pipeline import (
     stratified_sample, tfidf_terms, tfidf_vectors, corpus_pipeline,
     chunk_documents, unigram_logprob, source_weighted_sample,
     temperature_mix, column_histogram, dsir_logweights, dsir_select,
-    epoch_shuffle, corpus_report,
+    epoch_shuffle, corpus_report, domain_mixture_weights,
 )
 from .bpe import bpe_train, bpe_encode, bpe_token_count
 
@@ -167,6 +167,7 @@ __all__ = [
     "corpus_pipeline", "chunk_documents", "unigram_logprob",
     "source_weighted_sample", "temperature_mix", "column_histogram",
     "dsir_logweights", "dsir_select", "corpus_report",
+    "domain_mixture_weights",
     "char_entropy",
     "tfidf_terms", "tfidf_vectors",
     "bpe_train", "bpe_encode", "bpe_token_count",

@@ -28,9 +28,13 @@ identical double in both engines and rounded to 6.
 Scale shape (100 TB): the unigram census and the bigram census are both
 map-side-combined aggregations whose OUTPUT is bounded (the term universe,
 then ≤ (V+1)^2 mapped pairs) — the shuffle carries partial counts, not
-rows. The model is broadcast for scoring; the scoring pass is one
-explode + two broadcast left-joins + one aggregation, and its joins never
-shuffle (plan-pinned in tests). The production shape at 100 TB is CCNet's:
+rows. A model-sized model is broadcast for scoring — one explode + the
+vocab-mapping joins + two model left-joins + one aggregation, no shuffle
+on the model side (plan-pinned in tests); a model ABOVE
+``_BROADCAST_MODEL_ROWS`` observed bigrams (big vocabulary × big corpus)
+stays distributed/persisted and the scoring joins shuffle on the model
+keys instead — the only shape that survives a model too big for one
+executor. The production shape at 100 TB is CCNet's:
 train on a small TRUSTED corpus (two passes over the small side), then
 score the full corpus with the explicit ``lm=`` — exactly ONE pass over
 the big data. The self-scored convenience path (``lm=None``) pays two
@@ -56,6 +60,14 @@ UNK = "<unk>"
 # broadcast budget; the real model-size bound is pair_lp's ≤ (V+1)^2 rows
 _MAX_VOCAB = 1 << 20
 
+# a model with at most this many observed-bigram rows is collected to a
+# driver-local relation and broadcast at scoring time (zero-exchange
+# joins); above it — a 64k vocabulary over a large corpus can observe
+# hundreds of millions of distinct bigrams — the model STAYS distributed
+# and scoring joins shuffle on (w1, w2), the only shape that survives a
+# model too big for one executor's memory
+_BROADCAST_MODEL_ROWS = 1_000_000
+
 
 @dataclass
 class BigramLM:
@@ -69,6 +81,10 @@ class BigramLM:
     pair_lp: DataFrame
     ctx_lp: DataFrame
     oov_lp: float
+    # True: model tables are driver-local and broadcast at scoring time.
+    # False (> _BROADCAST_MODEL_ROWS observed bigrams): tables stay
+    # distributed/persisted and scoring joins shuffle on the model keys.
+    broadcast: bool = True
 
 
 def _pairs(df: DataFrame, id_col: str | None, text_col: str,
@@ -109,13 +125,17 @@ def _pairs(df: DataFrame, id_col: str | None, text_col: str,
 
 
 def train_bigram_lm(corpus: DataFrame, text_col: str,
-                    vocab_size: int = 64) -> BigramLM:
+                    vocab_size: int = 64,
+                    broadcast_model_rows: int = _BROADCAST_MODEL_ROWS
+                    ) -> BigramLM:
     """Train the smoothed bigram LM on ``corpus``.
 
     Two bounded aggregations: the unigram census picks the top-``V``
     vocabulary (desc count, asc term tie-break — deterministic), then the
     bigram census over <unk>-mapped pairs yields at most (V+1)^2 rows.
-    Both collects are model-sized, never corpus-sized.
+    A model at or under ``broadcast_model_rows`` observed bigrams is
+    collected (model-sized, never corpus-sized) and broadcast at scoring
+    time; a larger one stays distributed (see ``BigramLM.broadcast``).
     """
     if not 2 <= vocab_size <= _MAX_VOCAB:
         raise ValueError(f"vocab_size must be in [2, {_MAX_VOCAB}],"
@@ -142,13 +162,23 @@ def train_bigram_lm(corpus: DataFrame, text_col: str,
         "w1",
         F.round(F.log(F.lit(1.0) / (F.col("cw") + F.lit(denom_slots))), 6)
         .alias("unseen_lp"))
-    # sever lineage: the model is bounded (≤ (V+1)^2 + (V+1) rows), so the
-    # scoring plan should embed a local relation, not re-run the census
-    pair_lp = spark.createDataFrame(lp.collect(), lp.schema)
-    ctx_lp = spark.createDataFrame(unseen.collect(), unseen.schema)
     import math
-    return BigramLM(vocab=vocab, pair_lp=pair_lp, ctx_lp=ctx_lp,
-                    oov_lp=round(math.log(1.0 / denom_slots), 6))
+
+    oov = round(math.log(1.0 / denom_slots), 6)
+    # small model: sever lineage — collect to a driver-local relation so
+    # the scoring plan embeds it and broadcasts, never re-running the
+    # census. Large model (a big vocabulary over a big corpus can observe
+    # >> millions of distinct bigrams): collecting would OOM the driver —
+    # persist the distributed tables instead and let scoring shuffle-join.
+    n_pairs = lp.persist().count()
+    if n_pairs <= broadcast_model_rows:
+        pair_lp = spark.createDataFrame(lp.collect(), lp.schema)
+        lp.unpersist()
+        ctx_lp = spark.createDataFrame(unseen.collect(), unseen.schema)
+        return BigramLM(vocab=vocab, pair_lp=pair_lp, ctx_lp=ctx_lp,
+                        oov_lp=oov, broadcast=True)
+    return BigramLM(vocab=vocab, pair_lp=lp, ctx_lp=unseen.persist(),
+                    oov_lp=oov, broadcast=False)
 
 
 def bigram_perplexity(df: DataFrame, id_col: str, text_col: str,
@@ -164,9 +194,11 @@ def bigram_perplexity(df: DataFrame, id_col: str, text_col: str,
     """
     if lm is None:
         lm = train_bigram_lm(df, text_col, vocab_size=vocab_size)
+    pair_t = F.broadcast(lm.pair_lp) if lm.broadcast else lm.pair_lp
+    ctx_t = F.broadcast(lm.ctx_lp) if lm.broadcast else lm.ctx_lp
     scored = (_pairs(df, id_col, text_col, lm.vocab)
-              .join(F.broadcast(lm.pair_lp), ["w1", "w2"], "left")
-              .join(F.broadcast(lm.ctx_lp), ["w1"], "left")
+              .join(pair_t, ["w1", "w2"], "left")
+              .join(ctx_t, ["w1"], "left")
               .select(F.col(id_col),
                       F.coalesce(F.col("lp"), F.col("unseen_lp"),
                                  F.lit(lm.oov_lp)).alias("__lp")))

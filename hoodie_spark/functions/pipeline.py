@@ -930,3 +930,68 @@ def corpus_report(df: DataFrame, text_col: str,
             .withColumn("mean_tokens",
                         F.round(F.col("total_tokens")
                                 / F.col("n_docs"), 6)))
+
+
+def domain_mixture_weights(df: DataFrame, domain_col: str, id_col: str,
+                           text_col: str, lm=None, vocab_size: int = 64,
+                           eta: float = 1.0) -> DataFrame:
+    """DoReMi-style domain mixture reweighting (Xie et al., *DoReMi:
+    Optimizing Data Mixtures Speeds Up Language Model Pretraining*,
+    NeurIPS 2023, simplified to its one-shot excess-loss step): weight
+    each domain by its token-level bigram-LM negative log-likelihood —
+    domains the reference model finds HARD (high excess NLL) get
+    upweighted by ``exp(eta * excess)``, scaled by the domain's token
+    share and renormalized. The full DoReMi alternates proxy-model
+    training with these reweights; the inner reweighting step is exactly
+    this computation, and one step over a fixed reference LM is the
+    practical curation recipe (pair with
+    :func:`~hoodie_spark.functions.pipeline.temperature_mix` /
+    :func:`source_weighted_sample` to realize the weights).
+
+    Returns one row per domain: ``(domain_col, n_docs, n_tokens, nll,
+    weight)`` with ``sum(weight) ≈ 1`` (each weight rounded to 6).
+
+    Engine-parity discipline: per-document logprob comes from
+    :func:`~hoodie_spark.functions.lm.bigram_perplexity` (already
+    DECIMAL-exact); domain sums re-enter DECIMAL(28,6) (the per-doc
+    double is a 6-decimal rational, so the cast recovers it exactly);
+    every nonlinearity (exp) applies to a round-6 double and is itself
+    rounded to 6 — an independent SQL engine reproduces the weights
+    bit-for-bit.
+
+    Scale shape (100 TB): one scoring pass over the corpus (the
+    bigram_perplexity shape: explode + broadcast joins + ONE aggregation)
+    followed by a G-row domain fold — G is the handful of sources, so
+    every post-scoring step is driver-trivial; the whole operator adds
+    ONE map-side-combined groupBy over per-doc scores to the scoring
+    cost. No UDFs, no per-row Python.
+    """
+    from .lm import bigram_perplexity
+
+    scored = bigram_perplexity(df, id_col, text_col, lm=lm,
+                               vocab_size=vocab_size)
+    per = (df.select(F.col(id_col), F.col(domain_col))
+           .join(scored, id_col)
+           .groupBy(domain_col)
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_bigrams").alias("n_tokens"),
+                F.sum(F.col("logprob").cast("decimal(18,6)"))
+                .cast("decimal(28,6)").alias("__sum_lp"))
+           .withColumn("nll", F.round(-(F.col("__sum_lp").cast("double"))
+                                      / F.col("n_tokens"), 6))
+           .drop("__sum_lp"))
+    totals = per.agg(F.min("nll").alias("__mn"),
+                     F.sum("n_tokens").alias("__tt"))
+    raw = (per.crossJoin(F.broadcast(totals))
+           .withColumn("__e", F.round(
+               F.exp(F.lit(float(eta))
+                     * F.round(F.col("nll") - F.col("__mn"), 6)), 6))
+           .withColumn("__share", F.round(
+               F.col("n_tokens") / F.col("__tt"), 6))
+           .withColumn("__raw", F.round(F.col("__share") * F.col("__e"), 6))
+           .drop("__mn", "__tt"))
+    denom = raw.agg(F.sum(F.col("__raw").cast("decimal(18,6)"))
+                    .cast("double").alias("__d"))
+    return (raw.crossJoin(F.broadcast(denom))
+            .withColumn("weight", F.round(F.col("__raw") / F.col("__d"), 6))
+            .select(domain_col, "n_docs", "n_tokens", "nll", "weight"))

@@ -223,3 +223,69 @@ def test_perplexity_buckets_partitioning_invariant(spark):
     b = HF.perplexity_buckets(docs.repartition(11, "doc_id"),
                               "doc_id", "text")
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_bigram_lm_distributed_model_path_identical(spark):
+    """A model above the broadcast-rows threshold stays distributed and
+    scoring shuffle-joins it — scores must be bit-identical to the
+    collected/broadcast path (threshold forced to 0 to exercise it)."""
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text").limit(200))
+    small = train_bigram_lm(docs, "text", vocab_size=32)
+    assert small.broadcast
+    big = train_bigram_lm(docs, "text", vocab_size=32,
+                          broadcast_model_rows=0)
+    assert not big.broadcast
+    a = sorted(map(tuple, HF.bigram_perplexity(
+        docs, "doc_id", "text", lm=small).collect()))
+    b = sorted(map(tuple, HF.bigram_perplexity(
+        docs, "doc_id", "text", lm=big).collect()))
+    assert a == b
+
+
+# ------------------------------------------------- domain mixture weights
+
+def _domained(spark):
+    rows = []
+    for i in range(40):  # fluent, repetitive domain — low NLL
+        rows.append((i, "web", "the cat sat on the mat and the dog ran"))
+    for i in range(40, 60):  # harder domain: shuffled/rare constructions
+        rows.append((i, "code", f"x{i % 7} := y{i % 5} << q{i % 3} end"))
+    for i in range(60, 70):
+        rows.append((i, "books", "once upon a time the cat sat quietly"))
+    return spark.createDataFrame(rows, "doc_id long, src string, text string")
+
+
+def test_domain_mixture_weights_sum_to_one_and_upweight_hard(spark):
+    df = _domained(spark)
+    out = {r["src"]: r for r in HF.domain_mixture_weights(
+        df, "src", "doc_id", "text", vocab_size=32, eta=1.0).collect()}
+    assert set(out) == {"web", "code", "books"}
+    assert sum(r["weight"] for r in out.values()) == pytest.approx(
+        1.0, abs=2e-5)
+    # the hard domain's weight exceeds its raw token share; the easy
+    # repetitive domain is downweighted relative to its share
+    tt = sum(r["n_tokens"] for r in out.values())
+    assert out["code"]["weight"] > out["code"]["n_tokens"] / tt
+    assert out["web"]["weight"] < out["web"]["n_tokens"] / tt
+    assert out["code"]["nll"] > out["web"]["nll"]
+
+
+def test_domain_mixture_eta_zero_is_token_share(spark):
+    df = _domained(spark)
+    out = {r["src"]: r for r in HF.domain_mixture_weights(
+        df, "src", "doc_id", "text", vocab_size=32, eta=0.0).collect()}
+    tt = sum(r["n_tokens"] for r in out.values())
+    for r in out.values():  # exp(0)=1 → weight collapses to token share
+        assert r["weight"] == pytest.approx(r["n_tokens"] / tt, abs=2e-5)
+
+
+def test_domain_mixture_partitioning_invariant(spark):
+    df = _domained(spark)
+    a = sorted(map(tuple, HF.domain_mixture_weights(
+        df.repartition(1), "src", "doc_id", "text",
+        vocab_size=32).collect()))
+    b = sorted(map(tuple, HF.domain_mixture_weights(
+        df.repartition(13, "doc_id"), "src", "doc_id", "text",
+        vocab_size=32).collect()))
+    assert a == b
