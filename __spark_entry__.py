@@ -1312,6 +1312,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_jaccard"] = lambda s, d: HF.jaccard_dedup_pairs(
         _dup_docs(s, d), "doc_id", "text", threshold=0.8).select(
             "id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    # leakage-safe train/val/test split (round 13): near-dup components
+    # split together by the component-min hash — no eval leakage
+    # (functions/pipeline.leakage_safe_split)
+    q["leakage_split"] = lambda s, d: HF.leakage_safe_split(
+        _dup_docs(s, d), "doc_id", "text",
+        {"train": 0.8, "val": 0.1, "test": 0.1}).select("doc_id", "split")
     # asymmetric containment (doc-inside-doc; prefix-filtered, EXACT)
     q["dedup_containment"] = lambda s, d: HF.containment_dedup_pairs(
         _contain_docs(s, d), "doc_id", "text", threshold=0.9).select(
@@ -1974,7 +1980,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                #     temperature_mix, hash_sample — and domain_mixture
                #     itself is the mixing family's reweighting step;
                #     displaced row re-verified via check_oracle)
-               "domain_mixture": "stratified_sample"}
+               "domain_mixture": "stratified_sample",
+               #   leakage_split <-> hard_negatives (round-13 new unique;
+               #     the similarity/ANN family keeps ann_brute_force,
+               #     ann_pq_rerank, ann_ivf_incremental and
+               #     ann_index_maintained in-window; displaced row
+               #     re-verified via check_oracle)
+               "leakage_split": "hard_negatives"}
     keys = list(q)
     for new, old in promote.items():
         i, j = keys.index(old), keys.index(new)
@@ -2922,6 +2934,46 @@ exact AS (
 )
 SELECT doc_id FROM corpus
 WHERE doc_id NOT IN (SELECT id_b FROM near UNION SELECT id_b FROM exact)
+"""
+    # leakage-safe split: components over VERIFIED near-dup pairs
+    # (jaccard >= 0.8, the dedup_jaccard predicate), whole component
+    # assigned by the 16-bit md5 hash of its min id; cuts at
+    # round(0.8*65536)=52429 / round(0.9*65536)=58982
+    o["leakage_split"] = f"""
+WITH RECURSIVE {_DOC_CORPUS}, {_MINHASH_SIG},
+vp AS (
+  SELECT c.id_a, c.id_b FROM cand c
+  JOIN sh a ON a.doc_id = c.id_a
+  JOIN sh b ON b.doc_id = c.id_b
+  WHERE CAST(len(list_filter(a.shingles, x -> list_contains(b.shingles, x)))
+             AS DOUBLE)
+        / CAST(len(a.shingles) + len(b.shingles)
+               - len(list_filter(a.shingles,
+                                 x -> list_contains(b.shingles, x)))
+               AS DOUBLE) >= 0.8
+),
+sym AS (
+  SELECT id_a AS a, id_b AS b FROM vp
+  UNION SELECT id_b AS a, id_a AS b FROM vp
+),
+reach AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a WHERE s.b <> r.a
+),
+grp AS (SELECT a AS id, LEAST(a, MIN(b)) AS group_id FROM reach GROUP BY a),
+keyed AS (
+  SELECT c.doc_id, coalesce(g.group_id, c.doc_id) AS k
+  FROM corpus c LEFT JOIN grp g ON g.id = c.doc_id
+),
+hs AS (SELECT doc_id,
+              {_hex4("md5(CAST(k AS VARCHAR))", 1)} % 65536 AS h
+       FROM keyed)
+SELECT doc_id,
+       CASE WHEN h < 52429 THEN 'train'
+            WHEN h < 58982 THEN 'val'
+            ELSE 'test' END AS split
+FROM hs
 """
     # transitive closure of the LSH candidate pairs; group = component min
     o["dedup_groups"] = f"""

@@ -240,6 +240,9 @@ def run_suite(spark, sf_dir: str) -> dict[str, float]:
     timed("domain_mixture")(lambda: HF.domain_mixture_weights(
         docs.select("doc_id", "source", "text"), "source", "doc_id",
         "text", lm=shared_lm).collect())
+    timed("leakage_split")(lambda: HF.leakage_safe_split(
+        docs.select("doc_id", "text"), "doc_id", "text")
+        .groupBy("split").count().collect())
     timed("corpus_report")(lambda: HF.corpus_report(
         docs, "text", "source").collect())
     timed("decontaminate_near")(lambda: HF.decontaminate_near(

@@ -131,6 +131,7 @@ from .pipeline import (
     chunk_documents, unigram_logprob, source_weighted_sample,
     temperature_mix, column_histogram, dsir_logweights, dsir_select,
     epoch_shuffle, corpus_report, domain_mixture_weights,
+    leakage_safe_split,
 )
 from .bpe import bpe_train, bpe_encode, bpe_token_count
 
@@ -167,7 +168,7 @@ __all__ = [
     "corpus_pipeline", "chunk_documents", "unigram_logprob",
     "source_weighted_sample", "temperature_mix", "column_histogram",
     "dsir_logweights", "dsir_select", "corpus_report",
-    "domain_mixture_weights",
+    "domain_mixture_weights", "leakage_safe_split",
     "char_entropy",
     "tfidf_terms", "tfidf_vectors",
     "bpe_train", "bpe_encode", "bpe_token_count",

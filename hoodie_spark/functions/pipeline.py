@@ -995,3 +995,60 @@ def domain_mixture_weights(df: DataFrame, domain_col: str, id_col: str,
     return (raw.crossJoin(F.broadcast(denom))
             .withColumn("weight", F.round(F.col("__raw") / F.col("__d"), 6))
             .select(domain_col, "n_docs", "n_tokens", "nll", "weight"))
+
+
+def leakage_safe_split(df: DataFrame, id_col: str, text_col: str,
+                       splits: dict[str, float] | None = None,
+                       threshold: float = 0.8, salt: str = "",
+                       pairs: DataFrame | None = None) -> DataFrame:
+    """Train/val/test assignment where near-duplicate documents ALWAYS
+    land in the same split — the leakage control a benchmark-honest
+    training pipeline needs: a plain per-document hash split puts a
+    paraphrase of a training doc into eval, silently inflating scores.
+
+    Mechanics: verified near-dup pairs (shingle Jaccard ≥ ``threshold``
+    via :func:`~hoodie_spark.functions.dedup.jaccard_dedup_pairs`, or a
+    caller-supplied ``pairs`` frame with id_a/id_b) resolve to connected
+    components (:func:`~hoodie_spark.functions.components.
+    duplicate_groups`); the whole component splits together by the
+    16-bit portable hash of its canonical representative (the component
+    min), singletons by their own id. Deterministic, repartition-stable
+    and engine-reproducible (the :func:`sample_hash` plane).
+
+    ``splits`` maps name → fraction (default 90/5/5 train/val/test);
+    fractions are realized as cumulative cuts on the 65536-grain hash so
+    an independent SQL engine reproduces the assignment bit-for-bit.
+    Returns the input columns plus ``split``.
+
+    Scale shape (100 TB): pair generation is the established LSH shape
+    (banded signatures, hot-group guard); components are the
+    O(log² n)-round large-star/small-star fold (never a driver-side
+    graph); the split itself is ONE left join against the (id, group)
+    frame — bounded by the number of near-dup members, a small fraction
+    of the corpus — plus a map-only hash. No UDFs.
+    """
+    from .components import duplicate_groups
+    from .dedup import jaccard_dedup_pairs
+
+    splits = splits or {"train": 0.9, "val": 0.05, "test": 0.05}
+    if not splits or abs(sum(splits.values()) - 1.0) > 1e-6:
+        raise ValueError("split fractions must sum to 1")
+    if pairs is None:
+        pairs = jaccard_dedup_pairs(df, id_col, text_col,
+                                    threshold=threshold)
+    groups = duplicate_groups(pairs.select("id_a", "id_b")).select(
+        F.col("id").alias("__sid"), F.col("group_id").alias("__gid"))
+    keyed = (df.join(groups, df[id_col] == F.col("__sid"), "left")
+             .withColumn("__key", F.coalesce(F.col("__gid"),
+                                             F.col(id_col)))
+             .drop("__sid", "__gid"))
+    h = sample_hash(F.col("__key"), salt) % 65536
+    names = list(splits)
+    cum, cuts = 0.0, []
+    for name in names[:-1]:
+        cum += splits[name]
+        cuts.append(int(round(cum * 65536)))
+    expr = F.lit(names[-1])  # last split absorbs the rounding remainder
+    for name, cut in zip(reversed(names[:-1]), reversed(cuts)):
+        expr = F.when(h < cut, F.lit(name)).otherwise(expr)
+    return keyed.withColumn("split", expr).drop("__key")

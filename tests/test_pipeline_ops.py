@@ -796,3 +796,43 @@ def test_decontaminate_near_eval_side_broadcasts(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_leakage_safe_split_near_dups_same_split(spark):
+    """Near-duplicates (and exact dups) must land in the SAME split; the
+    realized fractions track the requested ones; assignment is a pure
+    function of the data (repartition-stable)."""
+    from hoodie_spark import functions as HF
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text"))
+    near = (docs.withColumn("doc_id", F.col("doc_id") + 10000)
+            .withColumn("text", F.concat(F.col("text"), F.lit(" zz"))))
+    corpus = docs.unionByName(near)
+    out = HF.leakage_safe_split(corpus, "doc_id", "text",
+                                {"train": 0.8, "val": 0.1, "test": 0.1})
+    rows = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert len(rows) == corpus.count()
+    # every (original, +10000 near-copy) pair shares a split
+    mismatched = [i for i in rows if i < 10000 and i + 10000 in rows
+                  and rows[i] != rows[i + 10000]]
+    assert mismatched == []
+    # fractions in the right ballpark on ~1000 docs
+    from collections import Counter
+    c = Counter(rows.values())
+    n = sum(c.values())
+    assert 0.68 <= c["train"] / n <= 0.92
+    assert c["val"] > 0 and c["test"] > 0
+    # repartition-stable
+    again = {r["doc_id"]: r["split"] for r in HF.leakage_safe_split(
+        corpus.repartition(13, "doc_id"), "doc_id", "text",
+        {"train": 0.8, "val": 0.1, "test": 0.1}).collect()}
+    assert again == rows
+
+
+def test_leakage_safe_split_validates_fractions(spark):
+    from hoodie_spark import functions as HF
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        HF.leakage_safe_split(docs, "doc_id", "text",
+                              {"train": 0.7, "val": 0.1})
