@@ -970,16 +970,22 @@ def domain_mixture_weights(df: DataFrame, domain_col: str, id_col: str,
 
     scored = bigram_perplexity(df, id_col, text_col, lm=lm,
                                vocab_size=vocab_size)
-    per = (df.select(F.col(id_col), F.col(domain_col))
-           .join(scored, id_col)
-           .groupBy(domain_col)
-           .agg(F.count(F.lit(1)).alias("n_docs"),
-                F.sum("n_bigrams").alias("n_tokens"),
-                F.sum(F.col("logprob").cast("decimal(18,6)"))
-                .cast("decimal(28,6)").alias("__sum_lp"))
-           .withColumn("nll", F.round(-(F.col("__sum_lp").cast("double"))
-                                      / F.col("n_tokens"), 6))
-           .drop("__sum_lp"))
+    per_df = (df.select(F.col(id_col), F.col(domain_col))
+              .join(scored, id_col)
+              .groupBy(domain_col)
+              .agg(F.count(F.lit(1)).alias("n_docs"),
+                   F.sum("n_bigrams").alias("n_tokens"),
+                   F.sum(F.col("logprob").cast("decimal(18,6)"))
+                   .cast("decimal(28,6)").alias("__sum_lp"))
+              .withColumn("nll",
+                          F.round(-(F.col("__sum_lp").cast("double"))
+                                  / F.col("n_tokens"), 6))
+              .drop("__sum_lp"))
+    # sever lineage at the G-row census (the house bounded-collect
+    # pattern): the totals/denominator folds below would otherwise each
+    # re-evaluate the per-domain aggregate — i.e. re-run the full corpus
+    # scoring pass 3-4× through the lineage
+    per = df.sparkSession.createDataFrame(per_df.collect(), per_df.schema)
     totals = per.agg(F.min("nll").alias("__mn"),
                      F.sum("n_tokens").alias("__tt"))
     raw = (per.crossJoin(F.broadcast(totals))

@@ -176,7 +176,8 @@ def probe_once(spark, sf_dir: str, only: set | None = None) -> dict:
             "containment_dedup", "dsir_select", "incremental_dedup",
             "lm_perplexity", "quality_classifier", "distribution_shift",
             "substring_dedup", "ppl_buckets", "corpus_report",
-            "decontaminate_near"):
+            "decontaminate_near", "lm_perplexity_64k", "domain_mixture",
+            "leakage_split"):
         docs = load_table(spark, sf_dir, "documents").select(
             "doc_id", "text")
     work = tempfile.mkdtemp(prefix="scale_probe_")
@@ -281,6 +282,27 @@ def probe_once(spark, sf_dir: str, only: set | None = None) -> dict:
             .groupBy("bucket").count().collect())
         timed("corpus_report", lambda: HF.corpus_report(
             docs, "text").collect())
+        # round-13 rows. 64k-vocab scoring (the broadcast-join mapping +
+        # adaptive model path): the LM is trained OUTSIDE the timed
+        # lambda so the row isolates scoring scaling — the production
+        # shape (train on a trusted sample, score the big corpus)
+        if want("lm_perplexity_64k"):
+            lm64k = HF.train_bigram_lm(docs, "text", vocab_size=65536)
+            timed("lm_perplexity_64k", lambda: HF.bigram_perplexity(
+                docs, "doc_id", "text", lm=lm64k).count())
+        if want("domain_mixture"):
+            docs_src = load_table(spark, sf_dir, "documents").select(
+                "doc_id", "source", "text")
+            lm_dm = HF.train_bigram_lm(
+                docs.filter(F.col("doc_id") % 10 == 0), "text",
+                vocab_size=64)
+            timed("domain_mixture", lambda: HF.domain_mixture_weights(
+                docs_src, "source", "doc_id", "text",
+                lm=lm_dm).collect())
+        if want("leakage_split"):
+            timed("leakage_split", lambda: HF.leakage_safe_split(
+                docs, "doc_id", "text")
+                .groupBy("split").count().collect())
         # eval side fixed-size (the production contract): the probe
         # scales ONLY the corpus side
         timed("decontaminate_near", lambda: HF.decontaminate_near(
