@@ -68,6 +68,10 @@ _MAX_VOCAB = 1 << 20
 # model too big for one executor's memory
 _BROADCAST_MODEL_ROWS = 1_000_000
 
+# vocab-mapping shape cutover: at or below this the in-row isin literal
+# (InSet) beats the per-pass broadcast-build cost of the join mapping
+_LITERAL_VOCAB_MAX = 1024
+
 
 @dataclass
 class BigramLM:
@@ -94,15 +98,33 @@ def _pairs(df: DataFrame, id_col: str | None, text_col: str,
     nothing; ``id_col`` None (the census path) drops the carrier column
     before the shuffle.
 
-    The vocab mapping runs AFTER the explode as two broadcast left-joins
-    against the V-row vocab table — whole-stage-codegen'd hash probes.
-    The previous shape (an ``isin`` literal inside an in-row transform
-    lambda) was an interpreted higher-order function that embedded a
-    vocab-sized literal per expression: invisible at V=64, the scoring
-    pass's hot loop at a 64k CCNet vocabulary."""
+    Hybrid vocab mapping, picked by vocabulary size (A/B-measured at
+    sf0.1, V=64: literal 3.06 s vs join 4.43 s; the join's fixed
+    broadcast-build cost × 2 joins × every census/scoring pass dominates
+    small vocabularies, while a large literal is an interpreted
+    vocab-sized IN per token AND an expression-tree blowup):
+
+    * V ≤ 1024 — in-row ``isin`` against the vocab literal (compiles to
+      an InSet hash probe; cheap at CCNet-small sizes);
+    * V > 1024 — two broadcast left-joins against the V-row vocab table
+      AFTER the explode, whole-stage-codegen'd hash probes with no
+      per-expression literal — the 64k-vocabulary shape."""
     from .quality import words
 
     spark = df.sparkSession
+    if 0 < len(vocab) <= _LITERAL_VOCAB_MAX:
+        m = F.transform(
+            words(text_col),
+            lambda t: F.when(t.isin(*vocab), t).otherwise(F.lit(UNK)))
+        pair = F.zip_with(
+            F.slice(m, 1, F.greatest(F.size(m) - 1, F.lit(0))),
+            F.slice(m, 2, F.greatest(F.size(m) - 1, F.lit(0))),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")))
+        carry = [F.col(id_col)] if id_col else []
+        ex = df.select(*carry, F.explode(pair).alias("__p"))
+        return ex.select(*([id_col] if id_col else []),
+                         F.col("__p.w1").alias("w1"),
+                         F.col("__p.w2").alias("w2"))
     toks = words(text_col)
     pair = F.zip_with(
         F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
