@@ -1981,11 +1981,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                #     itself is the mixing family's reweighting step;
                #     displaced row re-verified via check_oracle)
                "domain_mixture": "stratified_sample",
-               #   leakage_split <-> hard_negatives (round-13 new unique;
-               #     the similarity/ANN family keeps ann_brute_force,
-               #     ann_pq_rerank, ann_ivf_incremental and
-               #     ann_index_maintained in-window; displaced row
-               #     re-verified via check_oracle)
+               #   leakage_split <-> hard_negatives swap; because
+               #     leakage_split is declared mid-dict (beside
+               #     dedup_jaccard) the NET window change displaces
+               #     ann_brute_force off the tail — the ANN family keeps
+               #     ann_pq_rerank, ann_ivf_incremental,
+               #     ann_index_maintained AND hard_negatives in-window;
+               #     ann_brute_force re-verified via check_oracle
                "leakage_split": "hard_negatives"}
     keys = list(q)
     for new, old in promote.items():
