@@ -695,6 +695,28 @@ def _fx_sketch_maint(spark, sf_dir, path):
     return {"m": m}
 
 
+def _fx_split_maint(spark, sf_dir, path):
+    """Leakage-safe split as maintained state: three id-ordered batches
+    (documents, then two EXACT-copy generations) through
+    SplitMaintainer.catch_up(). Exact copies add no new connectivity (a
+    byte-identical copy has its original's signature, hence exactly its
+    original's edges), so the streaming assignment must be BIT-IDENTICAL
+    to one batch pass of the same sig-agreement-gated components over
+    the union (the oracle)."""
+    from hoodie_spark.streaming import SplitMaintainer
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tbl = HoodieTable.create(spark, os.path.join(path, "t"),
+                             "docs_split", ["doc_id"], None)
+    m = SplitMaintainer(tbl, os.path.join(path, "split"), "doc_id",
+                        "text", {"train": 0.8, "val": 0.1, "test": 0.1})
+    for k in range(3):
+        tbl.insert(docs.withColumn(
+            "doc_id", F.col("doc_id") + F.lit(k * 10000)))
+        m.catch_up()
+    return {"m": m}
+
+
 def _fx_drift_maint(spark, sf_dir, path):
     """Token-distribution drift as maintained state: three insert batches
     plus one UNCHANGED re-upsert batch ingested with track_changes=True —
@@ -767,6 +789,7 @@ _BUILDERS = {
     "ivf_incr": _fx_ivf_incr,
     "ivf_maint": _fx_ivf_maint,
     "sketch_maint": _fx_sketch_maint,
+    "split_maint": _fx_split_maint,
     "drift_maint": _fx_drift_maint,
 }
 
@@ -1668,6 +1691,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # policy precedent: ANN variants), verified via check_oracle.
     q["corpus_overlap_incremental"] = lambda s, d: _fixture(
         s, d, "sketch_maint")["m"].overlap()
+
+    # ---- leakage-safe split as maintained state (round 13): streaming
+    # assignment over three id-ordered exact-copy batches must equal one
+    # batch pass over the union (streaming/split_maintainer.py).
+    q["leakage_split_incremental"] = lambda s, d: _fixture(
+        s, d, "split_maint")["m"].assignments().select("doc_id", "split")
 
     # ---- bigram-LM perplexity (round 12, CCNet-style quality signal):
     # add-one-smoothed bigram LM over the top-64-unigram vocabulary
@@ -2957,6 +2986,51 @@ vp AS (
 sym AS (
   SELECT id_a AS a, id_b AS b FROM vp
   UNION SELECT id_b AS a, id_a AS b FROM vp
+),
+reach AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a WHERE s.b <> r.a
+),
+grp AS (SELECT a AS id, LEAST(a, MIN(b)) AS group_id FROM reach GROUP BY a),
+keyed AS (
+  SELECT c.doc_id, coalesce(g.group_id, c.doc_id) AS k
+  FROM corpus c LEFT JOIN grp g ON g.id = c.doc_id
+),
+hs AS (SELECT doc_id,
+              {_hex4("md5(CAST(k AS VARCHAR))", 1)} % 65536 AS h
+       FROM keyed)
+SELECT doc_id,
+       CASE WHEN h < 52429 THEN 'train'
+            WHEN h < 58982 THEN 'val'
+            ELSE 'test' END AS split
+FROM hs
+"""
+    # streaming split ≡ batch: components over sig-agreement near edges
+    # (the maintainer's gate, >= 13/16) UNION exact-text edges, min root,
+    # the same 16-bit hash cuts as leakage_split (0.8/0.1/0.1)
+    o["leakage_split_incremental"] = f"""
+WITH RECURSIVE corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 10000, text FROM documents
+  UNION ALL SELECT doc_id + 20000, text FROM documents
+), {_MINHASH_SIG},
+near AS (
+  SELECT c.id_a, c.id_b FROM cand c
+  JOIN sig a ON a.doc_id = c.id_a
+  JOIN sig b ON b.doc_id = c.id_b
+  WHERE len(list_filter(range(1, 17),
+        i -> a.sig[CAST(i AS INT)] = b.sig[CAST(i AS INT)])) >= {mm}
+),
+exact AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM corpus a JOIN corpus b
+  ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id
+),
+sym AS (
+  SELECT id_a AS a, id_b AS b FROM near
+  UNION SELECT id_b, id_a FROM near
+  UNION SELECT id_a, id_b FROM exact
+  UNION SELECT id_b, id_a FROM exact
 ),
 reach AS (
   SELECT a, b FROM sym

@@ -7,6 +7,7 @@ from .index_maintainer import IvfIndexMaintainer
 from .corpus_sketch import CorpusSketchMaintainer
 from .drift import DriftMonitor
 from .maintainer import ConcurrentMaintainerError, maintainer_lock
+from .split_maintainer import SplitMaintainer
 from .schema import (FileBasedSchemaProvider, RowBasedSchemaProvider,
                      SchemaProvider, SchemaRegistryProvider,
                      StaticSchemaProvider)
