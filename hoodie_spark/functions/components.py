@@ -9,10 +9,11 @@ map + shuffle-on-node-id, no driver-side graph state.
 
 Scale design:
 
-* Each round is two window aggregations partitioned by node id — plain
-  hash-shuffles on a long key, no collect_list of neighbor sets (a hub
-  node's neighborhood never materializes in one task's memory; the
-  per-node minimum folds map-side).
+* Each round derives per-node minima via groupBy (map-side-combined
+  partial min) joined back — never a window aggregate or a
+  collect_list of neighbor sets, so a hub node's neighborhood never
+  materializes in one task's memory and the minimum genuinely folds
+  map-side.
 * Iteration state is persisted and localCheckpoint-ed so the lineage (and
   thus planning time) stays O(1) per round instead of O(rounds).
 * Convergence is detected from bounded aggregates (edge count + subtract
@@ -24,7 +25,7 @@ the north-star (BASELINE.json).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["duplicate_groups", "dedup_by_groups"]
@@ -39,20 +40,29 @@ def _canon(edges: DataFrame) -> DataFrame:
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
-    """(v, m) for every neighbor v > u, m = min(N(u) ∪ {u})."""
+    """(v, m) for every neighbor v > u, m = min(N(u) ∪ {u}).
+
+    The per-node minimum is a groupBy (map-side-combined partial min)
+    joined back, NOT a window aggregate: a window shuffles a hub node's
+    ENTIRE neighborhood into one task before aggregating (no partial
+    fold), which is exactly the skew a boilerplate dup-cluster of
+    millions creates; the groupBy folds map-side and the join-back
+    streams the hub through a hash probe (AQE skew-split applies)."""
     sym = edges.select(F.col("hi").alias("u"), F.col("lo").alias("v")).union(
         edges.select(F.col("lo").alias("u"), F.col("hi").alias("v")))
-    m = F.least(F.min("v").over(Window.partitionBy("u")), F.col("u"))
-    return (sym.withColumn("m", m)
+    mins = sym.groupBy("u").agg(F.min("v").alias("__mv"))
+    return (sym.join(mins, "u")
+            .withColumn("m", F.least(F.col("__mv"), F.col("u")))
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
             .filter(F.col("hi") != F.col("lo")).distinct())
 
 
 def _small_star(edges: DataFrame) -> DataFrame:
-    """Rewire every strictly-smaller neighborhood to its minimum."""
-    m = F.min("lo").over(Window.partitionBy("hi"))
-    with_m = edges.withColumn("m", m)
+    """Rewire every strictly-smaller neighborhood to its minimum (same
+    groupBy-not-window shape as _large_star, same skew rationale)."""
+    mins = edges.groupBy("hi").agg(F.min("lo").alias("m"))
+    with_m = edges.join(mins, "hi")
     rewired = (with_m.filter(F.col("lo") != F.col("m"))
                .select(F.col("lo").alias("hi"), F.col("m").alias("lo")))
     anchor = with_m.select("hi", F.col("m").alias("lo"))

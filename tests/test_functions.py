@@ -726,3 +726,17 @@ def test_lsh_plan_properties():
     import pytest
     with pytest.raises(ValueError):
         lsh_plan(1.5, 16)
+
+
+def test_duplicate_groups_hub_star_graph(spark):
+    """A hub component (one boilerplate doc paired with everything — the
+    100 TB skew case) resolves correctly; per-node minima are
+    groupBy-folded (map-side partials), never a window over the hub's
+    whole neighborhood."""
+    from hoodie_spark.functions.components import duplicate_groups
+    n = 50_000
+    pairs = spark.range(1, n).select(
+        F.lit(0).alias("id_a"), F.col("id").alias("id_b"))
+    got = duplicate_groups(pairs)
+    assert got.count() == n
+    assert got.filter(F.col("group_id") != 0).count() == 0
