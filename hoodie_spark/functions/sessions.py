@@ -38,8 +38,18 @@ def sessionize(df: DataFrame, user_col: str, ts_col: str,
         F.lit(1)).otherwise(F.lit(0))
     running = Window.partitionBy(user_col).orderBy(F.col(ts_col)) \
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    sess_n = F.sum(new_session).over(running) - F.lit(1)
-    out = df.withColumn(out_col, F.concat(F.col(user_col).cast("string"),
-                                          F.lit("#"), sess_n.cast("string")))
-    w_sess = Window.partitionBy(out_col)
-    return out.withColumn("session_start", F.min(F.col(ts_col)).over(w_sess))
+    staged = df.withColumn("__new", new_session)
+    sess_n = F.sum("__new").over(running) - F.lit(1)
+    # session_start = the latest session-OPENING timestamp at or before
+    # this row — computable inside the same streaming running-frame pass,
+    # so there is no third window keyed on the session id (which would
+    # add a whole extra Exchange and buffer a pathological bot session's
+    # rows in one task)
+    sess_start = F.max(F.when(F.col("__new") == 1,
+                              F.col(ts_col))).over(running)
+    return (staged
+            .withColumn(out_col, F.concat(F.col(user_col).cast("string"),
+                                          F.lit("#"),
+                                          sess_n.cast("string")))
+            .withColumn("session_start", sess_start)
+            .drop("__new"))
