@@ -157,7 +157,8 @@ class CorpusSketchMaintainer:
             if st is None:
                 self._publish({}, None)
             return 0
-        delta = self.table.incremental(begin=mark).select(
+        delta = self.table.incremental(begin=mark,
+                                       end=last.timestamp).select(
             self.group_col, self.text_col)
         n = delta.count()
         if n:

@@ -392,7 +392,7 @@ class IncrementalDeduper:
             if st is None:
                 self._publish_state(None)
             return 0
-        missed = self.table.incremental(begin=mark)
+        missed = self.table.incremental(begin=mark, end=last.timestamp)
         n = missed.count()
         if n:
             self.advance(missed.select(self.id_col, self.text_col),

@@ -151,7 +151,7 @@ class IvfIndexMaintainer:
             from pyspark.sql import Window
             from pyspark.sql import functions as F
 
-            ev = self.table.incremental_cdc(begin=mark)
+            ev = self.table.incremental_cdc(begin=mark, end=last.timestamp)
             # a key touched by several in-range commits appears once per
             # commit — only its LATEST event decides index membership
             latest = Window.partitionBy("_hoodie_record_key").orderBy(
@@ -172,7 +172,8 @@ class IvfIndexMaintainer:
                                       self.id_col)
                 self._append(upserts)
         else:
-            delta = (self.table.incremental(begin=mark)
+            delta = (self.table.incremental(begin=mark,
+                                            end=last.timestamp)
                      .select(self.id_col, self.vec_col))
             n = delta.count()
             if n:
