@@ -4,7 +4,7 @@ The table WRITE path is multi-writer via OCC (reference:
 hudi-client-common/.../transaction/TransactionManager.java + lock
 providers). The maintained states layered beside tables —
 IncrementalDeduper, IvfIndexMaintainer, DriftMonitor,
-CorpusSketchMaintainer — are SINGLE-maintainer by contract: state is a
+CorpusSketchMaintainer, SplitMaintainer — are SINGLE-maintainer by contract: state is a
 watermark sidecar plus derived files, republished wholesale per fold,
 with no conflict-resolution story. Two concurrent folds on one state
 dir would interleave read-modify-write publishes (lost updates, or a

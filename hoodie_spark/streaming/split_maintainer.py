@@ -302,13 +302,15 @@ class SplitMaintainer:
 
     # ---------------------------------------------------------- analytics
     def assignments(self) -> DataFrame:
-        """All persisted (id, root, split) rows."""
+        """All persisted (id, root, split) rows. Distinct: a crash-replay
+        of a batch re-appends byte-identical rows (replay idempotence),
+        so duplicates carry no information."""
         p = os.path.join(self.path, "assignments")
         spark = self.table.spark
         if not self.fs.exists(p) or not self.fs.listdir(p):
             return spark.createDataFrame(
                 [], f"{self.id_col} long, root long, split string")
-        return spark.read.parquet(p)
+        return spark.read.parquet(p).distinct()
 
     def on_commit(self, batch: DataFrame | None = None,
                   result=None) -> int:

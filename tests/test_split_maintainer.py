@@ -153,3 +153,27 @@ def test_param_and_fraction_guards(spark, tmp_table_path):
                         {"train": 0.5, "test": 0.5})
     with pytest.raises(ValueError):
         SplitMaintainer(tbl, state, "doc_id", "text", SPLITS, bands=8)
+
+
+def test_crash_between_register_and_watermark_recovers(spark,
+                                                       tmp_table_path):
+    """Crash story: state appended but the watermark publish lost —
+    catch_up refolds the delta; replay re-derives identical roots and
+    assignments() stays duplicate-free (distinct over byte-identical
+    replay rows)."""
+    docs = _docs(spark)
+    tbl = _table(spark, tmp_table_path)
+    sm = SplitMaintainer(tbl, os.path.join(tmp_table_path, "_split"),
+                         "doc_id", "text", SPLITS)
+    tbl.insert(docs)
+    # simulate the crash: register WITHOUT advancing the watermark
+    sm.assign_and_register(docs, instant=None)
+    assert sm.catch_up() == docs.count()  # gap detected → refold
+    assert sm.catch_up() == 0
+    got = sm.assignments().collect()
+    assert len(got) == docs.count()  # one distinct row per doc
+    fresh = SplitMaintainer(tbl, os.path.join(tmp_table_path, "_f"),
+                            "doc_id", "text", SPLITS)
+    fresh.catch_up()
+    want = {r["doc_id"]: r["split"] for r in fresh.assignments().collect()}
+    assert {r["doc_id"]: r["split"] for r in got} == want
