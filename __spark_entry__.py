@@ -2966,26 +2966,29 @@ exact AS (
 SELECT doc_id FROM corpus
 WHERE doc_id NOT IN (SELECT id_b FROM near UNION SELECT id_b FROM exact)
 """
-    # leakage-safe split: components over VERIFIED near-dup pairs
-    # (jaccard >= 0.8, the dedup_jaccard predicate), whole component
-    # assigned by the 16-bit md5 hash of its min id; cuts at
-    # round(0.8*65536)=52429 / round(0.9*65536)=58982
+    # leakage-safe split: components over the SAME two edge types the
+    # maintained SplitMaintainer uses — near edges gated by MinHash
+    # signature agreement (>= 13/16, sig_near_pairs) and exact-text
+    # edges; whole component assigned by the 16-bit md5 hash of its min
+    # id; cuts at round(0.8*65536)=52429 / round(0.9*65536)=58982
     o["leakage_split"] = f"""
 WITH RECURSIVE {_DOC_CORPUS}, {_MINHASH_SIG},
 vp AS (
   SELECT c.id_a, c.id_b FROM cand c
-  JOIN sh a ON a.doc_id = c.id_a
-  JOIN sh b ON b.doc_id = c.id_b
-  WHERE CAST(len(list_filter(a.shingles, x -> list_contains(b.shingles, x)))
-             AS DOUBLE)
-        / CAST(len(a.shingles) + len(b.shingles)
-               - len(list_filter(a.shingles,
-                                 x -> list_contains(b.shingles, x)))
-               AS DOUBLE) >= 0.8
+  JOIN sig a ON a.doc_id = c.id_a
+  JOIN sig b ON b.doc_id = c.id_b
+  WHERE len(list_filter(range(1, 17),
+        i -> a.sig[CAST(i AS INT)] = b.sig[CAST(i AS INT)])) >= {mm}
+),
+ex2 AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM corpus a JOIN corpus b
+  ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id
 ),
 sym AS (
   SELECT id_a AS a, id_b AS b FROM vp
   UNION SELECT id_b AS a, id_a AS b FROM vp
+  UNION SELECT id_a, id_b FROM ex2
+  UNION SELECT id_b, id_a FROM ex2
 ),
 reach AS (
   SELECT a, b FROM sym

@@ -40,7 +40,7 @@ from .dedup import (
     with_minhash,
     minhash_candidate_pairs,
     containment_dedup_pairs,
-    jaccard_dedup_pairs,
+    jaccard_dedup_pairs, sig_near_pairs,
     with_simhash,
     simhash_sigs,
     simhash_dup_pairs,
@@ -140,7 +140,7 @@ __all__ = [
     "LANG_PROFILES", "quality_score", "fingerprint", "kmin_fingerprint",
     "exact_dedup", "with_minhash", "minhash_candidate_pairs",
     "quantize_embeddings", "int8_topk", "write_int8_index", "int8_topk_from_index",
-    "jaccard_dedup_pairs", "containment_dedup_pairs", "with_simhash", "simhash_sigs",
+    "jaccard_dedup_pairs", "sig_near_pairs", "containment_dedup_pairs", "with_simhash", "simhash_sigs",
     "simhash_dup_pairs", "embedding_near_dup_pairs", "dedup_spans",
     "exact_substring_dedup",
     "seen_dedup", "doc_features", "min_sig_matches", "sig_agreement",

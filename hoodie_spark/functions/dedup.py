@@ -322,6 +322,43 @@ def minhash_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
                               max_band_rows).distinct()
 
 
+def sig_near_pairs(df: DataFrame, id_col: str, text_col: str,
+                   threshold: float = 0.8, num_hashes: int = 16,
+                   bands: int = 4, ngram: int = 5,
+                   max_band_rows: int = 4096) -> DataFrame:
+    """Near-duplicate pairs gated by MinHash signature agreement —
+    ``sig_agreement ≥ min_sig_matches(threshold, num_hashes)`` — the
+    SAME gate IncrementalDeduper and SplitMaintainer apply, exposed as a
+    batch pair source. Returns distinct ``(id_a, id_b)``.
+
+    Why this exists next to :func:`jaccard_dedup_pairs`: the exact
+    verify there joins CANDIDATE PAIRS against the full per-doc shingle
+    arrays — at corpus scale the verify-join payload is pairs × two
+    shingle sets (measured: a ×100 template-heavy corpus spilled >36 GB
+    of shuffle on exactly that join). Here the signatures ride THROUGH
+    the banded self-join (``bounded_self_pairs(carry=("minhash",))``)
+    and verification is an in-row zip — no second join, no shingle
+    payload, hot-group guarded. The trade: agreement/num_hashes is an
+    ESTIMATE of Jaccard (±1/√H), so the pair set is the estimator's,
+    not the exact-threshold one — the right trade wherever the
+    downstream op needs a consistent duplicate RELATION rather than a
+    calibrated similarity (splits, incremental dedup)."""
+    rows_per_band = num_hashes // bands
+    mm = min_sig_matches(threshold, num_hashes)
+    sig = minhash_sigs(df, id_col, text_col, num_hashes, ngram)
+    exploded = _pin(
+        sig.select(F.col(id_col), F.col("minhash"),
+                   F.explode(band_keys("minhash", bands,
+                                       rows_per_band)).alias("bk"))
+        .select(id_col, "minhash", F.col("bk.band").alias("band"),
+                F.col("bk.bh").alias("bh")))
+    return (bounded_self_pairs(exploded, ["band", "bh"], id_col,
+                               max_band_rows, carry=("minhash",))
+            .filter(sig_agreement(F.col("minhash_a"),
+                                  F.col("minhash_b")) >= mm)
+            .select("id_a", "id_b").distinct())
+
+
 def jaccard_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
                         threshold: float = 0.8, num_hashes: int = 16,
                         bands: int = 4, ngram: int = 5) -> DataFrame:

@@ -1012,14 +1012,17 @@ def leakage_safe_split(df: DataFrame, id_col: str, text_col: str,
     training pipeline needs: a plain per-document hash split puts a
     paraphrase of a training doc into eval, silently inflating scores.
 
-    Mechanics: verified near-dup pairs (shingle Jaccard ≥ ``threshold``
-    via :func:`~hoodie_spark.functions.dedup.jaccard_dedup_pairs`, or a
-    caller-supplied ``pairs`` frame with id_a/id_b) resolve to connected
-    components (:func:`~hoodie_spark.functions.components.
-    duplicate_groups`); the whole component splits together by the
-    16-bit portable hash of its canonical representative (the component
-    min), singletons by their own id. Deterministic, repartition-stable
-    and engine-reproducible (the :func:`sample_hash` plane).
+    Mechanics: duplicate edges — exact text matches plus near-dup pairs
+    gated by MinHash signature agreement ≥ ``threshold``
+    (:func:`~hoodie_spark.functions.dedup.sig_near_pairs` — the SAME
+    gate SplitMaintainer applies streaming, so batch and maintained
+    assignments share one duplicate relation), or a caller-supplied
+    ``pairs`` frame with id_a/id_b — resolve to connected components
+    (:func:`~hoodie_spark.functions.components.duplicate_groups`); the
+    whole component splits together by the 16-bit portable hash of its
+    canonical representative (the component min), singletons by their
+    own id. Deterministic, repartition-stable and engine-reproducible
+    (the :func:`sample_hash` plane).
 
     ``splits`` maps name → fraction (default 90/5/5 train/val/test);
     fractions are realized as cumulative cuts on the 65536-grain hash so
@@ -1027,21 +1030,35 @@ def leakage_safe_split(df: DataFrame, id_col: str, text_col: str,
     Returns the input columns plus ``split``.
 
     Scale shape (100 TB): pair generation is the established LSH shape
-    (banded signatures, hot-group guard); components are the
-    O(log² n)-round large-star/small-star fold (never a driver-side
-    graph); the split itself is ONE left join against the (id, group)
-    frame — bounded by the number of near-dup members, a small fraction
-    of the corpus — plus a map-only hash. No UDFs.
+    (banded signatures carried through the hot-group-guarded self-join;
+    verification is an in-row signature zip, never a join against full
+    shingle sets — the exact-Jaccard verify spilled >36 GB of shuffle
+    on a ×100 template-heavy probe, this shape runs it comfortably);
+    components are the O(log² n)-round large-star/small-star fold
+    (never a driver-side graph); the split itself is ONE left join
+    against the (id, group) frame — bounded by the number of near-dup
+    members, a small fraction of the corpus — plus a map-only hash. No
+    UDFs.
     """
     from .components import duplicate_groups
-    from .dedup import jaccard_dedup_pairs
+    from .dedup import sig_near_pairs
 
     splits = splits or {"train": 0.9, "val": 0.05, "test": 0.05}
     if not splits or abs(sum(splits.values()) - 1.0) > 1e-6:
         raise ValueError("split fractions must sum to 1")
     if pairs is None:
-        pairs = jaccard_dedup_pairs(df, id_col, text_col,
-                                    threshold=threshold)
+        near = sig_near_pairs(df, id_col, text_col, threshold=threshold)
+        # exact-text edges catch byte-identical docs too short to carry
+        # a shingle signature (same two edge types as SplitMaintainer)
+        h = F.md5(F.col(text_col))
+        hashed = df.select(F.col(id_col), h.alias("__h")) \
+            .filter(F.col("__h").isNotNull())
+        w = Window.partitionBy("__h").orderBy(id_col)
+        exact = (hashed.withColumn("__first", F.first(id_col).over(w))
+                 .filter(F.col("__first") != F.col(id_col))
+                 .select(F.col("__first").alias("id_a"),
+                         F.col(id_col).alias("id_b")))
+        pairs = near.unionByName(exact)
     groups = duplicate_groups(pairs.select("id_a", "id_b")).select(
         F.col("id").alias("__sid"), F.col("group_id").alias("__gid"))
     keyed = (df.join(groups, df[id_col] == F.col("__sid"), "left")
