@@ -34,7 +34,7 @@ from .text import char_ngrams, tokens
 
 __all__ = [
     "exact_dedup", "with_minhash", "minhash_candidate_pairs",
-    "jaccard_dedup_pairs", "containment_dedup_pairs", "with_simhash",
+    "jaccard_dedup_pairs", "sig_near_pairs", "containment_dedup_pairs", "with_simhash",
     "simhash_sigs", "simhash_dup_pairs", "embedding_near_dup_pairs",
     "semantic_dedup", "lsh_plan", "corpus_overlap",
     "corpus_overlap_minhash", "group_sketches", "merge_sketches",
