@@ -243,6 +243,17 @@ def run_suite(spark, sf_dir: str) -> dict[str, float]:
     timed("leakage_split")(lambda: HF.leakage_safe_split(
         docs.select("doc_id", "text"), "doc_id", "text")
         .groupBy("split").count().collect())
+    timed("dedup_keep_best")(lambda: HF.dedup_keep_best(
+        docs.select("doc_id", "text",
+                    F.length("text").alias("score")),
+        "doc_id", "text", "score")
+        .agg(F.sum("n_dups"), F.count(F.lit(1))).collect())
+    timed("token_budget_select")(lambda: HF.token_budget_select(
+        docs.select("doc_id", "n_chars",
+                    HF.token_count(F.col("text")).cast("long")
+                    .alias("n_tokens")),
+        "n_tokens", 150_000, ["n_chars", "doc_id"])
+        .agg(F.count(F.lit(1)), F.max("cum_tokens")).collect())
     timed("corpus_report")(lambda: HF.corpus_report(
         docs, "text", "source").collect())
     timed("decontaminate_near")(lambda: HF.decontaminate_near(
@@ -337,7 +348,7 @@ def main():
     except Exception:
         pass  # the ledger is observability, never a bench failure
 
-    print(json.dumps({
+    payload = {
         "metric": "hoodie_spark_headline_wall_seconds",
         "value": total,
         "unit": "sec",
@@ -350,7 +361,21 @@ def main():
         # rows whose timing left their all-rounds historical band
         "vs_history_out_of_band": out_of_band,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-    }))
+    }
+    print(json.dumps(payload))
+    # full-fidelity committed artifact: the driver's BENCH_rN.json keeps
+    # only a truncated `tail` of this line, so cross-round audits had to
+    # reconstruct rows by regex — write the complete map where it can be
+    # committed (bench_history/rN.json is the per-round snapshot of this
+    # file; tools/bench_history.py reads both natively)
+    try:
+        d = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "bench_history")
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, "latest.json"), "w") as f:
+            json.dump(payload, f, indent=1)
+    except OSError:
+        pass  # observability, never a bench failure
 
 
 if __name__ == "__main__":

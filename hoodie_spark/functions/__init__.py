@@ -40,7 +40,8 @@ from .dedup import (
     with_minhash,
     minhash_candidate_pairs,
     containment_dedup_pairs,
-    jaccard_dedup_pairs, sig_near_pairs,
+    jaccard_dedup_pairs, sig_near_pairs, exact_text_pairs,
+    dedup_keep_best,
     with_simhash,
     simhash_sigs,
     simhash_dup_pairs,
@@ -131,7 +132,7 @@ from .pipeline import (
     chunk_documents, unigram_logprob, source_weighted_sample,
     temperature_mix, column_histogram, dsir_logweights, dsir_select,
     epoch_shuffle, corpus_report, domain_mixture_weights,
-    leakage_safe_split,
+    leakage_safe_split, token_budget_select,
 )
 from .bpe import bpe_train, bpe_encode, bpe_token_count
 
@@ -140,7 +141,8 @@ __all__ = [
     "LANG_PROFILES", "quality_score", "fingerprint", "kmin_fingerprint",
     "exact_dedup", "with_minhash", "minhash_candidate_pairs",
     "quantize_embeddings", "int8_topk", "write_int8_index", "int8_topk_from_index",
-    "jaccard_dedup_pairs", "sig_near_pairs", "containment_dedup_pairs", "with_simhash", "simhash_sigs",
+    "jaccard_dedup_pairs", "sig_near_pairs", "exact_text_pairs",
+    "dedup_keep_best", "token_budget_select", "containment_dedup_pairs", "with_simhash", "simhash_sigs",
     "simhash_dup_pairs", "embedding_near_dup_pairs", "dedup_spans",
     "exact_substring_dedup",
     "seen_dedup", "doc_features", "min_sig_matches", "sig_agreement",

@@ -34,7 +34,8 @@ from .text import char_ngrams, tokens
 
 __all__ = [
     "exact_dedup", "with_minhash", "minhash_candidate_pairs",
-    "jaccard_dedup_pairs", "sig_near_pairs", "containment_dedup_pairs", "with_simhash",
+    "jaccard_dedup_pairs", "sig_near_pairs", "exact_text_pairs",
+    "dedup_keep_best", "containment_dedup_pairs", "with_simhash",
     "simhash_sigs", "simhash_dup_pairs", "embedding_near_dup_pairs",
     "semantic_dedup", "lsh_plan", "corpus_overlap",
     "corpus_overlap_minhash", "group_sketches", "merge_sketches",
@@ -68,15 +69,17 @@ def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFram
 
     hash-groupBy dedup: shuffle key is the md5 of the content columns, so
     byte-identical duplicates co-locate; partial aggregation (min) runs
-    map-side before the shuffle.
+    map-side before the shuffle, and the keep-set joins back as a hash
+    probe — never a window over the hash, which would sort a boilerplate
+    cluster of millions of byte-identical rows in ONE task (AQE
+    skew-split applies to the join; a window gets no such help).
     """
     h = F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in content_cols]))
-    w = Window.partitionBy(h).orderBy(F.col(id_col))
-    return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
-    )
+    keyed = df.withColumn("__h", h)
+    mins = keyed.groupBy("__h").agg(F.min(id_col).alias("__keep"))
+    return (keyed.join(mins, "__h")
+            .filter(F.col(id_col) == F.col("__keep"))
+            .drop("__h", "__keep"))
 
 
 def minhash_signature(col, num_hashes: int = 16, ngram: int = 5) -> Column:
@@ -250,20 +253,23 @@ def seen_dedup(df: DataFrame, id_col: str, text_col: str,
     yields the same keep-set as this one global pass over the union. That
     equivalence is the driver-verified contract (q:incremental_dedup).
 
-    Scale: exact pass is a window over md5(text) (hash-partitioned, one
-    shuffle); near pass is the banded self-join (O(candidates), not
-    O(n²)); signature agreement is an in-row zip — no text re-reads.
+    Scale: exact pass is a groupBy(md5(text)) min + join back (map-side
+    partial min, hash-probe join-back — a window here would sort a
+    boilerplate cluster of millions of byte-identical docs in one task);
+    near pass is the banded self-join (O(candidates), not O(n²));
+    signature agreement is an in-row zip — no text re-reads.
     """
     mm = min_sig_matches(threshold, num_hashes)
     feats = _pin(doc_features(df, id_col, text_col, num_hashes, bands, ngram))
-    exact_w = Window.partitionBy("chash").orderBy(F.col(id_col))
     # NULL text has no content hash: such rows are never exact duplicates
-    # of anything (partitionBy would otherwise group all NULL chashes into
+    # of anything (grouping would otherwise collect all NULL chashes into
     # one bogus duplicate class, while any equi-join probe on chash never
     # matches NULL — the filter keeps both formulations agreeing)
-    exact_dropped = (feats.filter(F.col("chash").isNotNull())
-                     .withColumn("__rn", F.row_number().over(exact_w))
-                     .filter(F.col("__rn") > 1).select(F.col(id_col)))
+    ex = feats.filter(F.col("chash").isNotNull()).select(id_col, "chash")
+    exact_mins = ex.groupBy("chash").agg(F.min(id_col).alias("__keep"))
+    exact_dropped = (ex.join(exact_mins, "chash")
+                     .filter(F.col(id_col) != F.col("__keep"))
+                     .select(F.col(id_col)))
     banded = _pin(
         feats.filter(F.col("bands").isNotNull())
         .select(F.col(id_col), F.col("minhash"),
@@ -357,6 +363,84 @@ def sig_near_pairs(df: DataFrame, id_col: str, text_col: str,
             .filter(sig_agreement(F.col("minhash_a"),
                                   F.col("minhash_b")) >= mm)
             .select("id_a", "id_b").distinct())
+
+
+def exact_text_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id_a, id_b) edges between byte-identical texts: ``id_a`` is the
+    group's smallest id (the canonical member), ``id_b`` every other
+    member — a star per duplicate group, which is all a downstream
+    connected-components fold needs. NULL texts carry no edges.
+
+    Scale shape: groupBy(md5(text)) min + join back — the per-hash
+    canonical is a map-side-combined partial min and the join-back
+    streams a hot hash through a hash probe (AQE skew-split applies).
+    Never a window over the content hash: a window would sort a
+    boilerplate cluster of millions of byte-identical docs in ONE task —
+    the exact population an exact-duplicate relation exists for."""
+    h = F.md5(F.col(text_col))
+    hashed = df.select(F.col(id_col), h.alias("__h")) \
+        .filter(F.col("__h").isNotNull())
+    firsts = hashed.groupBy("__h").agg(F.min(id_col).alias("__first"))
+    return (hashed.join(firsts, "__h")
+            .filter(F.col("__first") != F.col(id_col))
+            .select(F.col("__first").alias("id_a"),
+                    F.col(id_col).alias("id_b")))
+
+
+def dedup_keep_best(df: DataFrame, id_col: str, text_col: str,
+                    score_col: str, threshold: float = 0.8,
+                    num_hashes: int = 16, bands: int = 4, ngram: int = 5,
+                    max_band_rows: int = 4096) -> DataFrame:
+    """Near-duplicate dedup that keeps the BEST-scoring document of each
+    duplicate cluster — what a production corpus pipeline actually wants
+    from dedup: min-id/arrival-order dedup (:func:`seen_dedup`) keeps
+    whichever copy happened to arrive first, while the copies of a page
+    differ in extraction quality, truncation, boilerplate; keeping the
+    highest-``score_col`` member (longest extraction, best quality
+    score, lowest perplexity negated — caller's choice) retains strictly
+    better training data for the same dedup rate.
+
+    Duplicate relation: exact-text edges (:func:`exact_text_pairs`) ∪
+    signature-agreement near edges (:func:`sig_near_pairs`, the same
+    gate the split/incremental-dedup family uses), resolved to connected
+    components by the large-star/small-star fold. Winner per cluster =
+    highest score, ties broken by smallest id (NULL scores sort below
+    every number). Returns the winning rows — all of ``df``'s columns
+    plus ``n_dups``, the cluster size the winner represents (1 for
+    docs with no duplicate).
+
+    Scale shape (100 TB): pair generation is the hot-group-guarded LSH
+    shape with in-row verification (no shingle-payload join); components
+    are the map-side star fold; winner selection is two
+    map-side-combinable aggregates (per-cluster max score, then min id
+    among ties) + hash-probe joins back — no window over the cluster
+    key anywhere, so a million-member boilerplate cluster never sorts in
+    one task."""
+    from .components import duplicate_groups
+
+    pairs = (sig_near_pairs(df, id_col, text_col, threshold, num_hashes,
+                            bands, ngram, max_band_rows)
+             .unionByName(exact_text_pairs(df, id_col, text_col)))
+    groups = duplicate_groups(pairs).select(
+        F.col("id").alias("__mid"), F.col("group_id").alias("__g"))
+    keyed = _pin(df.join(groups, df[id_col] == F.col("__mid"), "left")
+                 .drop("__mid")
+                 .withColumn("__g", F.coalesce(F.col("__g"),
+                                               F.col(id_col))))
+    s = F.coalesce(F.col(score_col).cast("double"),
+                   F.lit(float("-inf")))
+    best = keyed.groupBy("__g").agg(F.max(s).alias("__smax"),
+                                    F.count(F.lit(1)).alias("n_dups"))
+    tied = (keyed.join(best, "__g")
+            .filter(s == F.col("__smax")))
+    winner = tied.groupBy("__g").agg(F.min(id_col).alias("__wid"))
+    # keyed stays pinned (the house _pin contract: three consumers above;
+    # unpersisting here would re-run the pair derivation per consumer on
+    # the caller's first action — LRU eviction reclaims it)
+    return (keyed.join(best.select("__g", "n_dups"), "__g")
+            .join(winner, "__g")
+            .filter(F.col(id_col) == F.col("__wid"))
+            .drop("__g", "__wid"))
 
 
 def jaccard_dedup_pairs(df: DataFrame, id_col: str, text_col: str,

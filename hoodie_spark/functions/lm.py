@@ -79,7 +79,12 @@ class BigramLM:
     bounded, broadcastable tables — ``pair_lp (w1, w2, lp)`` for observed
     bigrams and ``ctx_lp (w1, unseen_lp)`` for unseen continuations of a
     known context. ``oov_lp`` covers a context never seen at all
-    (impossible when scoring the training corpus itself)."""
+    (impossible when scoring the training corpus itself).
+
+    A NON-broadcast model (the >1M-observed-bigrams path) holds its two
+    tables persisted on the executors for the model's lifetime — call
+    :meth:`unpersist` when done scoring to release that storage (a
+    broadcast model holds nothing; unpersist is a no-op there)."""
 
     vocab: list[str]
     pair_lp: DataFrame
@@ -89,6 +94,17 @@ class BigramLM:
     # False (> _BROADCAST_MODEL_ROWS observed bigrams): tables stay
     # distributed/persisted and scoring joins shuffle on the model keys.
     broadcast: bool = True
+
+    def unpersist(self) -> None:
+        """Release the persisted executor storage a non-broadcast model
+        pins (no-op for broadcast models — their tables are driver-local
+        relations with nothing persisted)."""
+        if not self.broadcast:
+            for t in (self.pair_lp, self.ctx_lp):
+                try:
+                    t.unpersist()
+                except Exception:
+                    pass
 
 
 def _pairs(df: DataFrame, id_col: str | None, text_col: str,

@@ -31,7 +31,7 @@ __all__ = ["redact_pii", "pii_hits", "deterministic_sample", "sample_hash",
            "contaminated_ids", "decontaminate", "stratified_sample",
            "corpus_pipeline", "chunk_documents", "unigram_logprob",
            "source_weighted_sample", "temperature_mix", "column_histogram",
-           "epoch_shuffle"]
+           "epoch_shuffle", "token_budget_select"]
 
 
 # Plain character-class regexes only, so Java regex and DuckDB's RE2 agree.
@@ -226,6 +226,65 @@ def pack_sequences(df: DataFrame, weight_col, seq_len: int,
               .withColumn("piece_len",
                           (F.col("__ge") - F.col("__gs")).cast("long")))
     return pieced.drop("__bkt", "__w", "__boff", "__off", "__gs", "__ge")
+
+
+def token_budget_select(df: DataFrame, weight_col, budget: int,
+                        order_cols: list[str],
+                        num_buckets: int = 256) -> DataFrame:
+    """Greedy data selection under a token budget — the step between
+    quality scoring and training: rank the corpus by ``order_cols``
+    (best first: ascending perplexity, descending quality score via a
+    negated column, …) and keep rows while the running token total stays
+    within ``budget``. A row is kept iff the cumulative ``weight_col``
+    sum THROUGH the row (in rank order) is ≤ budget — the kept set never
+    exceeds the budget and is a strict rank prefix, so two engines agree
+    bit-for-bit when ``order_cols`` ends in a unique key.
+
+    Returns the kept rows with ``cum_tokens`` (the running total through
+    the row). Rows with NULL weight count 0 tokens.
+
+    Scale shape (100 TB): the same distributed two-pass prefix sum as
+    :func:`pack_shards` / :func:`pack_sequences` — order-contiguous
+    equal-width buckets on the first order column (numeric, required),
+    per-bucket cumsum in parallel, one broadcast offset row per bucket —
+    never a global single-task window; the budget cut is then a map-only
+    filter. Driver data = one row per bucket.
+    """
+    lead = order_cols[0]
+    lo, hi = df.agg(F.min(lead), F.max(lead)).first()
+    if lo is None:
+        return (df.withColumn("cum_tokens", F.lit(None).cast("long"))
+                .limit(0))
+    span = float(hi) - float(lo)
+    if span <= 0 or num_buckets <= 1:
+        bucket = F.lit(0)
+    else:
+        bucket = F.least(
+            F.lit(num_buckets - 1),
+            F.floor((F.col(lead).cast("double") - F.lit(float(lo)))
+                    / F.lit(span) * F.lit(num_buckets)).cast("int"))
+    w = F.coalesce((F.col(weight_col) if isinstance(weight_col, str)
+                    else weight_col).cast("long"), F.lit(0))
+    staged = df.withColumn("__bkt", bucket).withColumn("__w", w)
+    totals = {r["__bkt"]: r["__t"] for r in
+              staged.groupBy("__bkt").agg(F.sum("__w").alias("__t"))
+              .collect()}
+    offsets, acc = {}, 0
+    for b in sorted(totals):
+        offsets[b] = acc
+        acc += int(totals[b])
+    off_df = F.broadcast(df.sparkSession.createDataFrame(
+        [(int(b), int(o)) for b, o in offsets.items()],
+        "__bkt int, __off long"))
+    win = (Window.partitionBy("__bkt").orderBy(*order_cols)
+           .rowsBetween(Window.unboundedPreceding, -1))
+    local_cum = F.coalesce(F.sum("__w").over(win), F.lit(0).cast("long"))
+    return (staged.join(off_df, "__bkt")
+            .withColumn("cum_tokens",
+                        (F.col("__off") + local_cum + F.col("__w"))
+                        .cast("long"))
+            .filter(F.col("cum_tokens") <= F.lit(int(budget)))
+            .drop("__bkt", "__w", "__off"))
 
 
 def filter_corpus(df: DataFrame, text_col: str,
@@ -1041,7 +1100,7 @@ def leakage_safe_split(df: DataFrame, id_col: str, text_col: str,
     UDFs.
     """
     from .components import duplicate_groups
-    from .dedup import sig_near_pairs
+    from .dedup import exact_text_pairs, sig_near_pairs
 
     splits = splits or {"train": 0.9, "val": 0.05, "test": 0.05}
     if not splits or abs(sum(splits.values()) - 1.0) > 1e-6:
@@ -1049,16 +1108,10 @@ def leakage_safe_split(df: DataFrame, id_col: str, text_col: str,
     if pairs is None:
         near = sig_near_pairs(df, id_col, text_col, threshold=threshold)
         # exact-text edges catch byte-identical docs too short to carry
-        # a shingle signature (same two edge types as SplitMaintainer)
-        h = F.md5(F.col(text_col))
-        hashed = df.select(F.col(id_col), h.alias("__h")) \
-            .filter(F.col("__h").isNotNull())
-        w = Window.partitionBy("__h").orderBy(id_col)
-        exact = (hashed.withColumn("__first", F.first(id_col).over(w))
-                 .filter(F.col("__first") != F.col(id_col))
-                 .select(F.col("__first").alias("id_a"),
-                         F.col(id_col).alias("id_b")))
-        pairs = near.unionByName(exact)
+        # a shingle signature (same two edge types as SplitMaintainer);
+        # exact_text_pairs is the de-skewed groupBy-min shape — never a
+        # window over the content hash
+        pairs = near.unionByName(exact_text_pairs(df, id_col, text_col))
     groups = duplicate_groups(pairs.select("id_a", "id_b")).select(
         F.col("id").alias("__sid"), F.col("group_id").alias("__gid"))
     keyed = (df.join(groups, df[id_col] == F.col("__sid"), "left")

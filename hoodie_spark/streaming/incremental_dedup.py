@@ -68,7 +68,7 @@ from __future__ import annotations
 import json
 import os
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.dedup import (bounded_self_pairs, doc_features,
@@ -272,14 +272,18 @@ class IncrementalDeduper:
             content = content.filter(F.col("bucket").isin(buckets))
         exact_state = (probe.join(content, ["bucket", "chash"], "left_semi")
                        .select(id_col))
-        # exact within batch: any smaller id with the same bytes. NULL
-        # text (chash IS NULL) is never an exact duplicate — mirroring
-        # seen_dedup, and consistent with the state probe above whose
-        # equi-join can never match a NULL chash
-        w = Window.partitionBy("chash").orderBy(F.col(id_col))
-        exact_batch = (feats.filter(F.col("chash").isNotNull())
-                       .withColumn("__rn", F.row_number().over(w))
-                       .filter(F.col("__rn") > 1).select(id_col))
+        # exact within batch: any smaller id with the same bytes — a
+        # groupBy(chash) min + join back (map-side partial, hash probe),
+        # not a window, which would sort a byte-identical boilerplate
+        # cluster in one task. NULL text (chash IS NULL) is never an
+        # exact duplicate — mirroring seen_dedup, and consistent with the
+        # state probe above whose equi-join can never match a NULL chash
+        exb = feats.filter(F.col("chash").isNotNull()) \
+            .select(id_col, "chash")
+        exb_mins = exb.groupBy("chash").agg(F.min(id_col).alias("__keep"))
+        exact_batch = (exb.join(exb_mins, "chash")
+                       .filter(F.col(id_col) != F.col("__keep"))
+                       .select(id_col))
 
         # near vs state: equi-join on (band, bh) against the pruned bucket
         # partitions (bbuckets from the shared census above); the batch

@@ -74,9 +74,12 @@ def test_bloom_chain_deterministic_under_load(spark, tmp_table_path):
     stop = threading.Event()
 
     def churn():
+        # decimal sum: a plain long sum of xxhash64 overflows under ANSI
+        # mode and would kill this thread mid-run, silently dropping the
+        # concurrent-load perturbation the harness advertises
         while not stop.is_set():
             spark.range(0, 200_000, 1, 8).select(
-                F.sum(F.xxhash64("id"))).collect()
+                F.sum(F.xxhash64("id").cast("decimal(38,0)"))).collect()
 
     noise = threading.Thread(target=churn, daemon=True)
     noise.start()
@@ -99,6 +102,10 @@ def test_bloom_chain_deterministic_under_load(spark, tmp_table_path):
                 f"iter {i}: {got['ghosts']} deleted keys resurfaced"
             assert got["nx"] == expected_x, \
                 f"iter {i}: upsert visible on {got['nx']} rows vs {expected_x}"
+        # the load thread must have survived the whole run — a dead churn
+        # thread means the chains ran WITHOUT the advertised perturbation
+        assert noise.is_alive(), \
+            "churn thread died mid-run; the stress harness lost its load"
     finally:
         stop.set()
         noise.join(timeout=10)

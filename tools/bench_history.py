@@ -37,6 +37,10 @@ def _rows_from_file(path: str) -> dict[str, float]:
         d = json.load(open(path))
     except (OSError, ValueError):
         return {}
+    # full-fidelity artifact (bench_history/rN.json — bench.py writes the
+    # complete payload itself since r14)
+    if isinstance(d.get("queries"), dict):
+        return {k: float(v) for k, v in d["queries"].items()}
     p = d.get("parsed")
     if p and isinstance(p.get("queries"), dict):
         return {k: float(v) for k, v in p["queries"].items()}
@@ -46,11 +50,28 @@ def _rows_from_file(path: str) -> dict[str, float]:
 
 
 def history(repo_dir: str | None = None) -> dict[str, dict]:
-    """Fold all BENCH_r*.json into {row: {n, min, median, max}}."""
+    """Fold every historical driver bench into {row: {n, min, median,
+    max}}. Sources, one observation per round per row: the committed
+    full-fidelity ``bench_history/r*.json`` when present (bench.py
+    writes the complete map since r14 — the driver's BENCH_rN.json
+    truncates the first rows out of its ``tail``), falling back to the
+    lossy BENCH_rN.json scrape for rounds without one."""
     repo = repo_dir or os.path.dirname(os.path.dirname(
         os.path.abspath(__file__)))
+    full = {os.path.basename(f).removesuffix(".json"): f
+            for f in glob.glob(os.path.join(repo, "bench_history",
+                                            "r*.json"))}
     obs: dict[str, list[float]] = {}
+    seen_rounds = set()
+    for rnd, f in sorted(full.items()):
+        seen_rounds.add(rnd)
+        for k, v in _rows_from_file(f).items():
+            obs.setdefault(k, []).append(v)
     for f in sorted(glob.glob(os.path.join(repo, "BENCH_r*.json"))):
+        rnd = os.path.basename(f).removesuffix(".json") \
+            .removeprefix("BENCH_")
+        if rnd in seen_rounds:
+            continue  # the full artifact already covers this round
         for k, v in _rows_from_file(f).items():
             obs.setdefault(k, []).append(v)
     return {k: {"n": len(v), "min": min(v),

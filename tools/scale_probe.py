@@ -177,7 +177,7 @@ def probe_once(spark, sf_dir: str, only: set | None = None) -> dict:
             "lm_perplexity", "quality_classifier", "distribution_shift",
             "substring_dedup", "ppl_buckets", "corpus_report",
             "decontaminate_near", "lm_perplexity_64k", "domain_mixture",
-            "leakage_split"):
+            "leakage_split", "dedup_keep_best", "token_budget_select"):
         docs = load_table(spark, sf_dir, "documents").select(
             "doc_id", "text")
     work = tempfile.mkdtemp(prefix="scale_probe_")
@@ -303,6 +303,22 @@ def probe_once(spark, sf_dir: str, only: set | None = None) -> dict:
             timed("leakage_split", lambda: HF.leakage_safe_split(
                 docs, "doc_id", "text")
                 .groupBy("split").count().collect())
+        if want("dedup_keep_best"):
+            timed("dedup_keep_best", lambda: HF.dedup_keep_best(
+                docs.withColumn("score", F.length("text")),
+                "doc_id", "text", "score")
+                .agg(F.sum("n_dups"), F.count(F.lit(1))).collect())
+        if want("token_budget_select"):
+            # budget scales with the corpus so the cut stays mid-corpus
+            # (a fixed budget at x100 would measure the aggregate pass
+            # only; the filter itself is map-only either way)
+            n_docs = docs.count()
+            timed("token_budget_select", lambda: HF.token_budget_select(
+                docs.withColumn("n_chars", F.length("text")).withColumn(
+                    "n_tokens",
+                    HF.token_count(F.col("text")).cast("long")),
+                "n_tokens", 30 * n_docs, ["n_chars", "doc_id"])
+                .agg(F.count(F.lit(1)), F.max("cum_tokens")).collect())
         # eval side fixed-size (the production contract): the probe
         # scales ONLY the corpus side
         timed("decontaminate_near", lambda: HF.decontaminate_near(
