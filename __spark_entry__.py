@@ -717,6 +717,26 @@ def _fx_split_maint(spark, sf_dir, path):
     return {"m": m}
 
 
+def _fx_reservoir(spark, sf_dir, path):
+    """Fixed-size deterministic sample as maintained state: three insert
+    batches through ReservoirMaintainer.catch_up(). Bottom-k under a
+    fixed hash priority is a monoid, so the maintained sample must be
+    BIT-IDENTICAL to one batch priority_sample over the union (the
+    oracle) — for any arrival order and any batch boundaries."""
+    from hoodie_spark.streaming import ReservoirMaintainer
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    tbl = HoodieTable.create(spark, os.path.join(path, "t"),
+                             "docs_resv", ["doc_id"], None)
+    m = ReservoirMaintainer(tbl, os.path.join(path, "resv"), "doc_id",
+                            k=500)
+    for k in range(3):
+        tbl.insert(docs.withColumn(
+            "doc_id", F.col("doc_id") + F.lit(k * 10000)))
+        m.catch_up()
+    return {"m": m}
+
+
 def _fx_drift_maint(spark, sf_dir, path):
     """Token-distribution drift as maintained state: three insert batches
     plus one UNCHANGED re-upsert batch ingested with track_changes=True —
@@ -791,6 +811,7 @@ _BUILDERS = {
     "sketch_maint": _fx_sketch_maint,
     "split_maint": _fx_split_maint,
     "drift_maint": _fx_drift_maint,
+    "reservoir": _fx_reservoir,
 }
 
 _ORDER_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
@@ -1781,6 +1802,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_keep_best"] = lambda s, d: HF.dedup_keep_best(
         _dup_docs(s, d).withColumn("score", F.length("text")),
         "doc_id", "text", "score").select("doc_id", "n_dups")
+
+    # ---- fixed-size deterministic sample (round 14): the k rows with
+    # the smallest md5(key) priority — repartition/retry-stable, and a
+    # monoid, hence maintainable (functions/pipeline.priority_sample).
+    # Declared past the window; verified via tools/check_oracle.py.
+    q["priority_sample"] = lambda s, d: HF.priority_sample(
+        load_table(s, d, "documents").select("doc_id"), "doc_id", 200)
+
+    # ---- maintained reservoir (round 14): bottom-k folded across three
+    # insert batches ≡ one batch priority_sample over the union
+    # (streaming/reservoir.ReservoirMaintainer). Past the window.
+    q["reservoir_incremental"] = lambda s, d: _fixture(
+        s, d, "reservoir")["m"].reservoir().select(
+            "doc_id", F.col("__pr").alias("pr"))
 
     # ---- greedy selection under a token budget (round 14): rank by
     # (n_chars, doc_id), keep while the running whitespace-token total
@@ -3082,6 +3117,24 @@ win AS (SELECT m.k, min(m.doc_id) AS doc_id
         FROM mem m JOIN best b ON m.k = b.k AND m.score = b.smax
         GROUP BY m.k)
 SELECT w.doc_id, b.n_dups FROM win w JOIN best b ON w.k = b.k
+"""
+    # fixed-size deterministic sample: bottom-k by the full md5 hex
+    # string of the key (hex compares identically in both engines)
+    o["priority_sample"] = """
+SELECT doc_id FROM documents
+ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+LIMIT 200
+"""
+    # maintained reservoir ≡ batch bottom-k over the 3-batch union
+    o["reservoir_incremental"] = """
+WITH corpus AS (
+  SELECT doc_id FROM documents
+  UNION ALL SELECT doc_id + 10000 FROM documents
+  UNION ALL SELECT doc_id + 20000 FROM documents
+)
+SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS pr FROM corpus
+ORDER BY pr, doc_id
+LIMIT 500
 """
     # greedy token-budget selection: running whitespace-token sum in
     # (n_chars, doc_id) rank order, keep rows with cum ≤ 15000 — the

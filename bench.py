@@ -289,6 +289,8 @@ def run_suite(spark, sf_dir: str) -> dict[str, float]:
     timed("epoch_shuffle")(lambda: HF.epoch_shuffle(
         docs.select("doc_id", "text"), "doc_id",
         num_shards=32, seed=7, epoch=1).count())
+    timed("priority_sample")(lambda: HF.priority_sample(
+        docs.select("doc_id"), "doc_id", 500).count())
     timed("events_window")(lambda: events.groupBy(
         F.window("ts", "300 seconds"), "event_type")
         .agg(F.count("*"), F.sum("value")).count())

@@ -132,7 +132,7 @@ from .pipeline import (
     chunk_documents, unigram_logprob, source_weighted_sample,
     temperature_mix, column_histogram, dsir_logweights, dsir_select,
     epoch_shuffle, corpus_report, domain_mixture_weights,
-    leakage_safe_split, token_budget_select,
+    leakage_safe_split, token_budget_select, priority_sample, priority_hash,
 )
 from .bpe import bpe_train, bpe_encode, bpe_token_count
 
@@ -142,7 +142,8 @@ __all__ = [
     "exact_dedup", "with_minhash", "minhash_candidate_pairs",
     "quantize_embeddings", "int8_topk", "write_int8_index", "int8_topk_from_index",
     "jaccard_dedup_pairs", "sig_near_pairs", "exact_text_pairs",
-    "dedup_keep_best", "token_budget_select", "containment_dedup_pairs", "with_simhash", "simhash_sigs",
+    "dedup_keep_best", "token_budget_select", "priority_sample",
+    "priority_hash", "containment_dedup_pairs", "with_simhash", "simhash_sigs",
     "simhash_dup_pairs", "embedding_near_dup_pairs", "dedup_spans",
     "exact_substring_dedup",
     "seen_dedup", "doc_features", "min_sig_matches", "sig_agreement",

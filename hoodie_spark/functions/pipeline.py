@@ -31,7 +31,8 @@ __all__ = ["redact_pii", "pii_hits", "deterministic_sample", "sample_hash",
            "contaminated_ids", "decontaminate", "stratified_sample",
            "corpus_pipeline", "chunk_documents", "unigram_logprob",
            "source_weighted_sample", "temperature_mix", "column_histogram",
-           "epoch_shuffle", "token_budget_select"]
+           "epoch_shuffle", "token_budget_select", "priority_sample",
+           "priority_hash"]
 
 
 # Plain character-class regexes only, so Java regex and DuckDB's RE2 agree.
@@ -88,6 +89,38 @@ def deterministic_sample(df: DataFrame, key_col: str, keep: int,
     if 65536 % out_of != 0:
         raise ValueError("out_of must divide 65536")
     return df.filter((sample_hash(F.col(key_col), salt) % out_of) < keep)
+
+
+def priority_hash(col, salt: str = "") -> Column:
+    """Deterministic sampling priority: the full 32-hex-char
+    ``md5(salt || key)`` string. Hex strings compare identically in every
+    engine, and 128 bits make ties impossible in practice (a tie-break on
+    the key itself keeps the order total regardless)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(F.concat(F.lit(salt), c.cast("string")))
+
+
+def priority_sample(df: DataFrame, key_col: str, k: int,
+                    salt: str = "") -> DataFrame:
+    """Deterministic fixed-SIZE uniform sample: the ``k`` rows whose keys
+    have the smallest :func:`priority_hash` — the fixed-size counterpart
+    of :func:`deterministic_sample` (which keeps a fixed RATE). Like it,
+    the result is a pure function of the data: re-runs, retries and any
+    partition layout select the same rows, and changing ``salt`` draws an
+    independent sample. The hash-priority formulation is what makes the
+    sample MAINTAINABLE over a stream (bottom-k by a uniform hash is a
+    monoid — see :class:`~hoodie_spark.streaming.reservoir.ReservoirMaintainer`),
+    where true reservoir sampling's RNG state is not reproducible.
+
+    Scale shape: Spark executes orderBy+limit as TakeOrderedAndProject —
+    each partition keeps its local bottom-k and the driver merges
+    partition winners; no global sort, no single-task stage. Driver data
+    is O(k), so keep ``k`` sample-sized (≤ ~1e6), not corpus-sized.
+    """
+    if k < 0:
+        raise ValueError(f"k must be ≥ 0, got {k}")
+    pr = priority_hash(key_col, salt)
+    return (df.orderBy(pr.asc(), F.col(key_col).asc()).limit(k))
 
 
 def pack_shards(df: DataFrame, weight_col: str, budget: float,

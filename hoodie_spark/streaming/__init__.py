@@ -8,6 +8,7 @@ from .corpus_sketch import CorpusSketchMaintainer
 from .drift import DriftMonitor
 from .maintainer import ConcurrentMaintainerError, maintainer_lock
 from .split_maintainer import SplitMaintainer
+from .reservoir import ReservoirMaintainer
 from .schema import (FileBasedSchemaProvider, RowBasedSchemaProvider,
                      SchemaProvider, SchemaRegistryProvider,
                      StaticSchemaProvider)
@@ -27,6 +28,7 @@ __all__ = ["foreach_batch_writer", "write_stream", "incremental_batches",
            "HoodieIncrSource", "MultiTableIngestor", "AsyncTableServices",
            "stateful_dedup", "stateful_session_counts", "IncrementalDeduper",
            "IvfIndexMaintainer", "CorpusSketchMaintainer",
+           "SplitMaintainer", "ReservoirMaintainer", "ConcurrentMaintainerError",
            "DriftMonitor",
            "SchemaProvider",
            "StaticSchemaProvider", "FileBasedSchemaProvider",

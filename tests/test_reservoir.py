@@ -1,0 +1,145 @@
+"""Fixed-size deterministic sampling: priority_sample (batch) and
+ReservoirMaintainer (maintained bottom-k ≡ batch over the union)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from hoodie_spark import HoodieTable
+from hoodie_spark import functions as HF
+from hoodie_spark.streaming import ReservoirMaintainer
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _table(spark, path):
+    return HoodieTable.create(spark, path, "docs_resv", ["doc_id"], None)
+
+
+def _docs(spark, n=150):
+    return (spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .select("doc_id").filter(F.col("doc_id") < n))
+
+
+def _ids(df):
+    return sorted(r["doc_id"] for r in df.collect())
+
+
+# ------------------------------------------------------ priority_sample
+def test_priority_sample_deterministic_and_layout_invariant(spark):
+    docs = _docs(spark)
+    a = _ids(HF.priority_sample(docs, "doc_id", 40))
+    b = _ids(HF.priority_sample(docs.repartition(13), "doc_id", 40))
+    assert a == b and len(a) == 40
+    # a different salt draws a different sample of the same size
+    c = _ids(HF.priority_sample(docs, "doc_id", 40, salt="v2"))
+    assert len(c) == 40 and c != a
+
+
+def test_priority_sample_is_bottom_k_of_hash(spark):
+    docs = _docs(spark, n=60)
+    got = _ids(HF.priority_sample(docs, "doc_id", 10))
+    import hashlib
+
+    want = sorted(sorted(range(60),
+                         key=lambda i: (hashlib.md5(str(i).encode())
+                                        .hexdigest(), i))[:10])
+    assert got == want
+
+
+def test_priority_sample_monoid_property(spark):
+    """bottom-k(A ∪ B) == bottom-k(bottom-k(A) ∪ bottom-k(B)) — the
+    property that makes the maintained reservoir exact."""
+    docs = _docs(spark, n=120)
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 2 == 1)
+    whole = _ids(HF.priority_sample(docs, "doc_id", 25))
+    parts = _ids(HF.priority_sample(
+        HF.priority_sample(a, "doc_id", 25)
+        .unionByName(HF.priority_sample(b, "doc_id", 25)),
+        "doc_id", 25))
+    assert whole == parts
+
+
+def test_priority_sample_edges(spark):
+    docs = _docs(spark, n=20)
+    assert HF.priority_sample(docs, "doc_id", 0).count() == 0
+    assert HF.priority_sample(docs, "doc_id", 999).count() == 20
+    with pytest.raises(ValueError):
+        HF.priority_sample(docs, "doc_id", -1)
+
+
+# --------------------------------------------------- ReservoirMaintainer
+def test_reservoir_equals_batch_over_union(spark, tmp_table_path):
+    docs = _docs(spark)
+    tbl = _table(spark, tmp_table_path)
+    m = ReservoirMaintainer(tbl, os.path.join(tmp_table_path, "_r"),
+                            "doc_id", k=60)
+    batches = [docs.withColumn("doc_id", F.col("doc_id") + i * 10000)
+               for i in range(3)]
+    for b in batches:
+        tbl.insert(b)
+        m.catch_up()
+    union = batches[0].unionByName(batches[1]).unionByName(batches[2])
+    want = _ids(HF.priority_sample(union, "doc_id", 60))
+    assert _ids(m.reservoir()) == want
+    # idle catch_up is a no-op
+    m.catch_up()
+    assert _ids(m.reservoir()) == want
+
+
+def test_reservoir_replay_idempotent_and_restart(spark, tmp_table_path):
+    docs = _docs(spark)
+    tbl = _table(spark, tmp_table_path)
+    m = ReservoirMaintainer(tbl, os.path.join(tmp_table_path, "_r"),
+                            "doc_id", k=30)
+    m.fold(docs)
+    before = _ids(m.reservoir())
+    m.fold(docs)  # crash replay of the same batch
+    assert _ids(m.reservoir()) == before
+    # restart picks up the persisted state (and its captured key type)
+    m2 = ReservoirMaintainer(tbl, os.path.join(tmp_table_path, "_r"),
+                             "doc_id", k=30)
+    assert _ids(m2.reservoir()) == before
+
+
+def test_reservoir_param_guards(spark, tmp_table_path):
+    tbl = _table(spark, tmp_table_path)
+    m = ReservoirMaintainer(tbl, os.path.join(tmp_table_path, "_r"),
+                            "doc_id", k=10)
+    m.fold(_docs(spark, n=40))
+    with pytest.raises(ValueError, match="k="):
+        ReservoirMaintainer(tbl, os.path.join(tmp_table_path, "_r"),
+                            "doc_id", k=20)
+    with pytest.raises(ValueError, match="salt="):
+        ReservoirMaintainer(tbl, os.path.join(tmp_table_path, "_r"),
+                            "doc_id", k=10, salt="other")
+    with pytest.raises(ValueError, match="keys"):
+        m.fold(_docs(spark, n=10).select(
+            F.col("doc_id").cast("string").alias("doc_id")))
+
+
+def test_reservoir_rollback_rebuilds(spark, tmp_table_path):
+    docs = _docs(spark)
+    tbl = _table(spark, tmp_table_path)
+    m = ReservoirMaintainer(tbl, os.path.join(tmp_table_path, "_r"),
+                            "doc_id", k=40)
+    tbl.insert(docs)
+    m.catch_up()
+    extra = docs.withColumn("doc_id", F.col("doc_id") + 10000)
+    r2 = tbl.insert(extra)
+    m.catch_up()
+    tbl.rollback(r2.instant)
+    m.catch_up()  # detects the rollback past the watermark → rebuild
+    want = _ids(HF.priority_sample(docs, "doc_id", 40))
+    assert _ids(m.reservoir()) == want, \
+        "rolled-back keys must leave the sample (bottom-k cannot un-see)"
+
+
+def test_reservoir_no_single_partition_exchange(spark, tmp_table_path):
+    docs = _docs(spark)
+    plan = HF.priority_sample(docs, "doc_id", 10) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange SinglePartition" not in plan
