@@ -1803,6 +1803,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _dup_docs(s, d).withColumn("score", F.length("text")),
         "doc_id", "text", "score").select("doc_id", "n_dups")
 
+    # ---- RHO-style excess-perplexity selection (round 14, Mindermann
+    # et al. ICML 2022 with static bigram LMs): per-token NLL under the
+    # corpus self-LM minus under a reference LM trained on the curated
+    # subset (doc_id % 10 == 0); top-200 by excess — learnable,
+    # underrepresented-quality docs (functions/lm.excess_perplexity_select).
+    # Declared past the window; verified via tools/check_oracle.py.
+    q["excess_ppl_select"] = lambda s, d: HF.excess_perplexity_select(
+        load_table(s, d, "documents").select("doc_id", "text"),
+        "doc_id", "text",
+        load_table(s, d, "documents").filter(F.col("doc_id") % 10 == 0)
+        .select("doc_id", "text"), k=200)
+
     # ---- fixed-size deterministic sample (round 14): the k rows with
     # the smallest md5(key) priority — repartition/retry-stable, and a
     # monoid, hence maintainable (functions/pipeline.priority_sample).
@@ -3836,6 +3848,69 @@ ppl AS (SELECT doc_id, n_bigrams, logprob,
 
     o["lm_perplexity"] = _LM_CTE + """
 SELECT doc_id, n_bigrams, logprob, ppl FROM ppl
+"""
+
+    # parameterized LM scoring block: per-doc (doc_id, n_bigrams,
+    # logprob) for ALL documents under a bigram LM trained on the subset
+    # WHERE train_where (doc_id predicate), WITH the unseen-context /
+    # OOV-context fallback chain — mirrors functions/lm.bigram_perplexity
+    # scoring under a supplied model (coalesce(lp, unseen_lp, oov_lp))
+    def _lm_score_sql(pfx: str, train_where: str) -> str:
+        import math
+
+        oov = round(math.log(1.0 / 65.0), 6)
+        return f"""
+{pfx}vc AS (SELECT term, count(*) AS c
+       FROM (SELECT unnest(t) AS term FROM tok WHERE {train_where})
+       GROUP BY term ORDER BY c DESC, term LIMIT 64),
+{pfx}vl AS (SELECT list(term) AS v FROM {pfx}vc),
+{pfx}mt AS (SELECT doc_id,
+              list_transform(t, x -> CASE WHEN list_contains({pfx}vl.v, x)
+                                          THEN x ELSE '<unk>' END) AS t
+       FROM tok, {pfx}vl),
+{pfx}bg AS (SELECT doc_id,
+              unnest(CASE WHEN len(t) >= 2
+                     THEN list_transform(range(1, CAST(len(t) AS BIGINT)),
+                          i -> struct_pack(w1 := t[CAST(i AS INT)],
+                                           w2 := t[CAST(i + 1 AS INT)]))
+                     ELSE CAST([] AS STRUCT(w1 VARCHAR, w2 VARCHAR)[])
+                     END) AS p
+       FROM {pfx}mt),
+{pfx}pairs AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM {pfx}bg),
+{pfx}tpc AS (SELECT w1, w2, count(*) AS cb FROM {pfx}pairs
+             WHERE {train_where} GROUP BY w1, w2),
+{pfx}ctx AS (SELECT w1, sum(cb) AS cw FROM {pfx}tpc GROUP BY w1),
+{pfx}lp AS (SELECT w1, w2,
+              round(ln((cb + 1.0) / (cw + 65.0)), 6) AS lp
+       FROM {pfx}tpc JOIN {pfx}ctx USING (w1)),
+{pfx}uns AS (SELECT w1, round(ln(1.0 / (cw + 65.0)), 6) AS ulp
+       FROM {pfx}ctx),
+{pfx}sc AS (SELECT pr.doc_id,
+              coalesce(l.lp, u.ulp, {oov}) AS lp
+       FROM {pfx}pairs pr
+       LEFT JOIN {pfx}lp l USING (w1, w2)
+       LEFT JOIN {pfx}uns u USING (w1)),
+{pfx}agg AS (SELECT doc_id, count(*) AS n_bigrams,
+               CAST(SUM(CAST(lp AS DECIMAL(18,6))) AS DOUBLE) AS logprob
+        FROM {pfx}sc GROUP BY doc_id)"""
+
+    # RHO-style excess-perplexity selection: per-token NLL under the
+    # self-LM minus under the reference LM (trained on doc_id % 10 = 0),
+    # top-200 by excess desc / id asc — every rounding at the same grain
+    # as the Spark side (model, then doc)
+    o["excess_ppl_select"] = f"""
+WITH {_TOK_CTE},
+{_lm_score_sql('r_', 'doc_id % 10 = 0')},
+{_lm_score_sql('s_', 'TRUE')},
+j AS (SELECT a.doc_id, a.n_bigrams,
+             round(-a.logprob / a.n_bigrams, 6) AS nll_self,
+             round(-b.logprob / b.n_bigrams, 6) AS nll_ref
+      FROM s_agg a JOIN r_agg b USING (doc_id))
+SELECT doc_id, n_bigrams, nll_self, nll_ref,
+       round(nll_self - nll_ref, 6) AS excess
+FROM j
+ORDER BY excess DESC, doc_id
+LIMIT 200
 """
     # DoReMi-lite: the shared LM CTE's per-doc logprobs folded per source
     # with the same DECIMAL/round-6 discipline as the Spark side

@@ -291,6 +291,10 @@ def run_suite(spark, sf_dir: str) -> dict[str, float]:
         num_shards=32, seed=7, epoch=1).count())
     timed("priority_sample")(lambda: HF.priority_sample(
         docs.select("doc_id"), "doc_id", 500).count())
+    timed("excess_ppl_select")(lambda: HF.excess_perplexity_select(
+        docs.select("doc_id", "text"), "doc_id", "text",
+        docs.filter(F.col("doc_id") % 10 == 0).select("doc_id", "text"),
+        k=200).count())
     timed("events_window")(lambda: events.groupBy(
         F.window("ts", "300 seconds"), "event_type")
         .agg(F.count("*"), F.sum("value")).count())

@@ -122,6 +122,7 @@ from .lm import (
     BigramLM,
     train_bigram_lm,
     bigram_perplexity,
+    excess_perplexity_select,
     perplexity_buckets,
 )
 from .pipeline import (
@@ -177,7 +178,7 @@ __all__ = [
     "bpe_train", "bpe_encode", "bpe_token_count",
     "normalize", "random_projection",
     "BigramLM", "train_bigram_lm", "bigram_perplexity",
-    "perplexity_buckets",
+    "excess_perplexity_select", "perplexity_buckets",
     "hashed_buckets", "train_hashed_lr", "score_hashed_lr",
     "quality_classifier",
     "token_histogram", "distribution_shift", "shift_from_counts",

@@ -51,7 +51,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["BigramLM", "train_bigram_lm", "bigram_perplexity",
-           "perplexity_buckets"]
+           "excess_perplexity_select", "perplexity_buckets"]
 
 UNK = "<unk>"
 
@@ -248,6 +248,51 @@ def bigram_perplexity(df: DataFrame, id_col: str, text_col: str,
         id_col, "n_bigrams", "logprob",
         F.round(F.exp(-F.col("logprob") / F.col("n_bigrams")), 6)
         .alias("ppl"))
+
+
+def excess_perplexity_select(df: DataFrame, id_col: str, text_col: str,
+                             ref: DataFrame, k: int,
+                             vocab_size: int = 64) -> DataFrame:
+    """RHO-style reducible-loss data selection (Mindermann et al., ICML
+    2022, rendered with static bigram LMs): score every document under a
+    REFERENCE LM trained on ``ref`` (the curated/high-quality corpus)
+    and under the corpus's own self-LM, and keep the ``k`` docs with the
+    largest ``excess = nll_self − nll_ref`` — documents the corpus's own
+    statistics find hard but the clean reference finds easy: learnable,
+    underrepresented quality rather than noise (noise is hard under BOTH
+    models and cancels out; boilerplate is easy under both).
+
+    Returns ``(id_col, n_bigrams, nll_self, nll_ref, excess)`` for the
+    selected docs. All three NLLs are per-token and rounded to 6
+    decimals at doc grain (on top of the model-grain rounding inside
+    :func:`train_bigram_lm`), so an independent engine reproduces the
+    selection bit-for-bit; ties on ``excess`` break by ascending id.
+
+    Scale shape: two bounded LM trainings (vocab- and model-sized
+    aggregates), two scoring passes over the corpus (broadcast model
+    joins at default vocab sizes), then top-k via TakeOrderedAndProject
+    (per-partition top-k, O(k) driver merge — no global sort). Keep
+    ``k`` selection-sized. At the default vocab the LM tables are
+    driver-local; nothing stays persisted on the executors.
+    """
+    ref_lm = train_bigram_lm(ref, text_col, vocab_size=vocab_size)
+    self_lm = train_bigram_lm(df, text_col, vocab_size=vocab_size)
+    s = (bigram_perplexity(df, id_col, text_col, lm=self_lm)
+         .select(id_col, "n_bigrams",
+                 F.col("logprob").alias("__lp_self")))
+    r = (bigram_perplexity(df, id_col, text_col, lm=ref_lm)
+         .select(id_col, F.col("logprob").alias("__lp_ref")))
+    out = (s.join(r, id_col)
+           .withColumn("nll_self",
+                       F.round(-F.col("__lp_self") / F.col("n_bigrams"),
+                               6))
+           .withColumn("nll_ref",
+                       F.round(-F.col("__lp_ref") / F.col("n_bigrams"),
+                               6))
+           .withColumn("excess",
+                       F.round(F.col("nll_self") - F.col("nll_ref"), 6))
+           .drop("__lp_self", "__lp_ref"))
+    return out.orderBy(F.desc("excess"), F.asc(id_col)).limit(k)
 
 
 def perplexity_buckets(df: DataFrame, id_col: str, text_col: str,

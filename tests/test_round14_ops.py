@@ -129,3 +129,47 @@ def test_token_budget_matches_single_bucket_and_repartition(spark):
     plan = HF.token_budget_select(docs, **kw) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "Exchange SinglePartition" not in plan
+
+
+# -------------------------------------------- excess_perplexity_select
+def test_excess_ppl_select_zero_when_ref_is_corpus(spark):
+    docs = _docs(spark, n=80)
+    out = HF.excess_perplexity_select(docs, "doc_id", "text", docs, k=80)
+    rows = out.collect()
+    assert len(rows) == 80
+    for r in rows:
+        assert r["excess"] == 0.0 and r["nll_self"] == r["nll_ref"]
+
+
+def test_excess_ppl_select_prefers_reference_style(spark):
+    """Docs written in the reference's style but rare in the corpus are
+    exactly what excess loss surfaces: hard under the corpus self-LM,
+    easy under the reference LM."""
+    a = [(i, "the common corpus style sentence repeats the same words "
+             "over and over in the corpus")
+         for i in range(50)]
+    b = [(100, "zephyr quills jolt vexed gnome wizards bright"),
+         (101, "zephyr quills jolt vexed gnome wizards bright")]
+    corpus = spark.createDataFrame(a + b, "doc_id long, text string")
+    ref = spark.createDataFrame(
+        [(0, "zephyr quills jolt vexed gnome wizards bright")] * 3,
+        "doc_id long, text string")
+    top = HF.excess_perplexity_select(corpus, "doc_id", "text", ref, k=2)
+    assert sorted(r["doc_id"] for r in top.collect()) == [100, 101]
+
+
+def test_excess_ppl_select_deterministic_and_layout_invariant(spark):
+    docs = _docs(spark, n=200)
+    ref = docs.filter(F.col("doc_id") % 10 == 0)
+    a = [(r["doc_id"], r["excess"]) for r in
+         HF.excess_perplexity_select(docs, "doc_id", "text", ref, k=30)
+         .collect()]
+    b = [(r["doc_id"], r["excess"]) for r in
+         HF.excess_perplexity_select(docs.repartition(13), "doc_id",
+                                     "text", ref.repartition(3), k=30)
+         .collect()]
+    assert a == b and len(a) == 30
+    # excess is exactly the round-6 difference of the returned NLLs
+    full = HF.excess_perplexity_select(docs, "doc_id", "text", ref, k=30)
+    for r in full.collect():
+        assert r["excess"] == round(r["nll_self"] - r["nll_ref"], 6)
