@@ -10,7 +10,8 @@ from pyspark.sql import functions as F
 
 from hoodie_spark import HoodieTable, functions as HF
 from hoodie_spark.streaming import (CorpusSketchMaintainer, DriftMonitor,
-                                    IncrementalDeduper, Ingestor)
+                                    IncrementalDeduper, Ingestor,
+                                    ReservoirMaintainer, SplitMaintainer)
 from hoodie_spark.streaming.ingest import Source
 from hoodie_spark.streaming.transform import QualityGateTransformer
 
@@ -49,12 +50,16 @@ def test_full_curation_pipeline(spark, tmp_table_path):
                        "text", buckets=32)
     sk = CorpusSketchMaintainer(tbl, os.path.join(tmp_table_path, "sk"),
                                 "source", "text", num_hashes=32)
+    sm = SplitMaintainer(tbl, os.path.join(tmp_table_path, "split"),
+                         "doc_id", "text")
+    rv = ReservoirMaintainer(tbl, os.path.join(tmp_table_path, "resv"),
+                             "doc_id", k=50)
     ing = Ingestor(tbl, _Batches([b1, b2]),
                    transformers=[QualityGateTransformer(
                        "text", gopher=True,
                        gopher_overrides={"min_words": 5,
                                          "max_dup_span_frac": 0.5})],
-                   deduper=dd, index_maintainers=[mon, sk],
+                   deduper=dd, index_maintainers=[mon, sk, sm, rv],
                    operation="insert")
     ing.run_continuous(2)
 
@@ -78,6 +83,13 @@ def test_full_curation_pipeline(spark, tmp_table_path):
         snap.select("source", "text"), "source", "text",
         num_hashes=32).collect()))
     assert got == want
+    # maintained split: every committed doc carries an assignment
+    assert {r["doc_id"] for r in sm.assignments().collect()} == ids
+    # maintained reservoir == batch bottom-k over the committed keys
+    # (insert-only pipeline: union of commits == final snapshot)
+    assert sorted(r["doc_id"] for r in rv.reservoir().collect()) == \
+        sorted(r["doc_id"] for r in HF.priority_sample(
+            snap.select("doc_id"), "doc_id", 50).collect())
 
     # exactly-once: re-running the drained source changes nothing
     before = snap.count()
