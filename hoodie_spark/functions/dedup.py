@@ -67,19 +67,19 @@ def _pin(df: DataFrame) -> DataFrame:
 def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFrame:
     """Keep one row per distinct content (the one with the smallest id).
 
-    hash-groupBy dedup: shuffle key is the md5 of the content columns, so
-    byte-identical duplicates co-locate; partial aggregation (min) runs
-    map-side before the shuffle, and the keep-set joins back as a hash
-    probe — never a window over the hash, which would sort a boilerplate
-    cluster of millions of byte-identical rows in ONE task (AQE
-    skew-split applies to the join; a window gets no such help).
+    hash-groupBy dedup: ONE aggregation — ``min_by(struct(row), id)`` per
+    md5 of the content columns. The partial aggregate keeps a single
+    candidate row per hash per map task, so a boilerplate cluster of
+    millions of byte-identical rows reduces map-side and ships one row
+    per partition through the shuffle — no window (which would sort the
+    whole cluster in one task) and no join-back (a second shuffle). One
+    shuffle total, skew-immune by the combine.
     """
     h = F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in content_cols]))
-    keyed = df.withColumn("__h", h)
-    mins = keyed.groupBy("__h").agg(F.min(id_col).alias("__keep"))
-    return (keyed.join(mins, "__h")
-            .filter(F.col(id_col) == F.col("__keep"))
-            .drop("__h", "__keep"))
+    cols = df.columns
+    winner = F.min_by(F.struct(*[F.col(c) for c in cols]), F.col(id_col))
+    return (df.groupBy(h.alias("__h")).agg(winner.alias("__r"))
+            .select(*[F.col(f"__r.{c}").alias(c) for c in cols]))
 
 
 def minhash_signature(col, num_hashes: int = 16, ngram: int = 5) -> Column:
