@@ -737,6 +737,28 @@ def _fx_reservoir(spark, sf_dir, path):
     return {"m": m}
 
 
+def _fx_keep_best(spark, sf_dir, path):
+    """Keep-best dedup as maintained state: three batches (corpus, then
+    BETTER-scoring exact copies, then worse ones) through
+    KeepBestDeduper.process_batch. The table's final content must be
+    BIT-IDENTICAL to one batch dedup_keep_best pass over the union —
+    better copies replace stored winners, worse ones drop."""
+    from hoodie_spark.streaming import KeepBestDeduper
+
+    docs = (load_table(spark, sf_dir, "documents")
+            .select("doc_id", "text",
+                    F.length("text").cast("long").alias("score")))
+    tbl = HoodieTable.create(spark, os.path.join(path, "t"), "docs_kb",
+                             ["doc_id"], None, partition_expr="'p'")
+    kb = KeepBestDeduper(tbl, os.path.join(path, "kb"), "doc_id",
+                         "text", "score")
+    for shift, ds in ((0, 0), (10000, 10), (20000, -5)):
+        kb.process_batch(docs.select(
+            (F.col("doc_id") + shift).alias("doc_id"), "text",
+            (F.col("score") + ds).alias("score")))
+    return {"tbl": tbl, "kb": kb}
+
+
 def _fx_drift_maint(spark, sf_dir, path):
     """Token-distribution drift as maintained state: three insert batches
     plus one UNCHANGED re-upsert batch ingested with track_changes=True —
@@ -812,6 +834,7 @@ _BUILDERS = {
     "split_maint": _fx_split_maint,
     "drift_maint": _fx_drift_maint,
     "reservoir": _fx_reservoir,
+    "keep_best": _fx_keep_best,
 }
 
 _ORDER_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
@@ -1814,6 +1837,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_id", "text",
         load_table(s, d, "documents").filter(F.col("doc_id") % 10 == 0)
         .select("doc_id", "text"), k=200)
+
+    # ---- keep-best dedup as maintained state (round 14): better-scoring
+    # duplicates REPLACE stored winners (delete + upsert); the table after
+    # three batches must equal one batch dedup_keep_best pass over the
+    # union (streaming/keep_best.KeepBestDeduper). Past the window.
+    q["keep_best_incremental"] = lambda s, d: _fixture(
+        s, d, "keep_best")["tbl"].snapshot().select("doc_id", "score")
 
     # ---- fixed-size deterministic sample (round 14): the k rows with
     # the smallest md5(key) priority — repartition/retry-stable, and a
@@ -3129,6 +3159,49 @@ win AS (SELECT m.k, min(m.doc_id) AS doc_id
         FROM mem m JOIN best b ON m.k = b.k AND m.score = b.smax
         GROUP BY m.k)
 SELECT w.doc_id, b.n_dups FROM win w JOIN best b ON w.k = b.k
+"""
+    # maintained keep-best ≡ batch keep-best over the 3-batch union: the
+    # SAME component relation as dedup_keep_best (sig-agreement near
+    # edges ∪ exact-text edges), winner = max(score) tie min(doc_id);
+    # scores: originals length(text), +10000 copies +10, +20000 copies −5
+    o["keep_best_incremental"] = f"""
+WITH RECURSIVE corpus AS (
+  SELECT doc_id, text, length(text) AS score FROM documents
+  UNION ALL SELECT doc_id + 10000, text, length(text) + 10 FROM documents
+  UNION ALL SELECT doc_id + 20000, text, length(text) - 5 FROM documents
+), {_MINHASH_SIG},
+vp AS (
+  SELECT c.id_a, c.id_b FROM cand c
+  JOIN sig a ON a.doc_id = c.id_a
+  JOIN sig b ON b.doc_id = c.id_b
+  WHERE len(list_filter(range(1, 17),
+        i -> a.sig[CAST(i AS INT)] = b.sig[CAST(i AS INT)])) >= {mm}
+),
+ex2 AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM corpus a JOIN corpus b
+  ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id
+),
+sym AS (
+  SELECT id_a AS a, id_b AS b FROM vp
+  UNION SELECT id_b AS a, id_a AS b FROM vp
+  UNION SELECT id_a, id_b FROM ex2
+  UNION SELECT id_b, id_a FROM ex2
+),
+reach AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a WHERE s.b <> r.a
+),
+grp AS (SELECT a AS id, LEAST(a, MIN(b)) AS group_id FROM reach GROUP BY a),
+mem AS (
+  SELECT c.doc_id, coalesce(g.group_id, c.doc_id) AS k, c.score
+  FROM corpus c LEFT JOIN grp g ON g.id = c.doc_id
+),
+best AS (SELECT k, max(score) AS smax FROM mem GROUP BY k),
+win AS (SELECT m.k, min(m.doc_id) AS doc_id
+        FROM mem m JOIN best b ON m.k = b.k AND m.score = b.smax
+        GROUP BY m.k)
+SELECT w.doc_id, b.smax AS score FROM win w JOIN best b ON w.k = b.k
 """
     # fixed-size deterministic sample: bottom-k by the full md5 hex
     # string of the key (hex compares identically in both engines)

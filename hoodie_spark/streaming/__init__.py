@@ -9,6 +9,7 @@ from .drift import DriftMonitor
 from .maintainer import ConcurrentMaintainerError, maintainer_lock
 from .split_maintainer import SplitMaintainer
 from .reservoir import ReservoirMaintainer
+from .keep_best import KeepBestDeduper
 from .schema import (FileBasedSchemaProvider, RowBasedSchemaProvider,
                      SchemaProvider, SchemaRegistryProvider,
                      StaticSchemaProvider)
@@ -28,7 +29,8 @@ __all__ = ["foreach_batch_writer", "write_stream", "incremental_batches",
            "HoodieIncrSource", "MultiTableIngestor", "AsyncTableServices",
            "stateful_dedup", "stateful_session_counts", "IncrementalDeduper",
            "IvfIndexMaintainer", "CorpusSketchMaintainer",
-           "SplitMaintainer", "ReservoirMaintainer", "ConcurrentMaintainerError",
+           "SplitMaintainer", "ReservoirMaintainer", "KeepBestDeduper",
+           "ConcurrentMaintainerError",
            "DriftMonitor",
            "SchemaProvider",
            "StaticSchemaProvider", "FileBasedSchemaProvider",
