@@ -1870,6 +1870,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "n_tokens", 15000, ["n_chars", "doc_id"]).select(
             "doc_id", "n_tokens", "cum_tokens")
 
+    # ---- C4/CCNet-style cross-document line dedup (round 14): lines
+    # occurring more than once corpus-wide are dropped from EVERY doc and
+    # texts reassembled in original order (functions/dedup.line_dedup).
+    # Fixture appends a corpus-wide boilerplate line and a per-doc-or-
+    # shared tail so the op has both drop and keep work to do. Declared
+    # past the window; verified via tools/check_oracle.py.
+    q["line_dedup"] = lambda s, d: HF.line_dedup(
+        load_table(s, d, "documents").select(
+            "doc_id",
+            F.concat_ws(
+                "\n", F.col("text"), F.lit("subscribe to our newsletter"),
+                F.when(F.col("doc_id") % 5 == 0, F.lit("all rights reserved"))
+                .otherwise(F.concat(F.lit("tail "),
+                                    F.col("doc_id").cast("string"))))
+            .alias("text")),
+        "doc_id", "text")
+
+    # ---- edit-similarity dedup (round 14): LSH candidates verified by
+    # normalized Levenshtein at the distinct-text grain with a length
+    # gate and a bounded DP budget (functions/dedup.edit_dedup_pairs) —
+    # the ORDER-sensitive verifier next to dedup_jaccard's set-based one.
+    # Declared past the window; verified via tools/check_oracle.py.
+    q["dedup_edit"] = lambda s, d: HF.edit_dedup_pairs(
+        _dup_docs(s, d), "doc_id", "text", threshold=0.9).select(
+            "id_a", "id_b", F.round("similarity", 6).alias("similarity"))
+
+    # ---- per-document n-gram novelty (round 14): fraction of a doc's
+    # distinct word trigrams with corpus document-frequency 1 — the
+    # novelty-weighted-selection signal (functions/pipeline.ngram_novelty).
+    # Declared past the window; verified via tools/check_oracle.py.
+    q["ngram_novelty"] = lambda s, d: HF.ngram_novelty(
+        load_table(s, d, "documents").select("doc_id", "text"),
+        "doc_id", "text", n=3)
+
     # ---- 50-row window curation: the driver records CORRECTNESS for the
     # FIRST 50 queries only. Swap this round's new UNIQUE operators into
     # the window in place of close variants of still-in-window rows
@@ -3236,6 +3270,67 @@ c AS (SELECT doc_id, n_tokens,
                AS cum_tokens
       FROM t)
 SELECT doc_id, n_tokens, cum_tokens FROM c WHERE cum_tokens <= 15000
+"""
+    # line dedup: same lined fixture; occurrence census per raw line,
+    # drop lines over max_df=1, reassemble ordered by position (DuckDB
+    # zips parallel unnests positionally)
+    o["line_dedup"] = """
+WITH lined AS (
+  SELECT doc_id,
+         text || chr(10) || 'subscribe to our newsletter' || chr(10) ||
+         CASE WHEN doc_id % 5 = 0 THEN 'all rights reserved'
+              ELSE 'tail ' || CAST(doc_id AS VARCHAR) END AS text
+  FROM documents
+),
+lines AS (
+  SELECT doc_id, unnest(range(1, len(ls) + 1)) AS pos, unnest(ls) AS line
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM lined)
+),
+cnt AS (SELECT line, count(*) AS c FROM lines GROUP BY line),
+kept AS (
+  SELECT l.doc_id, l.pos, l.line FROM lines l JOIN cnt USING (line)
+  WHERE c <= 1
+),
+built AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS t
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(b.t, '') AS text
+FROM lined d LEFT JOIN built b USING (doc_id)
+"""
+    # edit-similarity pairs: the house LSH candidates, then exact
+    # levenshtein on the raw corpus texts — 1 - lev/max_len >= 0.9
+    o["dedup_edit"] = f"""
+WITH {_DOC_CORPUS}, {_MINHASH_SIG}
+SELECT id_a, id_b, round(sim, 6) AS similarity FROM (
+  SELECT c.id_a, c.id_b,
+         1.0 - CAST(levenshtein(a.text, b.text) AS DOUBLE)
+             / CAST(greatest(length(a.text), length(b.text)) AS DOUBLE)
+           AS sim
+  FROM cand c
+  JOIN corpus a ON a.doc_id = c.id_a
+  JOIN corpus b ON b.doc_id = c.id_b
+) WHERE sim >= 0.9
+"""
+    # n-gram novelty: distinct word trigrams per doc, document frequency
+    # by plain count (grams pre-deduped per doc), novel = df == 1
+    o["ngram_novelty"] = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKENS.format(t='text')} AS t FROM documents
+),
+g AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, len(t) - 1),
+           i -> array_to_string(t[CAST(i AS INT):CAST(i + 2 AS INT)], ' '))))
+           AS g
+  FROM toks WHERE len(t) >= 3
+),
+dfq AS (SELECT g, count(*) AS c FROM g GROUP BY g)
+SELECT doc_id, count(*) AS n_grams,
+       round(avg(CASE WHEN c = 1 THEN 1.0E0 ELSE 0.0E0 END), 6)
+         AS novel_frac
+FROM g JOIN dfq USING (g)
+GROUP BY doc_id
 """
     # streaming split ≡ batch: components over sig-agreement near edges
     # (the maintainer's gate, >= 13/16) UNION exact-text edges, min root,

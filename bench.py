@@ -254,6 +254,18 @@ def run_suite(spark, sf_dir: str) -> dict[str, float]:
                     .alias("n_tokens")),
         "n_tokens", 150_000, ["n_chars", "doc_id"])
         .agg(F.count(F.lit(1)), F.max("cum_tokens")).collect())
+    timed("line_dedup")(lambda: HF.line_dedup(
+        docs.select("doc_id", F.concat_ws(
+            "\n", F.col("text"), F.lit("subscribe to our newsletter"),
+            F.concat(F.lit("tail "),
+                     (F.col("doc_id") % 7).cast("string"))).alias("text")),
+        "doc_id", "text").agg(F.sum(F.length("text"))).collect())
+    timed("dedup_edit")(lambda: HF.edit_dedup_pairs(
+        docs.select("doc_id", "text"), "doc_id", "text",
+        threshold=0.9).count())
+    timed("ngram_novelty")(lambda: HF.ngram_novelty(
+        docs.select("doc_id", "text"), "doc_id", "text", n=3)
+        .agg(F.avg("novel_frac"), F.count(F.lit(1))).collect())
     timed("corpus_report")(lambda: HF.corpus_report(
         docs, "text", "source").collect())
     timed("decontaminate_near")(lambda: HF.decontaminate_near(

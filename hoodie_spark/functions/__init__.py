@@ -41,6 +41,7 @@ from .dedup import (
     minhash_candidate_pairs,
     containment_dedup_pairs,
     jaccard_dedup_pairs, sig_near_pairs, exact_text_pairs,
+    line_dedup, edit_dedup_pairs,
     dedup_keep_best,
     with_simhash,
     simhash_sigs,
@@ -128,7 +129,7 @@ from .lm import (
 from .pipeline import (
     redact_pii, pii_hits, deterministic_sample, sample_hash, pack_shards,
     pack_sequences,
-    top_ngrams, filter_corpus, word_ngrams, contaminated_ids, decontaminate, decontaminate_near,
+    top_ngrams, filter_corpus, word_ngrams, ngram_novelty, contaminated_ids, decontaminate, decontaminate_near,
     stratified_sample, tfidf_terms, tfidf_vectors, corpus_pipeline,
     chunk_documents, unigram_logprob, source_weighted_sample,
     temperature_mix, column_histogram, dsir_logweights, dsir_select,
@@ -143,6 +144,7 @@ __all__ = [
     "exact_dedup", "with_minhash", "minhash_candidate_pairs",
     "quantize_embeddings", "int8_topk", "write_int8_index", "int8_topk_from_index",
     "jaccard_dedup_pairs", "sig_near_pairs", "exact_text_pairs",
+    "line_dedup", "edit_dedup_pairs",
     "dedup_keep_best", "token_budget_select", "priority_sample",
     "priority_hash", "containment_dedup_pairs", "with_simhash", "simhash_sigs",
     "simhash_dup_pairs", "embedding_near_dup_pairs", "dedup_spans",
@@ -167,7 +169,7 @@ __all__ = [
     "range_join",
     "redact_pii", "pii_hits", "deterministic_sample", "sample_hash",
     "pack_shards", "pack_sequences", "top_ngrams", "filter_corpus",
-    "word_ngrams", "contaminated_ids", "decontaminate",
+    "word_ngrams", "ngram_novelty", "contaminated_ids", "decontaminate",
     "decontaminate_near", "stratified_sample",
     "corpus_pipeline", "chunk_documents", "unigram_logprob",
     "source_weighted_sample", "temperature_mix", "column_histogram",

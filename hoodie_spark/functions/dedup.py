@@ -35,6 +35,7 @@ from .text import char_ngrams, tokens
 __all__ = [
     "exact_dedup", "with_minhash", "minhash_candidate_pairs",
     "jaccard_dedup_pairs", "sig_near_pairs", "exact_text_pairs",
+    "line_dedup", "edit_dedup_pairs",
     "dedup_keep_best", "containment_dedup_pairs", "with_simhash",
     "simhash_sigs", "simhash_dup_pairs", "embedding_near_dup_pairs",
     "semantic_dedup", "lsh_plan", "corpus_overlap",
@@ -338,13 +339,15 @@ def sig_near_pairs(df: DataFrame, id_col: str, text_col: str,
     batch pair source. Returns distinct ``(id_a, id_b)``.
 
     Why this exists next to :func:`jaccard_dedup_pairs`: the exact
-    verify there joins CANDIDATE PAIRS against the full per-doc shingle
-    arrays — at corpus scale the verify-join payload is pairs × two
-    shingle sets (measured: a ×100 template-heavy corpus spilled >36 GB
-    of shuffle on exactly that join). Here the signatures ride THROUGH
-    the banded self-join (``bounded_self_pairs(carry=("minhash",))``)
-    and verification is an in-row zip — no second join, no shingle
-    payload, hot-group guarded. The trade: agreement/num_hashes is an
+    verify there needs a second join carrying shingle arrays (now at the
+    distinct-text grain with a size gate — the original per-id-pair
+    shape spilled >36 GB on a ×100 template corpus; the distinct-grain
+    rewrite collapses template clusters but a corpus of millions of
+    DISTINCT near-dup texts still ships one array per distinct pair).
+    Here the signatures ride THROUGH the banded self-join
+    (``bounded_self_pairs(carry=("minhash",))``) and verification is an
+    in-row zip — no second join, no shingle payload, hot-group guarded.
+    The trade: agreement/num_hashes is an
     ESTIMATE of Jaccard (±1/√H), so the pair set is the estimator's,
     not the exact-threshold one — the right trade wherever the
     downstream op needs a consistent duplicate RELATION rather than a
@@ -450,20 +453,198 @@ def jaccard_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
 
     LSH candidates first (cheap), exact |∩|/|∪| verification on candidates
     only. Returns (id_a, id_b, jaccard).
+
+    Verification runs at the DISTINCT-TEXT grain, not the id-pair grain:
+    Jaccard depends only on the two texts, so candidate id-pairs map to
+    content-hash pairs, each distinct (hash_a, hash_b) is verified ONCE
+    against one representative shingle array per hash, and the scalar
+    verdict joins back to the id-pairs. A template-heavy corpus — the
+    population that makes candidate pairs explode — collapses: N
+    byte-identical docs contribute ONE hash, identical-hash pairs skip
+    the array verify entirely (Jaccard is exactly 1.0 when the shingle
+    set is non-empty, matching the n/n the formula would compute), and
+    cross-template pairs verify once per template pair. The earlier
+    per-id-pair verify join measurably spilled >36 GB of shuffle on a
+    ×100 template corpus; this shape ships each distinct text's array
+    once per distinct counterpart instead.
+
+    A size gate prunes distinct-hash pairs before the arrays are even
+    joined: |∩| ≤ min(n_a, n_b) and |∪| ≥ max(n_a, n_b), so a pair with
+    min/max below the threshold can never verify (epsilon keeps exact
+    boundary pairs — integer sizes whose ratio equals the threshold —
+    flowing to the exact check).
     """
-    cands = minhash_candidate_pairs(df, id_col, text_col, num_hashes, bands, ngram)
-    sh = _pin(_spread(df).select(F.col(id_col),
-                                 char_ngrams(F.col(text_col), ngram).alias("sh")))
-    joined = (
-        cands.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
-        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
-    )
+    cands = minhash_candidate_pairs(df, id_col, text_col, num_hashes,
+                                    bands, ngram)
+    docs = _pin(df.select(F.col(id_col), F.md5(F.col(text_col)).alias("__ch")))
+    # one representative per distinct text: same hash ⇒ same bytes ⇒ same
+    # shingle set, so which row wins the partial-aggregate race is
+    # irrelevant; shingling itself also runs once per distinct text
+    reps = _pin(_spread(df.select(F.md5(F.col(text_col)).alias("__ch"),
+                                  F.col(text_col))
+                        .filter(F.col("__ch").isNotNull())
+                        .dropDuplicates(["__ch"]))
+                .select("__ch",
+                        char_ngrams(F.col(text_col), ngram).alias("sh"))
+                .withColumn("n", F.size("sh")))
+    pc = _pin(
+        cands
+        .join(docs.select(F.col(id_col).alias("id_a"),
+                          F.col("__ch").alias("__ha")), "id_a")
+        .join(docs.select(F.col(id_col).alias("id_b"),
+                          F.col("__ch").alias("__hb")), "id_b")
+        .withColumn("__h1", F.least("__ha", "__hb"))
+        .withColumn("__h2", F.greatest("__ha", "__hb")))
+    hp = pc.select("__h1", "__h2").distinct()
+    sizes = reps.select("__ch", "n")
+    arrays = reps.select("__ch", "sh")
+    same = (hp.filter(F.col("__h1") == F.col("__h2"))
+            .join(sizes.select(F.col("__ch").alias("__h1"),
+                               F.col("n").alias("__n")), "__h1")
+            .filter(F.col("__n") > 0)
+            .select("__h1", "__h2", F.lit(1.0).alias("jaccard")))
+    gated = (hp.filter(F.col("__h1") != F.col("__h2"))
+             .join(sizes.select(F.col("__ch").alias("__h1"),
+                                F.col("n").alias("__n1")), "__h1")
+             .join(sizes.select(F.col("__ch").alias("__h2"),
+                                F.col("n").alias("__n2")), "__h2")
+             .filter(F.least("__n1", "__n2").cast("double")
+                     / F.greatest("__n1", "__n2").cast("double")
+                     >= F.lit(float(threshold)) - F.lit(1e-9))
+             .select("__h1", "__h2"))
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
-    return (
-        joined.select("id_a", "id_b", (inter / union).alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
-    )
+    verified = (gated
+                .join(arrays.select(F.col("__ch").alias("__h1"),
+                                    F.col("sh").alias("sh_a")), "__h1")
+                .join(arrays.select(F.col("__ch").alias("__h2"),
+                                    F.col("sh").alias("sh_b")), "__h2")
+                .select("__h1", "__h2", (inter / union).alias("jaccard")))
+    hj = (verified.unionByName(same)
+          .filter(F.col("jaccard") >= threshold))
+    return pc.join(hj, ["__h1", "__h2"]).select("id_a", "id_b", "jaccard")
+
+
+def line_dedup(df: DataFrame, id_col: str, text_col: str,
+               max_df: int = 1) -> DataFrame:
+    """Cross-document line-level dedup (the C4/CCNet boilerplate filter):
+    drop every line whose exact-byte occurrence count across the WHOLE
+    corpus exceeds ``max_df``, then reassemble each document from its
+    surviving lines in original order. Returns ``(id_col, text_col)`` —
+    one row per input document; a document whose every line was
+    boilerplate comes back as the empty string (callers chain a length
+    filter, as C4 does).
+
+    Counting is by raw line bytes (no normalization): navigation chrome,
+    cookie banners, and subscription prompts repeat byte-identically
+    across a crawl, which is exactly what makes them droppable, while
+    near-identical sentences are near-dup territory
+    (:func:`jaccard_dedup_pairs`), not line dedup's.
+
+    Scale shape (100 TB): explode to ``(id, pos, line)`` once; the
+    occurrence census is one ``groupBy(line).count()`` — map-side partial
+    counts mean a line repeated a billion times ships ONE row per map
+    task, so hot boilerplate cannot skew the shuffle; the drop is a
+    left-anti join against only the OVER-CAP lines (≤ distinct-boilerplate
+    rows, typically tiny — broadcastable by AQE); reassembly is one
+    groupBy(id) whose collect_list payload is bounded by the document's
+    own size, the same bound the raw text row already had. No window, no
+    self-join anywhere.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("__pos", "__ln"))
+    hot = (lines.groupBy("__ln").agg(F.count(F.lit(1)).alias("__c"))
+           .filter(F.col("__c") > max_df).select("__ln"))
+    kept = lines.join(hot, "__ln", "left_anti")
+    body = F.array_join(
+        F.transform(F.array_sort(F.collect_list(F.struct("__pos", "__ln"))),
+                    lambda s: s["__ln"]), "\n")
+    rebuilt = kept.groupBy(id_col).agg(body.alias("__t"))
+    return (df.select(id_col).join(rebuilt, id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce(F.col("__t"), F.lit("")).alias(text_col)))
+
+
+def edit_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
+                     threshold: float = 0.9, num_hashes: int = 16,
+                     bands: int = 4, ngram: int = 5,
+                     max_band_rows: int = 4096) -> DataFrame:
+    """Near-duplicate pairs by normalized edit similarity:
+    ``1 - levenshtein(a, b) / max(len(a), len(b)) ≥ threshold`` over
+    MinHash-LSH candidates. Returns ``(id_a, id_b, similarity)``.
+
+    Jaccard is blind to ORDER (shuffled sentences keep their shingles);
+    edit similarity is the order-sensitive verifier — the right gate for
+    truncation/suffix-spam variants where callers want "same text modulo
+    k character edits". Candidates come from the shared banded-LSH shape
+    (normalized-text shingles); verification compares the RAW texts.
+
+    Scale shape — born with the distinct-text discipline of
+    :func:`jaccard_dedup_pairs`: candidate id-pairs map to content-hash
+    pairs; byte-identical pairs short-circuit to similarity 1.0 with no
+    text comparison; each distinct (hash_a, hash_b) is verified ONCE and
+    the scalar joins back to id-pairs, so a template cluster never ships
+    O(copies²) text payloads. A length gate prunes before texts are
+    joined: ``lev ≥ |len_a - len_b|`` ⇒ similarity ≤ 1 - |Δlen|/max_len;
+    and the surviving Levenshtein calls pass Spark's bounded variant
+    (``F.levenshtein(l, r, threshold)``) so the DP loop abandons a pair
+    the moment the distance budget ``⌊(1-t)·max_len⌋`` is exhausted —
+    O(budget·len) instead of O(len²) per verify.
+    """
+    cands = minhash_candidate_pairs(df, id_col, text_col, num_hashes,
+                                    bands, ngram, max_band_rows)
+    docs = _pin(df.select(F.col(id_col),
+                          F.md5(F.col(text_col)).alias("__ch")))
+    reps = _pin(df.select(F.md5(F.col(text_col)).alias("__ch"),
+                          F.col(text_col).alias("__t"))
+                .filter(F.col("__ch").isNotNull())
+                .dropDuplicates(["__ch"])
+                .withColumn("__len", F.length("__t")))
+    pc = _pin(
+        cands
+        .join(docs.select(F.col(id_col).alias("id_a"),
+                          F.col("__ch").alias("__ha")), "id_a")
+        .join(docs.select(F.col(id_col).alias("id_b"),
+                          F.col("__ch").alias("__hb")), "id_b")
+        .withColumn("__h1", F.least("__ha", "__hb"))
+        .withColumn("__h2", F.greatest("__ha", "__hb")))
+    hp = pc.select("__h1", "__h2").distinct()
+    sizes = reps.select("__ch", "__len")
+    same = (hp.filter(F.col("__h1") == F.col("__h2"))
+            .select("__h1", "__h2", F.lit(1.0).alias("similarity")))
+    gated = (hp.filter(F.col("__h1") != F.col("__h2"))
+             .join(sizes.select(F.col("__ch").alias("__h1"),
+                                F.col("__len").alias("__l1")), "__h1")
+             .join(sizes.select(F.col("__ch").alias("__h2"),
+                                F.col("__len").alias("__l2")), "__h2")
+             .withColumn("__lmax", F.greatest("__l1", "__l2"))
+             .filter((F.lit(1.0) - F.abs(F.col("__l1") - F.col("__l2"))
+                      .cast("double") / F.col("__lmax").cast("double"))
+                     >= F.lit(float(threshold)) - F.lit(1e-9)))
+    texts = reps.select("__ch", "__t")
+    # distance budget: sim ≥ t ⇔ lev ≤ (1-t)·max_len; the bounded
+    # levenshtein returns -1 past the budget, which maps to sim < t
+    # (SQL form — the Python wrapper only takes a literal threshold)
+    budget = F.floor((F.lit(1.0) - F.lit(float(threshold)) + F.lit(1e-9))
+                     * F.col("__lmax").cast("double")).cast("int")
+    verified = (gated
+                .join(texts.select(F.col("__ch").alias("__h1"),
+                                   F.col("__t").alias("__ta")), "__h1")
+                .join(texts.select(F.col("__ch").alias("__h2"),
+                                   F.col("__t").alias("__tb")), "__h2")
+                .withColumn("__budget", budget)
+                .withColumn("__lev",
+                            F.expr("levenshtein(__ta, __tb, __budget)"))
+                .filter(F.col("__lev") >= 0)
+                .select("__h1", "__h2",
+                        (F.lit(1.0) - F.col("__lev").cast("double")
+                         / F.col("__lmax").cast("double"))
+                        .alias("similarity")))
+    hj = (verified.unionByName(same)
+          .filter(F.col("similarity") >= threshold))
+    return (pc.join(hj, ["__h1", "__h2"])
+            .select("id_a", "id_b", "similarity"))
 
 
 def corpus_overlap(df: DataFrame, group_col: str, text_col: str,

@@ -380,6 +380,41 @@ def word_ngrams(text_col, n: int) -> Column:
     return F.element_at(F.transform(F.array(words(text_col)), _grams), 1)
 
 
+def ngram_novelty(df: DataFrame, id_col: str, text_col: str,
+                  n: int = 3) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a document's DISTINCT
+    word ``n``-grams that occur in no other document — a cheap, fully
+    distributed "how much new text does this doc add" signal used for
+    novelty-weighted selection (the complement of boilerplate/template
+    scores: a doc of corpus-unique grams is fresh content, a doc of
+    corpus-common grams is recombined filler). Returns
+    ``(id_col, n_grams, novel_frac)`` for every document with at least
+    one gram; shorter documents carry no signal and are omitted.
+
+    ``novel_frac`` is the mean over the doc's distinct grams of
+    [gram's document frequency == 1], rounded to 6 — grams are distinct
+    PER DOC before counting, so document frequency is a plain
+    ``groupBy(gram).count()``.
+
+    Scale shape (100 TB): explode distinct grams once (map-only);
+    document frequency is one map-side-combinable count per gram — a
+    billion-doc boilerplate gram ships one row per map task; the
+    frequency joins back keyed on the gram (AQE skew-split applies to
+    hot grams) and the per-doc fold is a second combinable aggregate.
+    No window, no self-join, nothing driver-side.
+    """
+    grams = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_ngrams(F.col(text_col), n)))
+        .alias("__g"))
+    dfreq = grams.groupBy("__g").agg(F.count(F.lit(1)).alias("__df"))
+    return (grams.join(dfreq, "__g")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_grams"),
+                 F.round(F.avg((F.col("__df") == 1).cast("double")), 6)
+                 .alias("novel_frac")))
+
+
 def contaminated_ids(corpus: DataFrame, test_set: DataFrame,
                      text_col: str = "text", id_col: str = "doc_id",
                      n: int = 13) -> DataFrame:

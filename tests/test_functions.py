@@ -80,6 +80,144 @@ def test_minhash_lsh_finds_near_dups(dup_corpus, docs):
         assert 0.8 <= j <= 1.0
 
 
+def test_jaccard_pairs_template_corpus(spark):
+    """Template-heavy corpus probe: exact-Jaccard verification runs at the
+    DISTINCT-TEXT grain, so 200 byte-identical copies of a template
+    collapse to one content hash — within-template pairs come back as
+    exactly 1.0 without any array verify, and every cross-template pair
+    that surfaces matches the brute-force Jaccard of its two templates."""
+    def shingles(t, n=5):
+        t = " ".join(t.lower().split())
+        return {t[i:i + n] for i in range(len(t) - n + 1)} if len(t) >= n else set()
+
+    def jac(x, y):
+        sx, sy = shingles(x), shingles(y)
+        return len(sx & sy) / len(sx | sy) if (sx | sy) else None
+
+    templates = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "the quick brown fox jumps over the lazy dog again and again!!",
+        "pyspark catalyst optimizer rewrites declarative plans efficiently",
+    ]
+    copies = 200
+    rows = [(t_i * 1000 + c, templates[t_i])
+            for t_i in range(len(templates)) for c in range(copies)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.id_a, r.id_b): r.jaccard
+           for r in HF.jaccard_dedup_pairs(df, "doc_id", "text",
+                                           threshold=0.8).collect()}
+    within = {(a, b) for (a, b) in got
+              if a // 1000 == b // 1000}
+    # identical texts share every LSH band, so ALL within-template pairs
+    # must surface, each with jaccard exactly 1.0
+    n_within = 3 * copies * (copies - 1) // 2
+    assert len(within) == n_within
+    assert all(got[p] == 1.0 for p in within)
+    # any cross-template pair that surfaced must carry the exact
+    # brute-force jaccard of its two templates (and pass the threshold)
+    for (a, b) in set(got) - within:
+        expect = jac(templates[a // 1000], templates[b // 1000])
+        assert expect is not None and expect >= 0.8
+        assert abs(got[(a, b)] - expect) < 1e-12
+    # template 2 is unrelated: even if banding ever made it a candidate,
+    # verification must reject it
+    assert not any(2 in (a // 1000, b // 1000) for (a, b) in set(got) - within)
+
+
+def test_line_dedup_drops_boilerplate(spark):
+    rows = []
+    for i in range(30):
+        lines = [f"unique content {i} alpha beta", "SUBSCRIBE NOW"]
+        if i % 3 == 0:
+            lines.append("all rights reserved")
+        if i in (0, 1):
+            lines.append("shared by exactly two docs")
+        lines.append(f"tail {i}")
+        rows.append((i, "\n".join(lines)))
+    rows += [(100, "SUBSCRIBE NOW"), (101, "SUBSCRIBE NOW")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    out = {r.doc_id: r.text
+           for r in HF.line_dedup(df, "doc_id", "text").collect()}
+    assert len(out) == 32
+    for i in range(30):
+        assert out[i] == f"unique content {i} alpha beta\ntail {i}"
+    # docs that were ALL boilerplate come back as empty strings
+    assert out[100] == "" and out[101] == ""
+
+    # max_df=2: the twice-shared line survives, the corpus-wide ones don't
+    out2 = {r.doc_id: r.text
+            for r in HF.line_dedup(df, "doc_id", "text", max_df=2).collect()}
+    assert out2[0] == ("unique content 0 alpha beta\n"
+                       "shared by exactly two docs\ntail 0")
+    assert "SUBSCRIBE NOW" not in out2[5]
+
+
+def test_edit_dedup_pairs(spark):
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    base = "the quick brown fox jumps over the lazy dog " * 4
+    texts = {1: base, 2: base + "zz", 3: "a completely different document "
+                                         "about catalyst plan rewrites " * 3,
+             4: base}
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {(r.id_a, r.id_b): r.similarity
+           for r in HF.edit_dedup_pairs(df, "doc_id", "text",
+                                        threshold=0.9).collect()}
+    assert set(got) == {(1, 2), (1, 4), (2, 4)}
+    assert got[(1, 4)] == 1.0
+    for (a, b) in ((1, 2), (2, 4)):
+        expect = 1.0 - lev(texts[a], texts[b]) / max(len(texts[a]),
+                                                     len(texts[b]))
+        assert abs(got[(a, b)] - expect) < 1e-12
+
+
+def test_edit_dedup_template_cluster(spark):
+    """200 byte-identical copies: verification at the distinct-text grain
+    short-circuits them to similarity 1.0 with zero levenshtein calls."""
+    rows = [(i, "the quick brown fox jumps over the lazy dog " * 3)
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = HF.edit_dedup_pairs(df, "doc_id", "text", threshold=0.9)
+    rows = pairs.collect()
+    assert len(rows) == 200 * 199 // 2
+    assert all(r.similarity == 1.0 for r in rows)
+
+
+def test_ngram_novelty(spark):
+    corpus = {
+        1: "alpha beta gamma delta epsilon",
+        2: "alpha beta gamma delta epsilon",   # clone: every gram shared
+        3: "zeta eta theta iota kappa",        # fully unique
+        4: "alpha beta gamma lambda mu",       # partial overlap with 1/2
+        5: "xy",                               # too short for trigrams
+    }
+    df = spark.createDataFrame(list(corpus.items()),
+                               "doc_id long, text string")
+    got = {r.doc_id: (r.n_grams, r.novel_frac)
+           for r in HF.ngram_novelty(df, "doc_id", "text", n=3).collect()}
+
+    def grams(t, n=3):
+        w = t.lower().split()
+        return {" ".join(w[i:i + n]) for i in range(len(w) - n + 1)}
+
+    from collections import Counter
+    dfreq = Counter(g for d in corpus.values() for g in grams(d))
+    assert 5 not in got  # no trigram, no row
+    for d in (1, 2, 3, 4):
+        gs = grams(corpus[d])
+        expect = round(sum(dfreq[g] == 1 for g in gs) / len(gs), 6)
+        assert got[d] == (len(gs), expect)
+
+
 def test_simhash_identical_distance_zero(spark):
     df = spark.createDataFrame([(1, "alpha beta gamma"), (2, "alpha beta gamma")],
                                "id int, text string")
