@@ -806,6 +806,32 @@ def _fx_docs_incdedup(spark, sf_dir, path):
     return {"tbl": tbl}
 
 
+def _fx_line_census(spark, sf_dir, path):
+    """Cross-document line census as maintained state: the lined corpus
+    (text + corpus-wide boilerplate line + per-doc-or-shared tail)
+    ingested in three slices through LineCensusMaintainer.catch_up. The
+    census after three folds must be BIT-IDENTICAL to one batch census
+    over the union — per-line counts are a SUM monoid."""
+    from hoodie_spark.streaming import LineCensusMaintainer
+
+    lined = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws(
+            "\n", F.col("text"), F.lit("subscribe to our newsletter"),
+            F.when(F.col("doc_id") % 5 == 0, F.lit("all rights reserved"))
+            .otherwise(F.concat(F.lit("tail "),
+                                F.col("doc_id").cast("string"))))
+        .alias("text"))
+    tbl = HoodieTable.create(spark, os.path.join(path, "t"), "docs_lc",
+                             ["doc_id"], None)
+    m = LineCensusMaintainer(tbl, os.path.join(path, "lc"),
+                             "doc_id", "text")
+    for k in range(3):
+        tbl.insert(lined.filter(F.col("doc_id") % 3 == k))
+        m.catch_up()
+    return {"tbl": tbl, "m": m}
+
+
 _BUILDERS = {
     "orders_cow": _fx_orders_cow, "orders_ow": _fx_orders_ow,
     "orders_owt": _fx_orders_owt, "orders_rb": _fx_orders_rb,
@@ -835,6 +861,7 @@ _BUILDERS = {
     "drift_maint": _fx_drift_maint,
     "reservoir": _fx_reservoir,
     "keep_best": _fx_keep_best,
+    "line_census": _fx_line_census,
 }
 
 _ORDER_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
@@ -1903,6 +1930,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ngram_novelty"] = lambda s, d: HF.ngram_novelty(
         load_table(s, d, "documents").select("doc_id", "text"),
         "doc_id", "text", n=3)
+
+    # ---- weighted deterministic sample (round 14): Efraimidis–Spirakis
+    # via the exponential race e = -ln(u)/w, u hash-uniform from the
+    # first 15 md5 hex chars — bit-identical in both engines, so the
+    # fixed-size weighted draw is oracle-exact
+    # (functions/pipeline.weighted_priority_sample). Declared past the
+    # window; verified via tools/check_oracle.py.
+    q["weighted_sample"] = lambda s, d: HF.weighted_priority_sample(
+        load_table(s, d, "documents").select("doc_id", "n_chars"),
+        "doc_id", "n_chars", 200).select("doc_id", "n_chars")
+
+    # ---- line census as maintained state (round 14): per-line counts
+    # folded over three ingest slices ≡ one batch census over the union
+    # — the SUM monoid, exactly (streaming/line_census.LineCensusMaintainer;
+    # the incremental half of the line_dedup boilerplate filter).
+    # Declared past the window; verified via tools/check_oracle.py.
+    q["line_census_incremental"] = lambda s, d: _fixture(
+        s, d, "line_census")["m"].census()
 
     # ---- 50-row window curation: the driver records CORRECTNESS for the
     # FIRST 50 queries only. Swap this round's new UNIQUE operators into
@@ -3297,6 +3342,33 @@ built AS (
 )
 SELECT d.doc_id, coalesce(b.t, '') AS text
 FROM lined d LEFT JOIN built b USING (doc_id)
+"""
+    # weighted sample: same exponential-race priority, 15 md5 nibbles
+    # parsed via the 0x-prefix BIGINT cast
+    o["weighted_sample"] = """
+WITH pr AS (
+  SELECT doc_id, n_chars,
+         -ln((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                   AS BIGINT) + 1) / 1152921504606846977.0)
+         / CAST(n_chars AS DOUBLE) AS e
+  FROM documents WHERE CAST(n_chars AS DOUBLE) > 0
+)
+SELECT doc_id, n_chars FROM pr ORDER BY e, doc_id LIMIT 200
+"""
+    # maintained line census ≡ batch census over the union of the three
+    # ingest slices (which is the whole lined corpus)
+    o["line_census_incremental"] = """
+WITH lined AS (
+  SELECT doc_id,
+         text || chr(10) || 'subscribe to our newsletter' || chr(10) ||
+         CASE WHEN doc_id % 5 = 0 THEN 'all rights reserved'
+              ELSE 'tail ' || CAST(doc_id AS VARCHAR) END AS text
+  FROM documents
+),
+lines AS (
+  SELECT unnest(string_split(text, chr(10))) AS line FROM lined
+)
+SELECT md5(line) AS lhash, count(*) AS n FROM lines GROUP BY 1
 """
     # edit-similarity pairs: the house LSH candidates, then exact
     # levenshtein on the raw corpus texts — 1 - lev/max_len >= 0.9

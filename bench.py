@@ -303,6 +303,9 @@ def run_suite(spark, sf_dir: str) -> dict[str, float]:
         num_shards=32, seed=7, epoch=1).count())
     timed("priority_sample")(lambda: HF.priority_sample(
         docs.select("doc_id"), "doc_id", 500).count())
+    timed("weighted_sample")(lambda: HF.weighted_priority_sample(
+        docs.select("doc_id", "n_chars"), "doc_id", "n_chars",
+        500).count())
     timed("excess_ppl_select")(lambda: HF.excess_perplexity_select(
         docs.select("doc_id", "text"), "doc_id", "text",
         docs.filter(F.col("doc_id") % 10 == 0).select("doc_id", "text"),

@@ -135,6 +135,7 @@ from .pipeline import (
     temperature_mix, column_histogram, dsir_logweights, dsir_select,
     epoch_shuffle, corpus_report, domain_mixture_weights,
     leakage_safe_split, token_budget_select, priority_sample, priority_hash,
+    weighted_priority_sample, weighted_priority,
 )
 from .bpe import bpe_train, bpe_encode, bpe_token_count
 
@@ -146,6 +147,7 @@ __all__ = [
     "jaccard_dedup_pairs", "sig_near_pairs", "exact_text_pairs",
     "line_dedup", "edit_dedup_pairs",
     "dedup_keep_best", "token_budget_select", "priority_sample",
+    "weighted_priority_sample", "weighted_priority",
     "priority_hash", "containment_dedup_pairs", "with_simhash", "simhash_sigs",
     "simhash_dup_pairs", "embedding_near_dup_pairs", "dedup_spans",
     "exact_substring_dedup",

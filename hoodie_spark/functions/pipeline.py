@@ -123,6 +123,47 @@ def priority_sample(df: DataFrame, key_col: str, k: int,
     return (df.orderBy(pr.asc(), F.col(key_col).asc()).limit(k))
 
 
+def weighted_priority(key_col, weight_col, salt: str = "") -> Column:
+    """Deterministic weighted-sampling priority (Efraimidis–Spirakis via
+    the exponential race): ``e = -ln(u) / w`` with ``u`` hash-uniform in
+    (0, 1] from the first 15 hex chars of ``md5(salt || key)``. The k
+    rows with the SMALLEST ``e`` are a weighted sample without
+    replacement — P(row first) = w / Σw, exactly the race of exponential
+    clocks with rates ``w``. 15 nibbles (60 bits) parse into a BIGINT in
+    both engines and the ln of the same double is bit-identical, so the
+    draw is engine-portable like :func:`priority_hash`."""
+    k = F.col(key_col) if isinstance(key_col, str) else key_col
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    v = F.conv(F.substring(F.md5(F.concat(F.lit(salt),
+                                          k.cast("string"))), 1, 15),
+               16, 10).cast("long")
+    u = (v + F.lit(1)) / F.lit(float(16 ** 15 + 1))
+    return -F.log(u) / w.cast("double")
+
+
+def weighted_priority_sample(df: DataFrame, key_col: str, weight_col: str,
+                             k: int, salt: str = "") -> DataFrame:
+    """Deterministic fixed-size WEIGHTED sample without replacement: the
+    ``k`` rows with the smallest :func:`weighted_priority` — heavier rows
+    proportionally likelier, re-runs/retries/partition layout all select
+    the same rows, and ``salt`` draws an independent sample. Rows with
+    NULL or non-positive weight can never be drawn and are excluded.
+    Training-data use: sample a fixed-size dev set where probability
+    should track tokens (or quality score), not document count.
+
+    Like :func:`priority_sample`, bottom-k by a per-row deterministic
+    score is a MONOID (bottom-k of a union = bottom-k of per-part
+    bottom-k's), so the weighted sample is maintainable over a stream
+    with the same reservoir fold. Scale shape: TakeOrderedAndProject —
+    per-partition local bottom-k, O(k) driver merge, no global sort.
+    """
+    if k < 0:
+        raise ValueError(f"k must be ≥ 0, got {k}")
+    e = weighted_priority(key_col, weight_col, salt)
+    return (df.filter(F.col(weight_col).cast("double") > 0)
+            .orderBy(e.asc(), F.col(key_col).asc()).limit(k))
+
+
 def pack_shards(df: DataFrame, weight_col: str, budget: float,
                 order_cols: list[str], num_buckets: int = 256) -> DataFrame:
     """Assign each row a ``shard_id`` so consecutive rows (in ``order_cols``

@@ -10,6 +10,7 @@ from .maintainer import ConcurrentMaintainerError, maintainer_lock
 from .split_maintainer import SplitMaintainer
 from .reservoir import ReservoirMaintainer
 from .keep_best import KeepBestDeduper
+from .line_census import LineCensusMaintainer
 from .schema import (FileBasedSchemaProvider, RowBasedSchemaProvider,
                      SchemaProvider, SchemaRegistryProvider,
                      StaticSchemaProvider)
@@ -30,6 +31,7 @@ __all__ = ["foreach_batch_writer", "write_stream", "incremental_batches",
            "stateful_dedup", "stateful_session_counts", "IncrementalDeduper",
            "IvfIndexMaintainer", "CorpusSketchMaintainer",
            "SplitMaintainer", "ReservoirMaintainer", "KeepBestDeduper",
+           "LineCensusMaintainer",
            "ConcurrentMaintainerError",
            "DriftMonitor",
            "SchemaProvider",

@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from hoodie_spark import HoodieTable, functions as HF
 from hoodie_spark.streaming import (CorpusSketchMaintainer, DriftMonitor,
                                     IncrementalDeduper, Ingestor,
+                                    LineCensusMaintainer,
                                     ReservoirMaintainer, SplitMaintainer)
 from hoodie_spark.streaming.ingest import Source
 from hoodie_spark.streaming.transform import QualityGateTransformer
@@ -54,12 +55,14 @@ def test_full_curation_pipeline(spark, tmp_table_path):
                          "doc_id", "text")
     rv = ReservoirMaintainer(tbl, os.path.join(tmp_table_path, "resv"),
                              "doc_id", k=50)
+    lc = LineCensusMaintainer(tbl, os.path.join(tmp_table_path, "lc"),
+                              "doc_id", "text")
     ing = Ingestor(tbl, _Batches([b1, b2]),
                    transformers=[QualityGateTransformer(
                        "text", gopher=True,
                        gopher_overrides={"min_words": 5,
                                          "max_dup_span_frac": 0.5})],
-                   deduper=dd, index_maintainers=[mon, sk, sm, rv],
+                   deduper=dd, index_maintainers=[mon, sk, sm, rv, lc],
                    operation="insert")
     ing.run_continuous(2)
 
@@ -90,6 +93,13 @@ def test_full_curation_pipeline(spark, tmp_table_path):
     assert sorted(r["doc_id"] for r in rv.reservoir().collect()) == \
         sorted(r["doc_id"] for r in HF.priority_sample(
             snap.select("doc_id"), "doc_id", 50).collect())
+    # maintained line census == one batch census over the final table
+    got_lc = {r.lhash: r.n for r in lc.census().collect()}
+    want_lc = {r.lhash: r.n for r in
+               snap.select(F.explode(F.split("text", "\n")).alias("l"))
+               .groupBy(F.md5("l").alias("lhash"))
+               .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got_lc == want_lc
 
     # exactly-once: re-running the drained source changes nothing
     before = snap.count()

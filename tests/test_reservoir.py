@@ -70,6 +70,57 @@ def test_priority_sample_edges(spark):
         HF.priority_sample(docs, "doc_id", -1)
 
 
+# ------------------------------------------- weighted_priority_sample
+def test_weighted_sample_matches_python(spark):
+    """Selected set == python replay of e = -ln(u)/w with u from the
+    first 15 md5 hex chars — the engine-portable E-S exponential race."""
+    import hashlib
+    import math
+
+    rows = [(i, float(1 + (i * 7) % 13)) for i in range(80)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    got = _ids(HF.weighted_priority_sample(df, "doc_id", "w", 15))
+
+    def e(i, w):
+        v = int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+        return -math.log((v + 1) / float(16 ** 15 + 1)) / w
+
+    want = sorted(sorted(rows, key=lambda r: (e(*r), r[0]))[:15])
+    assert got == [i for i, _ in want]
+
+
+def test_weighted_sample_bias_and_guards(spark):
+    # 50 heavy rows (w=1000) vs 450 light (w=1): heavy rows dominate
+    rows = [(i, 1000.0 if i < 50 else 1.0) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    got = _ids(HF.weighted_priority_sample(df, "doc_id", "w", 40))
+    assert sum(1 for i in got if i < 50) >= 30
+    # NULL / zero / negative weights can never be drawn
+    bad = spark.createDataFrame(
+        [(1000, None), (1001, 0.0), (1002, -3.0)], "doc_id long, w double")
+    all_rows = df.unionByName(bad)
+    assert not any(i >= 1000 for i in _ids(
+        HF.weighted_priority_sample(all_rows, "doc_id", "w", 500)))
+    with pytest.raises(ValueError):
+        HF.weighted_priority_sample(df, "doc_id", "w", -1)
+
+
+def test_weighted_sample_layout_invariant_and_monoid(spark):
+    rows = [(i, float(1 + i % 9)) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    a = _ids(HF.weighted_priority_sample(df, "doc_id", "w", 30))
+    b = _ids(HF.weighted_priority_sample(df.repartition(17), "doc_id",
+                                         "w", 30))
+    assert a == b and len(a) == 30
+    evens = df.filter(F.col("doc_id") % 2 == 0)
+    odds = df.filter(F.col("doc_id") % 2 == 1)
+    parts = _ids(HF.weighted_priority_sample(
+        HF.weighted_priority_sample(evens, "doc_id", "w", 30)
+        .unionByName(HF.weighted_priority_sample(odds, "doc_id", "w", 30)),
+        "doc_id", "w", 30))
+    assert parts == a
+
+
 # --------------------------------------------------- ReservoirMaintainer
 def test_reservoir_equals_batch_over_union(spark, tmp_table_path):
     docs = _docs(spark)

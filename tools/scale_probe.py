@@ -177,7 +177,8 @@ def probe_once(spark, sf_dir: str, only: set | None = None) -> dict:
             "lm_perplexity", "quality_classifier", "distribution_shift",
             "substring_dedup", "ppl_buckets", "corpus_report",
             "decontaminate_near", "lm_perplexity_64k", "domain_mixture",
-            "leakage_split", "dedup_keep_best", "token_budget_select"):
+            "leakage_split", "dedup_keep_best", "token_budget_select",
+            "dedup_jaccard", "dedup_edit", "line_dedup", "ngram_novelty"):
         docs = load_table(spark, sf_dir, "documents").select(
             "doc_id", "text")
     work = tempfile.mkdtemp(prefix="scale_probe_")
@@ -319,6 +320,29 @@ def probe_once(spark, sf_dir: str, only: set | None = None) -> dict:
                     HF.token_count(F.col("text")).cast("long")),
                 "n_tokens", 30 * n_docs, ["n_chars", "doc_id"])
                 .agg(F.count(F.lit(1)), F.max("cum_tokens")).collect())
+        # round-14 rows: the distinct-text-grain exact verifiers and the
+        # line/novelty censuses — each must scale like a fixed number of
+        # corpus scans + hash-keyed shuffles
+        if want("dedup_jaccard"):
+            timed("dedup_jaccard", lambda: HF.jaccard_dedup_pairs(
+                docs, "doc_id", "text", threshold=0.8).count())
+        if want("dedup_edit"):
+            timed("dedup_edit", lambda: HF.edit_dedup_pairs(
+                docs, "doc_id", "text", threshold=0.9).count())
+        if want("line_dedup"):
+            timed("line_dedup", lambda: HF.line_dedup(
+                docs.select("doc_id", F.concat_ws(
+                    "\n", F.col("text"),
+                    F.lit("subscribe to our newsletter"),
+                    F.concat(F.lit("tail "),
+                             (F.col("doc_id") % 7).cast("string")))
+                    .alias("text")),
+                "doc_id", "text")
+                .agg(F.sum(F.length("text"))).collect())
+        if want("ngram_novelty"):
+            timed("ngram_novelty", lambda: HF.ngram_novelty(
+                docs, "doc_id", "text", n=3)
+                .agg(F.avg("novel_frac"), F.count(F.lit(1))).collect())
         # eval side fixed-size (the production contract): the probe
         # scales ONLY the corpus side
         timed("decontaminate_near", lambda: HF.decontaminate_near(
