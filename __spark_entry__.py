@@ -806,6 +806,27 @@ def _fx_docs_incdedup(spark, sf_dir, path):
     return {"tbl": tbl}
 
 
+def _fx_wres(spark, sf_dir, path):
+    """Weighted reservoir as maintained state: three insert batches
+    through ReservoirMaintainer(weight_col=...).catch_up(). Bottom-k by
+    the per-row exponential-race score is the same monoid as the uniform
+    hash, so the maintained weighted sample must be BIT-IDENTICAL to one
+    batch weighted_priority_sample over the union (the oracle)."""
+    from hoodie_spark.streaming import ReservoirMaintainer
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars")
+    tbl = HoodieTable.create(spark, os.path.join(path, "t"),
+                             "docs_wres", ["doc_id"], None)
+    m = ReservoirMaintainer(tbl, os.path.join(path, "res"), "doc_id",
+                            k=500, weight_col="n_chars")
+    for k in range(3):
+        tbl.insert(docs.withColumn(
+            "doc_id", F.col("doc_id") + F.lit(k * 10000)))
+        m.catch_up()
+    return {"m": m}
+
+
 def _fx_line_census(spark, sf_dir, path):
     """Cross-document line census as maintained state: the lined corpus
     (text + corpus-wide boilerplate line + per-doc-or-shared tail)
@@ -862,6 +883,7 @@ _BUILDERS = {
     "reservoir": _fx_reservoir,
     "keep_best": _fx_keep_best,
     "line_census": _fx_line_census,
+    "wres": _fx_wres,
 }
 
 _ORDER_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
@@ -1948,6 +1970,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Declared past the window; verified via tools/check_oracle.py.
     q["line_census_incremental"] = lambda s, d: _fixture(
         s, d, "line_census")["m"].census()
+
+    # ---- weighted reservoir as maintained state (round 14): bottom-k
+    # by the exponential-race score folded over three insert batches ≡
+    # one batch weighted_priority_sample over the union
+    # (streaming/reservoir.ReservoirMaintainer(weight_col=...)).
+    # Declared past the window; verified via tools/check_oracle.py.
+    q["weighted_reservoir_incremental"] = lambda s, d: _fixture(
+        s, d, "wres")["m"].reservoir().select(
+            "doc_id", F.round("__pr", 6).alias("pr"))
 
     # ---- 50-row window curation: the driver records CORRECTNESS for the
     # FIRST 50 queries only. Swap this round's new UNIQUE operators into
@@ -3354,6 +3385,23 @@ WITH pr AS (
   FROM documents WHERE CAST(n_chars AS DOUBLE) > 0
 )
 SELECT doc_id, n_chars FROM pr ORDER BY e, doc_id LIMIT 200
+"""
+    # maintained weighted reservoir ≡ batch weighted draw over the union
+    # of the three shifted batches (same exponential-race priority)
+    o["weighted_reservoir_incremental"] = """
+WITH corpus AS (
+  SELECT doc_id, n_chars FROM documents
+  UNION ALL SELECT doc_id + 10000, n_chars FROM documents
+  UNION ALL SELECT doc_id + 20000, n_chars FROM documents
+),
+pr AS (
+  SELECT doc_id,
+         -ln((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                   AS BIGINT) + 1) / 1152921504606846977.0)
+         / CAST(n_chars AS DOUBLE) AS e
+  FROM corpus WHERE CAST(n_chars AS DOUBLE) > 0
+)
+SELECT doc_id, round(e, 6) AS pr FROM pr ORDER BY e, doc_id LIMIT 500
 """
     # maintained line census ≡ batch census over the union of the three
     # ingest slices (which is the whole lined corpus)

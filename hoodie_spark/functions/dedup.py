@@ -114,7 +114,8 @@ def with_minhash(df: DataFrame, text_col: str, num_hashes: int = 16,
 
 
 def minhash_sigs(df: DataFrame, id_col: str, text_col: str,
-                 num_hashes: int = 16, ngram: int = 5) -> DataFrame:
+                 num_hashes: int = 16, ngram: int = 5,
+                 with_size: bool = False) -> DataFrame:
     """(id, minhash array) via explode + codegen'd md5 columns + partial min.
 
     Faster shape than :func:`minhash_signature` for bulk runs: higher-order
@@ -122,16 +123,25 @@ def minhash_sigs(df: DataFrame, id_col: str, text_col: str,
     whole-stage-codegen'd. The explode never hits the shuffle — min() is
     partially aggregated map-side, so only (id, num_hashes × 32B) moves.
     Rows with no shingles (text shorter than the n-gram) drop out.
+    ``with_size=True`` adds ``__nsh``, the distinct-shingle count — free
+    (one more partial aggregate in the same pass) and the input to the
+    candidate-stage size gates.
     """
     sh = _spread(df).select(
         F.col(id_col),
         F.explode(char_ngrams(F.col(text_col), ngram)).alias("__sh"))
     mins = [F.min(F.md5(F.concat(F.lit(f"h{i}:"), F.col("__sh")))).alias(f"__h{i}")
             for i in range(num_hashes)]
+    if with_size:
+        # char_ngrams output is already distinct per doc
+        mins.append(F.count(F.lit(1)).alias("__nsh"))
     agg = sh.groupBy(id_col).agg(*mins)
-    return agg.select(
-        F.col(id_col),
-        F.array(*[F.col(f"__h{i}") for i in range(num_hashes)]).alias("minhash"))
+    cols = [F.col(id_col),
+            F.array(*[F.col(f"__h{i}")
+                      for i in range(num_hashes)]).alias("minhash")]
+    if with_size:
+        cols.append(F.col("__nsh"))
+    return agg.select(*cols)
 
 
 def bounded_self_pairs(keyed: DataFrame, key_cols: list[str], id_col: str,
@@ -448,7 +458,8 @@ def dedup_keep_best(df: DataFrame, id_col: str, text_col: str,
 
 def jaccard_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
                         threshold: float = 0.8, num_hashes: int = 16,
-                        bands: int = 4, ngram: int = 5) -> DataFrame:
+                        bands: int = 4, ngram: int = 5,
+                        max_band_rows: int = 4096) -> DataFrame:
     """Near-duplicate pairs with exact n-gram Jaccard ≥ threshold.
 
     LSH candidates first (cheap), exact |∩|/|∪| verification on candidates
@@ -468,14 +479,35 @@ def jaccard_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
     ×100 template corpus; this shape ships each distinct text's array
     once per distinct counterpart instead.
 
-    A size gate prunes distinct-hash pairs before the arrays are even
-    joined: |∩| ≤ min(n_a, n_b) and |∪| ≥ max(n_a, n_b), so a pair with
-    min/max below the threshold can never verify (epsilon keeps exact
-    boundary pairs — integer sizes whose ratio equals the threshold —
-    flowing to the exact check).
+    A size gate prunes candidate pairs IN-ROW, before the ``.distinct()``
+    that consolidates them and again before the arrays are joined:
+    |∩| ≤ min(n_a, n_b) and |∪| ≥ max(n_a, n_b), so a pair with min/max
+    below the threshold can never verify (epsilon keeps exact boundary
+    pairs — integer sizes whose ratio equals the threshold — flowing to
+    the exact check). Gating before the distinct matters as much as the
+    grain: on a corpus whose band groups sit just under the hot-group
+    cap, raw candidate pairs grow quadratically per group (measured:
+    500k synthetic docs → hundreds of millions of pairs whose distinct()
+    alone exhausted executor memory); the in-row gate drops most of them
+    where they are produced, the same discipline as sig_near_pairs'
+    agreement gate.
     """
-    cands = minhash_candidate_pairs(df, id_col, text_col, num_hashes,
-                                    bands, ngram)
+    rows_per_band = num_hashes // bands
+    sig = minhash_sigs(df, id_col, text_col, num_hashes, ngram,
+                       with_size=True)
+    exploded = _pin(
+        sig.select(F.col(id_col), F.col("__nsh"),
+                   F.explode(band_keys("minhash", bands,
+                                       rows_per_band)).alias("bk"))
+        .select(id_col, "__nsh", F.col("bk.band").alias("band"),
+                F.col("bk.bh").alias("bh")))
+    size_ok = (F.least("__nsh_a", "__nsh_b").cast("double")
+               / F.greatest("__nsh_a", "__nsh_b").cast("double")
+               >= F.lit(float(threshold)) - F.lit(1e-9))
+    cands = (bounded_self_pairs(exploded, ["band", "bh"], id_col,
+                                max_band_rows, carry=("__nsh",))
+             .filter(size_ok)
+             .select("id_a", "id_b").distinct())
     docs = _pin(df.select(F.col(id_col), F.md5(F.col(text_col)).alias("__ch")))
     # one representative per distinct text: same hash ⇒ same bytes ⇒ same
     # shingle set, so which row wins the partial-aggregate race is
@@ -585,15 +617,36 @@ def edit_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
     pairs; byte-identical pairs short-circuit to similarity 1.0 with no
     text comparison; each distinct (hash_a, hash_b) is verified ONCE and
     the scalar joins back to id-pairs, so a template cluster never ships
-    O(copies²) text payloads. A length gate prunes before texts are
-    joined: ``lev ≥ |len_a - len_b|`` ⇒ similarity ≤ 1 - |Δlen|/max_len;
-    and the surviving Levenshtein calls pass Spark's bounded variant
+    O(copies²) text payloads. The length gate (``lev ≥ |len_a - len_b|``
+    ⇒ similarity ≤ 1 - |Δlen|/max_len) runs IN-ROW on the banded
+    self-join, BEFORE the ``.distinct()`` that consolidates candidates —
+    sub-cap hot band groups produce quadratically many raw pairs and
+    consolidating them ungated is itself a scale-killer (measured at a
+    ×100 probe) — and again at the hash grain before texts are joined.
+    The surviving Levenshtein calls pass Spark's bounded variant
     (``F.levenshtein(l, r, threshold)``) so the DP loop abandons a pair
     the moment the distance budget ``⌊(1-t)·max_len⌋`` is exhausted —
     O(budget·len) instead of O(len²) per verify.
     """
-    cands = minhash_candidate_pairs(df, id_col, text_col, num_hashes,
-                                    bands, ngram, max_band_rows)
+    rows_per_band = num_hashes // bands
+    sig = minhash_sigs(df, id_col, text_col, num_hashes, ngram)
+    lens = df.select(F.col(id_col), F.length(text_col).alias("__tlen"))
+    exploded = _pin(
+        sig.join(lens, id_col)
+        .select(F.col(id_col), F.col("__tlen"),
+                F.explode(band_keys("minhash", bands,
+                                    rows_per_band)).alias("bk"))
+        .select(id_col, "__tlen", F.col("bk.band").alias("band"),
+                F.col("bk.bh").alias("bh")))
+    len_ok = ((F.lit(1.0)
+               - F.abs(F.col("__tlen_a") - F.col("__tlen_b"))
+               .cast("double")
+               / F.greatest("__tlen_a", "__tlen_b").cast("double"))
+              >= F.lit(float(threshold)) - F.lit(1e-9))
+    cands = (bounded_self_pairs(exploded, ["band", "bh"], id_col,
+                                max_band_rows, carry=("__tlen",))
+             .filter(len_ok)
+             .select("id_a", "id_b").distinct())
     docs = _pin(df.select(F.col(id_col),
                           F.md5(F.col(text_col)).alias("__ch")))
     reps = _pin(df.select(F.md5(F.col(text_col)).alias("__ch"),

@@ -126,7 +126,7 @@ def priority_sample(df: DataFrame, key_col: str, k: int,
 def weighted_priority(key_col, weight_col, salt: str = "") -> Column:
     """Deterministic weighted-sampling priority (Efraimidis–Spirakis via
     the exponential race): ``e = -ln(u) / w`` with ``u`` hash-uniform in
-    (0, 1] from the first 15 hex chars of ``md5(salt || key)``. The k
+    (0, 1) from the first 15 hex chars of ``md5(salt || key)``. The k
     rows with the SMALLEST ``e`` are a weighted sample without
     replacement — P(row first) = w / Σw, exactly the race of exponential
     clocks with rates ``w``. 15 nibbles (60 bits) parse into a BIGINT in

@@ -25,6 +25,15 @@ priority) rows are already in or below the reservoir — distinct-fold
 idempotence). Rollback/restore past the watermark rebuilds from the
 table's current content, since a bottom-k cannot "un-see" removed rows.
 
+Weighted mode (``weight_col=...``): the priority becomes the
+Efraimidis–Spirakis exponential race ``e = -ln(u)/w``
+(:func:`~hoodie_spark.functions.pipeline.weighted_priority`) — still a
+per-row deterministic score, so bottom-k stays the same monoid and the
+maintained sample equals one batch
+:func:`~hoodie_spark.functions.pipeline.weighted_priority_sample` over
+the union (q:weighted_reservoir_incremental). Rows with NULL or
+non-positive weight can never be drawn.
+
 100 TB story: each fold scans ONLY the arriving batch (one projection
 to (key, priority)), unions the ≤k-row state, and takes bottom-k via
 TakeOrderedAndProject (per-partition local bottom-k, driver merge of
@@ -50,7 +59,7 @@ class ReservoirMaintainer:
     """Maintained fixed-size deterministic sample of a table's keys."""
 
     def __init__(self, table, state_path: str, key_col: str, k: int,
-                 salt: str = ""):
+                 salt: str = "", weight_col: str | None = None):
         if k < 0:
             raise ValueError(f"k must be ≥ 0, got {k}")
         self.table = table
@@ -58,16 +67,23 @@ class ReservoirMaintainer:
         self.key_col = key_col
         self.k = k
         self.salt = salt
+        # weighted mode: bottom-k by the Efraimidis–Spirakis exponential
+        # race (functions.pipeline.weighted_priority) instead of the
+        # uniform hash — same monoid, so the maintained sample stays
+        # bit-identical to one batch weighted_priority_sample over the
+        # union; rows with NULL/non-positive weight can never be drawn
+        self.weight_col = weight_col
         self.fs = table.storage
         self._lock_dir = state_path  # single-maintainer fence
         st = self._load()
         if st:
-            for name in ("k", "salt"):
-                if st[name] != getattr(self, name):
+            for name in ("k", "salt", "weight_col"):
+                if st.get(name) != getattr(self, name):
                     raise ValueError(
                         f"reservoir state at {self.path} was built with "
-                        f"{name}={st[name]!r}, got {getattr(self, name)!r}"
-                        " — the sample is a function of both")
+                        f"{name}={st.get(name)!r}, got "
+                        f"{getattr(self, name)!r}"
+                        " — the sample is a function of all three")
         self._key_type: str | None = st.get("key_type") if st else None
         self._gen: int = st.get("gen", 0) if st else 0
 
@@ -85,7 +101,7 @@ class ReservoirMaintainer:
 
         self.fs.makedirs(self.path)
         payload = {"instant": instant, "k": self.k, "salt": self.salt,
-                   "gen": self._gen}
+                   "weight_col": self.weight_col, "gen": self._gen}
         if self._key_type is not None:
             payload["key_type"] = self._key_type
         storage.ATOMIC.put_atomic(self._state_file,
@@ -105,11 +121,29 @@ class ReservoirMaintainer:
     def _gen_path(self, g: int) -> str:
         return os.path.join(self.path, "sample", f"gen-{g:06d}")
 
+    @property
+    def _pr_type(self) -> str:
+        return "string" if self.weight_col is None else "double"
+
+    def _priority(self):
+        if self.weight_col is None:
+            return priority_hash(self.key_col, self.salt)
+        from ..functions.pipeline import weighted_priority
+
+        return weighted_priority(self.key_col, self.weight_col, self.salt)
+
+    def _batch_cols(self, df: DataFrame) -> DataFrame:
+        if self.weight_col is None:
+            return df.select(self.key_col)
+        return (df.select(self.key_col, self.weight_col)
+                .filter(F.col(self.weight_col).cast("double") > 0))
+
     def reservoir(self) -> DataFrame:
         """The current sample: (key_col, __pr), ≤ k rows."""
         p = self._gen_path(self._gen)
         spark = self.table.spark
-        schema = f"{self.key_col} {self._resolve_key_type()}, __pr string"
+        schema = (f"{self.key_col} {self._resolve_key_type()}, "
+                  f"__pr {self._pr_type}")
         entries = [] if not self.fs.exists(p) else self.fs.listdir(p)
         files = [e for e in entries if e.endswith(".parquet")]
         if not files:
@@ -125,9 +159,9 @@ class ReservoirMaintainer:
         ``state.json`` publish swaps the pointer — a crash leaves the old
         pointer and the fold simply re-runs."""
         self._resolve_key_type(df)
-        cand = (df.select(F.col(self.key_col),
-                          priority_hash(self.key_col, self.salt)
-                          .alias("__pr"))
+        cand = (self._batch_cols(df)
+                .select(F.col(self.key_col),
+                        self._priority().alias("__pr"))
                 .unionByName(self.reservoir())
                 .distinct()   # replay / state-overlap idempotence
                 .orderBy(F.col("__pr").asc(), F.col(self.key_col).asc())
@@ -171,8 +205,10 @@ class ReservoirMaintainer:
             if st is None:
                 self._publish(None)
             return 0
+        cols = [self.key_col] + ([self.weight_col]
+                                 if self.weight_col else [])
         delta = self.table.incremental(begin=mark, end=last.timestamp) \
-            .select(self.key_col)
+            .select(*cols)
         if delta.limit(1).count():
             self.fold(delta, instant=last.timestamp)
         else:
@@ -190,13 +226,14 @@ class ReservoirMaintainer:
             # publish an empty generation
             self.table.spark.createDataFrame(
                 [], f"{self.key_col} {self._resolve_key_type()}, "
-                "__pr string").write.mode("overwrite") \
+                f"__pr {self._pr_type}").write.mode("overwrite") \
                 .parquet(self._gen_path(self._gen))
             self._publish(None)
             self._sweep_stale()
             return 0
-        snap = self.table.snapshot(as_of=last.timestamp) \
-            .select(self.key_col)
+        cols = [self.key_col] + ([self.weight_col]
+                                 if self.weight_col else [])
+        snap = self.table.snapshot(as_of=last.timestamp).select(*cols)
         return self.fold(snap, instant=last.timestamp)
 
     def on_commit(self, batch: DataFrame | None = None,

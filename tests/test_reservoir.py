@@ -194,3 +194,48 @@ def test_reservoir_no_single_partition_exchange(spark, tmp_table_path):
         ._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "Exchange SinglePartition" not in plan
+
+
+# ------------------------------------------ weighted ReservoirMaintainer
+def test_weighted_reservoir_equals_batch_over_union(spark, tmp_table_path):
+    docs = (spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .select("doc_id", "n_chars").filter(F.col("doc_id") < 150))
+    tbl = HoodieTable.create(spark, os.path.join(tmp_table_path, "t"),
+                             "docs_wres", ["doc_id"], None)
+    m = ReservoirMaintainer(tbl, os.path.join(tmp_table_path, "res"),
+                            "doc_id", k=40, weight_col="n_chars")
+    batches = [docs.withColumn("doc_id", F.col("doc_id") + k * 10000)
+               for k in range(3)]
+    union = batches[0]
+    for b in batches[1:]:
+        union = union.unionByName(b)
+    for b in batches:
+        tbl.insert(b)
+        m.catch_up()
+    got = sorted((r["doc_id"], r["__pr"])
+                 for r in m.reservoir().collect())
+    want_df = HF.weighted_priority_sample(union, "doc_id", "n_chars", 40)
+    from hoodie_spark.functions.pipeline import weighted_priority
+    want = sorted((r["doc_id"], r["e"]) for r in want_df.select(
+        "doc_id", weighted_priority("doc_id", "n_chars").alias("e"))
+        .collect())
+    assert got == want
+    # replayed catch_up with no new commits: unchanged
+    m.catch_up()
+    assert sorted((r["doc_id"], r["__pr"])
+                  for r in m.reservoir().collect()) == got
+
+
+def test_weighted_reservoir_param_guard(spark, tmp_table_path):
+    docs = (spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .select("doc_id", "n_chars").filter(F.col("doc_id") < 30))
+    tbl = HoodieTable.create(spark, os.path.join(tmp_table_path, "t"),
+                             "docs_wres", ["doc_id"], None)
+    state = os.path.join(tmp_table_path, "res")
+    m = ReservoirMaintainer(tbl, state, "doc_id", k=10,
+                            weight_col="n_chars")
+    m.fold(docs)
+    with pytest.raises(ValueError):
+        ReservoirMaintainer(tbl, state, "doc_id", k=10)  # uniform rival
+    with pytest.raises(ValueError):
+        ReservoirMaintainer(tbl, state, "doc_id", k=10, weight_col="other")

@@ -321,14 +321,24 @@ def probe_once(spark, sf_dir: str, only: set | None = None) -> dict:
                 "n_tokens", 30 * n_docs, ["n_chars", "doc_id"])
                 .agg(F.count(F.lit(1)), F.max("cum_tokens")).collect())
         # round-14 rows: the distinct-text-grain exact verifiers and the
-        # line/novelty censuses — each must scale like a fixed number of
-        # corpus scans + hash-keyed shuffles
+        # line/novelty censuses. The exact pairwise verifiers run with a
+        # tight hot-group cap at scale — the containment_dedup precedent
+        # (max_prefix_df=64 above): the ×100 synthetic corpus is
+        # band-collisional ACROSS salted replicas (top band group 7.5k
+        # rows; 146.5M raw candidate pairs measured), so the UNGUARDED
+        # exact verify is O(1e8) pairs by construction — the documented
+        # boundary where production routes template-heavy corpora
+        # through the cap (or sig_near_pairs). cap=512 keeps duplicate
+        # clusters connected through pivots while bounding per-group
+        # pairs at O(n·cap).
         if want("dedup_jaccard"):
             timed("dedup_jaccard", lambda: HF.jaccard_dedup_pairs(
-                docs, "doc_id", "text", threshold=0.8).count())
+                docs, "doc_id", "text", threshold=0.8,
+                max_band_rows=512).count())
         if want("dedup_edit"):
             timed("dedup_edit", lambda: HF.edit_dedup_pairs(
-                docs, "doc_id", "text", threshold=0.9).count())
+                docs, "doc_id", "text", threshold=0.9,
+                max_band_rows=512).count())
         if want("line_dedup"):
             timed("line_dedup", lambda: HF.line_dedup(
                 docs.select("doc_id", F.concat_ws(
