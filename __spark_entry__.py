@@ -1953,6 +1953,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         load_table(s, d, "documents").select("doc_id", "text"),
         "doc_id", "text", n=3)
 
+    # ---- per-group distinct-count sketch (round 14): vocabulary size
+    # per source from 64 per-group md5 minima — the countDistinct
+    # substitute at corpus scale; the ORACLE CHECKS THE ESTIMATE ITSELF
+    # (60-bit parse + fixed-order float sum are bit-identical in DuckDB)
+    # (functions/dedup.group_distinct_sketch). Declared past the window;
+    # verified via tools/check_oracle.py.
+    q["distinct_sketch"] = lambda s, d: HF.group_distinct_sketch(
+        load_table(s, d, "documents").select(
+            "source",
+            F.explode(F.split(F.lower("text"), r"\s+")).alias("tok"))
+        .filter(F.col("tok") != ""),
+        "source", "tok", num_hashes=64)
+
     # ---- weighted deterministic sample (round 14): Efraimidis–Spirakis
     # via the exponential race e = -ln(u)/w, u hash-uniform from the
     # first 15 md5 hex chars — bit-identical in both engines, so the
@@ -3373,6 +3386,24 @@ built AS (
 )
 SELECT d.doc_id, coalesce(b.t, '') AS text
 FROM lined d LEFT JOIN built b USING (doc_id)
+"""
+    # distinct sketch: 64 per-group md5 minima; the estimate reproduces
+    # bit-for-bit (same parse, same left-to-right sum, IEEE division)
+    _dsk_mins = ", ".join(
+        f"min(md5('h{i}:' || tok)) AS h{i}" for i in range(64))
+    _dsk_sum = " + ".join(
+        f"((CAST(concat('0x', substr(h{i}, 1, 15)) AS BIGINT) + 1)"
+        f" / 1152921504606846977.0)" for i in range(64))
+    o["distinct_sketch"] = f"""
+WITH toks AS (
+  SELECT source, unnest(list_filter(
+    string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS tok
+  FROM documents
+),
+sk AS (SELECT source, {_dsk_mins} FROM toks GROUP BY source)
+SELECT source,
+       round(CAST(64 AS DOUBLE) / ({_dsk_sum}) - 1.0, 4) AS est_distinct
+FROM sk
 """
     # weighted sample: same exponential-race priority, 15 md5 nibbles
     # parsed via the 0x-prefix BIGINT cast

@@ -266,6 +266,11 @@ def run_suite(spark, sf_dir: str) -> dict[str, float]:
     timed("ngram_novelty")(lambda: HF.ngram_novelty(
         docs.select("doc_id", "text"), "doc_id", "text", n=3)
         .agg(F.avg("novel_frac"), F.count(F.lit(1))).collect())
+    timed("distinct_sketch")(lambda: HF.group_distinct_sketch(
+        docs.select("source",
+                    F.explode(F.split(F.lower("text"), r"\s+"))
+                    .alias("tok")).filter(F.col("tok") != ""),
+        "source", "tok", num_hashes=64).collect())
     timed("corpus_report")(lambda: HF.corpus_report(
         docs, "text", "source").collect())
     timed("decontaminate_near")(lambda: HF.decontaminate_near(

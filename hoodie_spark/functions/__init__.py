@@ -57,7 +57,7 @@ from .dedup import (
     lsh_plan,
     corpus_overlap,
     corpus_overlap_minhash,
-    group_sketches,
+    group_sketches, group_distinct_sketch,
     merge_sketches,
     sketch_overlap,
 )
@@ -153,7 +153,7 @@ __all__ = [
     "exact_substring_dedup",
     "seen_dedup", "doc_features", "min_sig_matches", "sig_agreement",
     "lsh_plan", "corpus_overlap", "corpus_overlap_minhash", "epoch_shuffle",
-    "group_sketches", "merge_sketches", "sketch_overlap",
+    "group_sketches", "group_distinct_sketch", "merge_sketches", "sketch_overlap",
     "bounded_self_pairs",
     "dot", "l2_norm", "cosine", "brute_force_topk", "hard_negative_mine",
     "hard_negative_mine_ivf", "lsh_bucket_topk",

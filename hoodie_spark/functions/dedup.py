@@ -39,7 +39,7 @@ __all__ = [
     "dedup_keep_best", "containment_dedup_pairs", "with_simhash",
     "simhash_sigs", "simhash_dup_pairs", "embedding_near_dup_pairs",
     "semantic_dedup", "lsh_plan", "corpus_overlap",
-    "corpus_overlap_minhash", "group_sketches", "merge_sketches",
+    "corpus_overlap_minhash", "group_sketches", "group_distinct_sketch", "merge_sketches",
     "sketch_overlap", "exact_substring_dedup",
 ]
 
@@ -785,6 +785,50 @@ def group_sketches(df: DataFrame, group_col: str, text_col: str,
     mins = [F.min(F.md5(F.concat(F.lit(f"h{i}:"), F.col("__sh"))))
             .alias(f"__h{i}") for i in range(num_hashes)]
     return sh.groupBy("__g").agg(*mins)
+
+
+def group_distinct_sketch(df: DataFrame, group_col: str, value_col: str,
+                          num_hashes: int = 64,
+                          salt: str = "") -> DataFrame:
+    """Per-group approximate distinct count from a min-value sketch —
+    the corpus-scale substitute for ``countDistinct`` (vocabulary size
+    per source, unique ids per shard) when the exact answer would
+    shuffle every distinct value. Returns ``(group_col, est_distinct)``.
+
+    Sketch: ``num_hashes`` independent per-group minima of
+    ``md5(salt·h<i>: || value)`` — the SAME monoid as
+    :func:`group_sketches` (componentwise min merges batches exactly),
+    so state per group is H × 32 bytes and the aggregate is map-side
+    combinable: a billion-row group ships one candidate per partition.
+    Estimate: each min, read as a uniform ``u ∈ (0,1)`` from its first
+    15 hex chars, has ``E[u] = 1/(n+1)`` over ``n`` distinct values, so
+    ``n̂ = H / Σu − 1`` (stochastic averaging; relative error
+    ~``1/√H``, ~12% at the default 64). Deterministic and
+    engine-EXACT: the 60-bit parse, the fixed left-to-right summation
+    order, and IEEE division reproduce bit-identically in DuckDB — the
+    oracle checks the estimate itself, not a tolerance band.
+
+    NULL values carry no hash and never count (matching
+    ``count(DISTINCT v)`` semantics); a group of only NULLs is absent.
+    """
+    vals = (df.select(F.col(group_col).alias("__g"),
+                      F.col(value_col).cast("string").alias("__v"))
+            .filter(F.col("__v").isNotNull()))
+    mins = [F.min(F.md5(F.concat(F.lit(f"{salt}h{i}:"), F.col("__v"))))
+            .alias(f"__h{i}") for i in range(num_hashes)]
+    sk = vals.groupBy("__g").agg(*mins)
+
+    def u(i: int):
+        return ((F.conv(F.substring(F.col(f"__h{i}"), 1, 15), 16, 10)
+                 .cast("long") + F.lit(1))
+                / F.lit(float(16 ** 15 + 1)))
+
+    total = u(0)
+    for i in range(1, num_hashes):
+        total = total + u(i)  # fixed fold order — portable float sum
+    est = F.round(F.lit(float(num_hashes)) / total - F.lit(1.0), 4)
+    return sk.select(F.col("__g").alias(group_col),
+                     est.alias("est_distinct"))
 
 
 def merge_sketches(a: DataFrame, b: DataFrame,

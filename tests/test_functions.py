@@ -124,6 +124,49 @@ def test_jaccard_pairs_template_corpus(spark):
     assert not any(2 in (a // 1000, b // 1000) for (a, b) in set(got) - within)
 
 
+def test_group_distinct_sketch_matches_python(spark):
+    """est_distinct == exact python replay of the min-value sketch
+    (engine-portable: the oracle checks the estimate itself)."""
+    import hashlib
+
+    rows = [(f"g{g}", f"val{(i * 13) % (40 * (g + 1))}")
+            for g in range(3) for i in range(400)]
+    df = spark.createDataFrame(rows, "g string, v string")
+    got = {r.g: r.est_distinct
+           for r in HF.group_distinct_sketch(df, "g", "v",
+                                             num_hashes=64).collect()}
+
+    def est(values):
+        total = 0.0
+        for i in range(64):
+            m = min(hashlib.md5(f"h{i}:{v}".encode()).hexdigest()
+                    for v in values)
+            total += (int(m[:15], 16) + 1) / float(16 ** 15 + 1)
+        return round(64.0 / total - 1.0, 4)
+
+    from collections import defaultdict
+    by_g = defaultdict(set)
+    for g, v in rows:
+        by_g[g].add(v)
+    for g, vals in by_g.items():
+        assert got[g] == est(vals)
+        # and the estimate is actually close to the exact count
+        assert abs(got[g] - len(vals)) / len(vals) < 0.35
+
+
+def test_group_distinct_sketch_nulls_and_layout(spark):
+    rows = [("a", "x"), ("a", "y"), ("a", None), ("b", None)]
+    df = spark.createDataFrame(rows, "g string, v string")
+    got = {r.g: r.est_distinct
+           for r in HF.group_distinct_sketch(df, "g", "v").collect()}
+    assert set(got) == {"a"}  # all-NULL group absent, NULLs not counted
+    df2 = spark.createDataFrame(rows * 5, "g string, v string")  # dups
+    got2 = {r.g: r.est_distinct
+            for r in HF.group_distinct_sketch(
+                df2.repartition(7), "g", "v").collect()}
+    assert got2 == got  # distinct-only, layout-invariant
+
+
 def test_line_dedup_drops_boilerplate(spark):
     rows = []
     for i in range(30):
