@@ -1966,6 +1966,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .filter(F.col("tok") != ""),
         "source", "tok", num_hashes=64)
 
+    # ---- maintained distinct-shingle estimates (round 14): the
+    # group_distinct_sketch estimator read straight off the maintained
+    # overlap-sketch state (same G×H minima; min is exact under union),
+    # so the maintained estimate ≡ the batch estimator over everything
+    # folded (streaming/corpus_sketch.CorpusSketchMaintainer.est_distinct).
+    # Declared past the window; verified via tools/check_oracle.py.
+    q["sketch_distinct_incremental"] = lambda s, d: _fixture(
+        s, d, "sketch_maint")["m"].est_distinct()
+
     # ---- weighted deterministic sample (round 14): Efraimidis–Spirakis
     # via the exponential race e = -ln(u)/w, u hash-uniform from the
     # first 15 md5 hex chars — bit-identical in both engines, so the
@@ -4126,6 +4135,22 @@ FROM s
     # replay invariant, so its overlap is BIT-IDENTICAL to the one-pass
     # sketch — the corpus_overlap_minhash oracle verbatim.
     o["corpus_overlap_incremental"] = o["corpus_overlap_minhash"]
+
+    # maintained distinct-shingle estimate ≡ the batch estimator over
+    # the union the sketches folded (same shingle CTE as the overlap
+    # oracles, same h<i> seeds, same estimator arithmetic)
+    _sds_mins = ", ".join(
+        f"min(md5('h{i}:' || sh)) AS h{i}" for i in range(64))
+    _sds_sum = " + ".join(
+        f"((CAST(concat('0x', substr(h{i}, 1, 15)) AS BIGINT) + 1)"
+        f" / 1152921504606846977.0)" for i in range(64))
+    o["sketch_distinct_incremental"] = f"""
+WITH {_corpus_sh0},
+sk AS (SELECT g, {_sds_mins} FROM sh0 GROUP BY g)
+SELECT g AS source,
+       round(CAST(64 AS DOUBLE) / ({_sds_sum}) - 1.0, 4) AS est_distinct
+FROM sk
+"""
 
     # bigram-LM perplexity: vocab = top-64 unigrams (desc count, asc term
     # — deterministic), OOV collapses to <unk>, lp(w1,w2) =

@@ -39,7 +39,8 @@ __all__ = [
     "dedup_keep_best", "containment_dedup_pairs", "with_simhash",
     "simhash_sigs", "simhash_dup_pairs", "embedding_near_dup_pairs",
     "semantic_dedup", "lsh_plan", "corpus_overlap",
-    "corpus_overlap_minhash", "group_sketches", "group_distinct_sketch", "merge_sketches",
+    "corpus_overlap_minhash", "group_sketches", "group_distinct_sketch",
+    "sketch_distinct_estimate", "merge_sketches",
     "sketch_overlap", "exact_substring_dedup",
 ]
 
@@ -817,7 +818,18 @@ def group_distinct_sketch(df: DataFrame, group_col: str, value_col: str,
     mins = [F.min(F.md5(F.concat(F.lit(f"{salt}h{i}:"), F.col("__v"))))
             .alias(f"__h{i}") for i in range(num_hashes)]
     sk = vals.groupBy("__g").agg(*mins)
+    return sk.select(F.col("__g").alias(group_col),
+                     sketch_distinct_estimate(num_hashes)
+                     .alias("est_distinct"))
 
+
+def sketch_distinct_estimate(num_hashes: int) -> Column:
+    """The min-value cardinality estimator over ``__h0..__h<H-1>``
+    minima columns: ``round(H / Σu − 1, 4)`` with each ``u`` parsed from
+    the first 15 hex chars. Shared by :func:`group_distinct_sketch` and
+    the maintained sketch's ``est_distinct()`` view — the summation
+    order is the fixed left-to-right fold, so the value is bit-portable
+    across engines."""
     def u(i: int):
         return ((F.conv(F.substring(F.col(f"__h{i}"), 1, 15), 16, 10)
                  .cast("long") + F.lit(1))
@@ -826,9 +838,7 @@ def group_distinct_sketch(df: DataFrame, group_col: str, value_col: str,
     total = u(0)
     for i in range(1, num_hashes):
         total = total + u(i)  # fixed fold order — portable float sum
-    est = F.round(F.lit(float(num_hashes)) / total - F.lit(1.0), 4)
-    return sk.select(F.col("__g").alias(group_col),
-                     est.alias("est_distinct"))
+    return F.round(F.lit(float(num_hashes)) / total - F.lit(1.0), 4)
 
 
 def merge_sketches(a: DataFrame, b: DataFrame,

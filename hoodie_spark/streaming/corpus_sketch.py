@@ -37,6 +37,7 @@ import json
 import os
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from ..functions.dedup import group_sketches, sketch_overlap
 from .maintainer import locked_fold
@@ -180,6 +181,28 @@ class CorpusSketchMaintainer:
             f"__h{i} string" for i in range(self.num_hashes))
         sigs = spark.createDataFrame(rows, cols)
         return sketch_overlap(sigs, self.num_hashes)
+
+    def est_distinct(self) -> DataFrame:
+        """Per-group estimated DISTINCT-SHINGLE count, straight from the
+        SAME G×H minima state — the
+        :func:`~hoodie_spark.functions.dedup.group_distinct_sketch`
+        estimator applied to the maintained sketch. Componentwise min is
+        exact under union, so the maintained estimate equals the batch
+        estimator over everything folded so far, bit-for-bit
+        (q:sketch_distinct_incremental) — per-source content volume
+        (deduplicated shingle mass) stays current at fold cost, never a
+        corpus re-scan."""
+        from ..functions.dedup import sketch_distinct_estimate
+
+        st = self._load() or {"sketches": {}}
+        rows = [tuple([g] + sig) for g, sig in sorted(st["sketches"].items())]
+        cols = "__g string, " + ", ".join(
+            f"__h{i} string" for i in range(self.num_hashes))
+        sigs = self.table.spark.createDataFrame(rows, cols)
+        return sigs.select(
+            F.col("__g").alias(self.group_col),
+            sketch_distinct_estimate(self.num_hashes)
+            .alias("est_distinct"))
 
     def on_commit(self, batch: DataFrame | None = None,
                   result=None) -> int:

@@ -227,6 +227,33 @@ def test_sketch_incremental_equals_batch(spark, docs, tmp_table_path):
     assert sorted(map(tuple, m.overlap().collect())) == want
 
 
+def test_sketch_est_distinct_equals_batch(spark, docs, tmp_table_path):
+    """est_distinct() off the maintained state == the batch
+    group_distinct_sketch over the union's exploded shingles — same
+    minima, same estimator, bit-for-bit."""
+    from hoodie_spark.functions.text import char_ngrams
+    from hoodie_spark.streaming import CorpusSketchMaintainer
+
+    tbl = HoodieTable.create(spark, f"{tmp_table_path}/t", "docs_skd",
+                             ["doc_id"], None)
+    m = CorpusSketchMaintainer(tbl, f"{tmp_table_path}/sk", "source",
+                               "text", num_hashes=32)
+    for k in range(3):
+        tbl.upsert(docs.filter(F.col("doc_id") % 3 == k))
+        m.catch_up()
+    got = {r.source: r.est_distinct for r in m.est_distinct().collect()}
+    sh = docs.select("source",
+                     F.explode(char_ngrams(F.col("text"), 5)).alias("sh"))
+    want = {r.source: r.est_distinct for r in HF.group_distinct_sketch(
+        sh, "source", "sh", num_hashes=32).collect()}
+    assert got == want
+    # and the estimate tracks the exact distinct-shingle counts
+    exact = {r.source: r.n for r in sh.groupBy("source").agg(
+        F.countDistinct("sh").alias("n")).collect()}
+    for g, est in got.items():
+        assert abs(est - exact[g]) / exact[g] < 0.5
+
+
 def test_sketch_rollback_rebuilds(spark, docs, tmp_table_path):
     """A rollback past the watermark re-sketches the snapshot — rolled-
     back shingles leave the state (min can't be un-merged, so this is the
