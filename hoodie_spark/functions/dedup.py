@@ -812,9 +812,11 @@ def group_distinct_sketch(df: DataFrame, group_col: str, value_col: str,
     NULL values carry no hash and never count (matching
     ``count(DISTINCT v)`` semantics); a group of only NULLs is absent.
     """
-    vals = (df.select(F.col(group_col).alias("__g"),
-                      F.col(value_col).cast("string").alias("__v"))
-            .filter(F.col("__v").isNotNull()))
+    # _spread: H md5s per value is the dominant cost — hash on every
+    # core, not on however few partitions the input happened to have
+    vals = _spread(df.select(F.col(group_col).alias("__g"),
+                             F.col(value_col).cast("string").alias("__v"))
+                   .filter(F.col("__v").isNotNull()))
     mins = [F.min(F.md5(F.concat(F.lit(f"{salt}h{i}:"), F.col("__v"))))
             .alias(f"__h{i}") for i in range(num_hashes)]
     sk = vals.groupBy("__g").agg(*mins)
