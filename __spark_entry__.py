@@ -793,6 +793,7 @@ def _fx_docs_incdedup(spark, sf_dir, path):
     from hoodie_spark.streaming import IncrementalDeduper
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    _assert_shift_safe(docs)
     exact = docs.withColumn("doc_id", F.col("doc_id") + 10000)
     near = (docs.withColumn("doc_id", F.col("doc_id") + 20000)
             .withColumn("text", F.concat(F.col("text"), F.lit(" zz"))))
@@ -806,6 +807,20 @@ def _fx_docs_incdedup(spark, sf_dir, path):
     return {"tbl": tbl}
 
 
+def _assert_shift_safe(docs, shift=10000):
+    """Fixtures that synthesize duplicate batches by shifting doc_id in
+    +``shift`` steps assume real ids stay below the first step — a
+    collision would make the maintainer's keyed distinct() diverge from
+    the oracle's duplicate-preserving UNION ALL. Assert it instead of
+    assuming it, so a larger scale factor fails loudly here rather than
+    as a silent hash mismatch."""
+    import pyspark.sql.functions as _F
+
+    mx = docs.agg(_F.max("doc_id")).first()[0]
+    assert mx is None or mx < shift, (
+        f"fixture doc_id shift unsafe: max(doc_id)={mx} >= {shift}")
+
+
 def _fx_wres(spark, sf_dir, path):
     """Weighted reservoir as maintained state: three insert batches
     through ReservoirMaintainer(weight_col=...).catch_up(). Bottom-k by
@@ -816,6 +831,7 @@ def _fx_wres(spark, sf_dir, path):
 
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "n_chars")
+    _assert_shift_safe(docs)
     tbl = HoodieTable.create(spark, os.path.join(path, "t"),
                              "docs_wres", ["doc_id"], None)
     m = ReservoirMaintainer(tbl, os.path.join(path, "res"), "doc_id",
@@ -837,8 +853,11 @@ def _fx_line_census(spark, sf_dir, path):
 
     lined = load_table(spark, sf_dir, "documents").select(
         "doc_id",
+        # coalesce: see line_dedup — keeps Spark concat_ws (NULL-skipping)
+        # and the oracle's NULL-propagating || in agreement under NULL text
         F.concat_ws(
-            "\n", F.col("text"), F.lit("subscribe to our newsletter"),
+            "\n", F.coalesce(F.col("text"), F.lit("")),
+            F.lit("subscribe to our newsletter"),
             F.when(F.col("doc_id") % 5 == 0, F.lit("all rights reserved"))
             .otherwise(F.concat(F.lit("tail "),
                                 F.col("doc_id").cast("string"))))
@@ -1928,8 +1947,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["line_dedup"] = lambda s, d: HF.line_dedup(
         load_table(s, d, "documents").select(
             "doc_id",
+            # coalesce keeps the construction NULL-agnostic on both sides:
+            # concat_ws SKIPS a NULL input while the oracle's || propagates
+            # it — with coalesce both yield an empty first line.
             F.concat_ws(
-                "\n", F.col("text"), F.lit("subscribe to our newsletter"),
+                "\n", F.coalesce(F.col("text"), F.lit("")),
+                F.lit("subscribe to our newsletter"),
                 F.when(F.col("doc_id") % 5 == 0, F.lit("all rights reserved"))
                 .otherwise(F.concat(F.lit("tail "),
                                     F.col("doc_id").cast("string"))))
@@ -3375,7 +3398,8 @@ SELECT doc_id, n_tokens, cum_tokens FROM c WHERE cum_tokens <= 15000
     o["line_dedup"] = """
 WITH lined AS (
   SELECT doc_id,
-         text || chr(10) || 'subscribe to our newsletter' || chr(10) ||
+         coalesce(text, '') || chr(10) || 'subscribe to our newsletter'
+         || chr(10) ||
          CASE WHEN doc_id % 5 = 0 THEN 'all rights reserved'
               ELSE 'tail ' || CAST(doc_id AS VARCHAR) END AS text
   FROM documents
@@ -3415,7 +3439,11 @@ SELECT source,
 FROM sk
 """
     # weighted sample: same exponential-race priority, 15 md5 nibbles
-    # parsed via the 0x-prefix BIGINT cast
+    # parsed via the 0x-prefix BIGINT cast. The integer u is engine-exact
+    # by construction; -ln(u)/w matching bit-for-bit additionally relies
+    # on JVM Math.log and DuckDB libm agreeing (JVM guarantees 1 ulp) —
+    # empirically verified on this platform (r14 sweep), noted as a
+    # fragility in weighted_priority's docstring.
     o["weighted_sample"] = """
 WITH pr AS (
   SELECT doc_id, n_chars,
@@ -3448,7 +3476,8 @@ SELECT doc_id, round(e, 6) AS pr FROM pr ORDER BY e, doc_id LIMIT 500
     o["line_census_incremental"] = """
 WITH lined AS (
   SELECT doc_id,
-         text || chr(10) || 'subscribe to our newsletter' || chr(10) ||
+         coalesce(text, '') || chr(10) || 'subscribe to our newsletter'
+         || chr(10) ||
          CASE WHEN doc_id % 5 = 0 THEN 'all rights reserved'
               ELSE 'tail ' || CAST(doc_id AS VARCHAR) END AS text
   FROM documents

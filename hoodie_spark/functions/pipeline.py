@@ -130,8 +130,17 @@ def weighted_priority(key_col, weight_col, salt: str = "") -> Column:
     rows with the SMALLEST ``e`` are a weighted sample without
     replacement — P(row first) = w / Σw, exactly the race of exponential
     clocks with rates ``w``. 15 nibbles (60 bits) parse into a BIGINT in
-    both engines and the ln of the same double is bit-identical, so the
-    draw is engine-portable like :func:`priority_hash`."""
+    both engines, so ``u`` is engine-exact by construction like
+    :func:`priority_hash`.
+
+    Portability caveat on the ``ln``: the JVM spec only guarantees
+    ``Math.log`` within 1 ulp of the true result, so bit-identity of
+    ``-ln(u)/w`` with another engine's libm is an EMPIRICAL property
+    (verified against DuckDB on this platform, r14 sweep), not a
+    guaranteed one — a JVM or platform change could flip the ordering at
+    the k-th boundary when two priorities differ by < 1 ulp. Consumers
+    needing a guaranteed-portable draw should compare on the pre-ln
+    integer ``u`` (uniform sampling) or accept the 1-ulp boundary."""
     k = F.col(key_col) if isinstance(key_col, str) else key_col
     w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
     v = F.conv(F.substring(F.md5(F.concat(F.lit(salt),

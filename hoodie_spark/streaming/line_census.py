@@ -100,10 +100,20 @@ class LineCensusMaintainer:
         return os.path.join(self.path, "census", f"gen-{g:06d}")
 
     def census(self) -> DataFrame:
-        """The current census: (lhash, n), one row per distinct line."""
-        p = self._gen_path(self._gen)
+        """The current census: (lhash, n), one row per distinct line.
+
+        Reads ONLY the generation recorded in a published ``state.json``.
+        An on-disk generation with no published pointer is a crashed
+        fold's partial output — counts are a SUM (not replay-idempotent),
+        so merging it with the retried fold's replay would double-count;
+        unpublished directories are therefore invisible here and simply
+        overwritten by the retry."""
         spark = self.table.spark
         schema = "lhash string, n bigint"
+        st = self._load()
+        if st is None:
+            return spark.createDataFrame([], schema)
+        p = self._gen_path(st.get("gen", 0))
         entries = [] if not self.fs.exists(p) else self.fs.listdir(p)
         files = [e for e in entries if e.endswith(".parquet")]
         if not files:
@@ -128,16 +138,20 @@ class LineCensusMaintainer:
         """Fold a batch's line counts into the census; returns the number
         of distinct lines tracked. Crash-safe: the new generation is
         written fully before one atomic ``state.json`` publish swaps the
-        pointer AND the watermark together."""
+        pointer AND the watermark together — and the target generation is
+        never one ``census()`` could read (PUBLISHED+1, or gen-0 while
+        nothing is published), so a crash between the parquet write and
+        the publish leaves orphan files the retry overwrites rather than
+        a partial census the retry would double-count."""
+        st = self._load()
         merged = (self._batch_census(df, self.text_col)
                   .unionByName(self.census())
                   .groupBy("lhash").agg(F.sum("n").alias("n")))
-        new_g = self._gen + 1 if self.fs.exists(self._gen_path(self._gen)) \
-            else self._gen
+        new_g = st.get("gen", 0) + 1 if st is not None else 0
         merged.write.mode("overwrite").parquet(self._gen_path(new_g))
         self._gen = new_g
         self._publish(instant if instant is not None
-                      else (self._load() or {}).get("instant"))
+                      else (st or {}).get("instant"))
         self._sweep_stale()
         return self.census().count()
 
@@ -206,20 +220,24 @@ class LineCensusMaintainer:
     @locked_fold
     def rebuild(self) -> int:
         """Re-derive the census from the table's current content (after
-        rollback/restore: a sum cannot un-count removed rows)."""
+        rollback/restore: a sum cannot un-count removed rows). Writes the
+        fresh census directly — not through :meth:`fold`, which would
+        merge the still-published stale census back in."""
         last = self.table.timeline.last_completed()
-        self._gen += 1
-        self.fs.rmtree(self._gen_path(self._gen))
+        st = self._load()
+        new_g = st.get("gen", 0) + 1 if st is not None else 0
         if last is None:
-            self.table.spark.createDataFrame(
-                [], "lhash string, n bigint").write.mode("overwrite") \
-                .parquet(self._gen_path(self._gen))
-            self._publish(None)
-            self._sweep_stale()
-            return 0
-        snap = self.table.snapshot(as_of=last.timestamp) \
-            .select(self.id_col, self.text_col)
-        return self.fold(snap, instant=last.timestamp)
+            fresh = self.table.spark.createDataFrame(
+                [], "lhash string, n bigint")
+        else:
+            fresh = self._batch_census(
+                self.table.snapshot(as_of=last.timestamp)
+                .select(self.id_col, self.text_col), self.text_col)
+        fresh.write.mode("overwrite").parquet(self._gen_path(new_g))
+        self._gen = new_g
+        self._publish(None if last is None else last.timestamp)
+        self._sweep_stale()
+        return self.census().count()
 
     def on_commit(self, batch: DataFrame | None = None,
                   result=None) -> int:

@@ -101,6 +101,62 @@ def test_rollback_triggers_rebuild(spark, tmp_table_path):
     assert c1  # sanity: first commit survived the rollback
 
 
+def _expect_census(df):
+    return {r.lhash: r.n for r in
+            df.select(F.explode(F.split("text", "\n")).alias("l"))
+            .groupBy(F.md5("l").alias("lhash"))
+            .agg(F.count(F.lit(1)).alias("n")).collect()}
+
+
+def test_first_fold_crash_replay_does_not_double_count(spark,
+                                                       tmp_table_path):
+    """A crash during the very FIRST fold's parquet write leaves committed
+    part-files at gen-0 with no state.json. The retried fold must ignore
+    that unpublished partial (counts are a SUM — merging it with the full
+    replay silently doubles those lines)."""
+    tbl = HoodieTable.create(spark, os.path.join(tmp_table_path, "t"),
+                             "lc_docs", ["doc_id"], None)
+    state = os.path.join(tmp_table_path, "lc")
+    m = LineCensusMaintainer(tbl, state, "doc_id", "text")
+    batch = _lined(spark, 12)
+    # simulate the crashed first fold: a PARTIAL census (half the batch)
+    # fully written under gen-000000, state.json never published
+    partial = batch.filter(F.col("doc_id") < 6)
+    (partial.select(F.explode(F.split("text", "\n")).alias("l"))
+     .groupBy(F.md5("l").alias("lhash"))
+     .agg(F.count(F.lit(1)).alias("n"))
+     .write.mode("overwrite").parquet(os.path.join(
+         state, "census", "gen-000000")))
+    assert m.census().count() == 0  # unpublished generation is invisible
+    m2 = LineCensusMaintainer(tbl, state, "doc_id", "text")
+    m2.fold(batch)  # the retry replays the full batch
+    assert _census_dict(m2) == _expect_census(batch)
+
+
+def test_later_fold_crash_replay_does_not_double_count(spark,
+                                                       tmp_table_path):
+    """Same crash window after a published generation exists: the partial
+    gen-(published+1) from the crashed fold must be overwritten, never
+    merged."""
+    tbl = HoodieTable.create(spark, os.path.join(tmp_table_path, "t"),
+                             "lc_docs", ["doc_id"], None)
+    state = os.path.join(tmp_table_path, "lc")
+    m = LineCensusMaintainer(tbl, state, "doc_id", "text")
+    b1, b2 = _lined(spark, 10), _lined(spark, 10, start=10)
+    m.fold(b1)
+    g = m._gen
+    # crashed second fold: partial merge output at the next generation
+    (b2.limit(3).select(F.explode(F.split("text", "\n")).alias("l"))
+     .groupBy(F.md5("l").alias("lhash"))
+     .agg(F.count(F.lit(1)).alias("n"))
+     .write.mode("overwrite").parquet(os.path.join(
+         state, "census", f"gen-{g + 1:06d}")))
+    assert _census_dict(m) == _expect_census(b1)  # still the published gen
+    m.fold(b2)  # retry
+    union = b1.unionByName(b2)
+    assert _census_dict(m) == _expect_census(union)
+
+
 def test_single_maintainer_fence(spark, tmp_table_path):
     from hoodie_spark.streaming.maintainer import maintainer_lock
 
