@@ -79,7 +79,14 @@ def duplicate_groups(pairs: DataFrame, id_a: str = "id_a",
     """
     edges = _canon(pairs.select(F.col(id_a).alias("hi"),
                                 F.col(id_b).alias("lo")))
-    edges = edges.persist()
+    # localCheckpoint, not persist: the pair source's lineage (an LSH
+    # signature pass — thousands of md5 expression nodes) would otherwise
+    # sit under the cache node and be RE-OPTIMIZED by Catalyst on every
+    # round's action; measured at sf0.1 the first star round paid ~6 s of
+    # driver-side planning against a persisted edge set vs ~1 s against a
+    # checkpointed one. The truncation also keeps every round's plan O(1)
+    # regardless of how deep the caller's pair derivation is.
+    edges = edges.localCheckpoint(eager=True)
     n_edges = edges.count()
     for it in range(max_iter):
         if n_edges == 0:

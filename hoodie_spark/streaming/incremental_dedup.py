@@ -280,7 +280,16 @@ class IncrementalDeduper:
         # state probe above whose equi-join can never match a NULL chash
         exb = feats.filter(F.col("chash").isNotNull()) \
             .select(id_col, "chash")
-        exb_mins = exb.groupBy("chash").agg(F.min(id_col).alias("__keep"))
+        # duplicated hashes only: a singleton group can never drop a row
+        # (its join-back row fails id != __keep), so the join's build
+        # side shrinks from every-distinct-text to just the duplicated
+        # texts — the r14-verdict "broadcast exb_mins" intent, realized
+        # scale-safely (the filtered side is O(actual duplicates), and
+        # AQE broadcasts it when it fits instead of always)
+        exb_mins = (exb.groupBy("chash")
+                    .agg(F.min(id_col).alias("__keep"),
+                         F.count(F.lit(1)).alias("__nh"))
+                    .filter(F.col("__nh") > 1).drop("__nh"))
         exact_batch = (exb.join(exb_mins, "chash")
                        .filter(F.col(id_col) != F.col("__keep"))
                        .select(id_col))

@@ -273,7 +273,13 @@ class SplitMaintainer:
         # copy of a boilerplate doc in ONE task (see module docstring)
         ex = feats.filter(F.col("chash").isNotNull()) \
             .select(id_col, "chash")
-        firsts = ex.groupBy("chash").agg(F.min(id_col).alias("__first"))
+        # duplicated hashes only: singletons never emit an edge, so the
+        # join-back build side is O(actual duplicates) (see
+        # functions.dedup.exact_text_pairs)
+        firsts = (ex.groupBy("chash")
+                  .agg(F.min(id_col).alias("__first"),
+                       F.count(F.lit(1)).alias("__nh"))
+                  .filter(F.col("__nh") > 1).drop("__nh"))
         exact_pairs = (ex.join(firsts, "chash")
                        .filter(F.col("__first") != F.col(id_col))
                        .select(F.col("__first").alias("id_a"),
