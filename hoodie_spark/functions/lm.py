@@ -197,8 +197,14 @@ def train_bigram_lm(corpus: DataFrame, text_col: str,
              .collect()]
     denom_slots = float(vocab_size + 1)  # V in-vocab symbols + <unk>
 
+    # persist the bigram census: ≤ (V+1)^2 rows (model-sized, never
+    # corpus-sized) but THREE consumers below (the pair-count collect,
+    # the context table, the unseen table) — without the pin each one
+    # re-ran the full corpus explode+census pass, so one train cost
+    # three corpus scans instead of one
     pc = (_pairs(corpus, None, text_col, vocab)
-          .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb")))
+          .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+          .persist())
     ctx = pc.groupBy("w1").agg(F.sum("cb").alias("cw"))
     lp = (pc.join(ctx, "w1")
           .select("w1", "w2",
@@ -222,9 +228,13 @@ def train_bigram_lm(corpus: DataFrame, text_col: str,
         pair_lp = spark.createDataFrame(lp.collect(), lp.schema)
         lp.unpersist()
         ctx_lp = spark.createDataFrame(unseen.collect(), unseen.schema)
+        pc.unpersist()
         return BigramLM(vocab=vocab, pair_lp=pair_lp, ctx_lp=ctx_lp,
                         oov_lp=oov, broadcast=True)
-    return BigramLM(vocab=vocab, pair_lp=lp, ctx_lp=unseen.persist(),
+    ctx_lp = unseen.persist()
+    ctx_lp.count()  # materialize off the census cache before dropping it
+    pc.unpersist()
+    return BigramLM(vocab=vocab, pair_lp=lp, ctx_lp=ctx_lp,
                     oov_lp=oov, broadcast=False)
 
 
