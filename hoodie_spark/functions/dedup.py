@@ -797,20 +797,17 @@ def group_sketches(df: DataFrame, group_col: str, text_col: str,
     component — which is what makes the maintained/incremental form
     (streaming.CorpusSketchMaintainer) EXACTLY equal to the batch form,
     not an approximation of it."""
-    # distinct before hashing: per-group min over occurrences == min over
-    # the distinct (group, shingle) pairs, and the H md5s per row dwarf
-    # the distinct's map-side-combined shuffle — template-heavy corpora
-    # repeat each shingle thousands of times (same rationale, measured
-    # evidence and bit-identity argument as group_distinct_sketch).
-    # The repartition barrier stops RemoveRedundantAggregates from
-    # eliminating the distinct under the duplicate-agnostic mins AND
-    # spreads the hash stage (see group_distinct_sketch).
-    sc = df.sparkSession.sparkContext
-    sh = (df.select(F.col(group_col).alias("__g"),
-                    F.explode(char_ngrams(F.col(text_col), ngram))
-                    .alias("__sh"))
-          .distinct()
-          .repartition(sc.defaultParallelism))
+    # NOTE (r15): a distinct-before-hash rewrite (the
+    # group_distinct_sketch shape) was tried here and REVERTED on
+    # measurement: at the character-n-gram grain the md5 fan-out is only
+    # ~1 s/side at sf0.1 while the added (group, shingle) distinct
+    # shuffle + barrier stages cost ~2-3 s/side (A/B warm 4.6 s vs 2.4 s
+    # whole-operator). The explode → partial-min shape below ships only
+    # G × H × 32 B through its exchange — nothing shingle-stream-sized
+    # ever shuffles, which is the property that matters at 100 TB.
+    sh = df.select(F.col(group_col).alias("__g"),
+                   F.explode(char_ngrams(F.col(text_col), ngram))
+                   .alias("__sh"))
     mins = [F.min(F.md5(F.concat(F.lit(f"h{i}:"), F.col("__sh"))))
             .alias(f"__h{i}") for i in range(num_hashes)]
     return sh.groupBy("__g").agg(*mins)

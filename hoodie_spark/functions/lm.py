@@ -197,14 +197,14 @@ def train_bigram_lm(corpus: DataFrame, text_col: str,
              .collect()]
     denom_slots = float(vocab_size + 1)  # V in-vocab symbols + <unk>
 
-    # persist the bigram census: ≤ (V+1)^2 rows (model-sized, never
-    # corpus-sized) but THREE consumers below (the pair-count collect,
-    # the context table, the unseen table) — without the pin each one
-    # re-ran the full corpus explode+census pass, so one train cost
-    # three corpus scans instead of one
+    # NOTE (r15): persisting this census was tried to collapse the three
+    # consumers below onto one corpus scan and REVERTED on measurement —
+    # the InMemoryRelation build + per-consumer cache stages cost ~1.8×
+    # a warm unpersisted train at sf0.1 (4.0 s vs 2.25 s A/B, same
+    # session). The census re-run by the unseen collect is cheaper than
+    # the cache.
     pc = (_pairs(corpus, None, text_col, vocab)
-          .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
-          .persist())
+          .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb")))
     ctx = pc.groupBy("w1").agg(F.sum("cb").alias("cw"))
     lp = (pc.join(ctx, "w1")
           .select("w1", "w2",
@@ -228,13 +228,9 @@ def train_bigram_lm(corpus: DataFrame, text_col: str,
         pair_lp = spark.createDataFrame(lp.collect(), lp.schema)
         lp.unpersist()
         ctx_lp = spark.createDataFrame(unseen.collect(), unseen.schema)
-        pc.unpersist()
         return BigramLM(vocab=vocab, pair_lp=pair_lp, ctx_lp=ctx_lp,
                         oov_lp=oov, broadcast=True)
-    ctx_lp = unseen.persist()
-    ctx_lp.count()  # materialize off the census cache before dropping it
-    pc.unpersist()
-    return BigramLM(vocab=vocab, pair_lp=lp, ctx_lp=ctx_lp,
+    return BigramLM(vocab=vocab, pair_lp=lp, ctx_lp=unseen.persist(),
                     oov_lp=oov, broadcast=False)
 
 

@@ -669,7 +669,10 @@ def test_corpus_overlap_minhash_tracks_exact(docs):
 
 def test_corpus_overlap_minhash_plan_one_shuffle(docs):
     """The sketch path shuffles exactly once (the G-row partial-agg
-    exchange); the G×G pairing is broadcast, never a shuffled join."""
+    exchange); the G×G pairing is broadcast, never a shuffled join.
+    (An r15 distinct-before-hash rewrite was tried and reverted on
+    measurement — this pin guards the nothing-shingle-sized-shuffles
+    property that matters at 100 TB.)"""
     out = HF.corpus_overlap_minhash(docs, "source", "text", num_hashes=16)
     plan = out._jdf.queryExecution().executedPlan().toString()
     # the static plan prints the G-row sketch subtree once per join side
