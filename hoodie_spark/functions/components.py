@@ -14,10 +14,14 @@ Scale design:
   collect_list of neighbor sets, so a hub node's neighborhood never
   materializes in one task's memory and the minimum genuinely folds
   map-side.
-* Iteration state is persisted and localCheckpoint-ed so the lineage (and
-  thus planning time) stays O(1) per round instead of O(rounds).
-* Convergence is detected from bounded aggregates (edge count + subtract
-  count), never by collecting edges.
+* Iteration state is checkpointed (localCheckpoint by default; reliable
+  checkpoint when ``sc.setCheckpointDir`` is configured — the cluster
+  setting, since localCheckpoint blocks die with their executor) so the
+  lineage (and thus planning time) stays O(1) per round instead of
+  O(rounds).
+* Convergence is detected from ONE bounded aggregate per round (the
+  direct star-forest fixpoint test), never by collecting edges and never
+  by paying an extra round to watch the set stop changing.
 
 The reference engine has no dedup-clustering surface; this extends it per
 the north-star (BASELINE.json).
@@ -37,6 +41,42 @@ def _canon(edges: DataFrame) -> DataFrame:
     lo = F.least("hi", "lo")
     return (edges.select(hi.alias("hi"), lo.alias("lo"))
             .filter(F.col("hi") != F.col("lo")).distinct())
+
+
+def _ckpt(df: DataFrame) -> DataFrame:
+    """Truncate lineage on the iteration state. ``localCheckpoint`` by
+    default (blocks in executor storage — cheap, but an executor loss
+    mid-fold fails the job since lineage is gone); when the session has a
+    reliable checkpoint dir configured (``sc.setCheckpointDir`` — the
+    cluster-scale setting), use ``checkpoint`` so blocks live on the
+    cluster FS and survive executor loss."""
+    sc = df.sparkSession.sparkContext
+    try:
+        reliable = sc.getCheckpointDir() is not None
+    except Exception:
+        reliable = False
+    return df.checkpoint(eager=True) if reliable \
+        else df.localCheckpoint(eager=True)
+
+
+def _is_star_forest(edges: DataFrame) -> bool:
+    """True iff the (hi > lo)-oriented edge set is a star forest: every
+    ``hi`` (member) has exactly one ``lo`` (root) and no node appears as
+    both member and root. Under the orientation invariant every root is
+    then its star's minimum, which makes a star forest exactly the
+    algorithm's fixpoint — large-star and small-star both map it to
+    itself — so the fold can stop the moment this holds instead of
+    paying one more full round to observe set-equality. One bounded
+    aggregation (map-side combined) over the checkpointed edge set;
+    never a collect of edges."""
+    nodes = edges.select(F.col("hi").alias("n"),
+                         F.lit(1).alias("h"), F.lit(0).alias("l")) \
+        .union(edges.select("lo", F.lit(0), F.lit(1)))
+    viol = (nodes.groupBy("n")
+            .agg(F.sum("h").alias("nh"), F.sum("l").alias("nl"))
+            .filter((F.col("nh") > 1)
+                    | ((F.col("nh") > 0) & (F.col("nl") > 0))))
+    return viol.isEmpty()
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
@@ -79,27 +119,31 @@ def duplicate_groups(pairs: DataFrame, id_a: str = "id_a",
     """
     edges = _canon(pairs.select(F.col(id_a).alias("hi"),
                                 F.col(id_b).alias("lo")))
-    # localCheckpoint, not persist: the pair source's lineage (an LSH
+    # checkpoint, not persist: the pair source's lineage (an LSH
     # signature pass — thousands of md5 expression nodes) would otherwise
     # sit under the cache node and be RE-OPTIMIZED by Catalyst on every
     # round's action; measured at sf0.1 the first star round paid ~6 s of
     # driver-side planning against a persisted edge set vs ~1 s against a
     # checkpointed one. The truncation also keeps every round's plan O(1)
     # regardless of how deep the caller's pair derivation is.
-    edges = edges.localCheckpoint(eager=True)
-    n_edges = edges.count()
-    for it in range(max_iter):
-        if n_edges == 0:
+    # (Blocks are freed by the ContextCleaner when a round's frame is
+    # dropped — DataFrame.unpersist is a no-op on checkpointed frames.)
+    edges = _ckpt(edges)
+    # Fixpoint detection is the direct star-forest test (r16): a star
+    # forest is a fixpoint (both stars map it to itself), so the old
+    # count + subtract equality check — which paid one extra full round
+    # of plan + checkpoint to SEE the set stop changing — is replaced by
+    # one bounded aggregation per round on the current edge set. LSH dup
+    # graphs converge in 1-2 rounds (exact-dup inputs arrive as stars
+    # and take zero), so this saves the most expensive round, the
+    # redundant confirming one. A non-forest fixpoint would spin to
+    # max_iter and return the same set the equality check would have —
+    # identical output, and Kiveris et al.'s convergence argument rules
+    # the case out anyway.
+    for _ in range(max_iter):
+        if _is_star_forest(edges):
             break
-        nxt = _small_star(_large_star(edges)).localCheckpoint(eager=True)
-        n_nxt = nxt.count()
-        # both sides distinct: equal size + empty difference ⇒ fixpoint
-        if n_nxt == n_edges and nxt.subtract(edges).isEmpty():
-            edges.unpersist()
-            edges, n_edges = nxt, n_nxt
-            break
-        edges.unpersist()
-        edges, n_edges = nxt, n_nxt
+        edges = _ckpt(_small_star(_large_star(edges)))
     # at the fixpoint the edge set is a star forest: (member, root)
     members = edges.groupBy("hi").agg(F.min("lo").alias("group_id")).select(
         F.col("hi").alias("id"), "group_id")

@@ -94,17 +94,20 @@ class BigramLM:
     # False (> _BROADCAST_MODEL_ROWS observed bigrams): tables stay
     # distributed/persisted and scoring joins shuffle on the model keys.
     broadcast: bool = True
+    # non-broadcast only: the persisted (w1, w2, cb, cw) census frame both
+    # model tables derive from (they are projections of it, so this is the
+    # frame actually holding executor storage)
+    _census: DataFrame | None = None
 
     def unpersist(self) -> None:
         """Release the persisted executor storage a non-broadcast model
         pins (no-op for broadcast models — their tables are driver-local
         relations with nothing persisted)."""
-        if not self.broadcast:
-            for t in (self.pair_lp, self.ctx_lp):
-                try:
-                    t.unpersist()
-                except Exception:
-                    pass
+        if not self.broadcast and self._census is not None:
+            try:
+                self._census.unpersist()
+            except Exception:
+                pass
 
 
 def _pairs(df: DataFrame, id_col: str | None, text_col: str,
@@ -177,12 +180,14 @@ def train_bigram_lm(corpus: DataFrame, text_col: str,
                     ) -> BigramLM:
     """Train the smoothed bigram LM on ``corpus``.
 
-    Two bounded aggregations: the unigram census picks the top-``V``
-    vocabulary (desc count, asc term tie-break — deterministic), then the
-    bigram census over <unk>-mapped pairs yields at most (V+1)^2 rows.
-    A model at or under ``broadcast_model_rows`` observed bigrams is
-    collected (model-sized, never corpus-sized) and broadcast at scoring
-    time; a larger one stays distributed (see ``BigramLM.broadcast``).
+    Two bounded aggregations — and exactly two corpus passes: the
+    unigram census picks the top-``V`` vocabulary (desc count, asc term
+    tie-break — deterministic), then ONE bigram-census action over
+    <unk>-mapped pairs yields the joined (w1, w2, cb, cw) frame (at most
+    (V+1)^2 rows) that both model tables project from. A model at or
+    under ``broadcast_model_rows`` observed bigrams is collected
+    (model-sized, never corpus-sized) and broadcast at scoring time; a
+    larger one stays distributed (see ``BigramLM.broadcast``).
     """
     if not 2 <= vocab_size <= _MAX_VOCAB:
         raise ValueError(f"vocab_size must be in [2, {_MAX_VOCAB}],"
@@ -197,24 +202,28 @@ def train_bigram_lm(corpus: DataFrame, text_col: str,
              .collect()]
     denom_slots = float(vocab_size + 1)  # V in-vocab symbols + <unk>
 
-    # NOTE (r15): persisting this census was tried to collapse the three
-    # consumers below onto one corpus scan and REVERTED on measurement —
-    # the InMemoryRelation build + per-consumer cache stages cost ~1.8×
-    # a warm unpersisted train at sf0.1 (4.0 s vs 2.25 s A/B, same
-    # session). The census re-run by the unseen collect is cheaper than
-    # the cache.
+    # ONE census action (r16): the bigram census joined with its per-
+    # context totals — (w1, w2, cb, cw), model-sized — is persisted and
+    # counted once; BOTH model tables (pair lp + unseen lp) are then
+    # projections of it, computed by the same Catalyst round/log
+    # expressions as before (bit-identical values), so training runs ONE
+    # corpus-sized bigram pass instead of two (the old shape re-ran the
+    # census for the unseen collect). This is NOT the r15-reverted
+    # `pc.persist()`: that pin sat UNDER two further distributed
+    # aggregations and a join (per-consumer cache stages cost ~1.8× the
+    # census re-run it saved); here the persisted frame is the FINAL
+    # census, read back exactly once by a driver collect (broadcast
+    # models) or projected lazily (distributed models).
     pc = (_pairs(corpus, None, text_col, vocab)
           .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb")))
     ctx = pc.groupBy("w1").agg(F.sum("cb").alias("cw"))
-    lp = (pc.join(ctx, "w1")
-          .select("w1", "w2",
-                  F.round(F.log((F.col("cb") + F.lit(1.0))
-                                / (F.col("cw") + F.lit(denom_slots))), 6)
-                  .alias("lp")))
-    unseen = ctx.select(
-        "w1",
-        F.round(F.log(F.lit(1.0) / (F.col("cw") + F.lit(denom_slots))), 6)
-        .alias("unseen_lp"))
+    cen = pc.join(ctx, "w1")  # (w1, w2, cb, cw)
+    lp_col = F.round(F.log((F.col("cb") + F.lit(1.0))
+                           / (F.col("cw") + F.lit(denom_slots))), 6) \
+        .alias("lp")
+    unseen_col = F.round(F.log(F.lit(1.0)
+                               / (F.col("cw") + F.lit(denom_slots))), 6) \
+        .alias("unseen_lp")
     import math
 
     oov = round(math.log(1.0 / denom_slots), 6)
@@ -222,16 +231,29 @@ def train_bigram_lm(corpus: DataFrame, text_col: str,
     # the scoring plan embeds it and broadcasts, never re-running the
     # census. Large model (a big vocabulary over a big corpus can observe
     # >> millions of distinct bigrams): collecting would OOM the driver —
-    # persist the distributed tables instead and let scoring shuffle-join.
-    n_pairs = lp.persist().count()
+    # keep the census persisted and let scoring project/shuffle-join it.
+    n_pairs = cen.persist().count()
     if n_pairs <= broadcast_model_rows:
-        pair_lp = spark.createDataFrame(lp.collect(), lp.schema)
-        lp.unpersist()
-        ctx_lp = spark.createDataFrame(unseen.collect(), unseen.schema)
+        rows = cen.collect()
+        cen.unpersist()
+        local = spark.createDataFrame(rows, cen.schema)
+        # lp/unseen evaluated by Spark expressions over the LocalRelation
+        # (ConvertToLocalRelation folds them) — same engine arithmetic as
+        # the distributed path, so values are bit-identical to computing
+        # them before the collect. Context dedup happens in the driver
+        # (cw is functionally determined by w1 — no arithmetic involved)
+        # so the unseen table stays a plain LocalRelation projection, not
+        # an Aggregate re-planned per scoring pass.
+        pair_lp = local.select("w1", "w2", lp_col)
+        ctx_rows = sorted({(r["w1"], r["cw"]) for r in rows})
+        ctx_lp = spark.createDataFrame(
+            ctx_rows, "w1 string, cw bigint").select("w1", unseen_col)
         return BigramLM(vocab=vocab, pair_lp=pair_lp, ctx_lp=ctx_lp,
                         oov_lp=oov, broadcast=True)
-    return BigramLM(vocab=vocab, pair_lp=lp, ctx_lp=unseen.persist(),
-                    oov_lp=oov, broadcast=False)
+    return BigramLM(vocab=vocab, pair_lp=cen.select("w1", "w2", lp_col),
+                    ctx_lp=cen.select("w1", "cw").distinct()
+                    .select("w1", unseen_col),
+                    oov_lp=oov, broadcast=False, _census=cen)
 
 
 def bigram_perplexity(df: DataFrame, id_col: str, text_col: str,
@@ -284,10 +306,15 @@ def excess_perplexity_select(df: DataFrame, id_col: str, text_col: str,
     selection bit-for-bit; ties on ``excess`` break by ascending id.
 
     Scale shape: two bounded LM trainings (vocab- and model-sized
-    aggregates), two scoring passes over the corpus (broadcast model
-    joins at default vocab sizes), then top-k via TakeOrderedAndProject
-    (per-partition top-k, O(k) driver merge — no global sort). Keep
-    ``k`` selection-sized. At the default vocab the LM tables are
+    aggregates), then — when both models are broadcast-sized with
+    literal-size vocabularies (the default) — ONE scoring pass over the
+    corpus under both models at once (single bigram explode, four
+    broadcast model joins, one aggregation), then top-k via
+    TakeOrderedAndProject (per-partition top-k, O(k) driver merge — no
+    global sort). Non-broadcast or >1024-vocab models fall back to two
+    scoring passes (shuffling both models' scoring joins in one plan
+    would double the shuffled width instead). Keep ``k``
+    selection-sized. At the default vocab the LM tables are
     driver-local; nothing stays persisted on the executors.
     """
     ref_lm = train_bigram_lm(ref, text_col, vocab_size=vocab_size)

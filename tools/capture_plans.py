@@ -1,12 +1,13 @@
 """Capture ``explain("formatted")`` output for declared queries.
 
-Round-15 evidence tool: writes ``plans/r15/<query>_<suffix>.txt`` for each
-named ``queries()`` entry so before/after plan shapes are committable
-artifacts. Usage::
+Optimization-round evidence tool: writes
+``plans/<round>/<query>_<suffix>.txt`` for each named ``queries()`` entry
+so before/after plan shapes are committable artifacts. Usage::
 
     python tools/capture_plans.py <suffix> <query> [query ...]
 
 Runs at sf0.01 (plan SHAPE is scale-independent; fixtures stay cheap).
+The round subdir comes from ``$SPARK_GRAFT_PLAN_ROUND`` (default r16).
 """
 
 from __future__ import annotations
@@ -20,10 +21,15 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
-OUT = os.path.join(REPO, "plans", "r15")
+OUT = os.path.join(REPO, "plans",
+                   os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r16"))
 
 
 def main():
+    if len(sys.argv) < 3:
+        print("usage: python tools/capture_plans.py <suffix> "
+              "<query> [query ...]", file=sys.stderr)
+        return 2
     suffix = sys.argv[1]
     names = sys.argv[2:]
     from pyspark.sql import SparkSession
@@ -39,6 +45,11 @@ def main():
     import __spark_entry__ as entry
 
     q = entry.queries()
+    unknown = [n for n in names if n not in q]
+    if unknown:
+        print(f"unknown queries: {unknown} (see queries() in "
+              "__spark_entry__.py)", file=sys.stderr)
+        return 2
     os.makedirs(OUT, exist_ok=True)
     for name in names:
         df = q[name](spark, SF)
@@ -52,4 +63,4 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())
