@@ -113,16 +113,22 @@ class WriteClient:
         DataFrame write, globally range-sorted by (partition, key).
 
         The prepared batch is persisted across the sizing count and the
-        write job — without the cache, the count would be a SECOND full
-        scan + key-gen pass over the input (2× ingest read cost)."""
+        write job ONLY when combine_before_insert ran (the window dedup
+        would otherwise re-execute per pass). For the plain projection
+        shape the cache is a measured LOSS: building the InMemoryRelation
+        materializes every column (2.7 s at sf0.1 lineitem) while the
+        passes it deduplicates are column-pruned — the sizing count reads
+        nothing (0.2 s) and only the write job reads full width, once.
+        At 100 TB the no-cache shape is also the only one that fits:
+        ingest-sized inputs cannot live in executor storage."""
         wcfg = self.table.write_config
         self._ensure_index_ready()
         instant = self._begin(tl.COMMIT)
         try:
             prepared = self._prepare(df)
-            if wcfg.combine_before_insert:
-                prepared = self._dedup(prepared)
-            prepared = prepared.persist()
+            pinned = wcfg.combine_before_insert
+            if pinned:
+                prepared = self._dedup(prepared).persist()
             try:
                 n = prepared.count()
                 if n == 0:
@@ -182,7 +188,8 @@ class WriteClient:
                 return self._commit(instant, tl.COMMIT, WriteOperation.BULK_INSERT,
                                     stats, index_fn=self._index_fn(stats, instant))
             finally:
-                prepared.unpersist()
+                if pinned:
+                    prepared.unpersist()
 
         except BaseException:
             self._hb_abandon(instant)
@@ -894,10 +901,13 @@ class WriteClient:
         instant = self._begin(tl.REPLACECOMMIT)
         try:
             prepared = self._prepare(df)
-            if self.table.write_config.combine_before_insert:
-                prepared = self._dedup(prepared)
-            # cached across the sizing count and the write — one input pass
-            prepared = prepared.persist()
+            # cached across the sizing count and the write only when the
+            # combine dedup ran (same measured trade as bulk_insert: the
+            # cache build costs more than the column-pruned count it saves
+            # on the plain projection shape)
+            pinned = self.table.write_config.combine_before_insert
+            if pinned:
+                prepared = self._dedup(prepared).persist()
             try:
                 n = prepared.count()
                 view = self.table.view()
@@ -934,7 +944,8 @@ class WriteClient:
                                     replaced=replaced,
                                     index_fn=self._index_fn(stats, instant))
             finally:
-                prepared.unpersist()
+                if pinned:
+                    prepared.unpersist()
 
         except BaseException:
             self._hb_abandon(instant)
