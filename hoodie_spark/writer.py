@@ -646,15 +646,24 @@ class WriteClient:
                 tagged = prepared.withColumn("_target_file_id", F.lit(None).cast("string")) \
                                  .withColumn("_target_pp", F.lit(None).cast("string")) \
                                  .withColumn("_target_base_instant", F.lit(None).cast("string"))
+                # pure projection over the source (no index join to save):
+                # caching it materializes every column while the profile /
+                # packed-group passes are column-pruned — same measured
+                # trade as bulk_insert; only the write job needs full width
+                pinned = False
             else:
                 # bucket index tags INSERTs too: rows for an existing bucket
                 # group must merge into it (the group IS the index)
                 tagged = tag_location(self.spark, prepared, self.table, view=view,
                                       force_global=force_global)
+                # the tagging join against the table index is worth running
+                # once, not once per consuming action
+                pinned = True
             # global index: update the record in its existing partition
             tagged = tagged.withColumn(
                 PARTITION_PATH, F.coalesce(F.col("_target_pp"), F.col(PARTITION_PATH)))
-            tagged = tagged.persist()
+            if pinned:
+                tagged = tagged.persist()
             try:
                 updates = tagged.filter(F.col("_target_file_id").isNotNull()) \
                                 .withColumn(BUCKET, F.col("_target_file_id"))
@@ -722,7 +731,8 @@ class WriteClient:
                                     extra={"num_updates": n_upd},
                                     index_fn=self._index_fn(stats, instant, dels))
             finally:
-                tagged.unpersist()
+                if pinned:
+                    tagged.unpersist()
 
         except BaseException:
             self._hb_abandon(instant)
