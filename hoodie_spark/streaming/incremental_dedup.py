@@ -355,22 +355,38 @@ class IncrementalDeduper:
         # window dedup); filter_batch reads with an explicit schema that
         # omits the column, so probes are unaffected
         seen = F.lit(instant).cast("string").alias("seen_at")
-        (feats.filter(F.col("chash").isNotNull())  # NULL text: never a dup
-         .select(
-            "chash",
-            F.pmod(F.xxhash64("chash"),
-                   F.lit(self.n_buckets)).cast("int").alias("bucket"))
-         .distinct()
-         .select("chash", "bucket", seen)
-         .write.partitionBy("bucket").mode("append")
-         .parquet(self._sub_path("content")))
-        (self._banded(feats)
-         .select("band", "bh", "minhash",
-                 F.pmod(F.xxhash64("bh"),
-                        F.lit(self.n_buckets)).cast("int").alias("bucket"),
-                 seen)
-         .write.partitionBy("bucket").mode("append")
-         .parquet(self._sub_path("bands")))
+
+        def _w_content():
+            (feats.filter(F.col("chash").isNotNull())  # NULL: never a dup
+             .select(
+                "chash",
+                F.pmod(F.xxhash64("chash"),
+                       F.lit(self.n_buckets)).cast("int").alias("bucket"))
+             .distinct()
+             .select("chash", "bucket", seen)
+             .write.partitionBy("bucket").mode("append")
+             .parquet(self._sub_path("content")))
+
+        def _w_bands():
+            (self._banded(feats)
+             .select("band", "bh", "minhash",
+                     F.pmod(F.xxhash64("bh"),
+                            F.lit(self.n_buckets)).cast("int").alias("bucket"),
+                     seen)
+             .write.partitionBy("bucket").mode("append")
+             .parquet(self._sub_path("bands")))
+
+        # the two state appends are independent jobs over the same cached
+        # features and the watermark publish below is the only commit
+        # point (partial appends are harmless duplicates under EXISTS
+        # probes), so submit them concurrently instead of queueing the
+        # bands write behind the content write
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fc, fb = pool.submit(_w_content), pool.submit(_w_bands)
+            fc.result()
+            fb.result()
         if own_pin:
             feats.unpersist()
         else:
