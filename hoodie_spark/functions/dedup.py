@@ -1316,37 +1316,77 @@ def containment_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
     """
     from .text import char_ngrams
 
-    sh = _pin(_spread(df).select(
-        F.col(id_col), char_ngrams(F.col(text_col), ngram).alias("sh"))
+    # Distinct-text grain (the same md5-as-content-identity convention as
+    # jaccard_dedup_pairs): shingling, prefix selection, the posting join
+    # and the array verify all run once per DISTINCT text, and id pairs
+    # are re-expanded from the (hash -> id) membership at the end. An
+    # exact-dup-heavy corpus — the population that makes the posting join
+    # explode — collapses: N byte-identical docs contribute one prefix
+    # and one verify row, and their quadratic intra-group pairs are
+    # emitted directly (containment is exactly 1.0 on identical non-empty
+    # shingle sets) without touching the arrays. Shingle DOCUMENT
+    # frequency is preserved exactly — each distinct text's shingles
+    # count with weight __n (its exact-copy count) — so prefix ordering
+    # and the max_prefix_df guard decide identically to the per-doc
+    # shape, and the pair set is bit-for-bit unchanged.
+    members = _pin(df.select(F.col(id_col), F.md5(F.col(text_col)).alias("__ch"))
+                   .filter(F.col("__ch").isNotNull()))
+    grouped = (df.select(F.md5(F.col(text_col)).alias("__ch"),
+                         F.col(text_col).alias("__t"))
+               .filter(F.col("__ch").isNotNull())
+               .groupBy("__ch")
+               .agg(F.first("__t").alias("__t"),  # same hash => same bytes
+                    F.count(F.lit(1)).alias("__n")))
+    sh = _pin(grouped.select(
+        "__ch", "__n", char_ngrams(F.col("__t"), ngram).alias("sh"))
         .filter(F.size("sh") > 0)
         .withColumn("m", F.size("sh")))
-    ex = sh.select(id_col, "m", F.explode("sh").alias("t"))
-    dfreq = ex.groupBy("t").agg(F.count("*").alias("__df"))
-    w = Window.partitionBy(id_col).orderBy("__df", "t")
+    ex = sh.select("__ch", "__n", "m", F.explode("sh").alias("t"))
+    dfreq = ex.groupBy("t").agg(F.sum("__n").alias("__df"))
+    w = Window.partitionBy("__ch").orderBy("__df", "t")
     req = F.ceil(F.lit(threshold) * F.col("m") - F.lit(1e-9)).cast("int")
     prefix = (ex.join(dfreq, "t")
               .withColumn("__rn", F.row_number().over(w))
               .filter(F.col("__rn") <= F.col("m") - req + 1))
     if max_prefix_df is not None:
         prefix = prefix.filter(F.col("__df") <= max_prefix_df)
-    prefix = prefix.select(F.col(id_col).alias("__pid"), "t")
-    cands = (prefix.join(ex.select(F.col(id_col).alias("__cid"), "t"), "t")
-             .filter(F.col("__pid") != F.col("__cid"))
-             .select(F.least("__pid", "__cid").alias("id_a"),
-                     F.greatest("__pid", "__cid").alias("id_b"))
+    prefix = prefix.select(F.col("__ch").alias("__pch"), "t")
+    cands = (prefix.join(ex.select(F.col("__ch").alias("__cch"), "t"), "t")
+             .filter(F.col("__pch") != F.col("__cch"))
+             .select(F.least("__pch", "__cch").alias("__h1"),
+                     F.greatest("__pch", "__cch").alias("__h2"))
              .distinct())
-    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"),
+    a = sh.select(F.col("__ch").alias("__h1"), F.col("sh").alias("sh_a"),
                   F.col("m").alias("m_a"))
-    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"),
+    b = sh.select(F.col("__ch").alias("__h2"), F.col("sh").alias("sh_b"),
                   F.col("m").alias("m_b"))
     mn = F.least("m_a", "m_b")
     need = F.ceil(F.lit(threshold) * mn - F.lit(1e-9)).cast("int")
-    return (cands.join(a, "id_a").join(b, "id_b")
-            .withColumn("__i", F.size(F.array_intersect("sh_a", "sh_b")))
-            .filter(F.col("__i") >= need)
-            .select("id_a", "id_b",
-                    F.round(F.col("__i").cast("double")
-                            / mn.cast("double"), 6).alias("containment")))
+    verified = (cands.join(a, "__h1").join(b, "__h2")
+                .withColumn("__i", F.size(F.array_intersect("sh_a", "sh_b")))
+                .filter(F.col("__i") >= need)
+                .select("__h1", "__h2",
+                        F.round(F.col("__i").cast("double")
+                                / mn.cast("double"), 6).alias("containment")))
+    cross = (verified
+             .join(members.select(F.col("__ch").alias("__h1"),
+                                  F.col(id_col).alias("__ida")), "__h1")
+             .join(members.select(F.col("__ch").alias("__h2"),
+                                  F.col(id_col).alias("__idb")), "__h2")
+             .select(F.least("__ida", "__idb").alias("id_a"),
+                     F.greatest("__ida", "__idb").alias("id_b"),
+                     "containment"))
+    dup_members = (sh.filter(F.col("__n") >= 2).select("__ch")
+                   .join(members, "__ch")
+                   .select("__ch", F.col(id_col).alias("__id")))
+    intra = (dup_members
+             .join(dup_members.select("__ch", F.col("__id").alias("__id2")),
+                   "__ch")
+             .filter(F.col("__id") < F.col("__id2"))
+             .select(F.col("__id").alias("id_a"),
+                     F.col("__id2").alias("id_b"),
+                     F.lit(1.0).alias("containment")))
+    return cross.unionByName(intra)
 
 
 def lsh_plan(threshold: float, num_hashes: int = 16,

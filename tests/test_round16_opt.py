@@ -173,3 +173,86 @@ def test_perplexity_buckets_values_stable(spark):
                                            n_buckets=3,
                                            vocab_size=8).collect()}
     assert out == out2
+
+
+# ------------------------------------- containment at distinct-text grain
+def _brute_containment(texts, threshold, ngram=5):
+    """O(n^2) reference: containment over distinct char-ngram sets."""
+    import itertools
+
+    shs = {i: {t[k:k + ngram] for k in range(len(t) - ngram + 1)}
+           for i, t in texts.items()}
+    out = {}
+    for a, b in itertools.combinations(sorted(shs), 2):
+        sa, sb = shs[a], shs[b]
+        if not sa or not sb:
+            continue
+        mn = min(len(sa), len(sb))
+        inter = len(sa & sb)
+        if inter >= math.ceil(threshold * mn - 1e-9):
+            out[(a, b)] = round(inter / mn, 6)
+    return out
+
+
+def test_containment_dup_heavy_matches_bruteforce(spark):
+    """Exact copies collapse to one verify row per distinct text; the
+    expanded id-pair set must still equal the O(n^2) model, intra-copy
+    pairs at exactly 1.0."""
+    from hoodie_spark import functions as HF
+
+    base = {
+        0: "the quick brown fox jumps over the lazy dog again and again",
+        1: "the quick brown fox jumps over the lazy dog again and again!!",
+        2: "a completely different document about spark query planning",
+    }
+    texts = {}
+    for rep in range(25):           # 25 exact copies of each distinct text
+        for i, t in base.items():
+            texts[100 * rep + i] = t
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {(r.id_a, r.id_b): r.containment
+           for r in HF.containment_dedup_pairs(
+               df, "doc_id", "text", threshold=0.9).collect()}
+    assert got == _brute_containment(texts, 0.9)
+    # every intra-copy pair is present and exactly 1.0
+    copies0 = sorted(k for k in texts if k % 100 == 0)
+    for i in range(len(copies0) - 1):
+        assert got[(copies0[i], copies0[i + 1])] == 1.0
+
+
+def test_containment_plan_runs_verify_at_hash_grain(spark):
+    """The optimized plan must shingle and verify above the distinct-text
+    aggregate (grouping on the md5 content hash), not per document."""
+    from hoodie_spark import functions as HF
+
+    df = spark.createDataFrame(
+        [(i, f"document number {i % 3} with shared boilerplate text")
+         for i in range(30)], "doc_id long, text string")
+    out = HF.containment_dedup_pairs(df, "doc_id", "text", threshold=0.9)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "__ch" in plan and "array_intersect" in plan
+    # document frequency keeps doc weights: the census sums __n
+    assert "sum(__n" in plan
+
+
+def test_containment_df_guard_unchanged_on_dup_heavy(spark):
+    """max_prefix_df decides on SUMMED copy counts (document frequency),
+    so a shingle common only through exact copies still trips the cap."""
+    from hoodie_spark import functions as HF
+
+    # one distinct boilerplate text copied 40x + one unique doc embedded
+    rows = [(i, "boilerplate header shared by every copy of this doc")
+            for i in range(40)]
+    rows.append((99, "boilerplate header shared by ever"))  # contained prefix
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    loose = {(r.id_a, r.id_b) for r in HF.containment_dedup_pairs(
+        df, "doc_id", "text", threshold=0.9, max_prefix_df=100).collect()}
+    tight = {(r.id_a, r.id_b) for r in HF.containment_dedup_pairs(
+        df, "doc_id", "text", threshold=0.9, max_prefix_df=5).collect()}
+    # the 40-copy group's shingles have df=40 > 5: doc 99's every prefix
+    # shingle is capped out, so its cross pairs disappear under the tight
+    # cap while the intra-copy pairs (no prefix probe needed) remain
+    assert {(a, b) for a, b in loose if a != 99 and b != 99} <= loose
+    assert all(99 not in p for p in tight)
+    assert {(a, b) for (a, b) in tight} == \
+        {(a, b) for (a, b) in loose if 99 not in (a, b)}
