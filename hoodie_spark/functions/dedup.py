@@ -442,7 +442,12 @@ def dedup_keep_best(df: DataFrame, id_col: str, text_col: str,
     map-side-combinable aggregates (per-cluster max score, then min id
     among ties) + hash-probe joins back — no window over the cluster
     key anywhere, so a million-member boilerplate cluster never sorts in
-    one task."""
+    one task.
+
+    Precondition: ``id_col`` values are unique (the contract every dedup
+    entry point here shares) — the winner filter selects the winning
+    id's max-score row, which is "the winner's rows" only under unique
+    ids."""
     from .components import duplicate_groups
 
     pairs = (sig_near_pairs(df, id_col, text_col, threshold, num_hashes,
