@@ -533,12 +533,24 @@ def decontaminate_near(corpus: DataFrame, test_set: DataFrame,
             .select(alias, F.col("bk.band").alias("band"),
                     F.col("bk.bh").alias("bh")))
 
-    cand = (_bands(corpus, "__cid")
-            .join(F.broadcast(_bands(test_set, "__eid")),
-                  ["band", "bh"])
-            .select("__cid", "__eid").distinct())
-    csh = corpus.select(F.col(id_col).alias("__cid"),
-                        char_ngrams(F.col(text_col), ngram).alias("__csh"))
+    from .dedup import _pin
+
+    # pinned: consumed by the verify join AND the semi-join below — the
+    # corpus signature pass behind it must run once, not once per use
+    cand = _pin(_bands(corpus, "__cid")
+                .join(F.broadcast(_bands(test_set, "__eid")),
+                      ["band", "bh"])
+                .select("__cid", "__eid").distinct())
+    # shingle the VERIFY side only for candidate corpus docs: without the
+    # semi-join the char_ngrams projection sits below the candidate join
+    # and evaluates for every corpus row — a second full shingle pass over
+    # the corpus to serve a candidate set bounded by the contamination
+    # rate. The semi-join filters first (candidate ids broadcast), so the
+    # verify pass shingles O(candidates) docs, not O(corpus).
+    csh = (corpus.join(cand.select(F.col("__cid").alias(id_col)).distinct(),
+                       id_col, "left_semi")
+           .select(F.col(id_col).alias("__cid"),
+                   char_ngrams(F.col(text_col), ngram).alias("__csh")))
     esh = test_set.select(F.col(id_col).alias("__eid"),
                           char_ngrams(F.col(text_col), ngram)
                           .alias("__esh"))
