@@ -1,3 +1,4 @@
+import os
 import shutil
 import tempfile
 
@@ -5,6 +6,23 @@ import pytest
 from pyspark.sql import SparkSession
 
 SF_DIR = "/root/testdata/sf0.001"
+
+# tier split (see pytest.ini): tests named in slow_tests.txt get the
+# 'slow' marker here, so the default run (-m "not slow") stays inside a
+# bounded verify budget while the deep tier remains one -m flag away
+_SLOW_FILE = os.path.join(os.path.dirname(__file__), "slow_tests.txt")
+
+
+def pytest_collection_modifyitems(config, items):
+    try:
+        with open(_SLOW_FILE) as f:
+            slow = {ln.strip() for ln in f
+                    if ln.strip() and not ln.startswith("#")}
+    except OSError:
+        return
+    for item in items:
+        if item.nodeid in slow:
+            item.add_marker(pytest.mark.slow)
 
 
 @pytest.fixture(scope="session")

@@ -257,9 +257,11 @@ def test_bigram_lm_unpersist_releases_distributed_model(spark):
     lm = HF.train_bigram_lm(docs, "text", vocab_size=32,
                             broadcast_model_rows=0)  # force distributed
     assert not lm.broadcast
-    assert lm.pair_lp.is_cached and lm.ctx_lp.is_cached
+    # r16: the persisted frame is the shared (w1, w2, cb, cw) census both
+    # model tables project from — that is what holds executor storage
+    assert lm._census is not None and lm._census.is_cached
     lm.unpersist()
-    assert not lm.pair_lp.is_cached and not lm.ctx_lp.is_cached
+    assert not lm._census.is_cached
     # broadcast model: no-op, nothing persisted
     small = HF.train_bigram_lm(docs, "text", vocab_size=32)
     assert small.broadcast
